@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin engine facade: session bootstrap + table registration.
+  *
+  * Mirrors the reference's `ExecutionContext` + `InMemoryCatalog`
+  * (reference `src/execution/context.rs:217-317`,
+  * `src/planner/binder.rs:26-49`) — but here the catalog is Spark's
+  * temp-view registry and the engine is Spark SQL itself.
+  *
+  * Tables are one-parquet-per-table driver testdata (TESTDATA.md). At
+  * 100 TB each table would be a partitioned parquet/iceberg directory;
+  * `spark.read.parquet(path)` handles both shapes unchanged.
+  */
+object Engine {
+
+  /** All driver-provided tables (TESTDATA.md + FIXTURES.md §A). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  // Last directory registered per session, so repeated queries(name)(spark, dir)
+  // calls don't re-read footers; re-registers when the dir changes.
+  private val registeredDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every table under `sfDir` as a temp view named after the table. */
+  def registerDir(spark: SparkSession, sfDir: String): Unit = {
+    if (registeredDir.get(spark) != sfDir) synchronized {
+      if (registeredDir.get(spark) != sfDir) {
+        tableNames.foreach { t =>
+          val p = s"$sfDir/$t.parquet"
+          if (new java.io.File(p).exists()) {
+            sources.ParquetTables.read(spark, p).createOrReplaceTempView(t)
+          }
+        }
+        TrinoFunctions.register(spark)
+        registeredDir.put(spark, sfDir)
+      }
+    }
+  }
+
+  /** Table accessor used by every catalog query. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    registerDir(spark, sfDir)
+    spark.table(name)
+  }
+
+  /** Standalone session for mains/tests. local[*] stands in for a real
+    * cluster; shuffle partitions sized for local cores, AQE on for
+    * runtime re-planning (skew join, partition coalescing) as it would
+    * be on a 1000-executor cluster.
+    */
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
