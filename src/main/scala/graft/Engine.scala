@@ -28,6 +28,9 @@ object Engine {
   def registerDir(spark: SparkSession, sfDir: String): Unit = {
     if (registeredDir.get(spark) != sfDir) synchronized {
       if (registeredDir.get(spark) != sfDir) {
+        // TIMESTAMP literals in spark.sql(...) must be NTZ to compare with
+        // the repaired NTZ columns without tz coercion surprises.
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
         tableNames.foreach { t =>
           val p = s"$sfDir/$t.parquet"
           if (new java.io.File(p).exists()) {
