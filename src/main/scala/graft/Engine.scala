@@ -58,6 +58,7 @@ object Engine {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

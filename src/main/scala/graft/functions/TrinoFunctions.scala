@@ -1,13 +1,166 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Trino-compatible function surface (reference `ScalarFunction` enum,
-  * `src/planner/logical_expr.rs:270-536`; SQL-name dispatch
-  * `src/planner/binder.rs:1504-2710`). Registration is idempotent.
+import graft.functions.expressions._
+
+/** Trino-compatible function registry (reference `ScalarFunction` enum
+  * `src/planner/logical_expr.rs:270-536`, name dispatch
+  * `src/planner/binder.rs:1504-2710`).
+  *
+  * Three tiers, mirroring SURVEY §2.8's mapping:
+  *   1. names Spark already has (registered builtin — nothing to do);
+  *   2. alias-only mappings: a Trino name bound to a composition of
+  *      Spark's own codegen'd expressions (zero runtime cost);
+  *   3. custom expressions (TrinoExpressions/TrinoAggregates) for
+  *      genuinely missing semantics.
+  *
+  * Registration is per-session and idempotent; `Engine.registerDir`
+  * calls it so every catalog query and spark.sql user sees the names.
   */
 object TrinoFunctions {
-  def register(spark: SparkSession): Unit = {
-    // filled in by the function layer (SURVEY §7.2 step 3)
+
+  /** Column-API handles for the custom functions (library surface).
+    * Requires `register(spark)` to have run for the session (Engine
+    * does this at table registration). */
+  object F {
+    import org.apache.spark.sql.functions.call_function
+    def cosine_similarity(a: Column, b: Column): Column =
+      call_function("cosine_similarity", a, b)
+    def cosine_distance(a: Column, b: Column): Column =
+      call_function("cosine_distance", a, b)
+    def word_stem(c: Column): Column = call_function("word_stem", c)
+    def geometric_mean(c: Column): Column = call_function("geometric_mean", c)
+    def checksum(c: Column): Column = call_function("checksum", c)
+    def hamming_distance(a: Column, b: Column): Column =
+      call_function("hamming_distance", a, b)
   }
+
+  private def litStr(e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => sys.error(s"expected string literal argument, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+
+    // --- tier 3: custom expressions -----------------------------------
+    reg("cosine_similarity") { e => CosineSimilarity(e(0), e(1)) }
+    reg("cosine_distance") { e => Subtract(Literal(1.0), CosineSimilarity(e(0), e(1))) }
+    reg("hmac_md5") { e => Hmac(e(0), e(1), "HmacMD5") }
+    reg("hmac_sha1") { e => Hmac(e(0), e(1), "HmacSHA1") }
+    reg("hmac_sha256") { e => Hmac(e(0), e(1), "HmacSHA256") }
+    reg("hmac_sha512") { e => Hmac(e(0), e(1), "HmacSHA512") }
+    reg("normalize") { e =>
+      if (e.size == 1) NormalizeString(e(0), "NFC") else NormalizeString(e(0), litStr(e(1)))
+    }
+    reg("word_stem") { e => WordStem(e(0)) }
+    reg("hamming_distance") { e => HammingDistance(e(0), e(1)) }
+    reg("to_base32") { e => ToBase32(e(0)) }
+    reg("from_base32") { e => FromBase32(e(0)) }
+    reg("to_base64url") { e => ToBase64Url(e(0)) }
+    reg("from_base64url") { e => FromBase64Url(e(0)) }
+    reg("to_big_endian_32") { e => ToBigEndian32(Cast(e(0), IntegerType)) }
+    reg("from_big_endian_32") { e => FromBigEndian32(e(0)) }
+    reg("to_big_endian_64") { e => ToBigEndian64(Cast(e(0), LongType)) }
+    reg("from_big_endian_64") { e => FromBigEndian64(e(0)) }
+    reg("to_ieee754_32") { e => ToIeee754_32(Cast(e(0), FloatType)) }
+    reg("from_ieee754_32") { e => FromIeee754_32(e(0)) }
+    reg("to_ieee754_64") { e => ToIeee754_64(Cast(e(0), DoubleType)) }
+    reg("from_ieee754_64") { e => FromIeee754_64(e(0)) }
+    reg("is_finite") { e => IsFinite(e(0)) }
+    reg("is_infinite") { e => IsInfinite(e(0)) }
+    reg("human_readable_seconds") { e => HumanReadableSeconds(e(0)) }
+    reg("parse_data_size") { e => ParseDataSize(e(0)) }
+    reg("truncate") { e =>
+      if (e.size == 1) TruncateNumber(e(0), Literal(0)) else TruncateNumber(e(0), Cast(e(1), IntegerType))
+    }
+    reg("year_of_week") { e => graft.functions.expressions.YearOfWeek(e(0)) }
+    reg("yow") { e => graft.functions.expressions.YearOfWeek(e(0)) }
+    reg("normal_cdf") { e => NormalCdf(c(e(0)), c(e(1)), c(e(2))) }
+    reg("inverse_normal_cdf") { e => InverseNormalCdf(c(e(0)), c(e(1)), c(e(2))) }
+    reg("beta_cdf") { e => BetaCdf(c(e(0)), c(e(1)), c(e(2))) }
+    reg("inverse_beta_cdf") { e => InverseBetaCdf(c(e(0)), c(e(1)), c(e(2))) }
+    reg("t_cdf") { e => TCdf(c(e(0)), c(e(1))) }
+    reg("t_pdf") { e => TPdf(c(e(0)), c(e(1))) }
+    reg("wilson_interval_lower") { e =>
+      WilsonInterval(Cast(e(0), LongType), Cast(e(1), LongType), c(e(2)), upper = false)
+    }
+    reg("wilson_interval_upper") { e =>
+      WilsonInterval(Cast(e(0), LongType), Cast(e(1), LongType), c(e(2)), upper = true)
+    }
+    reg("mysql_date_format") { e => MySqlDateFormat(Cast(e(0), TimestampNTZType), e(1)) }
+    reg("date_parse") { e => MySqlDateParse(e(0), e(1)) }
+
+    // --- tier 3: custom aggregates ------------------------------------
+    reg("geometric_mean") { e => GeometricMean(e(0)) }
+    reg("checksum") { e => Checksum(e(0)) }
+
+    // --- tier 2: alias-only mappings onto Spark's codegen'd exprs -----
+    reg("strpos") { e => StringLocate(e(1), e(0), Literal(1)) }
+    reg("index") { e => StringLocate(e(1), e(0), Literal(1)) }
+    reg("levenshtein_distance") { e => Levenshtein(e(0), e(1)) }
+    reg("codepoint") { e => Ascii(e(0)) }
+    reg("to_utf8") { e => Cast(e(0), BinaryType) }
+    reg("from_utf8") { e => Cast(e(0), StringType) }
+    reg("from_hex") { e => Unhex(e(0)) }
+    reg("to_hex") { e => Hex(e(0)) }
+    reg("from_base") { e => Cast(Conv(e(0), Cast(e(1), IntegerType), Literal(10)), LongType) }
+    reg("to_base") { e => Lower(Conv(Cast(e(0), StringType), Literal(10), Cast(e(1), IntegerType))) }
+    reg("infinity") { _ => Literal(Double.PositiveInfinity) }
+    reg("nan") { _ => Literal(Double.NaN) }
+    reg("cot") { e => Divide(Literal(1.0), Tan(c(e(0)))) }
+    reg("day_of_week") { e => Add(WeekDay(e(0)), Literal(1)) } // ISO: Mon=1..Sun=7
+    reg("dow") { e => Add(WeekDay(e(0)), Literal(1)) }
+    reg("day_of_year") { e => DayOfYear(e(0)) }
+    reg("doy") { e => DayOfYear(e(0)) }
+    reg("week") { e => WeekOfYear(e(0)) }
+    reg("week_of_year") { e => WeekOfYear(e(0)) }
+    reg("last_day_of_month") { e => LastDay(e(0)) }
+    reg("to_unixtime") { e => Cast(Cast(e(0), TimestampType), DoubleType) }
+    reg("from_iso8601_timestamp") { e => Cast(e(0), TimestampNTZType) }
+    reg("from_iso8601_date") { e => Cast(e(0), DateType) }
+    reg("to_iso8601") { e =>
+      DateFormatClass(Cast(e(0), TimestampType), Literal("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+    }
+    reg("url_extract_protocol") { e => ParseUrl(Seq(e(0), Literal("PROTOCOL"))) }
+    reg("url_extract_host") { e => ParseUrl(Seq(e(0), Literal("HOST"))) }
+    reg("url_extract_path") { e => ParseUrl(Seq(e(0), Literal("PATH"))) }
+    reg("url_extract_query") { e => ParseUrl(Seq(e(0), Literal("QUERY"))) }
+    reg("url_extract_fragment") { e => ParseUrl(Seq(e(0), Literal("REF"))) }
+    reg("url_extract_parameter") { e => ParseUrl(Seq(e(0), Literal("QUERY"), e(1))) }
+    reg("url_extract_port") { e =>
+      Cast(RegExpExtract(e(0), Literal("^[a-zA-Z]+://[^/:?#]+:([0-9]+)"), Literal(1)), IntegerType)
+    }
+    reg("regexp_like") { e => RLike(e(0), e(1)) }
+    reg("regexp_split") { e => StringSplit(e(0), e(1), Literal(-1)) }
+    reg("regexp_position") { e => StringInstr(e(0), e(1)) } // best-effort; prefer regexp_instr
+    reg("bitwise_and") { e => BitwiseAnd(e(0), e(1)) }
+    reg("bitwise_or") { e => BitwiseOr(e(0), e(1)) }
+    reg("bitwise_xor") { e => BitwiseXor(e(0), e(1)) }
+    reg("bitwise_not") { e => BitwiseNot(e(0)) }
+    reg("bitwise_left_shift") { e => ShiftLeft(e(0), Cast(e(1), IntegerType)) }
+    reg("bitwise_right_shift") { e => ShiftRightUnsigned(e(0), Cast(e(1), IntegerType)) }
+    reg("bitwise_right_shift_arithmetic") { e => ShiftRight(e(0), Cast(e(1), IntegerType)) }
+    reg("arbitrary") { e =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(e(0), ignoreNulls = false)
+    }
+    reg("approx_distinct") { e =>
+      // reference semantics are EXACT (hash_agg.rs:1786-1800)
+      org.apache.spark.sql.catalyst.expressions.aggregate.Count(e)
+        .toAggregateExpression(isDistinct = true)
+    }
+    reg("approx_percentile") { e =>
+      // reference semantics are EXACT sort-based (hash_agg.rs:1753-1785)
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(e(0), e(1))
+    }
+
+  }
+
+  private def c(e: Expression): Expression = Cast(e, DoubleType)
 }

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Engine
+
+/** Coverage for the Trino-compat layer (TrinoFunctions): every custom
+  * expression/aggregate exercised through spark.sql, proving the SQL
+  * name dispatch works like the reference binder
+  * (`src/planner/binder.rs:1504-2710`).
+  *
+  * Oracle strategy where DuckDB lacks the function:
+  *  - roundtrip/property booleans (e.g. from_base32(to_base32(x)) = x)
+  *    whose oracle is the literal TRUE;
+  *  - algebraic reconstruction (geometric_mean = exp(avg(ln x)));
+  *  - DuckDB's %-pattern strftime matches the reference's MySQL-style
+  *    date_format dialect directly.
+  * Functions with no such encoding (hmac_*, CDFs, checksum) are pinned
+  * by unit tests against known vectors; their catalog queries are
+  * rows-only per the SparkEntry contract.
+  */
+object TrinoQueries extends QueryCatalog {
+
+  private def sql(s: SparkSession, dir: String)(q: String): DataFrame = {
+    Engine.registerDir(s, dir)
+    s.sql(q)
+  }
+
+  /** cosine_similarity/cosine_distance vs DuckDB's native list kernels. */
+  private val trinoCosine = Q(
+    "trino_cosine",
+    Some("""
+      SELECT a.vec_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+             round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_dist
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 25
+      ORDER BY a.vec_id"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT a.vec_id,
+             round(cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim,
+             round(cosine_distance(a.embedding, b.embedding), 6) AS cos_dist
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 25
+      ORDER BY a.vec_id"""))
+
+  /** Trino date/time dialect: 3-arg date_add/date_diff, ISO fields,
+    * MySQL-pattern format/parse (DuckDB strftime speaks the same
+    * %-dialect), unix time. */
+  private val trinoDatetime = Q(
+    "trino_datetime",
+    Some("""
+      SELECT event_id,
+             ts + INTERVAL 5 DAY AS plus5d,
+             ts + INTERVAL 90 MINUTE AS plus90m,
+             date_diff('day', date_trunc('day', ts), TIMESTAMP '2024-03-01 00:00:00') AS dd,
+             CAST(date_part('isoyear', ts) AS INT) AS yow,
+             CAST(date_part('isodow', ts) AS INT) AS dow,
+             CAST(date_part('doy', ts) AS INT) AS doy,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS mysql_fmt,
+             CAST(strptime('15/03/2024', '%d/%m/%Y') AS TIMESTAMP) AS parsed,
+             CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS unixtime,
+             CAST(last_day(CAST(ts AS DATE)) AS DATE) AS ldom
+      FROM events WHERE event_id < 15 ORDER BY event_id"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT event_id,
+             date_add(day, 5, ts) AS plus5d,
+             date_add(minute, 90, ts) AS plus90m,
+             date_diff(day, date_trunc('day', ts), TIMESTAMP '2024-03-01 00:00:00') AS dd,
+             year_of_week(ts) AS yow,
+             day_of_week(ts) AS dow,
+             day_of_year(ts) AS doy,
+             mysql_date_format(ts, '%Y-%m-%d %H:%i:%S') AS mysql_fmt,
+             CAST(date_parse('15/03/2024', '%d/%m/%Y') AS TIMESTAMP) AS parsed,
+             to_unixtime(date_trunc('second', ts)) AS unixtime,
+             last_day_of_month(ts) AS ldom
+      FROM events WHERE event_id < 15 ORDER BY event_id"""))
+
+  /** String/position aliases with direct DuckDB counterparts. */
+  private val trinoStrings = Q(
+    "trino_strings",
+    Some("""
+      SELECT p_partkey,
+             strpos(p_name, 'e') AS pos_e,
+             ord(p_name) AS cp,
+             levenshtein(p_name, p_type) AS lev,
+             hamming(p_brand, p_brand) AS ham_same,
+             CAST(p_name AS BLOB) = CAST(p_name AS BLOB) AS utf8_ok,
+             lower(p_type) AS lo
+      FROM part WHERE p_partkey < 20 ORDER BY p_partkey"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT p_partkey,
+             CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
+             CAST(codepoint(p_name) AS BIGINT) AS cp,
+             CAST(levenshtein_distance(p_name, p_type) AS BIGINT) AS lev,
+             hamming_distance(p_brand, p_brand) AS ham_same,
+             from_utf8(to_utf8(p_name)) = p_name AS utf8_ok,
+             lower(p_type) AS lo
+      FROM part WHERE p_partkey < 20 ORDER BY p_partkey"""))
+
+  /** Encoding roundtrips + property checks; oracle is the expected
+    * literal/reconstruction. */
+  private val trinoEncoding = Q(
+    "trino_encoding",
+    Some("""
+      SELECT n_nationkey,
+             true AS b32_ok, true AS b64url_ok, true AS be64_ok, true AS ieee_ok,
+             replace(replace(to_base64(CAST(n_name AS BLOB)), '+', '-'), '/', '_') AS b64url,
+             true AS finite_ok, false AS inf_ok,
+             CAST(n_nationkey AS BIGINT) * 1048576 AS mb_bytes
+      FROM nation ORDER BY n_nationkey"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT n_nationkey,
+             from_utf8(from_base32(to_base32(n_name))) = n_name AS b32_ok,
+             from_utf8(from_base64url(to_base64url(n_name))) = n_name AS b64url_ok,
+             from_big_endian_64(to_big_endian_64(CAST(n_nationkey AS BIGINT) * 1000000007)) = CAST(n_nationkey AS BIGINT) * 1000000007 AS be64_ok,
+             from_ieee754_64(to_ieee754_64(n_nationkey / 7.0)) = n_nationkey / 7.0 AS ieee_ok,
+             to_base64url(n_name) AS b64url,
+             is_finite(n_nationkey / 7.0) AS finite_ok,
+             is_infinite(n_nationkey / 7.0) AS inf_ok,
+             parse_data_size(CAST(n_nationkey AS STRING) || 'MB') AS mb_bytes
+      FROM nation ORDER BY n_nationkey"""))
+
+  /** truncate / to_base / from_base / cot / math extras. */
+  private val trinoMath = Q(
+    "trino_math",
+    Some("""
+      SELECT p_partkey,
+             CASE WHEN x >= 0 THEN floor(x * 100) / 100 ELSE ceil(x * 100) / 100 END AS tr2,
+             CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END AS tr0,
+             bin(p_size) AS bin_str,
+             CAST(p_size AS BIGINT) AS roundtrip,
+             round(1.0 / tan(p_size / 10.0), 6) AS cot_v,
+             CAST(CASE WHEN p_size >= 50 THEN 11 ELSE floor(p_size / 5.0) + 1 END AS BIGINT) AS wb
+      FROM (SELECT p_partkey, p_size, p_retailprice - 1500 AS x FROM part)
+      WHERE p_partkey < 20 ORDER BY p_partkey"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT p_partkey,
+             truncate(x, 2) AS tr2,
+             truncate(x) AS tr0,
+             to_base(p_size, 2) AS bin_str,
+             from_base(to_base(p_size, 16), 16) AS roundtrip,
+             round(cot(p_size / 10.0), 6) AS cot_v,
+             width_bucket(p_size, 0, 50, 10) AS wb
+      FROM (SELECT p_partkey, p_size, p_retailprice - 1500 AS x FROM part)
+      WHERE p_partkey < 20 ORDER BY p_partkey"""))
+
+  /** geometric_mean (algebraic oracle) + stddev-family cross-check. */
+  private val trinoAggFns = Q(
+    "trino_agg_fns",
+    Some("""
+      SELECT l_returnflag,
+             round(exp(avg(ln(l_quantity))), 6) AS geo_mean,
+             round(exp(avg(ln(l_extendedprice))), 4) AS geo_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT l_returnflag,
+             round(geometric_mean(l_quantity), 6) AS geo_mean,
+             round(geometric_mean(l_extendedprice), 4) AS geo_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** checksum: order-independence property — checksum over a shuffled
+    * self-union of two disjoint halves equals checksum over the whole.
+    * Oracle: TRUE (the property), plus row count. */
+  private val trinoChecksum = Q(
+    "trino_checksum",
+    Some("SELECT true AS order_independent, count(*) AS n FROM lineitem"),
+    (s, dir) => sql(s, dir)("""
+      WITH whole AS (SELECT checksum(l_orderkey * 31 + l_linenumber) AS c FROM lineitem),
+           parts AS (SELECT checksum(l_orderkey * 31 + l_linenumber) AS c FROM (
+                       SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0
+                       UNION ALL
+                       SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 1))
+      SELECT (SELECT c FROM whole) = (SELECT c FROM parts) AS order_independent,
+             (SELECT count(*) FROM lineitem) AS n"""))
+
+  /** hmac/normalize/word_stem/CDFs — deterministic but not DuckDB-
+    * expressible: rows-only in the driver, pinned by unit tests. */
+  private val trinoCustomRowsOnly = Q(
+    "trino_custom_fns",
+    None,
+    (s, dir) => sql(s, dir)("""
+      SELECT doc_id,
+             word_stem(split_part(text, ' ', 1)) AS stem1,
+             normalize(text) AS norm,
+             hmac_sha256(text, 'graft-key') AS mac,
+             round(normal_cdf(0, 1, doc_id / 100.0), 6) AS ncdf,
+             round(beta_cdf(2, 5, (doc_id % 100) / 100.0 + 0.001), 6) AS bcdf,
+             round(t_cdf(10, doc_id / 100.0), 6) AS tcdf,
+             round(wilson_interval_lower(doc_id + 1, 1000, 1.96), 6) AS wil,
+             human_readable_seconds(doc_id * 3671) AS hrs
+      FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
+
+  override def defs: Seq[Q] = Seq(
+    trinoCosine, trinoDatetime, trinoStrings, trinoEncoding, trinoMath,
+    trinoAggFns, trinoChecksum, trinoCustomRowsOnly)
+}
