@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+
+import graft.functions.expressions.{MinHashSignature, SimHash64}
+
+/** Deduplication operators for training-data pipelines, each a
+  * DataFrame → DataFrame transform designed for the 100 TB case:
+  *
+  *  - exact / canonical-key dedup: one hash-aggregate (map-side partial
+  *    combine, one shuffle on the digest — the minimum possible);
+  *  - exact n-gram Jaccard: inverted-index self-join on shingles — the
+  *    exact algorithm that co-groups by shingle instead of O(n²) pairs;
+  *  - MinHash + LSH banding: the scale path — candidate generation
+  *    touches only colliding bands, then exact Jaccard verifies;
+  *  - SimHash + pigeonhole banding for small Hamming radii;
+  *  - embedding near-dup via brute-force or hyperplane-LSH (Similarity).
+  *
+  * Skew note (100 TB): shingle/band buckets can be hot (stopword-heavy
+  * shingles). `maxBucket` drops buckets above a size cap — a standard
+  * LSH skew guard: an over-full bucket carries almost no discriminative
+  * signal but quadratic pair cost.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set of a text column (distinct). Spark's
+    * sequence(1, 0) counts *down*, so short texts need the guard. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact dedup on a digest of `key`: keeps the row with min `id` per
+    * group. One shuffle on the digest. */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(md5(key.cast("string")).as("dup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** All pairs with shingle-set Jaccard >= threshold — exact, via an
+    * inverted-index join on shingles (never materializes the n² pairs). */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    val sh = df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+    val inv = sh.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    // skew guard: drop shingles shared by too many docs (no signal, n² cost)
+    val rare = inv.withColumn("df_count",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df_count") <= maxBucket)
+    val a = rare.select(col("doc_id").as("a_id"), col("sh_size").as("a_size"), col("shingle"))
+    val b = rare.select(col("doc_id").as("b_id"), col("sh_size").as("b_size"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_size") + col("b_size") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature column (array<bigint> of k hashes). */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    toCol(MinHashSignature(toExpr(shingles(text, n)), k))
+
+  /** Near-dup pairs via MinHash LSH banding + exact Jaccard verify.
+    * bands*rowsPerBand = k. Candidate pairs come only from band-hash
+    * collisions; verification recomputes true Jaccard on the shingle
+    * sets of candidates (joins back to the docs). */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val k = bands * rowsPerBand
+    val docs = df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+      .withColumn("sig", toCol(MinHashSignature(toExpr(col("sh")), k)))
+      .withColumn("sh_size", size(col("sh")))
+
+    // band key = (band index, hash of that band's slice of the signature)
+    val banded = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+
+    val bucketed = banded.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+
+    val cands = bucketed
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
+
+    val sets = docs.select(col("doc_id"), col("sh"), col("sh_size"))
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("sh_size").as("a_size")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("sh_size").as("b_size")), "b_id")
+      .withColumn("common", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_size") + col("b_size") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash fingerprint of whitespace tokens. */
+  def simhash(text: Column): Column = toCol(SimHash64(toExpr(split(text, " "))))
+
+  /** Near-dup pairs with Hamming(simhash) <= maxHamming, found by
+    * pigeonhole banding: split 64 bits into `chunks` pieces; any pair
+    * within radius floor(chunks-1) shares at least one exact chunk, so
+    * an equi-join on (chunk index, chunk value) finds all of them. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val width = 64 / chunks
+    val fp = df.select(id.as("doc_id"), simhash(text).as("sh64"))
+    val chunkVals = (0 until chunks).map(c =>
+      shiftrightunsigned(col("sh64"), c * width).bitwiseAND(lit((1L << width) - 1)))
+    val banded = fp.select(col("doc_id"), col("sh64"),
+        posexplode(array(chunkVals: _*)))
+      .select(col("doc_id"), col("sh64"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val a = banded.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("a_id"), col("sh64").as("a_fp"))
+    val b = banded.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("b_id"), col("sh64").as("b_fp"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

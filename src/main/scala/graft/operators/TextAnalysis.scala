@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.RollingFingerprint
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions — they run inside whole-stage codegen'd projections with
+  * no shuffle, so they cost one scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists (n-gram-heuristic language ID).
+    * Order matters: deterministic tiebreak prefers earlier languages. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Language ID: distinct-stopword hit count per language, argmax with
+    * first-listed-language tiebreak; 'und' (undetermined) when nothing
+    * hits. Implemented as array_max over (score, -rank, lang) structs —
+    * lexicographic struct ordering gives the deterministic argmax. */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = stopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(-i).as("neg_rank"),
+        lit(lang).as("lang"))
+    }
+    when(array_max(array(scored: _*)).getField("score") > 0,
+      array_max(array(scored: _*)).getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: blends length, punctuation ratio,
+    * stopword ratio, and mean word length (the classic cheap filters). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text)
+    val toks = split(text, "\\s+")
+    val nTok = size(toks)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val allStops = stopwords.flatMap(_._2).distinct
+    val stopHits = size(filter(toks, t => t.isin(allStops.map(lit(_).asInstanceOf[Any]): _*)))
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val punctRatio = punct / greatest(n, lit(1)).cast("double")
+    val punctScore = when(punctRatio <= 0.1, lit(1.0)).otherwise(greatest(lit(0.0), lit(1.0) - punctRatio * 5))
+    val stopRatio = stopHits / greatest(nTok, lit(1)).cast("double")
+    val stopScore = least(stopRatio * 5, lit(1.0))
+    val meanWordLen = (n - nTok + 1) / greatest(nTok, lit(1)).cast("double")
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.3 + punctScore * 0.2 + stopScore * 0.2 + wordLenScore * 0.3, 4)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish subword proxy: words + punctuation marks counted separately
+    * (regex \w+|[^\w\s]) — the standard pre-tokenizer shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0)))
+
+  /** Content fingerprint: md5 of casefolded, punctuation-stripped,
+    * whitespace-collapsed text (bag-preserving normalization). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  /** Order-sensitive rolling-hash fingerprint (Rabin-Karp, mod 1e9+7). */
+  def rollingFingerprint(text: Column): Column = toCol(RollingFingerprint(toExpr(text)))
+}

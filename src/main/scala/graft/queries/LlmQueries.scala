@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator coverage (builder mandate; beyond the
+  * reference's surface — its COSINE_SIMILARITY is declared-but-
+  * unimplemented, filter.rs:3306). Exact variants carry DuckDB oracles;
+  * probabilistic variants (LSH/simhash ANN) are rows-only here and
+  * recall-tested against the exact variants in the ScalaTest suite.
+  *
+  * Data note (sf0.01 documents): no exact text duplicates, 21 same-
+  * vocabulary groups, planted near-dup pairs at 3-gram Jaccard ≥ 0.95
+  * with the next pair at ≤ 0.2 — thresholds below sit in the gaps.
+  */
+object LlmQueries extends QueryCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.t(s, dir, name)
+
+  private val canonicalVocabDuck =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
+  /** Exact dedup on a canonical key (sorted distinct vocabulary). */
+  private val dedupExact = Q(
+    "dedup_exact",
+    Some(s"""
+      SELECT $canonicalVocabDuck AS dup_key, min(doc_id) AS keep_id, count(*) AS group_size
+      FROM documents
+      GROUP BY $canonicalVocabDuck
+      ORDER BY keep_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canonical = array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+      Dedup.exact(docs, canonical, col("doc_id")).orderBy(col("keep_id"))
+    })
+
+  private def jaccardOracle(threshold: Double) = s"""
+      WITH g AS (SELECT doc_id,
+                        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       FOR i IN generate_series(1, len(w) - 2)]) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold
+      ORDER BY a_id, b_id"""
+
+  /** Exact 3-gram Jaccard near-dup pairs via inverted-index join. */
+  private val dedupJaccard = Q(
+    "dedup_ngram_jaccard",
+    Some(jaccardOracle(0.5)),
+    (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")))
+
+  /** MinHash+LSH near-dup: candidates from 16x4 banding, exact-Jaccard
+    * verified. At this data's similarity gap (>=0.95 vs <=0.2) recall is
+    * 1 - (1-0.95^4)^16 ≈ 1-2e-13, so the exact-Jaccard oracle applies. */
+  private val dedupMinhash = Q(
+    "dedup_minhash_lsh",
+    Some(jaccardOracle(0.5)),
+    (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")))
+
+  /** SimHash near-dup (Hamming <= 7 over 8 chunks) — fingerprint family
+    * is engine-specific: rows-only here, pinned by the dedup spec. */
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    None,
+    (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 7, chunks = 8)
+        .orderBy(col("a_id"), col("b_id")))
+
+  /** Embedding near-dup: exact all-pairs cosine >= 0.35 (data max 0.46). */
+  private val dedupEmbedding = Q(
+    "dedup_embedding",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+      ORDER BY a_id, b_id"""),
+    (s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, lsh = false)
+        .orderBy(col("a_id"), col("b_id")))
+
+  /** Exact brute-force cosine top-5 for 5 query vectors (ANN baseline). */
+  private val annBrute = Q(
+    "ann_brute_topk",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                             list_cosine_similarity(qv, e.v) AS sim
+                      FROM q JOIN e ON e.vec_id <> q.query_id)
+      SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+      FROM (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored) x
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** LSH-bucketed ANN (the 100 TB path) — probabilistic: rows-only;
+    * recall vs the brute-force baseline is asserted in the spec. */
+  private val annLsh = Q(
+    "ann_lsh_topk",
+    None,
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5, bits = 64, bands = 16)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** Language ID distribution (stopword-hit argmax heuristic). */
+  private val textLangid = Q(
+    "text_langid",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                                  ['the','a','of','and','to','in','is'])) AS s_en,
+               len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                                  ['der','die','das','und','ist','ein'])) AS s_de,
+               len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                                  ['le','la','les','et','est','un'])) AS s_fr,
+               len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                                  ['el','los','las','y','es','un'])) AS s_es,
+               len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                                  ['的','是','在','了','和'])) AS s_zh
+        FROM documents)
+      SELECT CASE
+               WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 AND s_zh = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+               WHEN s_es >= s_zh THEN 'es'
+               ELSE 'zh' END AS lang_pred,
+             count(*) AS n
+      FROM scored GROUP BY 1 ORDER BY lang_pred"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")))
+
+  /** Quality scoring components + composite. */
+  private val textQuality = Q(
+    "text_quality",
+    Some("""
+      SELECT doc_id,
+             round(least(length(text) / 500.0, 1.0) * 0.3
+                   + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                            / greatest(length(text), 1)::DOUBLE <= 0.1 THEN 1.0
+                           ELSE greatest(0.0, 1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                                / greatest(length(text), 1)::DOUBLE * 5) END) * 0.2
+                   + least(len(list_filter(string_split_regex(text, '\s+'),
+                               t -> list_contains(['the','a','of','and','to','in','is','der','die','das','und','ist','ein','le','la','les','et','est','un','el','los','las','y','es','的','是','在','了','和'], t)))
+                           / greatest(len(string_split_regex(text, '\s+')), 1)::DOUBLE * 5, 1.0) * 0.2
+                   + (CASE WHEN (length(text) - len(string_split_regex(text, '\s+')) + 1)
+                                / greatest(len(string_split_regex(text, '\s+')), 1)::DOUBLE
+                                BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality
+      FROM documents WHERE doc_id < 40 ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")))
+
+  /** Token counting: whitespace + BPE-ish pre-tokenizer regex. */
+  private val textTokens = Q(
+    "text_tokens",
+    Some("""
+      SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpeish,
+             n_chars
+      FROM documents WHERE doc_id < 40 ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+          col("n_chars"))
+        .orderBy(col("doc_id")))
+
+  /** Fingerprints: normalized-md5 (oracle) + rolling hash (list_reduce
+    * reconstruction in DuckDB). */
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS fp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+                         (h, c) -> (h * 31 + c) % 1000000007) AS rolling_fp
+      FROM documents WHERE doc_id < 40 ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id")))
+
+  /** Multimodal frame fan-out: binary slicing + meta arithmetic (oracle
+    * recomputes the arithmetic from n_chars without touching bytes). */
+  private val multimodalFrames = Q(
+    "multimodal_frames",
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, n_chars,
+                        n_chars % 5 + 1 AS n_frames,
+                        greatest(n_chars // (n_chars % 5 + 1), 1) AS frame_len
+                 FROM documents),
+           f AS (SELECT media_id, n_chars, frame_len, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+                 FROM m)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(least(frame_len, n_chars - frame_idx * frame_len) AS BIGINT) AS frame_n_bytes
+      FROM f WHERE media_id < 40
+      ORDER BY media_id, frame_idx"""),
+    (s, dir) => {
+      val media = Multimodal.packDocsAsMedia(t(s, dir, "documents").filter(col("doc_id") < 40))
+      Multimodal.frameSample(media)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_n_bytes").cast("long").as("frame_n_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
+
+  /** Multimodal decode + feature extraction (STUB kernels, real
+    * plumbing): rows-only — content hash/histogram are engine-internal. */
+  private val multimodalDecode = Q(
+    "multimodal_decode",
+    None,
+    (s, dir) => {
+      val media = Multimodal.packDocsAsMedia(t(s, dir, "documents").filter(col("doc_id") < 40))
+      val decoded = Multimodal.decodeStub(s, media)
+      Multimodal.extractFeatures(Multimodal.resizeStub(decoded, 512, 384))
+        .select(col("media_id"), col("n_bytes"), col("content_hash"),
+          col("meta.kind").as("kind"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          round(element_at(col("features"), 1), 6).as("feat_0"))
+        .orderBy(col("media_id"))
+    })
+
+  override def defs: Seq[Q] = Seq(
+    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    annBrute, annLsh, textLangid, textQuality, textTokens, textFingerprint,
+    multimodalFrames, multimodalDecode)
+}

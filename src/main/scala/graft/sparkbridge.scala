@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column <-> Expression converters
+  * (Spark 4 removed the public `new Column(expr)` constructor). Used by
+  * graft's custom-expression Column API only.
+  */
+object GraftColumnBridge {
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
