@@ -78,7 +78,8 @@ object TrinoFunctions {
     reg("human_readable_seconds") { e => HumanReadableSeconds(e(0)) }
     reg("parse_data_size") { e => ParseDataSize(e(0)) }
     reg("truncate") { e =>
-      if (e.size == 1) TruncateNumber(e(0), Literal(0)) else TruncateNumber(e(0), Cast(e(1), IntegerType))
+      if (e.size == 1) TruncateNumber(Cast(e(0), DoubleType), Literal(0))
+      else TruncateNumber(Cast(e(0), DoubleType), Cast(e(1), IntegerType))
     }
     reg("year_of_week") { e => graft.functions.expressions.YearOfWeek(e(0)) }
     reg("yow") { e => graft.functions.expressions.YearOfWeek(e(0)) }

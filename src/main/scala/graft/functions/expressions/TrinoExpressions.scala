@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  // zero-norm inputs yield NULL even for non-null children
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType, _) => true

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TrinoDialectParser
+
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registerDir repairs TIMESTAMP(NANOS) columns to TIMESTAMP_NTZ") {
+    Engine.registerDir(spark, sf0001)
+    val schema = spark.table("events").schema
+    assert(schema("ts").dataType == TimestampNTZType)
+    assert(schema("event_id").dataType == LongType)
+  }
+
+  test("nanos repair preserves wall-clock values") {
+    Engine.registerDir(spark, sf0001)
+    val r = spark.sql(
+      "SELECT min(ts) AS lo, max(ts) AS hi FROM events").collect()(0)
+    val lo = r.getAs[java.time.LocalDateTime]("lo")
+    assert(lo.getYear == 2024 && lo.getMonthValue == 1)
+  }
+
+  test("registerDir is idempotent and re-registers on dir change") {
+    Engine.registerDir(spark, sf0001)
+    val n1 = spark.table("region").count()
+    Engine.registerDir(spark, "/root/testdata/sf0.01")
+    val n2 = spark.table("customer").count()
+    Engine.registerDir(spark, sf0001)
+    assert(n1 == 5)
+    assert(n2 == 1500)
+    assert(spark.table("customer").count() == 150)
+  }
+
+  test("TrinoDialectParser rewrites only quoted datetime units") {
+    val p = new TrinoDialectParser(null)
+    assert(p.rewrite("SELECT date_add('day', 1, ts)") == "SELECT date_add(day, 1, ts)")
+    assert(p.rewrite("SELECT DATE_DIFF('hour', a, b)") == "SELECT DATE_DIFF(hour, a, b)")
+    // date_trunc keeps its quoted unit (Spark's own convention)
+    assert(p.rewrite("SELECT date_trunc('day', ts)") == "SELECT date_trunc('day', ts)")
+    // arbitrary strings that merely look similar are untouched
+    assert(p.rewrite("SELECT 'date_add(''day'' is text'") == "SELECT 'date_add(''day'' is text'")
+    assert(p.rewrite("SELECT split_part(x, 'day', 1)") == "SELECT split_part(x, 'day', 1)")
+  }
+}

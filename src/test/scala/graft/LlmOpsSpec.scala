@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavior tests for the LLM-pipeline operators: crafted fixtures with
+  * known answers, plus recall checks of the probabilistic (LSH) variants
+  * against their exact counterparts on real testdata. */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "entirely different words about spark and scala engines"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs, col("text"), col("doc_id"))
+      .filter(col("group_size") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 0L)
+    assert(groups(0).getAs[Long]("group_size") == 2L)
+  }
+
+  test("jaccardPairs finds the planted near-dup and the exact dup") {
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc
+  }
+
+  test("minhashLshPairs matches exact jaccardPairs on testdata docs") {
+    val real = Engine.t(spark, sf0001, "documents")
+    val exact = Dedup.jaccardPairs(real, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(real, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // at this similarity gap recall ~ 1 - 2e-13
+  }
+
+  test("simhashPairs: identical docs at distance 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 15, chunks = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs((0L, 3L)) == 0)
+    assert(pairs.get((0L, 1L)).exists(_ <= 15))
+  }
+
+  test("simhash of identical text is equal, of different text differs") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("brute-force top-k is exact and LSH recall is measurable") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5).collect()
+    assert(brute.length == 50) // 10 queries x 5
+    // per query, similarities are non-increasing with rank
+    brute.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5, bits = 64, bands = 16).collect()
+    val bruteSet = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lshSet = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bruteSet intersect lshSet).size.toDouble / bruteSet.size
+    // near-orthogonal random embeddings are LSH's worst case; just require
+    // the pipeline produces ranked candidates and nonzero overlap
+    assert(lshSet.nonEmpty)
+    assert(recall > 0.0, s"recall=$recall")
+  }
+
+  test("langId picks en for english stopwords, und for none") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, "the cat and the dog"), (2, "der hund und die katze ist"),
+      (3, "zzz qqq www")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.langId(col("t")).as("lang"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(1) == "en")
+    assert(m(2) == "de")
+    assert(m(3) == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+      (2, "!!!???...,,,;;;:::!!!???...,,,;;;:::")).toDF("id", "t")
+      .select(col("id"), TextAnalysis.qualityScore(col("t")).as("q"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(m(1) > m(2))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "hello, world! it's fine")).toDF("id", "t")
+      .select(
+        TextAnalysis.tokenCount(col("t")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("t")).as("bpe"))
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("ws") == 4)
+    // hello , world ! it ' s fine = 8
+    assert(r.getAs[Int]("bpe") == 8)
+  }
+
+  test("fingerprints: normalization-invariant md5 vs order-sensitive rolling") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, "Hello,   World!"), (2, "hello world"), (3, "world hello"))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextAnalysis.fingerprint(col("t")).as("fp"),
+        TextAnalysis.rollingFingerprint(col("t")).as("rfp"))
+    val rows = df.collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(1)._1 == rows(2)._1) // punctuation/case-insensitive
+    assert(rows(2)._1 != rows(3)._1) // order matters for md5 of text
+    assert(rows(2)._2 != rows(3)._2) // rolling hash is order-sensitive
+  }
+
+  test("multimodal: frame fan-out covers bytes and features are normalized") {
+    val media = Multimodal.packDocsAsMedia(
+      Engine.t(spark, sf0001, "documents").filter(col("doc_id") < 10))
+    val frames = Multimodal.frameSample(media)
+    val byDoc = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n"), sum(col("frame_n_bytes")).as("bytes"))
+      .join(media.select(col("media_id"), col("meta.n_frames").as("nf"),
+        octet_length(col("data")).as("len")), "media_id")
+      .collect()
+    byDoc.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Int]("nf").toLong)
+      assert(r.getAs[Long]("bytes") <= r.getAs[Int]("len"))
+      assert(r.getAs[Long]("bytes") >= r.getAs[Int]("len") - r.getAs[Int]("nf"))
+    }
+    val feats = Multimodal.extractFeatures(media).select(col("features")).collect()
+    feats.foreach { r =>
+      val v = r.getSeq[Float](0)
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0f) < 1e-3) // L1-normalized
+    }
+  }
+
+  test("multimodal decode stub is deterministic") {
+    val media = Multimodal.packDocsAsMedia(
+      Engine.t(spark, sf0001, "documents").filter(col("doc_id") < 10))
+    val a = Multimodal.decodeStub(spark, media).select("media_id", "content_hash").collect()
+    val b = Multimodal.decodeStub(spark, media).select("media_id", "content_hash").collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+  }
+}
