@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IcebergLite
+import graft.streaming.EventStream
+
+/** IcebergLite (snapshot resolution, time travel, partition pruning)
+  * against a generated table in the reference's JSON layout, plus the
+  * Structured-Streaming smoke (file source → watermarked window agg →
+  * memory sink). */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val tableDir: String = {
+    val root = Files.createTempDirectory("iceberg_lite").toString
+    Files.createDirectories(Paths.get(s"$root/metadata"))
+    Files.createDirectories(Paths.get(s"$root/data"))
+    val s = spark
+    import s.implicits._
+    // snapshot 1: two files, partitions year=2023/2024; snapshot 2 adds year=2025
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/data/y2023")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/data/y2024")
+    Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/data/y2025")
+    def files(dir: String): String = {
+      val fs = new java.io.File(s"$root/data/$dir").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      fs.map(f => s"data/$dir/${f.getName}").head
+    }
+    def dataFileJson(dir: String, year: String, n: Int): String =
+      s"""{"data_file": {"file_path": "${files(dir)}", "file_format": "PARQUET",
+          "partition": {"year": "$year"}, "record_count": $n, "file_size_in_bytes": 1}}"""
+    def write(path: String, content: String): Unit =
+      Files.writeString(Paths.get(s"$root/$path"), content)
+
+    write("metadata/manifest-1.json",
+      s"""{"entries": [${dataFileJson("y2023", "2023", 2)}, ${dataFileJson("y2024", "2024", 1)}]}""")
+    write("metadata/manifest-2.json",
+      s"""{"entries": [${dataFileJson("y2025", "2025", 3)}]}""")
+    write("metadata/manifest-list-1.json",
+      """[{"manifest_path": "metadata/manifest-1.json", "manifest_length": 1,
+          "partition_spec_id": 0, "snapshot_id": 1, "sequence_number": 1}]""")
+    write("metadata/manifest-list-2.json",
+      """[{"manifest_path": "metadata/manifest-1.json", "manifest_length": 1,
+          "partition_spec_id": 0, "snapshot_id": 1, "sequence_number": 1},
+         {"manifest_path": "metadata/manifest-2.json", "manifest_length": 1,
+          "partition_spec_id": 0, "snapshot_id": 2, "sequence_number": 2}]""")
+    write("metadata/snap-1.snapshot.json",
+      """{"snapshot_id": 1, "manifest_list": "metadata/manifest-list-1.json"}""")
+    write("metadata/snap-2.snapshot.json",
+      """{"snapshot_id": 2, "parent_snapshot_id": 1,
+          "manifest_list": "metadata/manifest-list-2.json"}""")
+    write("metadata/v0.metadata.json",
+      """{"format_version": 2, "uuid": "test-uuid", "current_snapshot_id": 2}""")
+    root
+  }
+
+  test("current snapshot reads all live files with partition columns") {
+    val df = IcebergLite.read(spark, tableDir)
+    assert(df.count() == 6)
+    assert(df.columns.contains("year"))
+    assert(df.filter(col("year") === "2025").count() == 3)
+  }
+
+  test("time travel to snapshot 1") {
+    val df = IcebergLite.read(spark, tableDir, snapshotId = Some(1L))
+    assert(df.count() == 3)
+    assert(df.select(max(col("id"))).collect()(0).getLong(0) == 3L)
+  }
+
+  test("partition pruning: Eq / Gt / In filter files before any scan") {
+    assert(IcebergLite.dataFiles(tableDir).size == 3)
+    assert(IcebergLite.dataFiles(tableDir,
+      filters = Seq(IcebergLite.Eq("year", "2024"))).size == 1)
+    assert(IcebergLite.dataFiles(tableDir,
+      filters = Seq(IcebergLite.Gt("year", "2023"))).size == 2)
+    assert(IcebergLite.dataFiles(tableDir,
+      filters = Seq(IcebergLite.In("year", Seq("2023", "2025")))).size == 2)
+    val pruned = IcebergLite.read(spark, tableDir,
+      filters = Seq(IcebergLite.Lt("year", "2025")))
+    assert(pruned.count() == 3)
+  }
+
+  test("snapshots enumerates time-travel targets") {
+    assert(IcebergLite.snapshots(tableDir) == Seq(1L, 2L))
+  }
+
+  test("streaming: file source -> watermarked window agg -> memory sink") {
+    val out = EventStream.runFileStream(spark, sf0001, "events_stream_test")
+    assert(out.count() > 0)
+    val cols = out.columns.toSet
+    assert(cols == Set("window_start", "event_type", "n", "sum_value"))
+    // Append mode holds back windows still inside the watermark horizon
+    // (the final <=2h of event time stays open) — everything older is
+    // emitted exactly once.
+    val streamTotal = out.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(streamTotal <= 1000L && streamTotal >= 990L, s"got $streamTotal")
+  }
+
+  test("streaming: stateful sessionization with mapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      EventStream.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      EventStream.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "b"),
+      EventStream.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "c"),
+      EventStream.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "d")
+    ).toDS()
+    val updates = EventStream.sessionize(events, gapMs = 60 * 60 * 1000)
+      .collect().map(u => u.userId -> u).toMap
+    assert(updates(1L).nEvents == 1) // last session restarted after the 2h gap
+    assert(updates(1L).closed)
+    assert(updates(2L).nEvents == 1)
+    assert(!updates(2L).closed)
+  }
+}
