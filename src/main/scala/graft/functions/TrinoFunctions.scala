@@ -138,6 +138,7 @@ object TrinoFunctions {
     reg("url_extract_port") { e =>
       Cast(RegExpExtract(e(0), Literal("^[a-zA-Z]+://[^/:?#]+:([0-9]+)"), Literal(1)), IntegerType)
     }
+    reg("try") { e => TryEval(e(0)) }
     reg("regexp_like") { e => RLike(e(0), e(1)) }
     reg("regexp_split") { e => StringSplit(e(0), e(1), Literal(-1)) }
     reg("regexp_position") { e => StringInstr(e(0), e(1)) } // best-effort; prefer regexp_instr

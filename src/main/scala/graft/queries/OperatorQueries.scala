@@ -30,6 +30,51 @@ object OperatorQueries extends QueryCatalog {
   private def dsum(c: Column) =
     sum(c.cast(DataTypes.createDecimalType(18, 6))).cast("double")
 
+  // ---------------------------------------------------------------- scans
+
+  /** Projection + filter pushdown to the parquet scan (reference
+    * ParquetTable projection pushdown, storage/parquet.rs:26-327, and
+    * row-group pruning, row_group_pruning.rs). `.explain` shows
+    * ReadSchema with only two columns and PushedFilters on o_totalprice. */
+  private val scanProjection = Q(
+    "scan_projection",
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 495000
+      ORDER BY o_orderkey"""),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_totalprice") > 495000)
+        .orderBy(col("o_orderkey")))
+
+  /** In-memory table (reference MemoryTableExec, scan.rs:100-258):
+    * driver-local rows parallelized across partitions. */
+  private val scanMemory = Q(
+    "scan_memory",
+    Some("""
+      SELECT x, x * x AS sq FROM (VALUES (1), (2), (3), (4), (5)) AS t(x)
+      ORDER BY x"""),
+    (s, _) => {
+      import s.implicits._
+      Seq(1, 2, 3, 4, 5).toDF("x")
+        .select(col("x"), (col("x") * col("x")).as("sq"))
+        .orderBy(col("x"))
+    })
+
+  /** Parquet write + re-read roundtrip (reference ParquetWriter,
+    * physical/operators/parquet.rs). */
+  private val scanWriteRoundtrip = Q(
+    "scan_write_roundtrip",
+    Some("""
+      SELECT count(*) AS n, count(DISTINCT n_nationkey) AS nk FROM nation"""),
+    (s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${dir.hashCode}"
+      t(s, dir, "nation").write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"), countDistinct(col("n_nationkey")).as("nk"))
+    })
+
   // ---------------------------------------------------------------- joins
 
   /** Inner equi-join (reference HashJoinExec Inner, hash_join.rs:172). */
@@ -742,6 +787,7 @@ object OperatorQueries extends QueryCatalog {
         .orderBy(col("day"), col("event_type")))
 
   override def defs: Seq[Q] = Seq(
+    scanProjection, scanMemory, scanWriteRoundtrip,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
     joinSelf, joinInequality, joinRange,
     aggBasic, aggDistinct, aggStats, aggBool, aggMinmaxBy, aggBitwise,
