@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Porter
+import graft.functions.expressions.{Base32, MySqlPattern, StableHash}
+
+/** Property-based tests for the pure kernels (SURVEY §5 — the reference
+  * has no property tests; ScalaCheck is available here). */
+class PropertySpec extends AnyFunSuite {
+
+  // scalatestplus bridge isn't in the offline cache — drive Gen directly
+  private def forAll[T](g: Gen[T], n: Int = 300)(check: T => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(check)
+
+  test("base32 roundtrips arbitrary byte arrays") {
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val arr = bytes.toArray
+      assert(Base32.decode(Base32.encode(arr)).sameElements(arr))
+    }
+  }
+
+  test("base32 output alphabet and padding shape") {
+    forAll(Gen.alphaNumStr) { s =>
+      val enc = Base32.encode(s.getBytes("UTF-8"))
+      assert(enc.length % 8 == 0)
+      assert(enc.forall(c => "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567=".contains(c)))
+    }
+  }
+
+  test("porter stemmer is total, lowercase, never longer than input") {
+    forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty)) { w =>
+      val s = Porter.stem(w)
+      assert(s.nonEmpty)
+      assert(s.length <= math.max(w.length, 3))
+      assert(s == s.toLowerCase)
+    }
+  }
+
+  test("stable hash is deterministic and seed-sensitive") {
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      assert(StableHash.fnv1a64(s) == StableHash.fnv1a64(s))
+      assert(StableHash.seeded(s, 1L) == StableHash.seeded(s, 1L))
+      assert(StableHash.seeded(s, 1L) != StableHash.seeded(s, 2L))
+    }
+  }
+
+  test("mysql pattern translation quotes literal letters") {
+    // java.time must not interpret stray letters: 'T' stays literal
+    assert(MySqlPattern.translate("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
+    assert(MySqlPattern.translate("%d/%m/%Y") == "dd/MM/yyyy")
+    assert(MySqlPattern.translate("%%") == "%")
+  }
+
+  test("minhash signature similarity estimates jaccard (deterministic fixture)") {
+    // two sets with known jaccard 0.5: {a..f} vs {d..i} -> 3/9 = 1/3
+    val a = (0 until 60).map(i => s"tok$i").toSet
+    val b = (30 until 90).map(i => s"tok$i").toSet
+    val trueJ = (a intersect b).size.toDouble / (a union b).size // = 30/90
+    val k = 128
+    def sig(s: Set[String]): Array[Long] =
+      Array.tabulate(k)(j => s.map(x => StableHash.seeded(x, j.toLong)).min)
+    val (sa, sb) = (sig(a), sig(b))
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+}
