@@ -20,7 +20,10 @@ object EventStream {
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("ts", col("ts").cast("timestamp"))
+      // explicit TimestampType: the session may alias the "timestamp"
+      // string to NTZ (Engine sets spark.sql.timestampType for oracle
+      // parity), but watermarks require the LTZ type
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
