@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations SURVEY §4 maps from the
+  * reference must actually appear in the physical plans — filter
+  * pushdown to parquet, column pruning, broadcast joins for small dims,
+  * top-k fusion, partial aggregation. Guards future rounds against
+  * silently losing a pushdown. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // execute first: AQE only reveals the final plan (incl. codegen
+  // spans) after the job runs; long PushedFilters lists are truncated in
+  // toString, so assertions use prefixes
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: date + numeric filters pushed to the parquet scan") {
+    val p = plan("tpch_q06")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipda"))
+  }
+
+  test("scan_projection: only selected columns read") {
+    val p = plan("scan_projection")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,495000.0)]"))
+  }
+
+  test("q5: small dimensions join via broadcast, no shuffle for them") {
+    val p = plan("tpch_q05")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("topk fuses into TakeOrderedAndProject") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: aggregation is partial (map-side) then final") {
+    val p = plan("tpch_q01")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"))
+  }
+
+  test("q1 stays inside whole-stage codegen") {
+    // codegen stages print as *(n) markers in the compact plan string
+    val p = plan("tpch_q01")
+    assert(p.contains("*(1)") && p.contains("*(2)"))
+  }
+
+  test("semi/anti shapes plan as semi/anti joins, not cross products") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+    assert(!plan("tpch_q21").contains("CartesianProduct"))
+  }
+
+  test("exact dedup is a single hash aggregate (one shuffle)") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin")) // no join at all
+  }
+
+  test("minhash LSH dedup never forms a cartesian product") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}
