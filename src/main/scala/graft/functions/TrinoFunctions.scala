@@ -115,7 +115,7 @@ object TrinoFunctions {
     reg("to_base") { e => Lower(Conv(Cast(e(0), StringType), Literal(10), Cast(e(1), IntegerType))) }
     reg("infinity") { _ => Literal(Double.PositiveInfinity) }
     reg("nan") { _ => Literal(Double.NaN) }
-    reg("cot") { e => Divide(Literal(1.0), Tan(c(e(0)))) }
+    // cot, regexp_like: Spark builtins already match Trino semantics
     reg("day_of_week") { e => Add(WeekDay(e(0)), Literal(1)) } // ISO: Mon=1..Sun=7
     reg("dow") { e => Add(WeekDay(e(0)), Literal(1)) }
     reg("day_of_year") { e => DayOfYear(e(0)) }
@@ -139,7 +139,6 @@ object TrinoFunctions {
       Cast(RegExpExtract(e(0), Literal("^[a-zA-Z]+://[^/:?#]+:([0-9]+)"), Literal(1)), IntegerType)
     }
     reg("try") { e => TryEval(e(0)) }
-    reg("regexp_like") { e => RLike(e(0), e(1)) }
     reg("regexp_split") { e => StringSplit(e(0), e(1), Literal(-1)) }
     reg("regexp_position") { e => StringInstr(e(0), e(1)) } // best-effort; prefer regexp_instr
     reg("bitwise_and") { e => BitwiseAnd(e(0), e(1)) }
