@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Cluster-scale techniques demonstrated and asserted locally:
+  * bucketed co-located joins (no exchange), salted aggregation/join
+  * equivalence. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    Engine.registerDir(spark, sf0001) // tables land in ./spark-warehouse (gitignored)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.table("lineitem").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    spark.table("orders").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    // bucketed joins bypass AQE shuffle planning only when both sides
+    // report the same bucketing; assert no Exchange in the plan
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.substring(0, joinSection.indexOf("Scan"))
+      .contains("Exchange hashpartitioning"),
+      s"join should consume bucketing, plan:\n$p")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    Engine.registerDir(spark, sf0001)
+    val li = spark.table("lineitem")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val salted = Skew.saltedCountSum(li, col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,6)"), salts = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(plain.map(t => (t._1, t._2)) == salted.map(t => (t._1, t._2)))
+    // decimal sums are exact -> exact equality after scale alignment
+    val ps = plain.map(t => (t._1, t._3.stripTrailingZeros)).toMap
+    val ss = salted.map(t => (t._1, t._3.stripTrailingZeros)).toMap
+    assert(ps == ss)
+  }
+
+  test("salted join equals plain join") {
+    Engine.registerDir(spark, sf0001)
+    val li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    val o = spark.table("orders").select("o_orderkey", "o_orderstatus")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 4).count()
+    assert(plain == salted)
+  }
+}
