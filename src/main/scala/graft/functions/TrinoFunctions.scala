@@ -95,6 +95,11 @@ object TrinoFunctions {
     reg("wilson_interval_upper") { e =>
       WilsonInterval(Cast(e(0), LongType), Cast(e(1), LongType), c(e(2)), upper = true)
     }
+    reg("json_array_get") { e => JsonArrayGet(e(0), Cast(e(1), LongType)) }
+    reg("json_array_contains") { e => JsonArrayContains(e(0), e(1)) }
+    reg("is_json_scalar") { e => IsJsonScalar(e(0)) }
+    reg("json_size") { e => JsonSize(e(0)) }
+    reg("format") { e => FormatString(e: _*) }
     reg("mysql_date_format") { e => MySqlDateFormat(Cast(e(0), TimestampNTZType), e(1)) }
     reg("date_parse") { e => MySqlDateParse(e(0), e(1)) }
 

@@ -146,6 +146,26 @@ class FunctionSpec extends AnyFunSuite {
     assert(d == 27L)
   }
 
+  // --- json ----------------------------------------------------------
+  test("json_array_get / contains / is_json_scalar / json_size") {
+    assert(one[String]("json_array_get('[1,2,3]', 1)") == "2")
+    assert(one[String]("json_array_get('[1,2,3]', -1)") == "3")
+    assert(one[String]("json_array_get('[\"a\",\"b\"]', 0)") == "a")
+    assert(one[Any]("json_array_get('[1]', 5)") == null)
+    assert(one[Boolean]("json_array_contains('[1,2,3]', 2)"))
+    assert(!one[Boolean]("json_array_contains('[1,2,3]', 9)"))
+    assert(one[Boolean]("json_array_contains('[\"x\"]', 'x')"))
+    assert(one[Boolean]("is_json_scalar('1')"))
+    assert(one[Boolean]("is_json_scalar('\"abc\"')"))
+    assert(!one[Boolean]("is_json_scalar('[1,2]')"))
+    assert(one[Long]("json_size('{\"a\":1,\"b\":2}')") == 2L)
+    assert(one[Long]("json_size('[1,2,3]')") == 3L)
+    assert(one[Long]("json_size('7')") == 0L)
+  }
+  test("format maps to format_string") {
+    assert(one[String]("format('%s-%d', 'x', 7)") == "x-7")
+  }
+
   // --- cosine --------------------------------------------------------
   test("cosine_similarity known vectors") {
     approx("cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D))", 0.0)
