@@ -304,7 +304,11 @@ object FunctionQueries extends QueryCatalog {
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
              json_extract_string(props, '$.missing') AS missing,
              json_array_length('[1,2,3,' || CAST(event_id % 10 AS VARCHAR) || ']') AS arr_len,
-             json_extract_string('{"a":{"b":' || CAST(event_id AS VARCHAR) || '}}', '$.a.b') AS nested
+             json_extract_string('{"a":{"b":' || CAST(event_id AS VARCHAR) || '}}', '$.a.b') AS nested,
+             json_extract_string('[1,2,3,' || CAST(event_id % 10 AS VARCHAR) || ']', '$[1]') AS arr_get,
+             (event_id % 7) IN (1, 2, 3) OR (event_id % 7) = (event_id % 10) AS arr_has,
+             CAST(1 AS BIGINT) AS props_size,
+             false AS props_scalar
       FROM events WHERE event_id < 15 ORDER BY event_id"""),
     (s, dir) =>
       t(s, dir, "events").filter(col("event_id") < 15)
@@ -316,7 +320,15 @@ object FunctionQueries extends QueryCatalog {
             .cast("long").as("arr_len"),
           get_json_object(
             concat(lit("{\"a\":{\"b\":"), col("event_id").cast("string"), lit("}}")),
-            "$.a.b").as("nested"))
+            "$.a.b").as("nested"),
+          call_function("json_array_get",
+            concat(lit("[1,2,3,"), (col("event_id") % 10).cast("string"), lit("]")),
+            lit(1)).as("arr_get"),
+          call_function("json_array_contains",
+            concat(lit("[1,2,3,"), (col("event_id") % 10).cast("string"), lit("]")),
+            col("event_id") % 7).as("arr_has"),
+          call_function("json_size", col("props")).as("props_size"),
+          call_function("is_json_scalar", col("props")).as("props_scalar"))
         .orderBy(col("event_id")))
 
   // ------------------------------------------------------------------ url
