@@ -102,10 +102,12 @@ object FunctionQueries extends QueryCatalog {
     Some("""
       SELECT l_orderkey, l_linenumber,
              abs(l_quantity - 25) AS a, ceil(l_discount * 100) AS c,
-             floor(l_tax * 100) AS f, round(l_extendedprice / 1000, 2) AS r,
+             floor(l_tax * 100) AS f,
+             round(l_extendedprice / 1000, 2) AS r,
              round(sqrt(l_quantity), 6) AS sq, round(cbrt(l_quantity), 6) AS cb,
              round(power(l_quantity, 2), 2) AS pw,
-             CAST(l_quantity AS INT) % 7 AS md, sign(l_discount - 0.05) AS sg,
+             CAST(l_quantity AS INT) % 7 AS md,
+             CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
              round(ln(l_quantity), 6) AS lnx, round(log10(l_extendedprice), 6) AS lg10,
              round(log2(l_quantity), 6) AS lg2, round(exp(l_discount), 6) AS ex,
              greatest(l_quantity, 25.0) AS gr, least(l_quantity, 25.0) AS le
@@ -114,8 +116,8 @@ object FunctionQueries extends QueryCatalog {
       t(s, dir, "lineitem").filter(col("l_orderkey") < 20)
         .select(col("l_orderkey"), col("l_linenumber"),
           abs(col("l_quantity") - 25).as("a"),
-          ceil(col("l_discount") * 100).as("c"),
-          floor(col("l_tax") * 100).as("f"),
+          ceil(col("l_discount") * 100).cast("double").as("c"),
+          floor(col("l_tax") * 100).cast("double").as("f"),
           round(col("l_extendedprice") / 1000, 2).as("r"),
           round(sqrt(col("l_quantity")), 6).as("sq"),
           round(cbrt(col("l_quantity")), 6).as("cb"),
