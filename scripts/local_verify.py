@@ -73,14 +73,16 @@ def main():
             n_fail += 1
             print(f"✗ {name}: ROW COUNT spark={len(s_rows)} duck={len(d_rows)}")
             continue
-        exact = s_rows == d_rows
+        exact = s_rows == d_rows and \
+            [tuple(map(repr, r)) for r in s_rows] == [tuple(map(repr, r)) for r in d_rows]
         tol = exact or all(close(a, b) for a, b in zip(s_rows, d_rows))
         if exact:
             n_pass += 1
             print(f"✓ {name}: {len(s_rows)} rows exact")
         elif tol:
             n_pass += 1
-            bad = next((i for i,(a,b) in enumerate(zip(s_rows,d_rows)) if a != b), None)
+            bad = next((i for i,(a,b) in enumerate(zip(s_rows,d_rows))
+                        if a != b or tuple(map(repr,a)) != tuple(map(repr,b))), 0)
             print(f"~ {name}: {len(s_rows)} rows tolerance-only (HASH RISK) e.g. row {bad}:")
             print(f"    spark={s_rows[bad]}")
             print(f"    duck ={d_rows[bad]}")

@@ -268,8 +268,77 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("media_id"))
     })
 
+  private val qualityDuck = """
+      round(least(length(text) / 500.0, 1.0) * 0.3
+            + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(length(text), 1)::DOUBLE <= 0.1 THEN 1.0
+                    ELSE greatest(0.0, 1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE * 5) END) * 0.2
+            + least(len(list_filter(string_split_regex(text, '\s+'),
+                        t -> list_contains(['the','a','of','and','to','in','is','der','die','das','und','ist','ein','le','la','les','et','est','un','el','los','las','y','es','的','是','在','了','和'], t)))
+                    / greatest(len(string_split_regex(text, '\s+')), 1)::DOUBLE * 5, 1.0) * 0.2
+            + (CASE WHEN (length(text) - len(string_split_regex(text, '\s+')) + 1)
+                         / greatest(len(string_split_regex(text, '\s+')), 1)::DOUBLE
+                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 4)"""
+
+  private val langidDuck = """
+      CASE WHEN len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                   ['the','a','of','and','to','in','is'])) = 0
+            AND len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                   ['der','die','das','und','ist','ein'])) = 0
+            AND len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                   ['le','la','les','et','est','un'])) = 0
+            AND len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                   ['el','los','las','y','es','un'])) = 0
+            AND len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                   ['的','是','在','了','和'])) = 0 THEN 'und'
+           WHEN len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                   ['the','a','of','and','to','in','is']))
+             >= greatest(
+                  len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                     ['der','die','das','und','ist','ein'])),
+                  len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                     ['le','la','les','et','est','un'])),
+                  len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                     ['el','los','las','y','es','un'])),
+                  len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+                     ['的','是','在','了','和']))) THEN 'en'
+           ELSE 'other' END"""
+
+  /** The composed curation pipeline (operators.Pipeline): quality gate →
+    * language gate → canonical exact dedup → near-dedup. Full oracle:
+    * every stage is replicated in DuckDB SQL over the same data.
+    * (langid collapses non-en to 'other' in the oracle — the pipeline
+    * only distinguishes en vs not-en.) */
+  private val llmPipeline = Q(
+    "llm_pipeline",
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, text, $qualityDuck AS quality, $langidDuck AS lang_pred,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'),
+      keepers AS (
+        SELECT doc_id, quality, n_tokens, text FROM (
+          SELECT g.*, min(doc_id) OVER (PARTITION BY
+            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id
+          FROM gated g) x WHERE doc_id = keep_id),
+      g2 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           FOR i IN generate_series(1, len(w) - 2)]) AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM keepers)),
+      drops AS (SELECT DISTINCT b.doc_id AS drop_id
+                FROM g2 a JOIN g2 b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+      SELECT doc_id, quality, n_tokens FROM keepers
+      WHERE doc_id NOT IN (SELECT drop_id FROM drops)
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      graft.operators.Pipeline.curate(t(s, dir, "documents"))
+        .orderBy(col("doc_id")))
+
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBrute, annLsh, textLangid, textQuality, textTokens, textFingerprint,
-    multimodalFrames, multimodalDecode)
+    multimodalFrames, multimodalDecode, llmPipeline)
 }
