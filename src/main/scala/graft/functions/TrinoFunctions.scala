@@ -99,6 +99,12 @@ object TrinoFunctions {
     reg("json_array_contains") { e => JsonArrayContains(e(0), e(1)) }
     reg("is_json_scalar") { e => IsJsonScalar(e(0)) }
     reg("json_size") { e => JsonSize(e(0)) }
+    reg("json_parse") { e => JsonParse(e(0)) }
+    reg("json_format") { e => JsonFormat(e(0)) }
+    reg("json_exists") { e => JsonExists(e(0), e(1)) }
+    // json_query / json_value share get_json_object's path dialect
+    reg("json_query") { e => GetJsonObject(e(0), e(1)) }
+    reg("json_value") { e => GetJsonObject(e(0), e(1)) }
     reg("format") { e => FormatString(e: _*) }
     reg("mysql_date_format") { e => MySqlDateFormat(Cast(e(0), TimestampNTZType), e(1)) }
     reg("date_parse") { e => MySqlDateParse(e(0), e(1)) }

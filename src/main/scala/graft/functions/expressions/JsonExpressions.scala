@@ -81,6 +81,71 @@ case class IsJsonScalar(child: Expression) extends UnaryExpression with CodegenF
   override def prettyName: String = "is_json_scalar"
 }
 
+/** JSON_PARSE(str) — validate + canonicalize a JSON string (Trino
+  * returns a JSON value; here the canonical serialization). Errors on
+  * malformed input, like Trino. */
+case class JsonParse(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    JsonUtil.parse(s) match {
+      case Some(n) => UTF8String.fromString(n.toString)
+      case None => throw new IllegalArgumentException(s"invalid JSON: $s")
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "json_parse"
+}
+
+/** JSON_FORMAT(json) — serialize a JSON value to text (inverse of
+  * json_parse; canonical form). */
+case class JsonFormat(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    JsonUtil.parse(v.asInstanceOf[UTF8String].toString)
+      .map(n => UTF8String.fromString(n.toString)).orNull
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "json_format"
+}
+
+/** JSON_EXISTS(json, '$.path') — true when the path resolves. Shares
+  * get_json_object's dotted-path dialect (the reference's navigation,
+  * filter.rs:5684-5775, supports the same $.a[0].b shape). */
+case class JsonExists(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullSafeEval(json: Any, path: Any): Any =
+    JsonPathNav.resolve(json.asInstanceOf[UTF8String].toString,
+      path.asInstanceOf[UTF8String].toString).isDefined
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "json_exists"
+}
+
+/** Shared minimal jsonpath navigation: $.a.b[i] chains. */
+object JsonPathNav {
+  def resolve(json: String, path: String): Option[JsonNode] = {
+    JsonUtil.parse(json).flatMap { root =>
+      if (!path.startsWith("$")) return None
+      var node: JsonNode = root
+      val steps = path.drop(1)
+      val token = """\.([A-Za-z0-9_]+)|\[(\d+)\]""".r
+      var consumed = 0
+      for (m <- token.findAllMatchIn(steps)) {
+        if (node == null) return None
+        consumed += m.matched.length
+        node =
+          if (m.group(1) != null) node.get(m.group(1))
+          else if (node.isArray) node.get(m.group(2).toInt)
+          else null
+      }
+      if (consumed != steps.length) None else Option(node)
+    }
+  }
+}
+
 /** JSON_SIZE(json) — size of the outermost value: object field count /
   * array length / 0 for scalars (Trino semantics). */
 case class JsonSize(child: Expression) extends UnaryExpression with CodegenFallback {

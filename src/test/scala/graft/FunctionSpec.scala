@@ -162,6 +162,14 @@ class FunctionSpec extends AnyFunSuite {
     assert(one[Long]("json_size('[1,2,3]')") == 3L)
     assert(one[Long]("json_size('7')") == 0L)
   }
+  test("json_parse / json_format / json_exists / json_query") {
+    assert(one[String]("json_parse('{\"b\": 1, \"a\": 2}')") == "{\"b\":1,\"a\":2}".replace("\\", ""))
+    assert(one[String]("json_format('[1, 2,  3]')") == "[1,2,3]")
+    assert(one[Boolean]("json_exists('{\"a\":{\"b\":1}}', '$.a.b')"))
+    assert(!one[Boolean]("json_exists('{\"a\":1}', '$.zzz')"))
+    assert(one[String]("json_value('{\"a\":{\"b\":7}}', '$.a.b')") == "7")
+    intercept[Exception] { one[String]("json_parse('{bad json')") }
+  }
   test("format maps to format_string") {
     assert(one[String]("format('%s-%d', 'x', 7)") == "x-7")
   }
