@@ -134,6 +134,13 @@ object TrinoFunctions {
     reg("week") { e => WeekOfYear(e(0)) }
     reg("week_of_year") { e => WeekOfYear(e(0)) }
     reg("last_day_of_month") { e => LastDay(e(0)) }
+    // reference returns 0 for tz fields on naive timestamps (filter.rs:3605-3609)
+    reg("timezone_hour") { _ => Literal(0) }
+    reg("timezone_minute") { _ => Literal(0) }
+    // AT_TIMEZONE/WITH_TIMEZONE: interpret naive ts in tz -> UTC wall clock
+    // (exceeds the reference, which only handles fixed offsets, filter.rs:4030+)
+    reg("at_timezone") { e => ConvertTimezone(e(1), Literal("UTC"), e(0)) }
+    reg("with_timezone") { e => ConvertTimezone(e(1), Literal("UTC"), e(0)) }
     reg("to_unixtime") { e => Cast(Cast(e(0), TimestampType), DoubleType) }
     reg("from_iso8601_timestamp") { e => Cast(e(0), TimestampNTZType) }
     reg("from_iso8601_date") { e => Cast(e(0), DateType) }

@@ -58,6 +58,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "week" -> "week(TIMESTAMP '2024-02-01 00:00:00')",
     "week_of_year" -> "week_of_year(TIMESTAMP '2024-02-01 00:00:00')",
     "last_day_of_month" -> "last_day_of_month(TIMESTAMP '2024-02-01 00:00:00')",
+    "timezone_hour" -> "timezone_hour(TIMESTAMP '2024-02-01 00:00:00')",
+    "at_timezone" -> "at_timezone(TIMESTAMP '2024-02-01 12:00:00', 'America/New_York')",
     "to_unixtime" -> "to_unixtime(TIMESTAMP '2024-01-01 00:00:00')",
     "from_iso8601_timestamp" -> "from_iso8601_timestamp('2024-01-01T10:30:00')",
     "from_iso8601_date" -> "from_iso8601_date('2024-01-01')",
@@ -103,5 +105,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     assert(v[String]("url_extract_host('https://example.com:8080/p?q=1')") == "example.com")
     assert(v[Int]("url_extract_port('https://example.com:8080/p')") == 8080)
     assert(v[Double]("(SELECT approx_percentile(x, 0.5) FROM VALUES (1.0),(2.0),(3.0) t(x))") == 2.0)
+    // noon in New York is 17:00 UTC (Feb = EST)
+    assert(v[java.time.LocalDateTime]("at_timezone(TIMESTAMP '2024-02-01 12:00:00', 'America/New_York')") ==
+      java.time.LocalDateTime.of(2024, 2, 1, 17, 0))
   }
 }
