@@ -721,6 +721,120 @@ object OperatorQueries extends QueryCatalog {
       SELECT n_big, count(*) AS n_cust FROM per_cust
       GROUP BY n_big ORDER BY n_big"""))
 
+  // -------------------------------------------------------------- complex
+  // (mirrors the reference's golden `complex/` category: CTEs + unions +
+  //  deep nesting, tests/expected_results/ — SURVEY §5)
+
+  /** Union of two aggregates inside a CTE, joined back to a dimension. */
+  private val complexUnionCte = Q(
+    "complex_union_cte",
+    Some("""
+      WITH balances AS (
+        SELECT c_nationkey AS nk, 'customer' AS side,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS bal
+        FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT s_nationkey, 'supplier',
+               round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+        FROM supplier GROUP BY s_nationkey)
+      SELECT n_name, side, bal
+      FROM balances JOIN nation ON nk = n_nationkey
+      WHERE bal > 0
+      ORDER BY n_name, side"""),
+    (s, dir) => sql(s, dir)("""
+      WITH balances AS (
+        SELECT c_nationkey AS nk, 'customer' AS side,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS bal
+        FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT s_nationkey, 'supplier',
+               round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+        FROM supplier GROUP BY s_nationkey)
+      SELECT n_name, side, bal
+      FROM balances JOIN nation ON nk = n_nationkey
+      WHERE bal > 0
+      ORDER BY n_name, side"""))
+
+  /** Deeply nested derived tables with a correlated predicate at the
+    * innermost level. */
+  private val complexNested = Q(
+    "complex_nested",
+    Some("""
+      SELECT priority, n_orders, round(avg_price, 2) AS avg_price
+      FROM (SELECT priority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+            FROM (SELECT o_orderpriority AS priority, o_totalprice
+                  FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                      WHERE c_mktsegment = 'BUILDING')) x
+            GROUP BY priority) y
+      WHERE n_orders > 10
+      ORDER BY priority"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT priority, n_orders, round(avg_price, 2) AS avg_price
+      FROM (SELECT priority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+            FROM (SELECT o_orderpriority AS priority, o_totalprice
+                  FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                      WHERE c_mktsegment = 'BUILDING')) x
+            GROUP BY priority) y
+      WHERE n_orders > 10
+      ORDER BY priority"""))
+
+  /** CTE feeding a window function feeding a HAVING-style filter. */
+  private val complexCteWindow = Q(
+    "complex_cte_window",
+    Some("""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT day, event_type, n, rnk
+      FROM (SELECT day, event_type, n,
+                   rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+            FROM daily) x
+      WHERE rnk <= 2
+      ORDER BY day, rnk, event_type"""),
+    (s, dir) => sql(s, dir)("""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT day, event_type, n, rnk
+      FROM (SELECT day, event_type, n,
+                   rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+            FROM daily) x
+      WHERE rnk <= 2
+      ORDER BY day, rnk, event_type"""))
+
+  /** Expression soup: arithmetic/boolean/comparison precedence + CASE
+    * nesting (mirrors golden `expr/` category). */
+  private val complexExpr = Q(
+    "complex_expr",
+    Some("""
+      SELECT o_orderkey,
+             (o_totalprice + 10) * 2 - o_orderkey % 7 AS arith,
+             NOT (o_totalprice > 250000 AND o_orderstatus = 'F')
+                 OR o_orderkey % 2 = 0 AS boolexpr,
+             CASE WHEN o_totalprice BETWEEN 100000 AND 300000
+                  THEN CASE o_orderstatus WHEN 'F' THEN 'mid-f' ELSE 'mid-x' END
+                  ELSE 'out' END AS nested_case,
+             o_orderkey BETWEEN 50 AND 150 AS in_range,
+             o_orderstatus IN ('F', 'P') AND o_orderpriority NOT IN ('5-LOW') AS multi_in
+      FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""),
+    (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          ((col("o_totalprice") + 10) * 2 - col("o_orderkey") % 7).as("arith"),
+          (!(col("o_totalprice") > 250000 && col("o_orderstatus") === "F") ||
+            col("o_orderkey") % 2 === 0).as("boolexpr"),
+          when(col("o_totalprice").between(100000, 300000),
+            when(col("o_orderstatus") === "F", "mid-f").otherwise("mid-x"))
+            .otherwise("out").as("nested_case"),
+          col("o_orderkey").between(50, 150).as("in_range"),
+          (col("o_orderstatus").isin("F", "P") &&
+            !col("o_orderpriority").isin("5-LOW")).as("multi_in"))
+        .orderBy(col("o_orderkey")))
+
   // --------------------------------------------------------------- window
 
   /** ROW_NUMBER/RANK/DENSE_RANK (exceeds reference — README.md:278). */
@@ -797,5 +911,6 @@ object OperatorQueries extends QueryCatalog {
     setopUnionAll, setopUnion, setopIntersect, setopIntersectAll,
     setopExcept, setopExceptAll,
     subqScalar, subqIn, subqNotIn, subqScalarSelect, subqNested,
-    cteChained, windowRank, windowRunning, eventsTimeBucket)
+    cteChained, complexUnionCte, complexNested, complexCteWindow, complexExpr,
+    windowRank, windowRunning, eventsTimeBucket)
 }
