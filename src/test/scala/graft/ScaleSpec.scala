@@ -34,6 +34,20 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("hive-partitioned parquet prunes partitions at planning time") {
+    Engine.registerDir(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.table("lineitem")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out).filter(col("l_returnflag") === "R")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    // pruned scan reads only the matching partition directory
+    val expected = spark.table("lineitem").filter(col("l_returnflag") === "R").count()
+    assert(df.count() == expected)
+  }
+
   test("salted aggregation equals plain aggregation") {
     Engine.registerDir(spark, sf0001)
     val li = spark.table("lineitem")
