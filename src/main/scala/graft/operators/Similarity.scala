@@ -75,6 +75,53 @@ object Similarity {
         col("c_id").as("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** ANN top-k via an IVF (inverted-file) index: deterministic centroid
+    * sample → every corpus vector assigned to its nearest centroid (one
+    * broadcast join, no shuffle of the corpus) → each query probes only
+    * the `nProbe` nearest cells. Coarser than LSH banding but gives the
+    * classic tunable recall/cost dial (`nCells`, `nProbe`); at 100 TB
+    * the cell assignment is a one-off narrow pass and queries touch
+    * ~nProbe/nCells of the corpus.
+    *
+    * Centroids are the corpus vectors with the `nCells` smallest ids —
+    * deterministic, no iterative clustering; a k-means refinement would
+    * drop in without changing the plan shape.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .orderBy(col(corpusId)).limit(nCells)
+      .select(col(corpusId).as("cell_id"), col(corpusVec).as("cell_vec"))
+
+    // assign corpus vectors to nearest centroid (broadcast, map-side)
+    val wAssign = Window.partitionBy(col(corpusId)).orderBy(
+      col("cell_sim").desc, col("cell_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("cell_sim", cosine(col(corpusVec), col("cell_vec")))
+      .withColumn("cell_rank", row_number().over(wAssign))
+      .filter(col("cell_rank") === 1)
+      .select(col(corpusId), col(corpusVec), col("cell_id"))
+
+    // each query probes its nProbe nearest cells
+    val wProbe = Window.partitionBy(col(queryId)).orderBy(
+      col("q_cell_sim").desc, col("cell_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("q_cell_sim", cosine(col(queryVec), col("cell_vec")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col(queryId), col(queryVec), col("cell_id"))
+
+    val wRank = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId))
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("cos_sim", cosine(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
     * lsh=false: exact all-pairs (self-join, for oracle-checkable truth
     * at test scale). lsh=true: banded-signature candidates only — the

@@ -139,6 +139,23 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  /** IVF-bucketed ANN (the other scale path: inverted-file cells,
+    * tunable nProbe) — probabilistic: rows-only; recall vs brute force
+    * asserted in the spec. */
+  private val annIvf = Q(
+    "ann_ivf_topk",
+    None,
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   /** Language ID distribution (stopword-hit argmax heuristic). */
   private val textLangid = Q(
     "text_langid",
@@ -339,6 +356,6 @@ object LlmQueries extends QueryCatalog {
 
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBrute, annLsh, textLangid, textQuality, textTokens, textFingerprint,
+    annBrute, annLsh, annIvf, textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline)
 }

@@ -62,6 +62,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark horizon — the incremental form of Dedup.exact (state is
+    * bounded by the watermark; the batch analogue is a hash aggregate). */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive the events parquet through the file-stream source into an
     * in-memory table; returns the completed batch result. (Streaming
     * reader needs an explicit schema; ts arrives as NANOS → repaired

@@ -86,6 +86,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.0, s"recall=$recall")
   }
 
+  test("IVF top-k probes cells and returns ranked neighbors") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5, nCells = 16, nProbe = 8).collect()
+    assert(ivf.nonEmpty)
+    // ranked non-increasing per query
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // probing all cells must recover the exact brute-force answer
+    val all = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5, nCells = 16, nProbe = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute2 = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(all == brute2)
+  }
+
   test("langId picks en for english stopwords, und for none") {
     val s = spark
     import s.implicits._

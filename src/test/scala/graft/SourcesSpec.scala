@@ -103,6 +103,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(streamTotal <= 1000L && streamTotal >= 990L, s"got $streamTotal")
   }
 
+  test("streaming: dedup within watermark via dropDuplicatesWithinWatermark") {
+    val s = spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+    val events = raw.withColumn("ts",
+      org.apache.spark.sql.functions.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    // duplicate the stream by unioning it with itself: dedup must halve it
+    val doubled = events.union(events)
+    val q = EventStream.dedupStream(doubled)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("events_dedup_test").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("events_dedup_test").count() == 1000L)
+  }
+
   test("streaming: stateful sessionization with mapGroupsWithState") {
     val s = spark
     import s.implicits._
