@@ -85,34 +85,37 @@ object Porter {
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
     "ical" -> "ic", "ful" -> "", "ness" -> "")
 
+  /** Porter's rule lists are longest-match-only: the longest matching
+    * suffix is selected first, its condition tested once, and no shorter
+    * suffix is tried if that condition fails. */
   private def applyPairs(s: String, pairs: Seq[(String, String)]): String =
-    pairs.collectFirst {
-      case (suf, rep) if s.endsWith(suf) && measure(s.dropRight(suf.length)) > 0 =>
-        s.dropRight(suf.length) + rep
-    }.getOrElse(s)
+    pairs.filter { case (suf, _) => s.endsWith(suf) }
+      .sortBy { case (suf, _) => -suf.length }
+      .headOption match {
+        case Some((suf, rep)) if measure(s.dropRight(suf.length)) > 0 =>
+          s.dropRight(suf.length) + rep
+        case _ => s
+      }
 
   private def step2(s: String): String = applyPairs(s, step2Pairs)
   private def step3(s: String): String = applyPairs(s, step3Pairs)
 
   private val step4Sufs = Seq(
     "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
 
-  private def step4(s: String): String = {
-    // longest match first
-    val cands = step4Sufs.filter(s.endsWith).sortBy(-_.length)
-    cands.collectFirst {
-      case suf if {
+  /** Longest-match-only (the published algorithm): pick the single
+    * longest matching suffix, test its condition once — m(stem) > 1,
+    * plus stem-ends-in-s/t for "ion" — and stop either way. */
+  private def step4(s: String): String =
+    step4Sufs.filter(s.endsWith).sortBy(-_.length).headOption match {
+      case Some(suf) =>
         val st = s.dropRight(suf.length)
-        measure(st) > 1 && (suf != "ion" || (st.nonEmpty && "st".contains(st.last)))
-      } => s.dropRight(suf.length)
-    }.getOrElse {
-      if (s.endsWith("ion")) {
-        val st = s.dropRight(3)
-        if (measure(st) > 1 && st.nonEmpty && "st".contains(st.last)) st else s
-      } else s
+        val ok = measure(st) > 1 &&
+          (suf != "ion" || (st.nonEmpty && "st".contains(st.last)))
+        if (ok) st else s
+      case None => s
     }
-  }
 
   private def step5(s: String): String = {
     var r = s

@@ -108,6 +108,17 @@ object TrinoFunctions {
     reg("format") { e => FormatString(e: _*) }
     reg("mysql_date_format") { e => MySqlDateFormat(Cast(e(0), TimestampNTZType), e(1)) }
     reg("date_parse") { e => MySqlDateParse(e(0), e(1)) }
+    // Trino/reference date_format speaks MySQL %-patterns; Spark's builtin
+    // speaks Java patterns. Dispatch on the pattern literal: '%' directives
+    // → MySQL dialect (matching date_parse), else Spark semantics — so both
+    // dialects resolve correctly under the one name.
+    reg("date_format") { e =>
+      e(1) match {
+        case Literal(p: UTF8String, StringType) if p.toString.contains("%") =>
+          MySqlDateFormat(Cast(e(0), TimestampNTZType), e(1))
+        case _ => DateFormatClass(Cast(e(0), TimestampType), e(1))
+      }
+    }
 
     // --- tier 3: custom aggregates ------------------------------------
     reg("geometric_mean") { e => GeometricMean(e(0)) }
@@ -158,7 +169,8 @@ object TrinoFunctions {
     }
     reg("try") { e => TryEval(e(0)) }
     reg("regexp_split") { e => StringSplit(e(0), e(1), Literal(-1)) }
-    reg("regexp_position") { e => StringInstr(e(0), e(1)) } // best-effort; prefer regexp_instr
+    // true regex position (reference regex family, filter.rs:2300); 0 when absent
+    reg("regexp_position") { e => new RegExpInStr(e(0), e(1)) }
     reg("bitwise_and") { e => BitwiseAnd(e(0), e(1)) }
     reg("bitwise_or") { e => BitwiseOr(e(0), e(1)) }
     reg("bitwise_xor") { e => BitwiseXor(e(0), e(1)) }
@@ -175,8 +187,18 @@ object TrinoFunctions {
         .toAggregateExpression(isDistinct = true)
     }
     reg("approx_percentile") { e =>
-      // reference semantics are EXACT sort-based (hash_agg.rs:1753-1785)
-      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(e(0), e(1))
+      // reference semantics are EXACT sort-based nearest-rank indexing:
+      // idx = round((len-1)*p), no interpolation (hash_agg.rs:1753-1785).
+      // Expressed as sort(collect_list) + element_at so the rank math is
+      // exact; per-group memory matches Percentile's worst case.
+      val sorted = new ArraySort(
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(e(0))
+          .toAggregateExpression())
+      val idx = Add(
+        Cast(Round(Multiply(Cast(Subtract(Size(sorted), Literal(1)), DoubleType),
+          Cast(e(1), DoubleType)), Literal(0)), IntegerType),
+        Literal(1))
+      ElementAt(sorted, idx)
     }
 
   }

@@ -21,10 +21,16 @@ case class GeometricMean(child: Expression)
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(sumLog, cnt)
   override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0), Literal(0L))
   override lazy val updateExpressions: Seq[Expression] = {
-    val x = Cast(child, DoubleType)
+    // exclude NULL and non-positive values from BOTH the log-sum and the
+    // count (reference hash_agg.rs:2178-2181). Spark's Log is already
+    // NULL for x <= 0 (non-ANSI), so Coalesce(Log(x), 0) skips exactly
+    // the rows the reference skips, and the count increments by
+    // IsNotNull(Log(x)) — no If-on-buffer branches, which keeps hashAgg
+    // whole-stage codegen happy. `def` = fresh instances per use.
+    def logX = Log(Cast(child, DoubleType))
     Seq(
-      If(IsNull(x), sumLog, Add(sumLog, Log(x))),
-      If(IsNull(x), cnt, Add(cnt, Literal(1L))))
+      Add(sumLog, Coalesce(Seq(logX, Literal(0.0)))),
+      Add(cnt, Cast(IsNotNull(logX), LongType)))
   }
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     Add(sumLog.left, sumLog.right),
@@ -36,11 +42,12 @@ case class GeometricMean(child: Expression)
   override def prettyName: String = "geometric_mean"
 }
 
-/** CHECKSUM(x) — order-independent content hash (reference
-  * hash_agg.rs:1630): sum of per-row xxhash64 values with wraparound.
-  * Addition commutes, so the result is identical for any partitioning /
-  * merge order — the property that makes it usable as a 100 TB
-  * table-diff primitive. */
+/** CHECKSUM(x) — order-independent content hash matching the reference
+  * (hash_agg.rs:2184-2193): XOR of the raw values for integral inputs;
+  * for other types, XOR of per-row xxhash64 (the reference only defines
+  * CHECKSUM for int32/int64). XOR commutes, so the result is identical
+  * for any partitioning / merge order — the property that makes it
+  * usable as a 100 TB table-diff primitive. NULLs are skipped. */
 case class Checksum(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {
   override def dataType: DataType = LongType
@@ -48,12 +55,17 @@ case class Checksum(child: Expression)
 
   private lazy val acc = AttributeReference("acc", LongType, nullable = false)()
 
+  private lazy val rowValue: Expression = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => Cast(child, LongType)
+    case _ => XxHash64(Seq(child), 42L)
+  }
+
   override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(acc)
   override lazy val initialValues: Seq[Expression] = Seq(Literal(0L))
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    Add(acc, XxHash64(Seq(child), 42L), EvalMode.LEGACY))
+    If(IsNull(child), acc, BitwiseXor(acc, rowValue)))
   override lazy val mergeExpressions: Seq[Expression] = Seq(
-    Add(acc.left, acc.right, EvalMode.LEGACY))
+    BitwiseXor(acc.left, acc.right))
   override lazy val evaluateExpression: Expression = acc
   override protected def withNewChildInternal(c: Expression): Checksum = copy(child = c)
   override def prettyName: String = "checksum"

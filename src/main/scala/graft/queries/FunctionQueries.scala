@@ -279,6 +279,12 @@ object FunctionQueries extends QueryCatalog {
              regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
              length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS n_vowels,
              regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+             CASE WHEN regexp_matches(p_brand, '[0-9]+')
+                  THEN length(regexp_extract(p_brand, '^(.*?)[0-9]', 1)) + 1
+                  ELSE 0 END AS digit_pos,
+             CASE WHEN regexp_matches(p_name, '[nts]o')
+                  THEN length(regexp_extract(p_name, '^(.*?)[nts]o', 1)) + 1
+                  ELSE 0 END AS so_pos,
              p_type LIKE '%O%' AS has_o,
              p_name LIKE 'b%' AS starts_b,
              p_name NOT LIKE '%z%' AS no_z
@@ -291,6 +297,10 @@ object FunctionQueries extends QueryCatalog {
           col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"),
           length(regexp_replace(col("p_name"), "[^aeiou]", "")).as("n_vowels"),
           regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          // true-regex position (our regexp_position → RegExpInStr):
+          // metacharacter patterns that StringInstr would get wrong
+          expr("CAST(regexp_position(p_brand, '[0-9]+') AS BIGINT)").as("digit_pos"),
+          expr("CAST(regexp_position(p_name, '[nts]o') AS BIGINT)").as("so_pos"),
           col("p_type").like("%O%").as("has_o"),
           col("p_name").like("b%").as("starts_b"),
           (!col("p_name").like("%z%")).as("no_z"))
@@ -443,27 +453,34 @@ object FunctionQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     })
 
+  /** Array ops — outputs serialized to scalar strings in the final
+    * projection (both sides), because the driver's pandas-based compare
+    * can't hash raw array cells. The array semantics under test are
+    * unchanged; only the last mile is a join-to-string. */
   private val funcArray2 = Q(
     "func_array2",
     Some("""
       SELECT l_orderkey, l_linenumber,
-             generate_series(1, l_linenumber) AS seq,
+             array_to_string([CAST(x AS VARCHAR) FOR x IN generate_series(1, l_linenumber)], ',') AS seq,
              len(generate_series(1, l_linenumber)) AS seq_len,
              generate_series(1, l_linenumber)[1] AS seq_first,
              array_to_string(['a', 'b', chr(97 + l_linenumber % 3)], '-') AS joined,
-             [CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)] AS pair,
-             list_sort([l_linenumber % 3, l_linenumber % 5, l_linenumber % 7]) AS sorted_mods
+             array_to_string([CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)], ',') AS pair,
+             array_to_string([CAST(x AS VARCHAR) FOR x IN list_sort([l_linenumber % 3, l_linenumber % 5, l_linenumber % 7])], ',') AS sorted_mods
       FROM lineitem WHERE l_orderkey < 10 ORDER BY l_orderkey, l_linenumber"""),
-    (s, dir) =>
+    (s, dir) => {
+      def joined(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(transform(c, _.cast("string")), ",")
       t(s, dir, "lineitem").filter(col("l_orderkey") < 10)
         .select(col("l_orderkey"), col("l_linenumber"),
-          sequence(lit(1), col("l_linenumber")).as("seq"),
+          joined(sequence(lit(1), col("l_linenumber"))).as("seq"),
           size(sequence(lit(1), col("l_linenumber"))).cast("long").as("seq_len"),
           element_at(sequence(lit(1), col("l_linenumber")), 1).as("seq_first"),
           array_join(array(lit("a"), lit("b"), chr(lit(97) + col("l_linenumber") % 3)), "-").as("joined"),
-          array(col("l_orderkey"), col("l_linenumber").cast("long")).as("pair"),
-          array_sort(array(col("l_linenumber") % 3, col("l_linenumber") % 5, col("l_linenumber") % 7)).as("sorted_mods"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+          joined(array(col("l_orderkey"), col("l_linenumber").cast("long"))).as("pair"),
+          joined(array_sort(array(col("l_linenumber") % 3, col("l_linenumber") % 5, col("l_linenumber") % 7))).as("sorted_mods"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
 
   override def defs: Seq[Q] = Seq(
     funcString1, funcString2, funcMath, funcTrig,

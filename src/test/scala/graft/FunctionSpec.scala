@@ -187,6 +187,18 @@ class FunctionSpec extends AnyFunSuite {
     approx("(SELECT geometric_mean(x) FROM VALUES (2.0), (8.0) AS t(x))", 4.0, 1e-12)
     approx("(SELECT geometric_mean(x) FROM VALUES (1.0), (1000.0) AS t(x))",
       math.sqrt(1000.0), 1e-9)
+    // non-positive values are excluded from both the log-sum AND the
+    // count (reference hash_agg.rs:2178-2181): mean of {2, 8} only
+    approx("(SELECT geometric_mean(x) FROM VALUES (2.0), (0.0), (-5.0), (8.0) AS t(x))",
+      4.0, 1e-12)
+    // NULLs likewise
+    approx("(SELECT geometric_mean(x) FROM VALUES (2.0), (CAST(NULL AS DOUBLE)), (8.0) AS t(x))",
+      4.0, 1e-12)
+  }
+  test("checksum matches reference XOR-of-raw for integers") {
+    // reference hash_agg.rs:2184-2193: CHECKSUM(int) = XOR of raw values
+    assert(one[Long]("(SELECT checksum(x) FROM VALUES (1), (2), (4) AS t(x))") == (1L ^ 2L ^ 4L))
+    assert(one[Long]("(SELECT checksum(x) FROM VALUES (5), (CAST(NULL AS INT)) AS t(x))") == 5L)
   }
   test("checksum is order-independent and content-sensitive") {
     val a = one[Long]("(SELECT checksum(x) FROM VALUES (1), (2), (3) AS t(x))")

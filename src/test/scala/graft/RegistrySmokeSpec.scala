@@ -104,7 +104,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
     assert(v[Int]("day_of_week(TIMESTAMP '2024-01-01 00:00:00')") == 1) // Monday
     assert(v[String]("url_extract_host('https://example.com:8080/p?q=1')") == "example.com")
     assert(v[Int]("url_extract_port('https://example.com:8080/p')") == 8080)
-    assert(v[Double]("(SELECT approx_percentile(x, 0.5) FROM VALUES (1.0),(2.0),(3.0) t(x))") == 2.0)
+    // nearest-rank: returns an actual element (in the input's own type,
+    // hence the cast); [1,2] at p=0.5 → idx round(0.5)=1 → 2, not 1.5
+    assert(v[Double]("(SELECT CAST(approx_percentile(x, 0.5) AS DOUBLE) FROM VALUES (1.0),(2.0),(3.0) t(x))") == 2.0)
+    assert(v[Double]("(SELECT CAST(approx_percentile(x, 0.5) AS DOUBLE) FROM VALUES (1.0),(2.0) t(x))") == 2.0)
     // noon in New York is 17:00 UTC (Feb = EST)
     assert(v[java.time.LocalDateTime]("at_timezone(TIMESTAMP '2024-02-01 12:00:00', 'America/New_York')") ==
       java.time.LocalDateTime.of(2024, 2, 1, 17, 0))
