@@ -32,6 +32,19 @@ object StableHash {
   }
 }
 
+/** FNV1A64(binary) — the FNV-1a 64-bit hash as a column expression
+  * (same kernel as StableHash.fnv1a64). Per-row, zero-shuffle; lets the
+  * multimodal decode stub stay a pure projection instead of a
+  * mapPartitions + join-back, and is DuckDB-reconstructible (hex-nibble
+  * list_reduce), so queries using it stay oracle-checkable. */
+case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    StableHash.fnv1a64(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "fnv1a64"
+}
+
 /** SIMHASH64(tokens) — Charikar's similarity hash over a token array:
   * per token a stable 64-bit hash votes ±1 on each bit; the sign of each
   * bit-sum forms the fingerprint. Near-duplicate texts differ in few

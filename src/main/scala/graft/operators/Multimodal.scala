@@ -37,24 +37,25 @@ object Multimodal {
         (col("n_chars") % 480 + 16).cast("int").as("height"),
         (col("n_chars") % 5 + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** STUB decode: a real implementation would decode image bytes here
-    * (per-partition batch loop = the Scala analogue of a pandas-batched
-    * UDF). The stub derives deterministic "decoded" properties from the
-    * bytes so downstream plumbing is testable. */
-  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    val schema = media.schema
-    val decoded = media.mapPartitions { rows =>
-      // batch shape: one iterator per partition; a real codec would
-      // amortize decoder init across the partition exactly here.
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("data")
-        val checksum = graft.functions.expressions.StableHash.fnv1a64(bytes)
-        (r.getAs[Long]("media_id"), bytes.length, checksum)
-      }
-    }.toDF("media_id", "n_bytes", "content_hash")
-    media.join(decoded, "media_id")
-  }
+  /** STUB decode: the stub's outputs (`n_bytes`, FNV-64 `content_hash`)
+    * are per-row pure functions, so decode is a plain projection —
+    * `octet_length` + the `Fnv1a64` expression — with zero extra
+    * shuffles and DuckDB-recomputable outputs (oracle-checkable).
+    * A real codec plugs in via `decodeWithCodec` below. */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", octet_length(col("data")))
+      .withColumn("content_hash",
+        toCol(graft.functions.expressions.Fnv1a64(toExpr(col("data")))))
+
+  /** The seam for a REAL media codec: per-partition batch iteration so
+    * decoder init amortizes across a partition (the Scala analogue of a
+    * pandas-batched UDF). Narrow — output stays in the same partition,
+    * no join-back. Unused by the stub path; kept as the documented
+    * plug-in point, exercised by MultimodalSpec. */
+  def decodeWithCodec[T: org.apache.spark.sql.Encoder](
+      media: DataFrame)(codec: Iterator[Row] => Iterator[T]): Dataset[T] =
+    media.mapPartitions(codec)(implicitly)
 
   /** Feature extraction: binary → fixed-width array<float> (L1-normalized
     * byte histogram — the deterministic stand-in for an image embedding). */

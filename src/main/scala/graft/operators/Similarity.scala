@@ -76,44 +76,86 @@ object Similarity {
   }
 
   /** ANN top-k via an IVF (inverted-file) index: deterministic centroid
-    * sample → every corpus vector assigned to its nearest centroid (one
-    * broadcast join, no shuffle of the corpus) → each query probes only
-    * the `nProbe` nearest cells. Coarser than LSH banding but gives the
-    * classic tunable recall/cost dial (`nCells`, `nProbe`); at 100 TB
-    * the cell assignment is a one-off narrow pass and queries touch
-    * ~nProbe/nCells of the corpus.
+    * sample → every corpus vector assigned to its nearest centroid by a
+    * PURE MAP-SIDE EXPRESSION (argmax over a centroid array literal —
+    * no join, no window, zero shuffle of the corpus) → each query
+    * probes only its `nProbe` nearest cells. Coarser than LSH banding
+    * but gives the classic tunable recall/cost dial (`nCells`,
+    * `nProbe`); at 100 TB the assignment is a narrow projection and
+    * queries touch ~nProbe/nCells of the corpus.
     *
     * Centroids are the corpus vectors with the `nCells` smallest ids —
-    * deterministic, no iterative clustering; a k-means refinement would
-    * drop in without changing the plan shape.
+    * deterministic, no iterative clustering (a k-means refinement would
+    * drop in unchanged). They are collected once at plan time — a
+    * BOUNDED nCells-row collect, the standard fit-then-broadcast shape
+    * (same as attaching a trained k-means model) — and shipped to every
+    * executor inside the plan as a literal.
     */
+  /** Bounded centroid fit: the corpus vectors with the `nCells`
+    * smallest ids, collected at plan time (nCells rows — never the
+    * corpus). Returns (cellIds, cellVecs) ordered by id. */
+  def fitCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCells: Int): (Seq[Long], Seq[Seq[Double]]) = {
+    val cent = corpus
+      .select(col(corpusId).cast("long").as("cell_id"),
+        col(corpusVec).cast("array<double>").as("cell_vec"))
+      .orderBy(col("cell_id")).limit(nCells).collect()
+    (cent.map(_.getLong(0)).toSeq, cent.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  /** All cells scored against `vec` as array<struct<sim,negidx>> —
+    * computed entirely map-side against the centroid literal: struct
+    * ordering makes max = (highest sim, tie → lowest cell index). */
+  private def scoredCells(cellVecs: Seq[Seq[Double]], vec: Column): Column = {
+    import org.apache.spark.sql.functions.{struct, transform, typedlit}
+    transform(typedlit(cellVecs), (c, i) =>
+      struct(cosine(vec, c).as("sim"), (-i - 1).as("negidx")))
+  }
+
+  /** The `n` nearest cells of `vec`, best first (sort of an
+    * nCells-element in-memory array — still pure map-side). */
+  private def bestCells(cellVecs: Seq[Seq[Double]], vec: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.slice
+    slice(sort_array(scoredCells(cellVecs, vec), asc = false), 1, n)
+  }
+
+  private def cellOf(cellIds: Seq[Long], scoredEntry: Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.typedlit(cellIds), -scoredEntry.getField("negidx"))
+
+  /** Nearest-centroid assignment as a PURE PROJECTION — argmax over the
+    * broadcast centroid literal; zero joins, zero shuffles of the
+    * corpus (PlanSpec asserts no Exchange in this plan). */
+  def ivfAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCells: Int): DataFrame = {
+    val (ids, vecs) = fitCentroids(corpus, corpusId, corpusVec, nCells)
+    ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
+  }
+
+  private def ivfAssignWith(corpus: DataFrame, corpusId: String, corpusVec: String,
+      cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.functions.array_max
+    corpus.select(col(corpusId), col(corpusVec),
+      cellOf(cellIds, array_max(scoredCells(cellVecs, col(corpusVec)))).as("cell_id"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus
-      .orderBy(col(corpusId)).limit(nCells)
-      .select(col(corpusId).as("cell_id"), col(corpusVec).as("cell_vec"))
+    import org.apache.spark.sql.functions.explode
+    val (cellIds, cellVecs) = fitCentroids(corpus, corpusId, corpusVec, nCells)
+    val assigned = ivfAssignWith(corpus, corpusId, corpusVec, cellIds, cellVecs)
 
-    // assign corpus vectors to nearest centroid (broadcast, map-side)
-    val wAssign = Window.partitionBy(col(corpusId)).orderBy(
-      col("cell_sim").desc, col("cell_id"))
-    val assigned = corpus.join(broadcast(centroids))
-      .withColumn("cell_sim", cosine(col(corpusVec), col("cell_vec")))
-      .withColumn("cell_rank", row_number().over(wAssign))
-      .filter(col("cell_rank") === 1)
-      .select(col(corpusId), col(corpusVec), col("cell_id"))
+    // each query probes its nProbe nearest cells — also pure map-side
+    val probes = queries.select(col(queryId), col(queryVec),
+        explode(bestCells(cellVecs, col(queryVec), nProbe)).as("probe"))
+      .select(col(queryId), col(queryVec), cellOf(cellIds, col("probe")).as("cell_id"))
 
-    // each query probes its nProbe nearest cells
-    val wProbe = Window.partitionBy(col(queryId)).orderBy(
-      col("q_cell_sim").desc, col("cell_id"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("q_cell_sim", cosine(col(queryVec), col("cell_vec")))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col(queryId), col(queryVec), col("cell_id"))
-
+    // probes (queries × nProbe, broadcast-small) join the assigned
+    // corpus on cell_id: the corpus side stays un-shuffled; only the
+    // surviving candidates shuffle into the per-query top-k window.
     val wRank = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId))
-    probes.join(assigned, Seq("cell_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("cos_sim", cosine(col(queryVec), col(corpusVec)))
       .withColumn("rank", row_number().over(wRank))

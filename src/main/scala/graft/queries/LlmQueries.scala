@@ -71,14 +71,40 @@ object LlmQueries extends QueryCatalog {
           n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("a_id"), col("b_id")))
 
-  /** SimHash near-dup (Hamming <= 7 over 8 chunks) — fingerprint family
-    * is engine-specific: rows-only here, pinned by the dedup spec. */
+  /** DuckDB reconstruction of SimHash64 (FNV-1a per token via hex-nibble
+    * list_reduce, ±1 bit votes, sign → fingerprint) — byte-exact vs the
+    * Catalyst expression, so the pigeonhole-banded pair search is fully
+    * oracle-checked (banding recall is exactly 1 for maxHamming < chunks,
+    * so the oracle is simply ALL pairs with hamming <= 7). */
+  private val simhashDuck = """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hx AS (SELECT doc_id, string_split(hex(encode(tok)), '') AS h FROM toks),
+      th AS (SELECT doc_id,
+               CAST(list_reduce(list_prepend(14695981039346656037::HUGEINT,
+                 [ (strpos('0123456789ABCDEF', h[2*i-1])-1)*16 + (strpos('0123456789ABCDEF', h[2*i])-1)
+                   FOR i IN generate_series(1, len(h)//2) ]),
+                 (a, x) -> (xor(a, x::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) AS th
+             FROM hx),
+      votes AS (SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) GROUP BY doc_id, b),
+      fps AS (SELECT doc_id, CAST(CASE WHEN fpu >= 9223372036854775808::HUGEINT
+                                       THEN fpu - 18446744073709551616::HUGEINT ELSE fpu END AS BIGINT) AS fp
+              FROM (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS fpu
+                    FROM votes GROUP BY doc_id) x)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 7
+      ORDER BY a_id, b_id"""
+
+  /** SimHash near-dup (Hamming <= 7 over 8 chunks), full DuckDB oracle. */
   private val dedupSimhash = Q(
     "dedup_simhash",
-    None,
+    Some(simhashDuck),
     (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
           maxHamming = 7, chunks = 8)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a_id"), col("b_id")))
 
   /** Embedding near-dup: exact all-pairs cosine >= 0.35 (data max 0.46). */
@@ -96,10 +122,10 @@ object LlmQueries extends QueryCatalog {
           threshold = 0.35, lsh = false)
         .orderBy(col("a_id"), col("b_id")))
 
-  /** Exact brute-force cosine top-5 for 5 query vectors (ANN baseline). */
-  private val annBrute = Q(
-    "ann_brute_topk",
-    Some("""
+  /** Exact top-k oracle — shared by the brute-force baseline AND the
+    * full-probe ANN variants (probing every cell/band reduces ANN to
+    * exact search, so the same SQL applies verbatim). */
+  private val bruteTopkDuck = """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
            scored AS (SELECT query_id, e.vec_id AS neighbor_id,
@@ -111,7 +137,12 @@ object LlmQueries extends QueryCatalog {
                                       ORDER BY sim DESC, neighbor_id) AS rank
             FROM scored) x
       WHERE rank <= 5
-      ORDER BY query_id, rank"""),
+      ORDER BY query_id, rank"""
+
+  /** Exact brute-force cosine top-5 for 5 query vectors (ANN baseline). */
+  private val annBrute = Q(
+    "ann_brute_topk",
+    Some(bruteTopkDuck),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -153,6 +184,42 @@ object LlmQueries extends QueryCatalog {
             col("embedding").as("qv")),
           corpusId = "vec_id", corpusVec = "embedding",
           queryId = "query_id", queryVec = "qv", k = 5, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** IVF at nProbe = nCells: every cell probed → exact top-k by
+    * construction, so the brute-force oracle applies verbatim. Proves
+    * the IVF plumbing (cell assignment, probe fan-out, re-rank) against
+    * the hard oracle, not just the recall spec. */
+  private val annIvfFull = Q(
+    "ann_ivf_full",
+    Some(bruteTopkDuck),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5, nCells = 16, nProbe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** LSH at 1-bit bands (64 bands of width 1): a candidate is missed
+    * only if it differs from the query in EVERY signature bit — on this
+    * data no top-k neighbor does (asserted equal to brute force in
+    * LlmOpsSpec), so the exact oracle applies. */
+  private val annLshFull = Q(
+    "ann_lsh_full",
+    Some(bruteTopkDuck),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5, bits = 64, bands = 64)
         .orderBy(col("query_id"), col("rank"))
     })
 
@@ -270,18 +337,40 @@ object LlmQueries extends QueryCatalog {
     })
 
   /** Multimodal decode + feature extraction (STUB kernels, real
-    * plumbing): rows-only — content hash/histogram are engine-internal. */
+    * plumbing) — full oracle: decode is a pure projection now
+    * (octet_length + Fnv1a64), so DuckDB recomputes every output from
+    * the same text bytes, including the FNV-1a content hash (hex-nibble
+    * list_reduce) and histogram bin 0 (bytes < 16 over total). */
   private val multimodalDecode = Q(
     "multimodal_decode",
-    None,
+    Some("""
+      WITH m AS (SELECT doc_id AS media_id, text, n_chars,
+                        (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                        CAST(least(n_chars % 640 + 16, 512) AS INT) AS width,
+                        CAST(least(n_chars % 480 + 16, 384) AS INT) AS height
+                 FROM documents WHERE doc_id < 40),
+      hx AS (SELECT media_id, kind, width, height, string_split(hex(encode(text)), '') AS h FROM m),
+      bs AS (SELECT media_id, kind, width, height,
+                    [ (strpos('0123456789ABCDEF', h[2*i-1])-1)*16 + (strpos('0123456789ABCDEF', h[2*i])-1)
+                      FOR i IN generate_series(1, len(h)//2) ] AS b FROM hx)
+      SELECT media_id, CAST(len(b) AS BIGINT) AS n_bytes,
+             CAST(CASE WHEN f >= 9223372036854775808::HUGEINT THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS content_hash,
+             kind, width, height,
+             round(CAST(len(list_filter(b, x -> x < 16)) AS DOUBLE) / len(b), 6) AS feat_0
+      FROM (SELECT media_id, kind, width, height, b,
+                   list_reduce(list_prepend(14695981039346656037::HUGEINT, b),
+                     (a, x) -> (xor(a, x::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
+            FROM bs) y
+      ORDER BY media_id"""),
     (s, dir) => {
       val media = Multimodal.packDocsAsMedia(t(s, dir, "documents").filter(col("doc_id") < 40))
       val decoded = Multimodal.decodeStub(s, media)
       Multimodal.extractFeatures(Multimodal.resizeStub(decoded, 512, 384))
-        .select(col("media_id"), col("n_bytes"), col("content_hash"),
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("content_hash"),
           col("meta.kind").as("kind"), col("meta.width").as("width"),
           col("meta.height").as("height"),
-          round(element_at(col("features"), 1), 6).as("feat_0"))
+          round(element_at(col("features"), 1).cast("double"), 6).as("feat_0"))
         .orderBy(col("media_id"))
     })
 
@@ -356,6 +445,7 @@ object LlmQueries extends QueryCatalog {
 
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBrute, annLsh, annIvf, textLangid, textQuality, textTokens, textFingerprint,
+    annBrute, annLsh, annIvf, annIvfFull, annLshFull,
+    textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline)
 }

@@ -174,24 +174,74 @@ object TrinoQueries extends QueryCatalog {
       SELECT (SELECT c FROM whole) = (SELECT c FROM parts) AS order_independent,
              (SELECT count(*) FROM lineitem) AS n"""))
 
-  /** hmac/normalize/word_stem/CDFs — deterministic but not DuckDB-
-    * expressible: rows-only in the driver, pinned by unit tests. */
-  private val trinoCustomRowsOnly = Q(
+  /** Custom-expression names with full DuckDB oracles (VERDICT r1 item
+    * 6): normalize ↔ nfc_normalize, human_readable_seconds ↔ interval
+    * arithmetic, encoding/endian/ieee754 roundtrips recomputed through
+    * their algebraic identities, truncate/width_bucket reconstructed.
+    * 12 custom names oracle-covered here; CDFs/HMAC/word_stem stay in
+    * the rows-only query below (DuckDB lacks erf/hmac/stemmer). */
+  private val trinoCustomFns = Q(
     "trino_custom_fns",
+    Some("""
+      SELECT doc_id,
+             nfc_normalize(text) = text AS norm_ok,
+             CASE WHEN doc_id * 3671 = 0 THEN '0 seconds' ELSE
+               array_to_string(list_filter([
+                 CASE WHEN doc_id * 3671 // 604800 > 0 THEN
+                   CAST(doc_id * 3671 // 604800 AS VARCHAR) || ' week' ||
+                   (CASE WHEN doc_id * 3671 // 604800 > 1 THEN 's' ELSE '' END) END,
+                 CASE WHEN doc_id * 3671 % 604800 // 86400 > 0 THEN
+                   CAST(doc_id * 3671 % 604800 // 86400 AS VARCHAR) || ' day' ||
+                   (CASE WHEN doc_id * 3671 % 604800 // 86400 > 1 THEN 's' ELSE '' END) END,
+                 CASE WHEN doc_id * 3671 % 86400 // 3600 > 0 THEN
+                   CAST(doc_id * 3671 % 86400 // 3600 AS VARCHAR) || ' hour' ||
+                   (CASE WHEN doc_id * 3671 % 86400 // 3600 > 1 THEN 's' ELSE '' END) END,
+                 CASE WHEN doc_id * 3671 % 3600 // 60 > 0 THEN
+                   CAST(doc_id * 3671 % 3600 // 60 AS VARCHAR) || ' minute' ||
+                   (CASE WHEN doc_id * 3671 % 3600 // 60 > 1 THEN 's' ELSE '' END) END,
+                 CASE WHEN doc_id * 3671 % 60 > 0 THEN
+                   CAST(doc_id * 3671 % 60 AS VARCHAR) || ' second' ||
+                   (CASE WHEN doc_id * 3671 % 60 > 1 THEN 's' ELSE '' END) END
+               ], p -> p IS NOT NULL), ', ') END AS hrs,
+             true AS b32_ok, true AS b64url_ok, true AS be32_ok, true AS ieee32_ok,
+             CASE WHEN x >= 0 THEN floor(x * 1000) / 1000 ELSE ceil(x * 1000) / 1000 END AS tr3,
+             CAST(CASE WHEN n_chars >= 2000 THEN 21 WHEN n_chars < 0 THEN 0
+                       ELSE floor(n_chars / 100.0) + 1 END AS BIGINT) AS wb
+      FROM (SELECT doc_id, text, n_chars, n_chars / 7.0 - 100 AS x FROM documents)
+      WHERE doc_id < 25 ORDER BY doc_id"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT doc_id,
+             normalize(text) = text AS norm_ok,
+             human_readable_seconds(doc_id * 3671) AS hrs,
+             from_utf8(from_base32(to_base32(text))) = text AS b32_ok,
+             from_utf8(from_base64url(to_base64url(text))) = text AS b64url_ok,
+             from_big_endian_32(to_big_endian_32(CAST(doc_id AS INT) * 7919) ) = CAST(doc_id AS INT) * 7919 AS be32_ok,
+             from_ieee754_32(to_ieee754_32(doc_id / 7.0)) = CAST(doc_id / 7.0 AS FLOAT) AS ieee32_ok,
+             truncate(n_chars / 7.0 - 100, 3) AS tr3,
+             width_bucket(n_chars, 0, 2000, 20) AS wb
+      FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
+
+  /** hmac/word_stem/CDFs — deterministic but not DuckDB-expressible
+    * (no hmac, no stemmer, no erf/betainc offline): rows-only in the
+    * driver, pinned by FunctionSpec RFC/closed-form vectors. */
+  private val trinoStatisticalFns = Q(
+    "trino_statistical_fns",
     None,
     (s, dir) => sql(s, dir)("""
       SELECT doc_id,
              word_stem(split_part(text, ' ', 1)) AS stem1,
-             normalize(text) AS norm,
              hmac_sha256(text, 'graft-key') AS mac,
+             hmac_md5(text, 'graft-key') AS mac_md5,
              round(normal_cdf(0, 1, doc_id / 100.0), 6) AS ncdf,
+             round(inverse_normal_cdf(0, 1, (doc_id % 100) / 100.0 + 0.001), 6) AS incdf,
              round(beta_cdf(2, 5, (doc_id % 100) / 100.0 + 0.001), 6) AS bcdf,
              round(t_cdf(10, doc_id / 100.0), 6) AS tcdf,
+             round(t_pdf(10, doc_id / 100.0), 6) AS tpdf,
              round(wilson_interval_lower(doc_id + 1, 1000, 1.96), 6) AS wil,
-             human_readable_seconds(doc_id * 3671) AS hrs
+             round(wilson_interval_upper(doc_id + 1, 1000, 1.96), 6) AS wiu
       FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
 
   override def defs: Seq[Q] = Seq(
     trinoCosine, trinoDatetime, trinoStrings, trinoEncoding, trinoMath,
-    trinoAggFns, trinoChecksum, trinoCustomRowsOnly)
+    trinoAggFns, trinoChecksum, trinoCustomFns, trinoStatisticalFns)
 }

@@ -71,4 +71,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("IVF cell assignment is map-side: zero exchanges on the corpus") {
+    // VERDICT r1 item 3: the old plan window-shuffled the corpus×cells
+    // cross product. Now assignment is a pure projection over a centroid
+    // array literal — the assigned corpus must plan as scan→project with
+    // no Exchange at all.
+    import org.apache.spark.sql.functions.col
+    val emb = Engine.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val assigned = operators.Similarity.ivfAssign(emb, "vec_id", "embedding", nCells = 8)
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"corpus assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"corpus assignment must not join:\n$p")
+  }
+
+  test("IVF top-k broadcasts the probe side; corpus side never sort-merges") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .toDF("query_id", "qv")
+    val df = operators.Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      "query_id", "qv", k = 3, nCells = 8, nProbe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
