@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All query catalogs (one per SURVEY §2 area). */
   def catalogs: Seq[QueryCatalog] = Seq(
-    TpchQueries, OperatorQueries, FunctionQueries, TrinoQueries, LlmQueries)
+    TpchQueries, OperatorQueries, FunctionQueries, TrinoQueries, LlmQueries,
+    IcebergQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = catalogs.flatMap(_.defs)

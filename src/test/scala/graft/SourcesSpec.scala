@@ -91,6 +91,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(tableDir) == Seq(1L, 2L))
   }
 
+  // demo table (same generator as the committed data/iceberg_demo):
+  // 2 snapshots, hive-style paths, per-file id/amount bounds
+  private lazy val demoDir: String = {
+    val root = Files.createTempDirectory("iceberg_demo_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    root
+  }
+
+  test("file-level min/max pruning skips files on column bounds") {
+    // current snapshot: 4 files; region=EU → 2; plus id > 3 prunes the
+    // EU file whose upper id bound is 3 (reference iceberg.rs:354-507)
+    assert(IcebergLite.dataFiles(demoDir).size == 4)
+    assert(IcebergLite.dataFiles(demoDir,
+      filters = Seq(IcebergLite.Eq("region", "EU"))).size == 2)
+    assert(IcebergLite.dataFiles(demoDir,
+      filters = Seq(IcebergLite.Eq("region", "EU"), IcebergLite.Gt("id", "3"))).size == 1)
+    // bounds prune on a double column too: amount < 40 keeps only eu-1
+    assert(IcebergLite.dataFiles(demoDir,
+      filters = Seq(IcebergLite.Lt("amount", "40"))).size == 1)
+    // Eq inside a file's range keeps it; outside every range drops all
+    assert(IcebergLite.dataFiles(demoDir,
+      filters = Seq(IcebergLite.Eq("id", "8"))).size == 1)
+    assert(IcebergLite.dataFiles(demoDir,
+      filters = Seq(IcebergLite.Eq("id", "99"))).isEmpty)
+  }
+
+  test("read is a single parquet scan regardless of partition count") {
+    val df = IcebergLite.read(spark, demoDir)
+    assert(df.count() == 12)
+    assert(df.filter(col("region") === "EU").count() == 6)
+    val plan = df.queryExecution.executedPlan.toString
+    // one FileScan + the broadcast partition-map join — never a
+    // union-per-partition (round-1 shape: plan size grew with partitions)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected 1 scan:\n$plan")
+    assert(!plan.contains("Union"), s"no union-per-partition:\n$plan")
+  }
+
   test("streaming: file source -> watermarked window agg -> memory sink") {
     val out = EventStream.runFileStream(spark, sf0001, "events_stream_test")
     assert(out.count() > 0)
