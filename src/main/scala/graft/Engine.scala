@@ -49,6 +49,33 @@ object Engine {
     spark.table(name)
   }
 
+  /** Register tables as CATALOG tables (not temp views) and ANALYZE
+    * them, then enable cost-based optimization — the Spark analogue of
+    * the reference's stats-driven JoinReorder (`join_reorder.rs:29`):
+    * with rowCount + column stats in the catalog, Catalyst's
+    * JoinReorderDP picks join order by cost instead of syntax, and
+    * build-side/broadcast choices use real sizes. Opt-in (stats
+    * collection is a scan per table) — at 100 TB you run ANALYZE once
+    * after ingest, amortized over every query that follows.
+    *
+    * Tables are registered under `<name>_s` so stats-backed and
+    * temp-view paths coexist in one session. */
+  def registerDirWithStats(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = Seq("customer", "orders", "lineitem", "supplier", "part",
+        "nation", "region")): Unit = synchronized {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    tables.foreach { name =>
+      val p = s"$sfDir/$name.parquet"
+      if (new java.io.File(p).exists() &&
+          !spark.catalog.tableExists(s"${name}_s")) {
+        spark.sql(s"CREATE TABLE ${name}_s USING parquet LOCATION '$p'")
+        spark.sql(s"ANALYZE TABLE ${name}_s COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+  }
+
   /** Standalone session for mains/tests. local[*] stands in for a real
     * cluster; shuffle partitions sized for local cores, AQE on for
     * runtime re-planning (skew join, partition coalescing) as it would

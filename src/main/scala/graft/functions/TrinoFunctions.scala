@@ -148,10 +148,15 @@ object TrinoFunctions {
     // reference returns 0 for tz fields on naive timestamps (filter.rs:3605-3609)
     reg("timezone_hour") { _ => Literal(0) }
     reg("timezone_minute") { _ => Literal(0) }
-    // AT_TIMEZONE/WITH_TIMEZONE: interpret naive ts in tz -> UTC wall clock
-    // (exceeds the reference, which only handles fixed offsets, filter.rs:4030+)
-    reg("at_timezone") { e => ConvertTimezone(e(1), Literal("UTC"), e(0)) }
+    // Trino's two zone functions differ, projected onto an NTZ-only type
+    // system with a UTC session zone (exceeds the reference, which only
+    // handles fixed offsets, filter.rs:4030+):
+    //  - WITH_TIMEZONE(ts, z): *declare* the naive ts to be wall-clock in
+    //    z (a different instant) → returned as the UTC wall clock.
+    //  - AT_TIMEZONE(ts, z): *preserve* the instant (naive ts = session
+    //    UTC) and re-display it in z.
     reg("with_timezone") { e => ConvertTimezone(e(1), Literal("UTC"), e(0)) }
+    reg("at_timezone") { e => ConvertTimezone(Literal("UTC"), e(1), e(0)) }
     reg("to_unixtime") { e => Cast(Cast(e(0), TimestampType), DoubleType) }
     reg("from_iso8601_timestamp") { e => Cast(e(0), TimestampNTZType) }
     reg("from_iso8601_date") { e => Cast(e(0), DateType) }

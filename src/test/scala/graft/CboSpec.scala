@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cost-based optimization wiring (reference JoinReorder parity,
+  * `join_reorder.rs:29`): ANALYZE'd catalog tables carry rowCount +
+  * column stats, CBO is enabled, and a 3-way chain join written in a
+  * deliberately bad syntactic order gets re-ordered by cost. */
+class CboSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ready: Unit = Engine.registerDirWithStats(spark, sf0001)
+
+  test("ANALYZE stores rowCount and column stats usable by the optimizer") {
+    ready
+    val rel = spark.table("lineitem_s").queryExecution.optimizedPlan
+    val stats = rel.stats
+    assert(stats.rowCount.isDefined, "rowCount missing after ANALYZE")
+    assert(stats.rowCount.get.toLong == spark.table("lineitem_s").count())
+    assert(stats.attributeStats.nonEmpty, "column stats missing after ANALYZE")
+  }
+
+  test("CBO reorders a 3-way chain join by cost, not syntax") {
+    ready
+    // written worst-first: fact ⋈ fact, then the small dim last. With
+    // stats + JoinReorderDP the optimizer starts from the cheaper
+    // customer⋈orders pair; without CBO Spark keeps syntactic order.
+    val q = """
+      SELECT c_custkey, count(*) AS n
+      FROM lineitem_s l
+      JOIN orders_s o ON l.l_orderkey = o.o_orderkey
+      JOIN customer_s c ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal > 9000
+      GROUP BY c_custkey"""
+    def innermostJoinTables(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = plan.collect { case j: Join => j }
+      // the deepest Join's direct relation children
+      val deepest = joins.last
+      deepest.children.flatMap(_.collectLeaves()).collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table).getOrElse("")
+        case r if r.getClass.getSimpleName.contains("HiveTableRelation") => "?"
+      }
+    }
+    val cboPlan = spark.sql(q).queryExecution.optimizedPlan
+    val cboInner = innermostJoinTables(cboPlan)
+    // cost-based order joins the filtered customer side before the big
+    // lineitem⋈orders pair — the filtered dim must appear innermost
+    assert(cboInner.exists(_.contains("customer")),
+      s"expected customer in the innermost join, got $cboInner\n$cboPlan")
+
+    // sanity: with CBO off, the syntactic (worst-first) order survives
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    try {
+      val off = spark.sql(q).queryExecution.optimizedPlan
+      val offInner = innermostJoinTables(off)
+      assert(offInner.exists(_.contains("lineitem")),
+        s"expected syntactic order without CBO, got $offInner")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "true")
+  }
+}

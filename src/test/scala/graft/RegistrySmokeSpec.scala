@@ -108,8 +108,11 @@ class RegistrySmokeSpec extends AnyFunSuite {
     // hence the cast); [1,2] at p=0.5 → idx round(0.5)=1 → 2, not 1.5
     assert(v[Double]("(SELECT CAST(approx_percentile(x, 0.5) AS DOUBLE) FROM VALUES (1.0),(2.0),(3.0) t(x))") == 2.0)
     assert(v[Double]("(SELECT CAST(approx_percentile(x, 0.5) AS DOUBLE) FROM VALUES (1.0),(2.0) t(x))") == 2.0)
-    // noon in New York is 17:00 UTC (Feb = EST)
-    assert(v[java.time.LocalDateTime]("at_timezone(TIMESTAMP '2024-02-01 12:00:00', 'America/New_York')") ==
+    // WITH_TIMEZONE declares the instant: noon in New York = 17:00 UTC (Feb = EST)
+    assert(v[java.time.LocalDateTime]("with_timezone(TIMESTAMP '2024-02-01 12:00:00', 'America/New_York')") ==
       java.time.LocalDateTime.of(2024, 2, 1, 17, 0))
+    // AT_TIMEZONE preserves the instant (session UTC) and re-displays it
+    assert(v[java.time.LocalDateTime]("at_timezone(TIMESTAMP '2024-02-01 12:00:00', 'America/New_York')") ==
+      java.time.LocalDateTime.of(2024, 2, 1, 7, 0))
   }
 }
