@@ -241,6 +241,33 @@ object OperatorQueries extends QueryCatalog {
       r1.join(r2, col("k1") < col("k2")).select(col("a"), col("b")).orderBy(col("a"), col("b"))
     })
 
+  /** As-of join ➕ (absent in the reference; kdb/pandas/DuckDB staple):
+    * for each click, the most recent prior view by the same user.
+    * Implemented shuffle-once via union+window (operators/AsOf) — the
+    * oracle is DuckDB's native ASOF LEFT JOIN. */
+  private val joinAsof = Q(
+    "join_asof",
+    Some("""
+      SELECT c.event_id, c.user_id, c.ts,
+             v.event_id AS view_event_id, v.value AS view_value, v.ts AS view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+      ORDER BY c.event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOf.join(clicks, views, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_id_r").as("view_event_id"),
+          col("value_r").as("view_value"),
+          col("ts_r").as("view_ts"))
+        .orderBy(col("event_id"))
+    })
+
   // ----------------------------------------------------------- aggregates
 
   /** COUNT/COUNT DISTINCT/SUM/AVG/MIN/MAX (hash_agg.rs:2002+). */
@@ -903,7 +930,7 @@ object OperatorQueries extends QueryCatalog {
   override def defs: Seq[Q] = Seq(
     scanProjection, scanMemory, scanWriteRoundtrip,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
-    joinSelf, joinInequality, joinRange,
+    joinSelf, joinInequality, joinRange, joinAsof,
     aggBasic, aggDistinct, aggStats, aggBool, aggMinmaxBy, aggBitwise,
     aggListagg, aggCorr, aggSkewKurt, aggRegr, aggPercentile, aggAnyValue,
     aggRollup, aggCube, aggGroupingSets, aggGlobal,
