@@ -66,8 +66,14 @@ object AsOf {
     val withinTol: Column = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
-        val gapSec = abs(col("__t").cast("timestamp").cast("double") -
-          matchedTime.cast("timestamp").cast("double"))
+        // numeric times are already seconds; temporal ones go through an
+        // explicit LTZ cast ("timestamp" alone resolves against the
+        // session's spark.sql.timestampType, and BIGINT→NTZ is invalid)
+        def secs(c: Column): Column = left.schema(leftTime).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => c.cast("double")
+          case _ => c.cast("timestamp_ltz").cast("double")
+        }
+        val gapSec = abs(secs(col("__t")) - secs(matchedTime))
         matchedTime.isNull || gapSec <= tol
     }
 

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.Fnv1a64
+
+/** Dataset-curation primitives a training-data pipeline runs constantly
+  * (beyond the reference's surface — it has no sampling/packing at
+  * all). All map-side or single-shuffle, and deterministic: sampling
+  * decisions hash CONTENT, not row position, so a re-run (or a re-read
+  * after a lost executor) selects the identical subset — the property
+  * that makes 100 TB pipelines reproducible.
+  */
+object Curation {
+
+  /** Stable 64-bit content hash (FNV-1a over UTF-8 bytes) — the same
+    * kernel the dedup/multimodal ops use; DuckDB-reconstructible. */
+  def contentHash(c: Column): Column = toCol(Fnv1a64(toExpr(encode(c, "UTF-8"))))
+
+  /** Deterministic hash sample: keep rows whose content hash lands in
+    * the first `percent` buckets of 100. Pure projection+filter — no
+    * shuffle, no RNG state, reproducible on any cluster shape. */
+  def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
+    df.filter(pmod(contentHash(keyCol), lit(100)) < percent)
+
+  /** Deterministic stratified sample: the `n` rows with the smallest
+    * content hashes per stratum (hash order = uniform random order,
+    * but stable). One shuffle on the stratum key. */
+  def stratifiedSample(df: DataFrame, stratum: Column, keyCol: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(contentHash(keyCol), keyCol)
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n).drop("__rk")
+  }
+
+  /** GPT-style token-stream packing: within each `shard`, documents are
+    * concatenated in `orderCol` order and the stream is cut into fixed
+    * `blockTokens` blocks; each document reports the block range it
+    * lands in. Sharded by design — data loaders shard anyway, and a
+    * per-shard running sum is one shuffle with no global-order
+    * bottleneck (a single unpartitioned window would serialize 100 TB
+    * through one task). */
+  def packBlocks(df: DataFrame, shard: Column, orderCol: Column,
+      tokensCol: Column, blockTokens: Int): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(orderCol)
+    df
+      .withColumn("__cum", sum(tokensCol).over(w))
+      .withColumn("start_block",
+        floor((col("__cum") - tokensCol) / blockTokens).cast("long"))
+      .withColumn("end_block", floor((col("__cum") - 1) / blockTokens).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Top-k n-gram vocabulary with deterministic tiebreak — the
+    * "count words over everything" job: explode → two-phase hash
+    * aggregate (map-side partial) → TakeOrderedAndProject. */
+  def vocabTopK(df: DataFrame, textCol: Column, n: Int, k: Int): DataFrame = {
+    val grams = explode(Dedup.shingles(textCol, n)).as("ngram")
+    df.select(grams)
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+}

@@ -411,6 +411,90 @@ object LlmQueries extends QueryCatalog {
                      ['的','是','在','了','和']))) THEN 'en'
            ELSE 'other' END"""
 
+  /** Shared DuckDB CTE: per-document FNV-1a64 (signed) — the same
+    * reconstruction the multimodal/simhash oracles use. */
+  private val fnvDocsCte = """
+      WITH hx AS (SELECT doc_id, n_chars, string_split(hex(encode(text)), '') AS h FROM documents),
+      fh AS (SELECT doc_id, n_chars,
+               CAST(CASE WHEN f >= 9223372036854775808::HUGEINT THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS fnv
+             FROM (SELECT doc_id, n_chars,
+                     list_reduce(list_prepend(14695981039346656037::HUGEINT,
+                       [ (strpos('0123456789ABCDEF', h[2*i-1])-1)*16 + (strpos('0123456789ABCDEF', h[2*i])-1)
+                         FOR i IN generate_series(1, len(h)//2) ]),
+                       (a, x) -> (xor(a, x::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
+                   FROM hx) y)"""
+
+  /** Deterministic hash sampling — reproducible across runs/clusters
+    * (content-hash bucket, not RNG). */
+  private val dataSampleHash = Q(
+    "data_sample_hash",
+    Some(s"""
+      $fnvDocsCte
+      SELECT doc_id, n_chars FROM fh
+      WHERE ((fnv % 100) + 100) % 100 < 20
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      graft.operators.Curation.hashSample(t(s, dir, "documents"), col("text"), 20)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id")))
+
+  /** Deterministic stratified sampling: smallest-hash n per stratum. */
+  private val dataSampleStratified = Q(
+    "data_sample_stratified",
+    Some(s"""
+      $fnvDocsCte
+      SELECT doc_id, doc_id % 5 AS stratum
+      FROM (SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 5 ORDER BY fnv, doc_id) AS rk
+            FROM fh) x
+      WHERE rk <= 5
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("stratum", pmod(col("doc_id"), lit(5)))
+      graft.operators.Curation.stratifiedSample(docs, col("stratum"), col("text"), 5)
+        .select(col("doc_id"), col("stratum"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** GPT-style token-stream packing: per-shard cumulative token count →
+    * fixed 512-token block ranges. */
+  private val dataPackBlocks = Q(
+    "data_pack_blocks",
+    Some("""
+      WITH d AS (SELECT doc_id, doc_id % 4 AS shard,
+                        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM d)
+      SELECT doc_id, shard, n_tokens,
+             (cum - n_tokens) // 512 AS start_block,
+             (cum - 1) // 512 AS end_block
+      FROM c ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .withColumn("n_tokens", graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+      graft.operators.Curation.packBlocks(docs, col("shard"), col("doc_id"),
+          col("n_tokens"), 512)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_block"), col("end_block"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** Top-k n-gram vocabulary (document frequency, deterministic
+    * tiebreak) — two-phase agg + TakeOrderedAndProject. */
+  private val dataVocabTopk = Q(
+    "data_vocab_topk",
+    Some("""
+      WITH g AS (SELECT doc_id,
+                        unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                              FOR i IN generate_series(1, len(w) - 1)])) AS ngram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT ngram, count(*) AS cnt
+      FROM g GROUP BY ngram
+      ORDER BY cnt DESC, ngram LIMIT 20"""),
+    (s, dir) =>
+      graft.operators.Curation.vocabTopK(t(s, dir, "documents"), col("text"), 2, 20))
+
   /** The composed curation pipeline (operators.Pipeline): quality gate →
     * language gate → canonical exact dedup → near-dedup. Full oracle:
     * every stage is replicated in DuckDB SQL over the same data.
@@ -447,5 +531,6 @@ object LlmQueries extends QueryCatalog {
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     textLangid, textQuality, textTokens, textFingerprint,
-    multimodalFrames, multimodalDecode, llmPipeline)
+    multimodalFrames, multimodalDecode, llmPipeline,
+    dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk)
 }
