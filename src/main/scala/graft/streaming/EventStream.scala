@@ -71,6 +71,26 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join: clicks joined to views by
+    * the same user within a bounded event-time gap. Both sides carry
+    * watermarks and the join condition carries the time-range bound, so
+    * state is evictable — the only shape that runs unbounded at scale
+    * (an un-range-bounded stream join accumulates state forever). The
+    * batch analogue is `operators.AsOf.join` with a tolerance. */
+  def clickViewJoin(events: DataFrame, maxGap: String = "30 minutes"): DataFrame = {
+    val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), ts.as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", maxGap)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), ts.as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", maxGap)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $maxGap"))
+  }
+
   /** Drive the events parquet through the file-stream source into an
     * in-memory table; returns the completed batch result. (Streaming
     * reader needs an explicit schema; ts arrives as NANOS → repaired

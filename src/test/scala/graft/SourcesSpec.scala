@@ -140,6 +140,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(streamTotal <= 1000L && streamTotal >= 990L, s"got $streamTotal")
   }
 
+  test("streaming: watermarked stream-stream join matches the batch range join") {
+    val s = spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+    val events = raw.withColumn("ts",
+      org.apache.spark.sql.functions.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val q = EventStream.clickViewJoin(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join_test")
+    // batch oracle: same range-join semantics over the static table
+    val ev = Engine.t(spark, sf0001, "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").cast("timestamp").as("c_ts"),
+        col("event_id").as("click_id"))
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").cast("timestamp").as("v_ts"),
+        col("event_id").as("view_id"))
+    val batch = bc.join(bv,
+      col("c_user") === col("v_user") && col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 minutes"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
+  }
+
   test("streaming: dedup within watermark via dropDuplicatesWithinWatermark") {
     val s = spark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
