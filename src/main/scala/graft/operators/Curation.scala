@@ -52,6 +52,20 @@ object Curation {
       .drop("__cum")
   }
 
+  /** PII scrubbing: mask emails, phone-shaped numbers, and long digit
+    * runs — the pre-training hygiene pass every text pipeline runs.
+    * Pure codegen'd regexp projection, zero shuffle; patterns are
+    * deliberately conservative (over-masking beats leaking). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+  val longDigitsRe = "[0-9]{6,}"
+
+  def redact(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val p = regexp_replace(e, phoneRe, "<PHONE>")
+    regexp_replace(p, longDigitsRe, "<NUM>")
+  }
+
   /** Top-k n-gram vocabulary with deterministic tiebreak — the
     * "count words over everything" job: explode → two-phase hash
     * aggregate (map-side partial) → TakeOrderedAndProject. */

@@ -495,6 +495,34 @@ object LlmQueries extends QueryCatalog {
     (s, dir) =>
       graft.operators.Curation.vocabTopK(t(s, dir, "documents"), col("text"), 2, 20))
 
+  /** PII scrubbing over text with planted emails/phones (the documents
+    * table has none, so the query synthesizes a contact line per doc —
+    * the redaction itself is what's under oracle). */
+  private val dataRedact = Q(
+    "data_redact",
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        concat(substr(text, 1, 40), ' contact u', CAST(doc_id AS VARCHAR),
+                               '@example.com or +1 (555) 010-', CAST(doc_id AS VARCHAR),
+                               ' ref 9900110022', CAST(doc_id AS VARCHAR)) AS t
+                 FROM documents WHERE doc_id < 40)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS clean
+      FROM d ORDER BY doc_id"""),
+    (s, dir) => {
+      val synth = concat(substring(col("text"), 1, 40),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1 (555) 010-"), col("doc_id").cast("string"),
+        lit(" ref 9900110022"), col("doc_id").cast("string"))
+      t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          graft.operators.Curation.redact(synth).as("clean"))
+        .orderBy(col("doc_id"))
+    })
+
   /** The composed curation pipeline (operators.Pipeline): quality gate →
     * language gate → canonical exact dedup → near-dedup. Full oracle:
     * every stage is replicated in DuckDB SQL over the same data.
@@ -532,5 +560,6 @@ object LlmQueries extends QueryCatalog {
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline,
-    dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk)
+    dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
+    dataRedact)
 }
