@@ -889,6 +889,48 @@ object OperatorQueries extends QueryCatalog {
         .orderBy(col("o_orderpriority"), col("rn"))
     })
 
+  /** Full window-function surface: lead/lag/first/nth/ntile/
+    * percent_rank/cume_dist + a value-RANGE frame (peer-inclusive
+    * count of orders within $1000 below the current price). All
+    * deterministic: partitions order by the unique o_orderkey, and the
+    * RANGE frame is value-defined so duplicates don't reorder it. */
+  private val windowFrames = Q(
+    "window_frames",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price,
+             first_value(o_totalprice) OVER wf AS first_price,
+             nth_value(o_totalprice, 2) OVER wf AS second_price,
+             CAST(ntile(4) OVER (ORDER BY o_orderkey) AS INT) AS quartile,
+             round(percent_rank() OVER (ORDER BY o_orderkey), 6) AS pr,
+             round(cume_dist() OVER (ORDER BY o_orderkey), 6) AS cd,
+             count(*) OVER (ORDER BY o_totalprice
+                            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_below
+      FROM orders
+      WHERE o_custkey < 30
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price,
+             first_value(o_totalprice) OVER wf AS first_price,
+             nth_value(o_totalprice, 2) OVER wf AS second_price,
+             ntile(4) OVER (ORDER BY o_orderkey) AS quartile,
+             round(percent_rank() OVER (ORDER BY o_orderkey), 6) AS pr,
+             round(cume_dist() OVER (ORDER BY o_orderkey), 6) AS cd,
+             count(*) OVER (ORDER BY o_totalprice
+                            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS near_below
+      FROM orders
+      WHERE o_custkey < 30
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""))
+
   /** Running aggregate + LAG over event time (exceeds reference). */
   private val windowRunning = Q(
     "window_running",
@@ -939,5 +981,5 @@ object OperatorQueries extends QueryCatalog {
     setopExcept, setopExceptAll,
     subqScalar, subqIn, subqNotIn, subqScalarSelect, subqNested,
     cteChained, complexUnionCte, complexNested, complexCteWindow, complexExpr,
-    windowRank, windowRunning, eventsTimeBucket)
+    windowRank, windowRunning, windowFrames, eventsTimeBucket)
 }
