@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -136,6 +138,89 @@ object IcebergLite {
       }
     }
     files.filter(f => filters.forall(_.matches(f)))
+  }
+
+  /** Append `df` as a NEW SNAPSHOT (exceeds the reference, whose
+    * Iceberg surface is read-only): data files land under
+    * `data/append-<snapId>/` (hive layout when `partitionColumns` is
+    * set — written in parallel, one file per task, NOT coalesced), a
+    * new manifest lists them with per-partition column bounds
+    * (computed in one aggregate pass; conservative-correct for
+    * file-level pruning since partition bounds ⊇ file bounds), and the
+    * snapshot chain grows by one — prior snapshots stay time-travelable.
+    * Single-writer assumed (the JSON layout has no commit protocol).
+    * Returns the new snapshot id. */
+  def append(spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val prior = snapshots(tablePath)
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (prior :+ 0L).max + 1
+    val runDir = s"append-$newId"
+
+    val writer = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      .parquet(s"$tablePath/data/$runDir")
+
+    // bounds per partition tuple, one aggregate pass over df
+    val dataCols = df.schema.fields.map(_.name).filterNot(partitionColumns.contains)
+    val boundAggs = dataCols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"__min_$c"), max(col(c)).cast("string").as(s"__max_$c")))
+    val boundRows: Map[Map[String, String], (Map[String, String], Map[String, String])] =
+      (if (partitionColumns.nonEmpty) df.groupBy(partitionColumns.map(col): _*).agg(boundAggs.head, boundAggs.tail: _*)
+       else df.agg(boundAggs.head, boundAggs.tail: _*))
+        .collect().map { r =>
+          val part = partitionColumns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
+          val lo = dataCols.flatMap(c => Option(r.getAs[Any](s"__min_$c")).map(v => c -> v.toString)).toMap
+          val hi = dataCols.flatMap(c => Option(r.getAs[Any](s"__max_$c")).map(v => c -> v.toString)).toMap
+          part -> (lo, hi)
+        }.toMap
+
+    // every written parquet file → one manifest entry; partition values
+    // parsed from the hive path segments
+    val root = Paths.get(s"$tablePath/data/$runDir")
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    def partOf(p: java.nio.file.Path): Map[String, String] =
+      root.relativize(p).iterator().asScala.map(_.toString)
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2); k -> v
+        }.toMap
+    val entries = files.map { p =>
+      val part = partOf(p)
+      val (lo, hi) = boundRows.getOrElse(part, (Map.empty[String, String], Map.empty[String, String]))
+      val rel = s"data/$runDir/${root.relativize(p).toString}"
+      def jmap(m: Map[String, String]) =
+        m.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      s"""{"data_file": {"file_path": "$rel", "file_format": "PARQUET",
+         |  "partition": ${jmap(part)}, "record_count": -1,
+         |  "lower_bounds": ${jmap(lo)}, "upper_bounds": ${jmap(hi)}}}""".stripMargin
+    }
+    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$newId.json"),
+      entries.mkString("{\"entries\": [", ",\n", "]}"))
+
+    // manifest list = parent's list + the new manifest
+    val parentManifests: Seq[String] = parentId.map { pid =>
+      readJson(s"$tablePath/metadata/snap-$pid.snapshot.json") \ "manifest_list" match {
+        case JString(ml) => readJson(s"$tablePath/$ml") match {
+          case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }.getOrElse(Nil)
+    val allManifests = parentManifests :+ s"metadata/manifest-$newId.json"
+    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$newId.json"),
+      allManifests.zipWithIndex.map { case (m, i) =>
+        s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
+           |  "snapshot_id": $newId, "sequence_number": ${i + 1}}""".stripMargin
+      }.mkString("[", ",\n", "]"))
+    Files.writeString(Paths.get(s"$tablePath/metadata/snap-$newId.snapshot.json"),
+      s"""{"snapshot_id": $newId${parentId.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
+         | "manifest_list": "metadata/manifest-list-$newId.json"}""".stripMargin)
+    Files.writeString(Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+      s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $newId}""")
+    newId
   }
 
   /** Read a snapshot of the table as a DataFrame: metadata-pruned file

@@ -117,6 +117,28 @@ class SourcesSpec extends AnyFunSuite {
       filters = Seq(IcebergLite.Eq("id", "99"))).isEmpty)
   }
 
+  test("append creates a new time-travelable snapshot with pruned bounds") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_append_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val before = IcebergLite.read(spark, root).count()
+
+    val extra = Seq((100L, 500.5, "EU"), (101L, 600.25, "SA"))
+      .toDF("id", "amount", "region")
+    val newId = IcebergLite.append(spark, root, extra, partitionColumns = Seq("region"))
+
+    // current snapshot sees old + new rows; the pre-append snapshot is untouched
+    assert(IcebergLite.read(spark, root).count() == before + 2)
+    assert(IcebergLite.read(spark, root, snapshotId = Some(2L)).count() == before)
+    assert(IcebergLite.snapshots(root).contains(newId))
+    // new partition value is queryable, and bounds prune appended files
+    assert(IcebergLite.read(spark, root,
+      filters = Seq(IcebergLite.Eq("region", "SA"))).count() == 1)
+    val pruned = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Gt("id", "99")))
+    assert(pruned.size == 2, s"id>99 must keep only the two appended files, got $pruned")
+  }
+
   test("read is a single parquet scan regardless of partition count") {
     val df = IcebergLite.read(spark, demoDir)
     assert(df.count() == 12)
