@@ -114,9 +114,12 @@ object Dedup {
   /** Near-dup pairs with Hamming(simhash) <= maxHamming, found by
     * pigeonhole banding: split 64 bits into `chunks` pieces; any pair
     * within radius floor(chunks-1) shares at least one exact chunk, so
-    * an equi-join on (chunk index, chunk value) finds all of them. */
+    * an equi-join on (chunk index, chunk value) finds all of them.
+    * `maxBucket` is the same hot-bucket skew guard the Jaccard/MinHash
+    * paths carry: a (chunk, value) shared by millions of near-identical
+    * short docs is quadratic join cost for near-zero signal. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int, chunks: Int = 8): DataFrame = {
+      maxHamming: Int, chunks: Int = 8, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
     val fp = df.select(id.as("doc_id"), simhash(text).as("sh64"))
@@ -125,9 +128,13 @@ object Dedup {
     val banded = fp.select(col("doc_id"), col("sh64"),
         posexplode(array(chunkVals: _*)))
       .select(col("doc_id"), col("sh64"), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val a = banded.select(col("chunk"), col("chunk_val"),
+    val guarded = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = guarded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("a_id"), col("sh64").as("a_fp"))
-    val b = banded.select(col("chunk"), col("chunk_val"),
+    val b = guarded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("b_id"), col("sh64").as("b_fp"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("a_id") < col("b_id"))
