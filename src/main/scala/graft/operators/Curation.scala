@@ -52,6 +52,29 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Column profiler — the data-quality pass run before ingesting a new
+    * source: per column, one row of (count, nulls, distinct, min, max),
+    * all columns in a SINGLE aggregation pass; every metric is a
+    * partial-merge-friendly builtin, so profiling 100 TB is one scan and
+    * one shuffle of tiny partial states. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n"), col(s"${c}__nulls").as("nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** PII scrubbing: mask emails, phone-shaped numbers, and long digit
     * runs — the pre-training hygiene pass every text pipeline runs.
     * Pure codegen'd regexp projection, zero shuffle; patterns are

@@ -495,6 +495,34 @@ object LlmQueries extends QueryCatalog {
     (s, dir) =>
       graft.operators.Curation.vocabTopK(t(s, dir, "documents"), col("text"), 2, 20))
 
+  /** Column profiling over documents: one row per column of
+    * count/nulls/distinct/min/max, the ANALYZE-style pre-ingest pass. */
+  private val dataProfile = Q(
+    "data_profile",
+    Some("""
+      SELECT 'doc_id' AS col_name, count(doc_id) AS n,
+             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(lang), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'source', count(source), sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(n_chars), sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+      FROM documents
+      ORDER BY col_name"""),
+    (s, dir) =>
+      graft.operators.Curation.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name")))
+
   /** PII scrubbing over text with planted emails/phones (the documents
     * table has none, so the query synthesizes a contact line per doc —
     * the redaction itself is what's under oracle). */
@@ -561,5 +589,5 @@ object LlmQueries extends QueryCatalog {
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
-    dataRedact)
+    dataRedact, dataProfile)
 }
