@@ -123,6 +123,35 @@ object Similarity {
     org.apache.spark.sql.functions.element_at(
       org.apache.spark.sql.functions.typedlit(cellIds), -scoredEntry.getField("negidx"))
 
+  /** Lloyd (k-means) refinement of the centroid set: each iteration is
+    * one map-side assignment pass (the same zero-shuffle argmax
+    * expression the final assignment uses) + a tiny (cell, dim) partial
+    * aggregate + a bounded nCells×dim collect. Cells that lose all
+    * members keep their previous centroid. The plan shape per
+    * iteration is scan → project → two-phase agg — nothing quadratic,
+    * nothing resident on the driver beyond the centroids themselves. */
+  def kmeansCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCells: Int, iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
+    import org.apache.spark.sql.functions.{avg, posexplode}
+    var (ids, vecs) = fitCentroids(corpus, corpusId, corpusVec, nCells)
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col(corpusVec).cast("array<double>")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0))
+      vecs = ids.zipWithIndex.map { case (id, i) =>
+        byCell.get(id) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => vecs(i) // empty cell: keep previous centroid
+        }
+      }
+    }
+    (ids, vecs)
+  }
+
   /** Nearest-centroid assignment as a PURE PROJECTION — argmax over the
     * broadcast centroid literal; zero joins, zero shuffles of the
     * corpus (PlanSpec asserts no Exchange in this plan). */
@@ -141,9 +170,11 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.explode
-    val (cellIds, cellVecs) = fitCentroids(corpus, corpusId, corpusVec, nCells)
+    val (cellIds, cellVecs) =
+      if (kmeansIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, nCells, kmeansIters)
+      else fitCentroids(corpus, corpusId, corpusVec, nCells)
     val assigned = ivfAssignWith(corpus, corpusId, corpusVec, cellIds, cellVecs)
 
     // each query probes its nProbe nearest cells — also pure map-side

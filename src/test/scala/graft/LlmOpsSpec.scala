@@ -108,6 +108,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(all == brute2)
   }
 
+  test("k-means refinement tightens cells and keeps full-probe exact") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def meanIntraCellSim(ids: Seq[Long], vecs: Seq[Seq[Double]]): Double = {
+      // score each corpus vector against its best cell, driver-side
+      // (test-only; the operator itself never collects the corpus)
+      val byId = ids.zip(vecs).toMap
+      val rows = emb.collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        def cos(a: Seq[Double], b: Seq[Double]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x * y }.sum
+          val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+          if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+        }
+        ids.map(id => cos(v, byId(id))).max
+      }
+      rows.sum / rows.length
+    }
+    val (ids0, vecs0) = Similarity.fitCentroids(emb, "vec_id", "embedding", 8)
+    val (ids2, vecs2) = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    assert(ids0 == ids2) // labels stable
+    val before = meanIntraCellSim(ids0, vecs0)
+    val after = meanIntraCellSim(ids2, vecs2)
+    assert(after >= before - 1e-9, s"k-means must not worsen cells: $before -> $after")
+
+    // full probe stays exact regardless of centroid quality
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val km = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 5, nCells = 8, nProbe = 8, kmeansIters = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute3 = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        "query_id", "qv", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(km == brute3)
+  }
+
   test("langId picks en for english stopwords, und for none") {
     val s = spark
     import s.implicits._
