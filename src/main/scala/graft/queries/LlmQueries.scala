@@ -464,7 +464,9 @@ object LlmQueries extends QueryCatalog {
                         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
                  FROM documents),
       c AS (SELECT doc_id, shard, n_tokens,
-                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM d)
+                   -- CAST: DuckDB windowed sum() is HUGEINT, which pandas
+                   -- renders as float64 and breaks the driver's value hash.
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum FROM d)
       SELECT doc_id, shard, n_tokens,
              (cum - n_tokens) // 512 AS start_block,
              (cum - 1) // 512 AS end_block
@@ -501,20 +503,21 @@ object LlmQueries extends QueryCatalog {
     "data_profile",
     Some("""
       SELECT 'doc_id' AS col_name, count(doc_id) AS n,
-             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+             -- CAST: DuckDB sum() is HUGEINT → float64 in pandas → hash drift.
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
              count(DISTINCT doc_id) AS n_distinct,
              CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
       FROM documents
       UNION ALL
-      SELECT 'lang', count(lang), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+      SELECT 'lang', count(lang), CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT lang), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
       FROM documents
       UNION ALL
-      SELECT 'source', count(source), sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+      SELECT 'source', count(source), CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT source), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
       FROM documents
       UNION ALL
-      SELECT 'n_chars', count(n_chars), sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+      SELECT 'n_chars', count(n_chars), CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
       FROM documents
       ORDER BY col_name"""),
