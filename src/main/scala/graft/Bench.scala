@@ -1,44 +1,116 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 /** Per-round benchmark main (driver contract): runs the headline TPC-H
   * suite on SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{"q1":s,...},"sf":...}`.
   *
-  * Method: register + warm the file scans once (JVM/JIT/page-cache,
-  * as a long-lived cluster would be), then time each query end-to-end
-  * into a `noop` sink (forces full evaluation of every column without
-  * paying result collection), best of 2 runs. Baseline comparison:
-  * BASELINE.md's 66.7 s suite total at SF=0.1 (5.3 s excluding Q21).
+  * Method: register + warm the file scans once (JVM/JIT/page-cache, as
+  * a long-lived cluster would be), then time each query end-to-end into
+  * a `noop` sink (forces full evaluation of every column without paying
+  * result collection), **min of N=3 runs** (round-2 lesson: a same-code
+  * A/B showed ±2 s machine-state drift across a morning, so best-of-2
+  * wasn't enough to compare rounds; see docs/BENCH_NOTES.md).
+  *
+  * Beyond wall time, the line carries a per-query `metrics` object
+  * `{wall, shuffleRead, shuffleWrite, spillMem, spillDisk}` (bytes),
+  * collected by a SparkListener over task metrics — the engine-metrics
+  * surface the reference exposes per query (`src/execution/context.rs:
+  * 33-53`: execute time, peak memory, spill counters). Shuffle/spill
+  * bytes are the numbers that predict 100 TB behavior: a query whose
+  * wall time is fine but whose shuffle bytes equal its input size is
+  * the one that falls over at scale.
+  *
+  * Baseline comparison: BASELINE.md's 66.7 s suite total at SF=0.1
+  * (5.3 s excluding Q21).
   */
 object Bench {
+
+  /** Accumulates task-level shuffle/spill bytes; snapshot deltas around
+    * each timed run give per-query totals. Listener delivery is async,
+    * so callers settle (two identical reads 50 ms apart) before
+    * snapshotting. */
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot(): Seq[Long] =
+      Seq(shuffleRead.get, shuffleWrite.get, spillMem.get, spillDisk.get)
+    def settled(): Seq[Long] = {
+      var prev = snapshot()
+      var tries = 0
+      while (tries < 20) {
+        Thread.sleep(50)
+        val cur = snapshot()
+        if (cur == prev) return cur
+        prev = cur
+        tries += 1
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Engine.session()
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     Engine.registerDir(spark, sfDir)
     Engine.tableNames.foreach { t =>
       try spark.table(t).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
 
-    def timeOnce(name: String): Double = {
+    // One timed run -> (wall sec, [shuffleRead, shuffleWrite, spillMem, spillDisk]).
+    def timeOnce(name: String): (Double, Seq[Long]) = {
       val fn = SparkEntry.queries(name)
+      val before = listener.settled()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = listener.settled()
+      (wall, after.zip(before).map { case (a, b) => a - b })
     }
 
     val results = (1 to 22).map { i =>
       val name = f"tpch_q$i%02d"
       val key = s"q$i"
-      val secs =
-        try math.min(timeOnce(name), timeOnce(name))
-        catch { case _: Throwable => -1.0 }
-      key -> secs
+      try {
+        val samples = (1 to runs).map(_ => timeOnce(name))
+        val best = samples.minBy(_._1)
+        key -> Some(best)
+      } catch { case _: Throwable => key -> None }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_._1).getOrElse(-1.0)
+    }.mkString("{", ",", "}")
+    val metricNames = Seq("shuffleRead", "shuffleWrite", "spillMem", "spillDisk")
+    val ms = results.map { case (k, v) =>
+      val fields = v match {
+        case Some((wall, bytes)) =>
+          (s""""wall":$wall""" +: metricNames.zip(bytes).map { case (n, b) => s""""$n":$b""" })
+            .mkString(",")
+        case None => """"wall":-1.0"""
+      }
+      "\"" + k + "\":{" + fields + "}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Some((w, _))) => w }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
