@@ -108,6 +108,12 @@ object TrinoFunctions {
     reg("format") { e => FormatString(e: _*) }
     reg("mysql_date_format") { e => MySqlDateFormat(Cast(e(0), TimestampNTZType), e(1)) }
     reg("date_parse") { e => MySqlDateParse(e(0), e(1)) }
+    // Joda-pattern alias of date_parse (reference filter.rs:3938-3955 —
+    // a directive-by-directive Joda→chrono rewrite). The directives the
+    // reference supports (yyyy/yy/MM/dd/HH/hh/mm/ss/SSS/a) are spelled
+    // identically in Java's DateTimeFormatter, so Spark's native parse
+    // is the alias — no pattern translation layer needed.
+    reg("parse_datetime") { e => new ParseToTimestamp(e(0), Some(e(1)), TimestampNTZType) }
     // Trino/reference date_format speaks MySQL %-patterns; Spark's builtin
     // speaks Java patterns. Dispatch on the pattern literal: '%' directives
     // → MySQL dialect (matching date_parse), else Spark semantics — so both

@@ -59,6 +59,7 @@ object TrinoQueries extends QueryCatalog {
              CAST(date_part('doy', ts) AS INT) AS doy,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS mysql_fmt,
              CAST(strptime('15/03/2024', '%d/%m/%Y') AS TIMESTAMP) AS parsed,
+             CAST(strptime('2024-03-15 10:30:45', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS joda_parsed,
              CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS unixtime,
              CAST(last_day(CAST(ts AS DATE)) AS DATE) AS ldom
       FROM events WHERE event_id < 15 ORDER BY event_id"""),
@@ -72,6 +73,7 @@ object TrinoQueries extends QueryCatalog {
              day_of_year(ts) AS doy,
              mysql_date_format(ts, '%Y-%m-%d %H:%i:%S') AS mysql_fmt,
              CAST(date_parse('15/03/2024', '%d/%m/%Y') AS TIMESTAMP) AS parsed,
+             parse_datetime('2024-03-15 10:30:45', 'yyyy-MM-dd HH:mm:ss') AS joda_parsed,
              to_unixtime(date_trunc('second', ts)) AS unixtime,
              last_day_of_month(ts) AS ldom
       FROM events WHERE event_id < 15 ORDER BY event_id"""))
@@ -235,13 +237,41 @@ object TrinoQueries extends QueryCatalog {
              round(normal_cdf(0, 1, doc_id / 100.0), 6) AS ncdf,
              round(inverse_normal_cdf(0, 1, (doc_id % 100) / 100.0 + 0.001), 6) AS incdf,
              round(beta_cdf(2, 5, (doc_id % 100) / 100.0 + 0.001), 6) AS bcdf,
-             round(t_cdf(10, doc_id / 100.0), 6) AS tcdf,
-             round(t_pdf(10, doc_id / 100.0), 6) AS tpdf,
+             round(t_cdf(10, doc_id / 100.0), 6) AS tcdf
+      FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
+
+  /** The closed-form members of the statistical family — Wilson score
+    * interval bounds and the Student-t density — ARE elementary
+    * arithmetic (sqrt/pow/gamma), so unlike the erf-based CDFs they get
+    * a real DuckDB oracle: the SQL mirrors the Scala implementations'
+    * double op order term by term, and both sides round to 6 decimals. */
+  private val trinoStatsClosedForm = Q(
+    "trino_stats_closed_form",
+    Some("""
+      WITH v AS (SELECT doc_id,
+                        CAST(doc_id + 1 AS DOUBLE) / 1000.0 AS p,
+                        CAST(doc_id AS DOUBLE) / 100.0 AS x,
+                        1.96 * 1.96 AS z2
+                 FROM documents WHERE doc_id < 25)
+      SELECT doc_id,
+             round(gamma(5.5) / (sqrt(10.0 * pi()) * gamma(5.0))
+                   * pow(1.0 + x * x / 10.0, -5.5), 6) AS tpdf,
+             round((p + z2 / (2.0 * 1000.0)
+                    - 1.96 * sqrt(p * (1.0 - p) / 1000.0 + z2 / (4.0 * 1000.0 * 1000.0)))
+                   / (1.0 + z2 / 1000.0), 6) AS wil,
+             round((p + z2 / (2.0 * 1000.0)
+                    + 1.96 * sqrt(p * (1.0 - p) / 1000.0 + z2 / (4.0 * 1000.0 * 1000.0)))
+                   / (1.0 + z2 / 1000.0), 6) AS wiu
+      FROM v ORDER BY doc_id"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT doc_id,
+             round(t_pdf(10, CAST(doc_id AS DOUBLE) / 100.0), 6) AS tpdf,
              round(wilson_interval_lower(doc_id + 1, 1000, 1.96), 6) AS wil,
              round(wilson_interval_upper(doc_id + 1, 1000, 1.96), 6) AS wiu
       FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
 
   override def defs: Seq[Q] = Seq(
     trinoCosine, trinoDatetime, trinoStrings, trinoEncoding, trinoMath,
-    trinoAggFns, trinoChecksum, trinoCustomFns, trinoStatisticalFns)
+    trinoAggFns, trinoChecksum, trinoCustomFns, trinoStatisticalFns,
+    trinoStatsClosedForm)
 }
