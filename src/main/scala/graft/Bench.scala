@@ -31,8 +31,9 @@ object Bench {
 
   /** Accumulates task-level shuffle/spill bytes; snapshot deltas around
     * each timed run give per-query totals. Listener delivery is async,
-    * so callers settle (two identical reads 50 ms apart) before
-    * snapshotting. */
+    * so callers settle (three consecutive identical reads 50 ms apart)
+    * before snapshotting; metrics-only — wall time is measured outside
+    * the settle windows. */
   private final class MetricsListener extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
@@ -51,11 +52,13 @@ object Bench {
       Seq(shuffleRead.get, shuffleWrite.get, spillMem.get, spillDisk.get)
     def settled(): Seq[Long] = {
       var prev = snapshot()
+      var stable = 0
       var tries = 0
-      while (tries < 20) {
+      while (tries < 30) {
         Thread.sleep(50)
         val cur = snapshot()
-        if (cur == prev) return cur
+        if (cur == prev) { stable += 1; if (stable >= 2) return cur }
+        else stable = 0
         prev = cur
         tries += 1
       }
@@ -65,7 +68,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Validated: a non-numeric or <=0 value must not silently produce an
+    // empty sample set (minBy on empty would be swallowed as -1.0 rows).
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val spark = Engine.session()
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -84,6 +90,17 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val after = listener.settled()
       (wall, after.zip(before).map { case (a, b) => a - b })
+    }
+
+    // Untimed warm pass over the whole suite first: pays each query's
+    // whole-stage-codegen compile + first-touch page cache outside the
+    // timed window, so even run 1 of N is warm (min-of-N then only has
+    // scheduler/GC noise left to reject).
+    (1 to 22).foreach { i =>
+      val name = f"tpch_q$i%02d"
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
     }
 
     val results = (1 to 22).map { i =>

@@ -113,6 +113,11 @@ object TrinoFunctions {
     // reference supports (yyyy/yy/MM/dd/HH/hh/mm/ss/SSS/a) are spelled
     // identically in Java's DateTimeFormatter, so Spark's native parse
     // is the alias — no pattern translation layer needed.
+    // Known divergence OUTSIDE that directive set: the reference leaves
+    // unknown letters untranslated and returns NULL on any parse
+    // failure, while Spark rejects patterns with unrecognized/forbidden
+    // letters (e.g. 'Y', 'G') at analysis time. Unparseable *values*
+    // under a valid pattern return NULL on both sides (non-ANSI mode).
     reg("parse_datetime") { e => new ParseToTimestamp(e(0), Some(e(1)), TimestampNTZType) }
     // Trino/reference date_format speaks MySQL %-patterns; Spark's builtin
     // speaks Java patterns. Dispatch on the pattern literal: '%' directives

@@ -243,8 +243,11 @@ object TrinoQueries extends QueryCatalog {
   /** The closed-form members of the statistical family — Wilson score
     * interval bounds and the Student-t density — ARE elementary
     * arithmetic (sqrt/pow/gamma), so unlike the erf-based CDFs they get
-    * a real DuckDB oracle: the SQL mirrors the Scala implementations'
-    * double op order term by term, and both sides round to 6 decimals. */
+    * a real DuckDB oracle. The Wilson SQL mirrors the Scala double op
+    * order term by term; tpdf's Scala side goes through commons-math
+    * `TDistribution.density` rather than this Gamma closed form, so
+    * those two agree via the 6-decimal rounding absorbing ~1e-15
+    * library-vs-closed-form differences, not via identical op order. */
   private val trinoStatsClosedForm = Q(
     "trino_stats_closed_form",
     Some("""
