@@ -206,15 +206,28 @@ object TrinoFunctions {
       // reference semantics are EXACT sort-based nearest-rank indexing:
       // idx = round((len-1)*p), no interpolation (hash_agg.rs:1753-1785).
       // Expressed as sort(collect_list) + element_at so the rank math is
-      // exact; per-group memory matches Percentile's worst case.
-      val sorted = new ArraySort(
-        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(e(0))
-          .toAggregateExpression())
-      val idx = Add(
-        Cast(Round(Multiply(Cast(Subtract(Size(sorted), Literal(1)), DoubleType),
-          Cast(e(1), DoubleType)), Literal(0)), IntegerType),
-        Literal(1))
-      ElementAt(sorted, idx)
+      // exact; per-group memory is O(group size) — faithful parity, but
+      // a single fat group OOMs at 100 TB where a sketch would not.
+      // Documented opt-out (SCALE.md): set
+      // `spark.graft.approxPercentile.exact=false` to bind the name to
+      // Spark's native KLL-style sketch (bounded state per group, true
+      // "approx" semantics) instead. Exact stays the default because the
+      // oracle gate compares against the reference's exact nearest-rank.
+      val exact = SparkSession.getActiveSession
+        .forall(_.conf.get("spark.graft.approxPercentile.exact", "true").toBoolean)
+      if (!exact) {
+        new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
+          e(0), e(1)).toAggregateExpression()
+      } else {
+        val sorted = new ArraySort(
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(e(0))
+            .toAggregateExpression())
+        val idx = Add(
+          Cast(Round(Multiply(Cast(Subtract(Size(sorted), Literal(1)), DoubleType),
+            Cast(e(1), DoubleType)), Literal(0)), IntegerType),
+          Literal(1))
+        ElementAt(sorted, idx)
+      }
     }
 
   }

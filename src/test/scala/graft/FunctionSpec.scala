@@ -207,4 +207,19 @@ class FunctionSpec extends AnyFunSuite {
     assert(a == b)
     assert(a != c)
   }
+
+  test("approx_percentile: exact nearest-rank default + documented sketch opt-out") {
+    // default (exact, reference nearest-rank parity): idx = round((4-1)*0.5)+1
+    // over sorted [1,2,3,100] -> element 3 (rank math, no interpolation)
+    val q = "(SELECT CAST(approx_percentile(x, 0.5) AS DOUBLE) " +
+      "FROM VALUES (1.0), (100.0), (2.0), (3.0) AS t(x))"
+    assert(one[Double](q) == 3.0)
+    // SCALE.md opt-out: bounded-state sketch for fat groups. The sketch
+    // may pick the other side of the median rank (its rank convention
+    // differs from nearest-rank), so assert it lands on an actual input
+    // value adjacent to the true median rather than bit-exact parity.
+    spark.conf.set("spark.graft.approxPercentile.exact", "false")
+    try assert(Set(2.0, 3.0).contains(one[Double](q)))
+    finally spark.conf.unset("spark.graft.approxPercentile.exact")
+  }
 }
