@@ -89,6 +89,28 @@ object Curation {
     regexp_replace(p, longDigitsRe, "<NUM>")
   }
 
+  /** Deterministic source-mixture sampling — the "data recipe" step of
+    * LLM training-set assembly: each source is up- or down-weighted to a
+    * target number of epochs (e.g. books 2.5×, web 0.4×, exclude 0).
+    * `epochs = 2.5` emits 2 full copies of every row plus a 50%
+    * content-hash-selected tail copy; `0.4` keeps a 40% sample;
+    * `0.0` drops the source. Selection hashes CONTENT (same FNV kernel
+    * as hashSample), so the recipe is byte-reproducible on any cluster
+    * shape and the fractional tail is an unbiased uniform subset. Pure
+    * explode+filter projection — zero shuffle, and the fan-out factor
+    * is the recipe's own epoch count (never data-dependent). */
+  def mixture(df: DataFrame, source: Column, keyCol: Column,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, w)) =>
+      when(source === s, lit(w)).otherwise(acc)
+    }
+    val full = floor(e).cast("int")
+    val fracPct = round((e - floor(e)) * 100).cast("int")
+    df.withColumn("copy_idx", explode(sequence(lit(0), full)))
+      .filter(col("copy_idx") < full ||
+        pmod(contentHash(keyCol), lit(100)) < fracPct)
+  }
+
   /** Top-k n-gram vocabulary with deterministic tiebreak — the
     * "count words over everything" job: explode → two-phase hash
     * aggregate (map-side partial) → TakeOrderedAndProject. */

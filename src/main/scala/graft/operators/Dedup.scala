@@ -108,6 +108,80 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair set — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (pairs alone can't answer
+    * "which docs are the same document": A~B and B~C must collapse to
+    * one {A,B,C} cluster even when A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with itself; each round every node takes the min of its
+    * own label and its neighbors' labels. Labels only decrease, so
+    * sum(label) is a monotone convergence witness — one tiny aggregate
+    * action per round, no row-by-row comparison. Rounds needed = graph
+    * diameter: near-dup graphs are clique-ish (groups of mutually
+    * similar docs), so 2-3 rounds in practice. Each round is one
+    * edge⋈label shuffle of O(E) — at 100 TB that is the known-scalable
+    * pattern (alternating large-star/small-star from Kiveris et al.
+    * "Connected Components in MapReduce" gives O(log n) worst-case
+    * rounds for adversarial chain graphs; min-label is the same
+    * per-round plan and strictly simpler, with the iteration cap as the
+    * guard). `localCheckpoint` truncates the per-round lineage so the
+    * plan doesn't grow with iterations (on a real cluster use a
+    * reliable checkpoint dir instead).
+    *
+    * Input: two id columns (pair orientation irrelevant). Output:
+    * (id, cluster_id) for every node that appears in some pair, where
+    * cluster_id = min node id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, a: String = "a_id",
+      b: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var checksum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val next = labels.agg(sum(col("label"))).head.getLong(0)
+      converged = next == checksum
+      checksum = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Full dedup clustering of a document set: near-dup pairs (exact
+    * n-gram Jaccard) → connected components → one row per document with
+    * its cluster id, cluster size, and whether it is the canonical
+    * (minimum-id) representative the pipeline keeps. Docs with no
+    * near-dup are their own singleton cluster. */
+  def clusters(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(df, id, text, n, threshold)
+    val comps = connectedComponents(pairs)
+    val withCluster = df.select(id.as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    withCluster
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
   /** SimHash fingerprint of whitespace tokens. */
   def simhash(text: Column): Column = toCol(SimHash64(toExpr(split(text, " "))))
 

@@ -107,6 +107,41 @@ object LlmQueries extends QueryCatalog {
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("a_id"), col("b_id")))
 
+  /** Near-dup pairs → dedup CLUSTERS via connected components (min-label
+    * propagation). Oracle: DuckDB recursive CTE computes the transitive
+    * closure of the same exact-Jaccard pair set and takes min reachable
+    * id per node — the textbook definition the iterative Spark algorithm
+    * must agree with. Singletons keep themselves. */
+  private val dedupCluster = Q(
+    "dedup_cluster",
+    Some("""
+      WITH RECURSIVE g AS (SELECT doc_id,
+                        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       FOR i IN generate_series(1, len(w) - 2)]) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM p
+                UNION SELECT b_id, a_id FROM p),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      assigned AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+      FROM assigned ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.clusters(t(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical"))
+        .orderBy(col("doc_id")))
+
   /** Embedding near-dup: exact all-pairs cosine >= 0.35 (data max 0.46). */
   private val dedupEmbedding = Q(
     "dedup_embedding",
@@ -414,10 +449,10 @@ object LlmQueries extends QueryCatalog {
   /** Shared DuckDB CTE: per-document FNV-1a64 (signed) — the same
     * reconstruction the multimodal/simhash oracles use. */
   private val fnvDocsCte = """
-      WITH hx AS (SELECT doc_id, n_chars, string_split(hex(encode(text)), '') AS h FROM documents),
-      fh AS (SELECT doc_id, n_chars,
+      WITH hx AS (SELECT doc_id, n_chars, source, string_split(hex(encode(text)), '') AS h FROM documents),
+      fh AS (SELECT doc_id, n_chars, source,
                CAST(CASE WHEN f >= 9223372036854775808::HUGEINT THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS fnv
-             FROM (SELECT doc_id, n_chars,
+             FROM (SELECT doc_id, n_chars, source,
                      list_reduce(list_prepend(14695981039346656037::HUGEINT,
                        [ (strpos('0123456789ABCDEF', h[2*i-1])-1)*16 + (strpos('0123456789ABCDEF', h[2*i])-1)
                          FOR i IN generate_series(1, len(h)//2) ]),
@@ -481,6 +516,33 @@ object LlmQueries extends QueryCatalog {
           col("start_block"), col("end_block"))
         .orderBy(col("doc_id"))
     })
+
+  /** Deterministic source-mixture sampling (the training "data recipe"):
+    * src0 oversampled 2.5 epochs, src1 downsampled to 40%, src2 dropped,
+    * everything else 1 epoch. Full oracle: DuckDB re-derives the same
+    * FNV content hash and epoch arithmetic. */
+  private val dataMixture = Q(
+    "data_mixture",
+    Some(s"""
+      $fnvDocsCte,
+      w AS (SELECT doc_id, source, fnv,
+              CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                          WHEN 'src2' THEN 0.0 ELSE 1.0 END AS epochs
+            FROM fh),
+      c AS (SELECT doc_id, source, fnv, epochs,
+              unnest(generate_series(0, CAST(floor(epochs) AS INT))) AS copy_idx
+            FROM w)
+      SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx
+      FROM c
+      WHERE copy_idx < floor(epochs)
+         OR ((fnv % 100) + 100) % 100 < round((epochs - floor(epochs)) * 100)
+      ORDER BY doc_id, copy_idx"""),
+    (s, dir) =>
+      graft.operators.Curation.mixture(t(s, dir, "documents"),
+          col("source"), col("text"),
+          Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), defaultEpochs = 1.0)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx")))
 
   /** Top-k n-gram vocabulary (document frequency, deterministic
     * tiebreak) — two-phase agg + TakeOrderedAndProject. */
@@ -587,10 +649,11 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("doc_id")))
 
   override def defs: Seq[Q] = Seq(
-    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
+    dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
-    dataRedact, dataProfile)
+    dataRedact, dataProfile, dataMixture)
 }

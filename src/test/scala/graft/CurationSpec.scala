@@ -51,6 +51,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture: epoch weights produce exact copy counts, deterministically, no shuffle") {
+    val out = Curation.mixture(docs, col("source"), col("text"),
+      Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), defaultEpochs = 1.0)
+    out.collect()
+    // pure explode+filter: no shuffle anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcN = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src2 dropped entirely
+    assert(!bySrc.contains("src2"))
+    // src0 at 2.5 epochs: between 2n and 3n copies (2 full + ~50% tail)
+    assert(bySrc("src0") >= 2 * srcN("src0") && bySrc("src0") <= 3 * srcN("src0"))
+    // src1 at 0.4: a strict subset
+    assert(bySrc("src1") > 0 && bySrc("src1") < srcN("src1"))
+    // default 1.0: exactly one copy of every row
+    val defaultSrc = srcN.keySet -- Set("src0", "src1", "src2")
+    assert(defaultSrc.forall(s => bySrc(s) == srcN(s)))
+
+    // deterministic: identical selection on a re-run
+    val again = Curation.mixture(docs, col("source"), col("text"),
+      Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), defaultEpochs = 1.0)
+    val k = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("doc_id", "copy_idx").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(k(out).sameElements(k(again)))
+  }
+
   test("vocabTopK plans as partial agg + TakeOrderedAndProject") {
     val df = Curation.vocabTopK(docs, col("text"), 2, 10)
     df.collect()

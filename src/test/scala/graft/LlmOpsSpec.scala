@@ -48,6 +48,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh == exact) // at this similarity gap recall ~ 1 - 2e-13
   }
 
+  test("connectedComponents: transitivity across a chain, separate components, convergence") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3: needs >1 propagation round),
+    // separate pair 10-11, and 20-21/21-22 sharing node 21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 21L), (22L, 21L))
+      .toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L), s"chain: $comps")
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+    // pathological diameter beyond the iteration cap must fail loudly
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(longChain, maxIter = 3)
+    }
+  }
+
+  test("clusters: pairs collapse transitively, singletons kept, canonical = min id") {
+    val out = Dedup.clusters(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Int]("is_canonical"))).toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    // docs 0,1,3 are one near-dup cluster canonicalized at 0
+    assert(Seq(0L, 1L, 3L).forall(i => byId(i)._2 == 0L && byId(i)._3 == 3L))
+    assert(byId(0L)._4 == 1 && byId(1L)._4 == 0 && byId(3L)._4 == 0)
+    // docs 2 and 4 are singletons, their own canonicals
+    assert(Seq(2L, 4L).forall(i => byId(i)._2 == i && byId(i)._3 == 1L && byId(i)._4 == 1))
+    // exactly one canonical per cluster
+    val canonPerCluster = out.groupBy(_._2).map { case (_, g) => g.count(_._4 == 1) }
+    assert(canonPerCluster.forall(_ == 1))
+  }
+
   test("simhashPairs: identical docs at distance 0, near-dups close, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
         maxHamming = 15, chunks = 16)
