@@ -218,8 +218,19 @@ object IcebergLite {
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$newId.snapshot.json"),
       s"""{"snapshot_id": $newId${parentId.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
          | "manifest_list": "metadata/manifest-list-$newId.json"}""".stripMargin)
-    Files.writeString(Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+    // The COMMIT POINT: flip the current-snapshot pointer. Everything
+    // written above used fresh snapshot-suffixed names, so the only
+    // file a concurrent reader can race on is this pointer — write it
+    // to a temp name and atomically move it into place, so a reader
+    // always parses either the old or the new pointer, never a torn
+    // half-written JSON (real Iceberg's metadata swap has the same
+    // contract; single-writer is still assumed for appends themselves).
+    val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
+    Files.writeString(tmp,
       s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $newId}""")
+    Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     newId
   }
 

@@ -139,6 +139,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.size == 2, s"id>99 must keep only the two appended files, got $pruned")
   }
 
+  test("append is snapshot-isolated and atomic for concurrent readers") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_iso_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val before = IcebergLite.read(spark, root).count()
+
+    // Reader pinned BEFORE the commit: read() resolves its file list
+    // eagerly from the current snapshot, so this plan must keep seeing
+    // exactly the pre-append rows no matter what commits later.
+    val pinned = IcebergLite.read(spark, root)
+
+    // Appender runs on another thread; the main thread hammers
+    // current-snapshot reads the whole time. Atomic pointer swap =>
+    // every read resolves cleanly to either the old or the new
+    // snapshot — never a torn pointer, never a partial file list.
+    @volatile var appendedId = -1L
+    val appender = new Thread(() => {
+      val extra = Seq((200L, 700.75, "EU"), (201L, 800.5, "AF")).toDF("id", "amount", "region")
+      appendedId = IcebergLite.append(spark, root, extra, partitionColumns = Seq("region"))
+    })
+    appender.start()
+    val observed = scala.collection.mutable.Set[Long]()
+    while (appender.isAlive) observed += IcebergLite.read(spark, root).count()
+    appender.join()
+    observed += IcebergLite.read(spark, root).count()
+    assert(observed.subsetOf(Set(before, before + 2)),
+      s"concurrent reads saw a partial commit: $observed (expected only $before or ${before + 2})")
+    assert(observed.contains(before + 2), "post-commit read must see the new snapshot")
+
+    // the pinned reader is still on its snapshot; time travel agrees
+    assert(pinned.count() == before)
+    assert(appendedId > 0 && IcebergLite.snapshots(root).contains(appendedId))
+    assert(IcebergLite.read(spark, root, snapshotId = Some(appendedId)).count() == before + 2)
+  }
+
   test("read is a single parquet scan regardless of partition count") {
     val df = IcebergLite.read(spark, demoDir)
     assert(df.count() == 12)
