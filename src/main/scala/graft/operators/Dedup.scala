@@ -162,14 +162,19 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** Full dedup clustering of a document set: near-dup pairs (exact
-    * n-gram Jaccard) → connected components → one row per document with
-    * its cluster id, cluster size, and whether it is the canonical
-    * (minimum-id) representative the pipeline keeps. Docs with no
-    * near-dup are their own singleton cluster. */
+  /** Full dedup clustering of a document set: near-dup pairs → connected
+    * components → one row per document with its cluster id, cluster
+    * size, and whether it is the canonical (minimum-id) representative
+    * the pipeline keeps. Docs with no near-dup are their own singleton
+    * cluster. Default pair source is exact n-gram Jaccard (the
+    * oracle-checkable path); pass `useLsh = true` for MinHash+LSH
+    * candidate generation — the 100 TB path, identical downstream
+    * plumbing, recall governed by the banding parameters. */
   def clusters(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double): DataFrame = {
-    val pairs = jaccardPairs(df, id, text, n, threshold)
+      threshold: Double, useLsh: Boolean = false): DataFrame = {
+    val pairs =
+      if (useLsh) minhashLshPairs(df, id, text, n, bands = 16, rowsPerBand = 4, threshold)
+      else jaccardPairs(df, id, text, n, threshold)
     val comps = connectedComponents(pairs)
     val withCluster = df.select(id.as("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

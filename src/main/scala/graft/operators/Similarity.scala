@@ -195,6 +195,73 @@ object Similarity {
         col(corpusId).as("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Scalar quantization (SQ8) — the memory/IO dial for ANN at 100 TB:
+    * each dimension is affinely mapped to 0..255 so the stored corpus
+    * shrinks 4× (float32 → int8) and the first-pass scan reads a
+    * quarter of the bytes. Bounds are per-dimension global min/max —
+    * one posexplode aggregate over the corpus, collected bounded
+    * (dim rows, never the corpus) and shipped as a literal, the same
+    * fit-then-broadcast shape as the IVF centroids. */
+  def sq8Bounds(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val stats = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .orderBy(col("pos")).collect()
+    (stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Quantize a vector column to array<int> in 0..255 — pure map-side
+    * projection against the bounds literal. Constant dimensions map
+    * to 0 (span guard). */
+  def sq8Quantize(vec: Column, los: Seq[Double], his: Seq[Double]): Column =
+    transform(vec.cast("array<double>"), (x, i) => {
+      val lo = element_at(typedlit(los), i + 1)
+      val hi = element_at(typedlit(his), i + 1)
+      when(hi === lo, lit(0))
+        .otherwise(round((x - lo) * 255.0 / (hi - lo), 0).cast("int"))
+    })
+
+  /** Reconstruct the approximate vector from its quantized form —
+    * also a pure projection. */
+  def sq8Dequantize(q: Column, los: Seq[Double], his: Seq[Double]): Column =
+    transform(q, (v, i) => {
+      val lo = element_at(typedlit(los), i + 1)
+      val hi = element_at(typedlit(his), i + 1)
+      lo + v.cast("double") * (hi - lo) / 255.0
+    })
+
+  /** ANN top-k over the QUANTIZED corpus: the approximate first pass
+    * scores every (query, corpus) pair against the 4×-smaller SQ8
+    * representation and keeps `k * oversample` candidates per query;
+    * only those candidates' full-precision vectors are then fetched
+    * (broadcast of the tiny candidate set — the corpus never
+    * shuffles) and exactly re-ranked. At `oversample` high enough to
+    * cover the corpus this reduces to exact brute force (the
+    * `ann_sq8_full` oracle row); at practical oversample it trades
+    * recall for a first pass that reads a quarter of the bytes. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, oversample: Int = 4): DataFrame = {
+    val (los, his) = sq8Bounds(corpus, corpusVec)
+    // at scale this projection is the materialized int8 table the scan reads
+    val quant = corpus.select(col(corpusId).as("c_id"),
+      sq8Dequantize(sq8Quantize(col(corpusVec), los, his), los, his).as("c_dq"))
+    val m = k * oversample
+    val wApprox = Window.partitionBy(col(queryId)).orderBy(col("approx_sim").desc, col("c_id"))
+    val cands = quant.join(broadcast(queries), col("c_id") =!= col(queryId))
+      .withColumn("approx_sim", cosine(col(queryVec), col("c_dq")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= m)
+      .select(col(queryId), col(queryVec), col("c_id"))
+    val wExact = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId))
+    corpus.join(broadcast(cands), col(corpusId) === col("c_id"))
+      .withColumn("cos_sim", cosine(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
     * lsh=false: exact all-pairs (self-join, for oracle-checkable truth
     * at test scale). lsh=true: banded-signature candidates only — the

@@ -258,6 +258,67 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  /** SQ8 scalar quantization of the embedding column (the 4× memory/IO
+    * compression for 100 TB ANN) — full oracle: DuckDB re-derives the
+    * per-dimension global min/max bounds and the identical affine
+    * round((x-lo)*255/(hi-lo)) mapping; arrays serialized to strings
+    * for the driver's hash compare. */
+  private val sq8QuantizeQ = Q(
+    "sq8_quantize",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+      stats AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi FROM e CROSS JOIN dims GROUP BY i),
+      bounds AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM stats)
+      SELECT vec_id,
+             array_to_string([CAST(CASE WHEN his[i] = los[i] THEN 0
+                                        ELSE round((v[i] - los[i]) * 255.0 / (his[i] - los[i])) END AS INT)
+                              FOR i IN generate_series(1, len(v))], ',') AS q
+      FROM e CROSS JOIN bounds
+      ORDER BY vec_id"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (los, his) = Similarity.sq8Bounds(emb, "embedding")
+      emb.select(col("vec_id"),
+          concat_ws(",", Similarity.sq8Quantize(col("embedding"), los, his)
+            .cast("array<string>")).as("q"))
+        .orderBy(col("vec_id"))
+    })
+
+  /** SQ8 ANN at full oversample: every candidate survives the approx
+    * pass, the exact re-rank sees the whole corpus → exact top-k by
+    * construction, so the brute-force oracle applies verbatim (proves
+    * the quantize → approx-scan → fetch → re-rank plumbing). */
+  private val annSq8Full = Q(
+    "ann_sq8_full",
+    Some(bruteTopkDuck),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5, oversample = 100)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** SQ8 ANN at practical oversample (the scale path) — probabilistic:
+    * rows-only; recall vs brute force asserted in the spec. */
+  private val annSq8 = Q(
+    "ann_sq8_topk",
+    None,
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5, oversample = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   /** Language ID distribution (stopword-hit argmax heuristic). */
   private val textLangid = Q(
     "text_langid",
@@ -652,6 +713,7 @@ object LlmQueries extends QueryCatalog {
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
+    sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,

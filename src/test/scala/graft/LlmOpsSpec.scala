@@ -82,6 +82,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(canonPerCluster.forall(_ == 1))
   }
 
+  test("clusters via LSH candidates matches exact pairs; components are partition-count independent") {
+    val real = Engine.t(spark, sf0001, "documents")
+    val exact = Dedup.clusters(real, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_id", "cluster_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidate generation (the 100 TB path) finds the same clusters
+    // at this data's similarity gap (recall ≈ 1 - 2e-13, as for pairs)
+    val lsh = Dedup.clusters(real, col("doc_id"), col("text"), 3, 0.5, useLsh = true)
+      .select("doc_id", "cluster_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    // label propagation must not depend on physical partitioning
+    val pairs = Dedup.jaccardPairs(real, col("doc_id"), col("text"), 3, 0.5)
+    val a = Dedup.connectedComponents(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.connectedComponents(pairs.repartition(3)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("simhashPairs: identical docs at distance 0, near-dups close, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
         maxHamming = 15, chunks = 16)
@@ -177,6 +193,38 @@ class LlmOpsSpec extends AnyFunSuite {
         "query_id", "qv", k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(km == brute3)
+  }
+
+  test("SQ8: quantize/dequantize bounds error, full oversample = brute force, practical recall") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+    val (los, his) = Similarity.sq8Bounds(emb, "embedding")
+    assert(los.size == 64 && his.size == 64 && los.zip(his).forall { case (l, h) => l <= h })
+    // reconstruction error bounded by half a quantization step per dim
+    val maxStep = los.zip(his).map { case (l, h) => (h - l) / 255.0 / 2.0 }.max
+    val maxErr = emb
+      .withColumn("dq", Similarity.sq8Dequantize(
+        Similarity.sq8Quantize(col("embedding"), los, his), los, his))
+      .select(expr("""
+        aggregate(zip_with(cast(embedding as array<double>), dq, (a, b) -> abs(a - b)),
+                  cast(0.0 as double), (acc, x) -> greatest(acc, x))""").as("e"))
+      .agg(max(col("e"))).head.getDouble(0)
+    assert(maxErr <= maxStep * 1.0001, s"reconstruction error $maxErr > half-step $maxStep")
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.bruteForceTopK(emb.select(col("vec_id"), col("embedding")),
+      queries, "vec_id", "embedding", "query_id", "qv", k = 5))
+    // full oversample: exact by construction
+    val full = ids(Similarity.sq8TopK(emb.select(col("vec_id"), col("embedding")),
+      queries, "vec_id", "embedding", "query_id", "qv", k = 5, oversample = 100))
+    assert(full == brute)
+    // practical oversample: high recall (SQ8 error is tiny vs neighbor gaps)
+    val approx = ids(Similarity.sq8TopK(emb.select(col("vec_id"), col("embedding")),
+      queries, "vec_id", "embedding", "query_id", "qv", k = 5, oversample = 4))
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 oversample=4 recall $recall < 0.8")
   }
 
   test("langId picks en for english stopwords, und for none") {
