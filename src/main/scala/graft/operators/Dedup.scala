@@ -187,6 +187,46 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
+  /** Cross-corpus contamination report — the test-set-leakage check a
+    * training pipeline runs before every release: for each (train doc,
+    * benchmark doc) pair, the CONTAINMENT of the benchmark doc's n-gram
+    * set in the training doc (|train ∩ bench| / |bench| — the standard
+    * leakage metric: a benchmark question pasted into a big web page has
+    * tiny Jaccard but containment ≈ 1). Same inverted-index join as
+    * `jaccardPairs` — candidates only where a shingle co-occurs, never
+    * |train|×|bench| — with the same hot-shingle `maxBucket` guard; at
+    * 100 TB the benchmark side is small, so the shuffle is dominated by
+    * one pass over the training shingles. */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val tSh = train.select(id.as("train_id"), shingles(text, n).as("sh"))
+      .select(col("train_id"), explode(col("sh")).as("shingle"))
+    val bSh = bench.select(id.as("bench_id"), shingles(text, n).as("sh"))
+      .withColumn("bench_size", size(col("sh")))
+      .select(col("bench_id"), col("bench_size"), explode(col("sh")).as("shingle"))
+    val rare = tSh.withColumn("df_count",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df_count") <= maxBucket)
+    rare.join(bSh, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"), col("bench_size"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", col("common").cast("double") / col("bench_size"))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("bench_id"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Decontaminated training set: drop every training doc whose
+    * containment of ANY benchmark doc meets the threshold (left-anti
+    * join against the contamination report). */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int, threshold: Double): DataFrame = {
+    val contaminated = contaminationPairs(train, bench, id, text, n, threshold)
+      .select(col("train_id")).distinct()
+    train.join(contaminated, id === col("train_id"), "left_anti")
+  }
+
   /** SimHash fingerprint of whitespace tokens. */
   def simhash(text: Column): Column = toCol(SimHash64(toExpr(split(text, " "))))
 

@@ -605,6 +605,34 @@ object LlmQueries extends QueryCatalog {
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx")))
 
+  /** Benchmark decontamination: every 50th doc plays the benchmark set;
+    * training docs whose 3-gram CONTAINMENT of any benchmark doc
+    * reaches 0.5 are dropped (|train ∩ bench| / |bench| — the leakage
+    * metric; one planted near-dup pair spans the split at containment
+    * 1.0, the next-highest pair sits at 0.09). Full oracle. */
+  private val dataDecontaminate = Q(
+    "data_decontaminate",
+    Some("""
+      WITH g AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               FOR i IN generate_series(1, len(w) - 2)]) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      b AS (SELECT doc_id AS bench_id, sh AS bsh FROM g WHERE doc_id % 50 = 0),
+      t AS (SELECT doc_id AS train_id, sh AS tsh FROM g WHERE doc_id % 50 <> 0),
+      bad AS (SELECT DISTINCT train_id FROM t CROSS JOIN b
+              WHERE len(list_intersect(tsh, bsh))::DOUBLE / len(bsh) >= 0.5)
+      SELECT train_id AS doc_id FROM t
+      WHERE train_id NOT IN (SELECT train_id FROM bad)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      Dedup.decontaminate(train, bench, col("doc_id"), col("text"),
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    })
+
   /** Top-k n-gram vocabulary (document frequency, deterministic
     * tiebreak) — two-phase agg + TakeOrderedAndProject. */
   private val dataVocabTopk = Q(
@@ -717,5 +745,5 @@ object LlmQueries extends QueryCatalog {
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
-    dataRedact, dataProfile, dataMixture)
+    dataRedact, dataProfile, dataMixture, dataDecontaminate)
 }

@@ -98,6 +98,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("decontaminate drops train docs containing benchmark content") {
+    // benchmark = doc 3; doc 0 is an exact copy (containment 1.0) and
+    // doc 1 a near-dup (6 of 7 benchmark 3-grams ≈ 0.857); 2/4 unrelated
+    val bench = docs.filter(col("doc_id") === 3)
+    val train = docs.filter(col("doc_id") =!= 3)
+    val rep = Dedup.contaminationPairs(train, bench, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Double]("containment")))
+    assert(rep.map(_._1).toSet == Set(0L, 1L), s"report: ${rep.toSeq}")
+    assert(rep.find(_._1 == 0L).get._2 == 1.0)
+    val clean = Dedup.decontaminate(train, bench, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 4L))
+  }
+
   test("simhashPairs: identical docs at distance 0, near-dups close, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
         maxHamming = 15, chunks = 16)
