@@ -142,6 +142,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // no pairs at all → no non-singleton components (sum() over zero
+    // rows is NULL, so the convergence witness needs the early exit)
+    if (labels.isEmpty) return labels.select(col("id"), col("label").as("cluster_id"))
     var checksum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0

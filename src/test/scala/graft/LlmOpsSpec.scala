@@ -80,6 +80,12 @@ class LlmOpsSpec extends AnyFunSuite {
     // exactly one canonical per cluster
     val canonPerCluster = out.groupBy(_._2).map { case (_, g) => g.count(_._4 == 1) }
     assert(canonPerCluster.forall(_ == 1))
+
+    // no pairs at threshold > 1: every doc is its own singleton cluster
+    val allSingle = Dedup.clusters(docs, col("doc_id"), col("text"), n = 3, threshold = 1.01)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    assert(allSingle.length == 5 && allSingle.forall(t => t._1 == t._2 && t._3 == 1L))
   }
 
   test("clusters via LSH candidates matches exact pairs; components are partition-count independent") {
