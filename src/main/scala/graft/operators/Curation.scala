@@ -111,6 +111,34 @@ object Curation {
         pmod(contentHash(keyCol), lit(100)) < fracPct)
   }
 
+  /** Deterministic train/validation/test split: content-hash buckets
+    * 0..99 cut at `trainPct` and `trainPct + valPct`. Map-side and
+    * STABLE under corpus growth — a document's split assignment never
+    * changes when other documents arrive or partitioning changes,
+    * which is what keeps eval sets honest across pipeline re-runs. */
+  def assignSplit(df: DataFrame, keyCol: Column, trainPct: Int, valPct: Int): DataFrame = {
+    val b = pmod(contentHash(keyCol), lit(100))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "validation")
+        .otherwise("test"))
+  }
+
+  /** Deterministic sharded training order: shard = content-hash bucket,
+    * `ord` = rank of a seed-salted hash within the shard. Re-runs give
+    * byte-identical epoch order on any cluster shape; a new seed is a
+    * fresh permutation. One shuffle on the shard key, rank windows are
+    * per-shard (no global-order bottleneck — same sharding argument as
+    * `packBlocks`). */
+  def shuffleOrder(df: DataFrame, keyCol: Column, seed: String, shards: Int): DataFrame = {
+    val h = contentHash(concat_ws("", lit(seed), keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards)))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), keyCol)))
+      .drop("__h")
+  }
+
   /** Top-k n-gram vocabulary with deterministic tiebreak — the
     * "count words over everything" job: explode → two-phase hash
     * aggregate (map-side partial) → TakeOrderedAndProject. */

@@ -605,6 +605,47 @@ object LlmQueries extends QueryCatalog {
         .select(col("doc_id"), col("source"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx")))
 
+  /** Deterministic 80/10/10 train/validation/test split (content-hash
+    * buckets — stable under corpus growth). Full oracle via the shared
+    * FNV CTE. */
+  private val dataSplit = Q(
+    "data_split",
+    Some(s"""
+      $fnvDocsCte
+      SELECT doc_id,
+             CASE WHEN ((fnv % 100) + 100) % 100 < 80 THEN 'train'
+                  WHEN ((fnv % 100) + 100) % 100 < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM fh ORDER BY doc_id"""),
+    (s, dir) =>
+      graft.operators.Curation.assignSplit(t(s, dir, "documents"), col("text"), 80, 10)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")))
+
+  /** Deterministic seeded training order over 8 shards — DuckDB
+    * re-derives the seed-salted FNV hash and the per-shard rank. */
+  private val dataShuffle = Q(
+    "data_shuffle",
+    Some("""
+      WITH hx AS (SELECT doc_id, text, string_split(hex(encode('s42:' || text)), '') AS h FROM documents),
+      fh AS (SELECT doc_id, text,
+               CAST(CASE WHEN f >= 9223372036854775808::HUGEINT THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS fnv
+             FROM (SELECT doc_id, text,
+                     list_reduce(list_prepend(14695981039346656037::HUGEINT,
+                       [ (strpos('0123456789ABCDEF', h[2*i-1])-1)*16 + (strpos('0123456789ABCDEF', h[2*i])-1)
+                         FOR i IN generate_series(1, len(h)//2) ]),
+                       (a, x) -> (xor(a, x::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
+                   FROM hx) y)
+      SELECT doc_id, ((fnv % 8) + 8) % 8 AS shard,
+             CAST(row_number() OVER (PARTITION BY ((fnv % 8) + 8) % 8
+                                     ORDER BY fnv, text) AS INT) AS ord
+      FROM fh ORDER BY doc_id"""),
+    (s, dir) =>
+      graft.operators.Curation.shuffleOrder(t(s, dir, "documents"), col("text"),
+          seed = "s42:", shards = 8)
+        .select(col("doc_id"), col("shard"), col("ord"))
+        .orderBy(col("doc_id")))
+
   /** Benchmark decontamination: every 50th doc plays the benchmark set;
     * training docs whose 3-gram CONTAINMENT of any benchmark doc
     * reaches 0.5 are dropped (|train ∩ bench| / |bench| — the leakage
@@ -745,5 +786,6 @@ object LlmQueries extends QueryCatalog {
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalFrames, multimodalDecode, llmPipeline,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
-    dataRedact, dataProfile, dataMixture, dataDecontaminate)
+    dataRedact, dataProfile, dataMixture, dataDecontaminate,
+    dataSplit, dataShuffle)
 }

@@ -80,6 +80,38 @@ class CurationSpec extends AnyFunSuite {
     assert(k(out).sameElements(k(again)))
   }
 
+  test("assignSplit: stable under corpus growth, covers all rows, roughly 80/10/10") {
+    val full = Curation.assignSplit(docs, col("text"), 80, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // split assignment of a subset is identical to its assignment in the
+    // full corpus — the property that keeps eval sets honest as data grows
+    val subset = Curation.assignSplit(docs.filter(col("doc_id") < 20), col("text"), 80, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+    val byKind = full.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(byKind.keySet == Set("train", "validation", "test"))
+    assert(byKind("train") > byKind("validation") && byKind("train") > byKind("test"))
+    assert(byKind.values.sum == full.size)
+  }
+
+  test("shuffleOrder: valid per-shard permutation, seed changes the order, re-run identical") {
+    val a = Curation.shuffleOrder(docs, col("text"), "s1:", 4)
+      .select("doc_id", "shard", "ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // contiguous ranks 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    }
+    val b = Curation.shuffleOrder(docs, col("text"), "s1:", 4)
+      .select("doc_id", "shard", "ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sorted.sameElements(b.sorted))
+    val c = Curation.shuffleOrder(docs, col("text"), "s2:", 4)
+      .select("doc_id", "shard", "ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(!a.sorted.sameElements(c.sorted), "different seed must reshuffle")
+  }
+
   test("vocabTopK plans as partial agg + TakeOrderedAndProject") {
     val df = Curation.vocabTopK(docs, col("text"), 2, 10)
     df.collect()
