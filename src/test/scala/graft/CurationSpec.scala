@@ -112,6 +112,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!a.sorted.sameElements(c.sorted), "different seed must reshuffle")
   }
 
+  test("curation ops are physical-layout independent (repartitioning changes nothing)") {
+    // the cluster-scale determinism claim: results depend only on
+    // content, never on how rows happen to be partitioned
+    val variants = Seq(docs, docs.repartition(3), docs.repartition(7, col("source")))
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val splits = variants.map(d =>
+      norm(Curation.assignSplit(d, col("text"), 80, 10).select("doc_id", "split")))
+    assert(splits.distinct.size == 1)
+    val orders = variants.map(d =>
+      norm(Curation.shuffleOrder(d, col("text"), "s1:", 4).select("doc_id", "shard", "ord")))
+    assert(orders.distinct.size == 1)
+    val mixes = variants.map(d =>
+      norm(Curation.mixture(d, col("source"), col("text"),
+        Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)).select("doc_id", "copy_idx")))
+    assert(mixes.distinct.size == 1)
+  }
+
   test("vocabTopK plans as partial agg + TakeOrderedAndProject") {
     val df = Curation.vocabTopK(docs, col("text"), 2, 10)
     df.collect()
