@@ -190,6 +190,49 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
+  /** Incremental near-dup check — the daily-ingest reality at 100 TB:
+    * a new batch is checked against the existing corpus WITHOUT
+    * re-pairing the corpus against itself (corpus×corpus pairs are
+    * never generated; each batch doc banding-joins only the corpus
+    * buckets it collides with). Returns (new_id, corpus_id, jaccard)
+    * for every cross-pair at or above the threshold — candidates from
+    * MinHash LSH banding, verified by exact Jaccard on the shingle
+    * sets. In production the corpus side's signatures/bands are
+    * precomputed and stored; here they are derived inline from text
+    * (the banding math is identical either way). */
+  def incrementalLshPairs(newDocs: DataFrame, corpus: DataFrame, id: Column,
+      text: Column, n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame, prefix: String): DataFrame =
+      df.select(id.as(s"${prefix}_id"), shingles(text, n).as(s"${prefix}_sh"))
+        .withColumn(s"${prefix}_sig", toCol(MinHashSignature(toExpr(col(s"${prefix}_sh")), k)))
+        .withColumn(s"${prefix}_size", size(col(s"${prefix}_sh")))
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(s"${prefix}_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col(s"${prefix}_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+        .select(col(s"${prefix}_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val nd = prep(newDocs, "new")
+    val cd = prep(corpus, "corpus")
+    // hot-bucket guard on the corpus side (the big one)
+    val cb = banded(cd, "corpus").withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("corpus_id"), col("band"), col("band_hash"))
+    val cands = banded(nd, "new").join(cb, Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(nd.select(col("new_id"), col("new_sh"), col("new_size")), "new_id")
+      .join(cd.select(col("corpus_id"), col("corpus_sh"), col("corpus_size")), "corpus_id")
+      .withColumn("common", size(array_intersect(col("new_sh"), col("corpus_sh"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("new_size") + col("corpus_size") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Cross-corpus contamination report — the test-set-leakage check a
     * training pipeline runs before every release: for each (train doc,
     * benchmark doc) pair, the CONTAINMENT of the benchmark doc's n-gram

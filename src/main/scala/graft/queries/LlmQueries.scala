@@ -142,6 +142,33 @@ object LlmQueries extends QueryCatalog {
           col("is_canonical"))
         .orderBy(col("doc_id")))
 
+  /** Incremental dedup: docs 400+ play the freshly-ingested batch,
+    * checked against the existing corpus (docs < 400) via cross-table
+    * LSH banding — corpus×corpus pairs never generated. Oracle: exact
+    * cross-table Jaccard (banding recall ≈ 1 at this data's gap, as for
+    * `dedup_minhash_lsh`). */
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    Some("""
+      WITH g AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               FOR i IN generate_series(1, len(w) - 2)]) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM g a JOIN g b ON a.doc_id >= 400 AND b.doc_id < 400
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      ORDER BY new_id, corpus_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalLshPairs(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          col("doc_id"), col("text"), n = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    })
+
   /** Embedding near-dup: exact all-pairs cosine >= 0.35 (data max 0.46). */
   private val dedupEmbedding = Q(
     "dedup_embedding",
@@ -780,7 +807,7 @@ object LlmQueries extends QueryCatalog {
 
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
-    dedupEmbedding,
+    dedupIncremental, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint,

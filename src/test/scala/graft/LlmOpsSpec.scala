@@ -104,6 +104,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("incrementalLshPairs finds batch-vs-corpus near-dups, never corpus-internal pairs") {
+    // batch = docs 3,4; corpus = docs 0,1,2. Doc 3 is an exact dup of
+    // corpus doc 0 and a near-dup of corpus doc 1; doc 4 matches nothing.
+    val batch = docs.filter(col("doc_id") >= 3)
+    val corpus = docs.filter(col("doc_id") < 3)
+    val pairs = Dedup.incrementalLshPairs(batch, corpus, col("doc_id"), col("text"),
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((3L, 0L), (3L, 1L)), s"got ${pairs.toSeq}")
+    assert(pairs.find(p => p._2 == 0L).get._3 == 1.0) // exact dup
+    // direction invariant: new_id is always from the batch
+    assert(pairs.forall(_._1 >= 3L))
+  }
+
   test("decontaminate drops train docs containing benchmark content") {
     // benchmark = doc 3; doc 0 is an exact copy (containment 1.0) and
     // doc 1 a near-dup (6 of 7 benchmark 3-grams ≈ 0.857); 2/4 unrelated
