@@ -46,4 +46,21 @@ object Pipeline {
       .join(dropIds, col("doc_id") === col("drop_id"), "left_anti")
       .select(col("doc_id"), col("quality"), col("n_tokens"))
   }
+
+  /** The full RELEASE pipeline — what actually ships a training set:
+    * `curate` (quality → language → exact dedup → near-dedup), then
+    * benchmark decontamination (containment anti-join), then the
+    * deterministic train/validation/test split. Still one lazy plan
+    * end-to-end; the added stages contribute one inverted-index join
+    * (bench side small) and a map-side hash split. */
+  def release(docs: DataFrame, bench: DataFrame, minQuality: Double = 0.5,
+      lang: String = "en", shingleN: Int = 3, jaccardThreshold: Double = 0.5,
+      containment: Double = 0.5, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val kept = curate(docs, minQuality, lang, shingleN, jaccardThreshold)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val clean = Dedup.decontaminate(kept, bench, col("doc_id"), col("text"),
+      shingleN, containment)
+    Curation.assignSplit(clean, col("text"), trainPct, valPct)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("split"))
+  }
 }

@@ -805,13 +805,69 @@ object LlmQueries extends QueryCatalog {
       graft.operators.Pipeline.curate(t(s, dir, "documents"))
         .orderBy(col("doc_id")))
 
+  /** The full RELEASE pipeline (capstone composition): curate (quality →
+    * language → exact dedup → near-dedup) → benchmark decontamination →
+    * deterministic split, every stage replicated in DuckDB SQL over the
+    * same data. Benchmark set = every 50th doc (excluded from the
+    * training corpus, as in `data_decontaminate`). */
+  private val llmRelease = Q(
+    "llm_release",
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, text, $qualityDuck AS quality, $langidDuck AS lang_pred,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id % 50 <> 0),
+      gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'),
+      keepers AS (
+        SELECT doc_id, quality, n_tokens, text FROM (
+          SELECT g.*, min(doc_id) OVER (PARTITION BY
+            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keep_id
+          FROM gated g) x WHERE doc_id = keep_id),
+      g2 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           FOR i IN generate_series(1, len(w) - 2)]) AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM keepers)),
+      drops AS (SELECT DISTINCT b.doc_id AS drop_id
+                FROM g2 a JOIN g2 b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      surv AS (SELECT * FROM keepers WHERE doc_id NOT IN (SELECT drop_id FROM drops)),
+      bsh AS (SELECT doc_id AS bench_id,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    FOR i IN generate_series(1, len(w) - 2)]) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0)),
+      ssh AS (SELECT s.doc_id, g2.sh FROM surv s JOIN g2 ON s.doc_id = g2.doc_id),
+      bad AS (SELECT DISTINCT s.doc_id FROM ssh s CROSS JOIN bsh b
+              WHERE len(list_intersect(s.sh, b.sh))::DOUBLE / len(b.sh) >= 0.5),
+      clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      hx2 AS (SELECT doc_id, quality, n_tokens, string_split(hex(encode(text)), '') AS h FROM clean),
+      fh2 AS (SELECT doc_id, quality, n_tokens,
+               CAST(CASE WHEN f >= 9223372036854775808::HUGEINT THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS fnv
+             FROM (SELECT doc_id, quality, n_tokens,
+                     list_reduce(list_prepend(14695981039346656037::HUGEINT,
+                       [ (strpos('0123456789ABCDEF', h[2*i-1])-1)*16 + (strpos('0123456789ABCDEF', h[2*i])-1)
+                         FOR i IN generate_series(1, len(h)//2) ]),
+                       (a, x) -> (xor(a, x::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS f
+                   FROM hx2) y)
+      SELECT doc_id, quality, n_tokens,
+             CASE WHEN ((fnv % 100) + 100) % 100 < 80 THEN 'train'
+                  WHEN ((fnv % 100) + 100) % 100 < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM fh2 ORDER BY doc_id"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Pipeline.release(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+        .orderBy(col("doc_id"))
+    })
+
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint,
-    multimodalFrames, multimodalDecode, llmPipeline,
+    multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate,
     dataSplit, dataShuffle)
