@@ -13,6 +13,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
   }
 
+  test("catalog size matches COVERAGE.md (catches silently dropped registrations)") {
+    // update alongside COVERAGE.md's "Verification totals" when adding queries
+    assert(SparkEntry.queries.size == 137, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 133, s"oracles: ${SparkEntry.oracleSql.size}")
+    // the 4 deliberate rows-only entries, each with an exact oracle-checked sibling
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
+      "trino_statistical_fns"), s"rows-only: $rowsOnly")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
