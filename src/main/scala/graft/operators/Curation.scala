@@ -28,9 +28,14 @@ object Curation {
 
   /** Deterministic stratified sample: the `n` rows with the smallest
     * content hashes per stratum (hash order = uniform random order,
-    * but stable). One shuffle on the stratum key. */
-  def stratifiedSample(df: DataFrame, stratum: Column, keyCol: Column, n: Int): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(contentHash(keyCol), keyCol)
+    * but stable). One shuffle on the stratum key. `tieBreak` must be a
+    * unique column (e.g. the row id): two rows with IDENTICAL content
+    * hash the same, and without a unique tie-break the boundary row of
+    * a stratum would be engine/partitioning-dependent. */
+  def stratifiedSample(df: DataFrame, stratum: Column, keyCol: Column, n: Int,
+      tieBreak: Option[Column] = None): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(contentHash(keyCol), tieBreak.getOrElse(keyCol))
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n).drop("__rk")
   }
 
@@ -130,12 +135,14 @@ object Curation {
     * fresh permutation. One shuffle on the shard key, rank windows are
     * per-shard (no global-order bottleneck — same sharding argument as
     * `packBlocks`). */
-  def shuffleOrder(df: DataFrame, keyCol: Column, seed: String, shards: Int): DataFrame = {
+  def shuffleOrder(df: DataFrame, keyCol: Column, seed: String, shards: Int,
+      tieBreak: Option[Column] = None): DataFrame = {
     val h = contentHash(concat_ws("", lit(seed), keyCol))
     df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(shards)))
       .withColumn("ord", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("__h"), keyCol)))
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), tieBreak.getOrElse(keyCol))))
       .drop("__h")
   }
 

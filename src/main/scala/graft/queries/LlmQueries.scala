@@ -573,7 +573,8 @@ object LlmQueries extends QueryCatalog {
       ORDER BY doc_id"""),
     (s, dir) => {
       val docs = t(s, dir, "documents").withColumn("stratum", pmod(col("doc_id"), lit(5)))
-      graft.operators.Curation.stratifiedSample(docs, col("stratum"), col("text"), 5)
+      graft.operators.Curation.stratifiedSample(docs, col("stratum"), col("text"), 5,
+          tieBreak = Some(col("doc_id")))
         .select(col("doc_id"), col("stratum"))
         .orderBy(col("doc_id"))
     })
@@ -665,11 +666,11 @@ object LlmQueries extends QueryCatalog {
                    FROM hx) y)
       SELECT doc_id, ((fnv % 8) + 8) % 8 AS shard,
              CAST(row_number() OVER (PARTITION BY ((fnv % 8) + 8) % 8
-                                     ORDER BY fnv, text) AS INT) AS ord
+                                     ORDER BY fnv, doc_id) AS INT) AS ord
       FROM fh ORDER BY doc_id"""),
     (s, dir) =>
       graft.operators.Curation.shuffleOrder(t(s, dir, "documents"), col("text"),
-          seed = "s42:", shards = 8)
+          seed = "s42:", shards = 8, tieBreak = Some(col("doc_id")))
         .select(col("doc_id"), col("shard"), col("ord"))
         .orderBy(col("doc_id")))
 
