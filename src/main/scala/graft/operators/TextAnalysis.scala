@@ -72,4 +72,31 @@ object TextAnalysis {
 
   /** Order-sensitive rolling-hash fingerprint (Rabin-Karp, mod 1e9+7). */
   def rollingFingerprint(text: Column): Column = toCol(RollingFingerprint(toExpr(text)))
+
+  /** Corpus-fit unigram LM score — the CCNet-style quality filter:
+    * fit unigram log-probabilities over the corpus (one token-count
+    * aggregate, top-`topK` vocabulary), then score each document as
+    * the mean token log10-probability, OOV tokens at a floor. The fit
+    * is a BOUNDED topK-row collect shipped as a map literal (the
+    * fit-then-broadcast shape of the IVF/SQ8 paths — the vocabulary
+    * cap is standard LM practice and what bounds driver state at
+    * 100 TB); scoring is a pure row-local fold, so per-doc results
+    * are bit-deterministic under any partitioning. Low scores = OOV-
+    * heavy or token-distribution-atypical docs (spam, boilerplate,
+    * wrong language). */
+  def unigramLmScore(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      topK: Int = 50000, oovLogProb: Double = -10.0): org.apache.spark.sql.DataFrame = {
+    val counts = df.select(explode(split(text, " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topK).collect()
+    val total = counts.map(_.getLong(1)).sum.toDouble
+    val probs: Map[String, Double] =
+      counts.map(r => r.getString(0) -> math.log10(r.getLong(1) / total)).toMap
+    val m = typedlit(probs)
+    df.select(id.as("doc_id"),
+      round(
+        aggregate(transform(split(text, " "), t => coalesce(element_at(m, t), lit(oovLogProb))),
+          lit(0.0), (acc, x) => acc + x) / size(split(text, " ")),
+        4).as("lm_score"))
+  }
 }

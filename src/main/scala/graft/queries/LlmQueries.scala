@@ -417,6 +417,29 @@ object LlmQueries extends QueryCatalog {
           col("n_chars"))
         .orderBy(col("doc_id")))
 
+  /** Corpus-fit unigram LM score (CCNet-style quality filter). Oracle:
+    * DuckDB rebuilds the same top-K unigram log10-prob map and replays
+    * the identical left-fold over each doc's tokens, so the double
+    * arithmetic order matches term for term (agreement at 4 decimals —
+    * log10 itself may differ in the last ulp across libms). */
+  private val textLmScore = Q(
+    "text_lm_score",
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok ORDER BY c DESC, tok LIMIT 50000),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+      m AS (SELECT map_from_entries(list(struct_pack(k := tok, v := log10(c / total)))) AS pm
+            FROM counts, tot)
+      SELECT doc_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [CAST(coalesce(map_extract(pm, t)[1], -10.0) AS DOUBLE)
+                      FOR t IN string_split(text, ' ')]),
+                   (acc, x) -> acc + x) / len(string_split(text, ' ')), 4) AS lm_score
+      FROM documents CROSS JOIN m ORDER BY doc_id"""),
+    (s, dir) =>
+      TextAnalysis.unigramLmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id")))
+
   /** Fingerprints: normalized-md5 (oracle) + rolling hash (list_reduce
     * reconstruction in DuckDB). */
   private val textFingerprint = Q(
@@ -867,7 +890,7 @@ object LlmQueries extends QueryCatalog {
     dedupIncremental, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
-    textLangid, textQuality, textTokens, textFingerprint,
+    textLangid, textQuality, textTokens, textFingerprint, textLmScore,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate,

@@ -262,6 +262,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 oversample=4 recall $recall < 0.8")
   }
 
+  test("unigramLmScore: OOV-heavy docs score at the floor, in-vocab docs above it") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a a a b"), (1L, "a b a b"), (2L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    // topK=2 keeps only {a, b}; doc 2 is then entirely out-of-vocabulary
+    val scores = TextAnalysis.unigramLmScore(d, col("doc_id"), col("text"), topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(2L) == -10.0)
+    assert(scores(0L) > scores(2L) && scores(1L) > scores(2L))
+    // deterministic re-run
+    val again = TextAnalysis.unigramLmScore(d, col("doc_id"), col("text"), topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores)
+  }
+
   test("langId picks en for english stopwords, und for none") {
     val s = spark
     import s.implicits._
