@@ -113,21 +113,29 @@ object Bench {
       } catch { case _: Throwable => key -> None }
     }
 
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(_._1).getOrElse(-1.0)
-    }.mkString("{", ",", "}")
+    // Detailed engine-metrics line first (diagnostics; may scroll out of
+    // the driver's 2000-char tail), then the compact contract line LAST —
+    // wall seconds rounded to 4 decimals so the whole line stays well
+    // under the tail window (r03 lesson: full-precision doubles + inline
+    // metrics pushed the line past the capture window and the round lost
+    // its bench numbers).
+    def r4(d: Double): Double = math.round(d * 1e4) / 1e4
     val metricNames = Seq("shuffleRead", "shuffleWrite", "spillMem", "spillDisk")
     val ms = results.map { case (k, v) =>
       val fields = v match {
         case Some((wall, bytes)) =>
-          (s""""wall":$wall""" +: metricNames.zip(bytes).map { case (n, b) => s""""$n":$b""" })
+          (s""""wall":${r4(wall)}""" +: metricNames.zip(bytes).map { case (n, b) => s""""$n":$b""" })
             .mkString(",")
         case None => """"wall":-1.0"""
       }
       "\"" + k + "\":{" + fields + "}"
     }.mkString("{", ",", "}")
+    println(s"""{"bench_detail":$ms,"runs":$runs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(w => r4(w._1)).getOrElse(-1.0)
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, Some((w, _))) => w }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
