@@ -136,6 +136,15 @@ object TrinoFunctions {
     reg("checksum") { e => Checksum(e(0)) }
 
     // --- tier 2: alias-only mappings onto Spark's codegen'd exprs -----
+    // starts_with/ends_with/sha256/to_base64: bound in the reference's
+    // binder (tests/expected_results func/starts_ends_with, md5_sha,
+    // base64); the reference returns hex / base64 STRINGS (its expected
+    // CSVs), which is exactly Spark's Sha2/Base64 behavior.
+    reg("starts_with") { e => StartsWith(e(0), e(1)) }
+    reg("ends_with") { e => EndsWith(e(0), e(1)) }
+    reg("sha256") { e => Sha2(e(0), Literal(256)) }
+    reg("to_base64") { e => Base64(Cast(e(0), BinaryType)) }
+    reg("from_base64") { e => UnBase64(e(0)) }
     reg("strpos") { e => StringLocate(e(1), e(0), Literal(1)) }
     reg("index") { e => StringLocate(e(1), e(0), Literal(1)) }
     reg("levenshtein_distance") { e => Levenshtein(e(0), e(1)) }

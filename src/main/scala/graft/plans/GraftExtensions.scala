@@ -22,11 +22,22 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
   private val quotedUnit =
     """(?i)\b(date_add|dateadd|date_diff|datediff|timestampadd|timestampdiff|date_trunc|trunc)\(\s*'(year|quarter|month|week|day|dayofyear|hour|minute|second|millisecond|microsecond)'\s*,""".r
 
-  private[graft] def rewrite(sql: String): String =
-    quotedUnit.replaceAllIn(sql, m =>
+  // Trino/DuckDB accept bare `VARCHAR`/`VARBINARY` as cast targets
+  // (reference golden query expr/cast: `CAST(100 AS VARCHAR)`); Spark's
+  // parser requires STRING/BINARY (VARCHAR only with a length). Rewrite
+  // the bare forms; parameterized VARCHAR(n) passes through untouched.
+  private val bareVarchar = """(?i)\bAS\s+VARCHAR\s*([,)])""".r
+  private val bareVarbinary = """(?i)\bAS\s+VARBINARY\s*([,)])""".r
+
+  private[graft] def rewrite(sql: String): String = {
+    val units = quotedUnit.replaceAllIn(sql, m =>
       // date_trunc/trunc keep Spark's own quoted-string unit convention
       if (m.group(1).toLowerCase.contains("trunc")) m.matched
       else s"${m.group(1)}(${m.group(2)},")
+    bareVarbinary.replaceAllIn(
+      bareVarchar.replaceAllIn(units, m => s"AS STRING${m.group(1)}"),
+      m => s"AS BINARY${m.group(1)}")
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewrite(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewrite(sqlText))

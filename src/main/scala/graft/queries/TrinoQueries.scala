@@ -109,7 +109,12 @@ object TrinoQueries extends QueryCatalog {
              true AS b32_ok, true AS b64url_ok, true AS be64_ok, true AS ieee_ok,
              replace(replace(to_base64(CAST(n_name AS BLOB)), '+', '-'), '/', '_') AS b64url,
              true AS finite_ok, false AS inf_ok,
-             CAST(n_nationkey AS BIGINT) * 1048576 AS mb_bytes
+             CAST(n_nationkey AS BIGINT) * 1048576 AS mb_bytes,
+             sha256(n_name) AS sha,
+             to_base64(CAST(n_name AS BLOB)) AS b64,
+             decode(from_base64(to_base64(CAST(n_name AS BLOB)))) = n_name AS b64_rt,
+             starts_with(n_name, 'NATION') AS sw,
+             ends_with(n_name, '0') AS ew
       FROM nation ORDER BY n_nationkey"""),
     (s, dir) => sql(s, dir)("""
       SELECT n_nationkey,
@@ -120,7 +125,12 @@ object TrinoQueries extends QueryCatalog {
              to_base64url(n_name) AS b64url,
              is_finite(n_nationkey / 7.0) AS finite_ok,
              is_infinite(n_nationkey / 7.0) AS inf_ok,
-             parse_data_size(CAST(n_nationkey AS STRING) || 'MB') AS mb_bytes
+             parse_data_size(CAST(n_nationkey AS STRING) || 'MB') AS mb_bytes,
+             sha256(n_name) AS sha,
+             to_base64(n_name) AS b64,
+             CAST(from_base64(to_base64(n_name)) AS STRING) = n_name AS b64_rt,
+             starts_with(n_name, 'NATION') AS sw,
+             ends_with(n_name, '0') AS ew
       FROM nation ORDER BY n_nationkey"""))
 
   /** truncate / to_base / from_base / cot / math extras. */

@@ -44,4 +44,13 @@ class EngineSpec extends AnyFunSuite {
     assert(p.rewrite("SELECT 'date_add(''day'' is text'") == "SELECT 'date_add(''day'' is text'")
     assert(p.rewrite("SELECT split_part(x, 'day', 1)") == "SELECT split_part(x, 'day', 1)")
   }
+
+  test("TrinoDialectParser rewrites bare VARCHAR/VARBINARY cast targets") {
+    val p = new TrinoDialectParser(null)
+    assert(p.rewrite("SELECT CAST(100 AS VARCHAR) FROM t") == "SELECT CAST(100 AS STRING) FROM t")
+    assert(p.rewrite("SELECT CAST(x AS varchar), CAST(y AS VARBINARY)")
+      == "SELECT CAST(x AS STRING), CAST(y AS BINARY)")
+    // parameterized VARCHAR(n) is valid Spark SQL and passes through
+    assert(p.rewrite("SELECT CAST(x AS VARCHAR(5))") == "SELECT CAST(x AS VARCHAR(5))")
+  }
 }

@@ -17,6 +17,11 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "hamming_distance" -> "hamming_distance('ab', 'ac')",
     "to_base32" -> "to_base32('x')",
     "to_base64url" -> "to_base64url('x')",
+    "starts_with" -> "starts_with('abc', 'ab')",
+    "ends_with" -> "ends_with('abc', 'bc')",
+    "sha256" -> "sha256('hello')",
+    "to_base64" -> "to_base64('hello')",
+    "from_base64" -> "cast(from_base64(to_base64('hi')) as string)",
     "to_big_endian_32" -> "hex(to_big_endian_32(7))",
     "to_ieee754_64" -> "hex(to_ieee754_64(1.5))",
     "is_finite" -> "is_finite(1.0)",
