@@ -89,6 +89,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI "quoted identifiers" (the reference accepts `AS "select"`,
+      // sql_comprehensive.rs:1305); without this Spark parses double
+      // quotes as string literals
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

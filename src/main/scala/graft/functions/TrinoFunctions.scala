@@ -87,14 +87,20 @@ object TrinoFunctions {
     reg("inverse_normal_cdf") { e => InverseNormalCdf(c(e(0)), c(e(1)), c(e(2))) }
     reg("beta_cdf") { e => BetaCdf(c(e(0)), c(e(1)), c(e(2))) }
     reg("inverse_beta_cdf") { e => InverseBetaCdf(c(e(0)), c(e(1)), c(e(2))) }
-    reg("t_cdf") { e => TCdf(c(e(0)), c(e(1))) }
-    reg("t_pdf") { e => TPdf(c(e(0)), c(e(1))) }
+    // reference surface is T_CDF(x, df) / T_PDF(x, df) (filter.rs:3194,
+    // 3219); the expression class takes (df, x), so swap here
+    reg("t_cdf") { e => TCdf(c(e(1)), c(e(0))) }
+    reg("t_pdf") { e => TPdf(c(e(1)), c(e(0))) }
     reg("wilson_interval_lower") { e =>
       WilsonInterval(Cast(e(0), LongType), Cast(e(1), LongType), c(e(2)), upper = false)
     }
     reg("wilson_interval_upper") { e =>
       WilsonInterval(Cast(e(0), LongType), Cast(e(1), LongType), c(e(2)), upper = true)
     }
+    reg("json_extract") { e => JsonExtract(e(0), e(1)) }
+    reg("json_extract_scalar") { e => JsonExtractScalar(e(0), e(1)) }
+    reg("json_object") { e => JsonObjectExpr(e) }
+    reg("json_array") { e => JsonArrayExpr(e) }
     reg("json_array_get") { e => JsonArrayGet(e(0), Cast(e(1), LongType)) }
     reg("json_array_contains") { e => JsonArrayContains(e(0), e(1)) }
     reg("is_json_scalar") { e => IsJsonScalar(e(0)) }
@@ -142,7 +148,14 @@ object TrinoFunctions {
     // CSVs), which is exactly Spark's Sha2/Base64 behavior.
     reg("starts_with") { e => StartsWith(e(0), e(1)) }
     reg("ends_with") { e => EndsWith(e(0), e(1)) }
+    reg("is_nan") { e => IsNaN(Cast(e(0), DoubleType)) }
+    reg("bitwise_and_agg") { e => aggregate.BitAndAgg(e(0)) }
+    reg("bitwise_or_agg") { e => aggregate.BitOrAgg(e(0)) }
+    // TIMEZONE(ts): the reference returns "UTC" unconditionally
+    // (filter.rs:4097-4103); true here too — the engine runs NTZ/UTC
+    reg("timezone") { _ => Literal(UTF8String.fromString("UTC"), StringType) }
     reg("sha256") { e => Sha2(e(0), Literal(256)) }
+    reg("sha512") { e => Sha2(e(0), Literal(512)) }
     reg("to_base64") { e => Base64(Cast(e(0), BinaryType)) }
     reg("from_base64") { e => UnBase64(e(0)) }
     reg("strpos") { e => StringLocate(e(1), e(0), Literal(1)) }

@@ -146,6 +146,94 @@ object JsonPathNav {
   }
 }
 
+/** JSON_EXTRACT(json, path) — the value at path serialized back to
+  * JSON text (strings keep their quotes; reference filter.rs:5606-5610). */
+case class JsonExtract(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(json: Any, path: Any): Any =
+    JsonPathNav.resolve(json.asInstanceOf[UTF8String].toString,
+        path.asInstanceOf[UTF8String].toString)
+      .map(n => UTF8String.fromString(n.toString)).orNull
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "json_extract"
+}
+
+/** JSON_EXTRACT_SCALAR(json, path) — scalars unquoted; objects/arrays
+  * NULL; JSON null -> the string "null" (reference filter.rs:5613-5623). */
+case class JsonExtractScalar(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(json: Any, path: Any): Any =
+    JsonPathNav.resolve(json.asInstanceOf[UTF8String].toString,
+        path.asInstanceOf[UTF8String].toString) match {
+      case Some(n) if n.isNull => UTF8String.fromString("null")
+      case Some(n) if n.isValueNode => UTF8String.fromString(n.asText())
+      case _ => null
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "json_extract_scalar"
+}
+
+private object JsonBuild {
+  val mapper = new ObjectMapper()
+  /** Scala runtime value -> JsonNode (reference get_json_value:
+    * numbers stay numbers, strings stay strings). */
+  def toNode(v: Any): JsonNode = v match {
+    case null => mapper.nullNode()
+    case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+    case i: Int => mapper.getNodeFactory.numberNode(i)
+    case l: Long => mapper.getNodeFactory.numberNode(l)
+    case f: Float => mapper.getNodeFactory.numberNode(f)
+    case d: Double => mapper.getNodeFactory.numberNode(d)
+    case d: org.apache.spark.sql.types.Decimal =>
+      mapper.getNodeFactory.numberNode(d.toJavaBigDecimal)
+    case s: UTF8String => mapper.getNodeFactory.textNode(s.toString)
+    case other => mapper.getNodeFactory.textNode(other.toString)
+  }
+}
+
+/** JSON_OBJECT('k1', v1, 'k2', v2, ...) — build a JSON object string
+  * (reference filter.rs:5263-5284). */
+case class JsonObjectExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.size % 2 == 0,
+    "JSON_OBJECT requires an even number of arguments")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val obj = JsonBuild.mapper.createObjectNode()
+    children.grouped(2).foreach { case Seq(k, v) =>
+      val key = Option(k.eval(input)).map(_.toString).getOrElse("")
+      obj.set[JsonNode](key, JsonBuild.toNode(v.eval(input)))
+    }
+    UTF8String.fromString(obj.toString)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(children = c)
+  override def prettyName: String = "json_object"
+}
+
+/** JSON_ARRAY(v1, v2, ...) — build a JSON array string (reference
+  * filter.rs:5286-5304). */
+case class JsonArrayExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = JsonBuild.mapper.createArrayNode()
+    children.foreach(c => arr.add(JsonBuild.toNode(c.eval(input))))
+    UTF8String.fromString(arr.toString)
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(children = c)
+  override def prettyName: String = "json_array"
+}
+
 /** JSON_SIZE(json) — size of the outermost value: object field count /
   * array length / 0 for scalars (Trino semantics). */
 case class JsonSize(child: Expression) extends UnaryExpression with CodegenFallback {

@@ -247,7 +247,7 @@ object TrinoQueries extends QueryCatalog {
              round(normal_cdf(0, 1, doc_id / 100.0), 6) AS ncdf,
              round(inverse_normal_cdf(0, 1, (doc_id % 100) / 100.0 + 0.001), 6) AS incdf,
              round(beta_cdf(2, 5, (doc_id % 100) / 100.0 + 0.001), 6) AS bcdf,
-             round(t_cdf(10, doc_id / 100.0), 6) AS tcdf
+             round(t_cdf(doc_id / 100.0, 10), 6) AS tcdf
       FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
 
   /** The closed-form members of the statistical family — Wilson score
@@ -278,7 +278,7 @@ object TrinoQueries extends QueryCatalog {
       FROM v ORDER BY doc_id"""),
     (s, dir) => sql(s, dir)("""
       SELECT doc_id,
-             round(t_pdf(10, CAST(doc_id AS DOUBLE) / 100.0), 6) AS tpdf,
+             round(t_pdf(CAST(doc_id AS DOUBLE) / 100.0, 10), 6) AS tpdf,
              round(wilson_interval_lower(doc_id + 1, 1000, 1.96), 6) AS wil,
              round(wilson_interval_upper(doc_id + 1, 1000, 1.96), 6) AS wiu
       FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))

@@ -115,7 +115,8 @@ class FunctionSpec extends AnyFunSuite {
     approx("beta_cdf(2, 2, 0.5)", 0.5, 1e-12) // symmetric
   }
   test("t_cdf / t_pdf") {
-    approx("t_cdf(10, 0)", 0.5, 1e-12)
+    // reference argument order: T_CDF(x, df) — filter.rs:3194
+    approx("t_cdf(0, 10)", 0.5, 1e-12)
     // t(1) = Cauchy: F(1) = 3/4
     approx("t_cdf(1, 1)", 0.75, 1e-9)
   }

@@ -176,4 +176,29 @@ class FunctionValuesSpec extends AnyFunSuite {
       "url_encode('a b')" -> "a+b",
       "url_decode('a+b')" -> "a b"))
   }
+
+  test("json extract/build values (reference filter.rs:5263-5304, 5606-5623)") {
+    check(Seq(
+      // json_extract keeps JSON text form (strings stay quoted)
+      "json_extract('{\"name\": \"John\"}', '$.name')" -> "\"John\"",
+      "json_extract('{\"a\": {\"b\": 42}}', '$.a.b')" -> "42",
+      "json_extract('{\"a\": [1,2,3]}', '$.a')" -> "[1,2,3]",
+      "json_extract('{\"a\": 1}', '$.missing')" -> "null",
+      // json_extract_scalar unquotes scalars; containers -> NULL
+      "json_extract_scalar('{\"name\": \"John\"}', '$.name')" -> "John",
+      "json_extract_scalar('{\"a\": 1.5}', '$.a')" -> "1.5",
+      "json_extract_scalar('{\"a\": [1]}', '$.a')" -> "null",
+      "json_object('k', 'v')" -> "{\"k\":\"v\"}",
+      "json_object('a', 1, 'b', 'x')" -> "{\"a\":1,\"b\":\"x\"}",
+      "json_array(1, 2, 3)" -> "[1,2,3]",
+      "json_array('a', 1, true)" -> "[\"a\",1,true]",
+      // reference parity extras surfaced by RefSqlSweepSpec
+      "is_nan(sqrt(-1.0))" -> "true",
+      "is_nan(1.0)" -> "false",
+      "timezone(now())" -> "UTC",
+      "sha512('abc')" -> ("ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+        "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"),
+      "(SELECT bitwise_and_agg(x) FROM VALUES (12),(10) t(x))" -> "8",
+      "(SELECT bitwise_or_agg(x) FROM VALUES (4),(1) t(x))" -> "5"))
+  }
 }

@@ -35,8 +35,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "inverse_normal_cdf" -> "inverse_normal_cdf(0, 1, 0.7)",
     "beta_cdf" -> "beta_cdf(2, 3, 0.4)",
     "inverse_beta_cdf" -> "inverse_beta_cdf(2, 3, 0.4)",
-    "t_cdf" -> "t_cdf(5, 1.0)",
-    "t_pdf" -> "t_pdf(5, 1.0)",
+    "t_cdf" -> "t_cdf(1.0, 5)",
+    "t_pdf" -> "t_pdf(1.0, 5)",
     "wilson_lower" -> "wilson_interval_lower(10, 100, 1.96)",
     "wilson_upper" -> "wilson_interval_upper(10, 100, 1.96)",
     "mysql_date_format" -> "mysql_date_format(TIMESTAMP '2024-01-01 00:00:00', '%Y')",
@@ -86,6 +86,15 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "bitwise_left_shift" -> "bitwise_left_shift(1, 3)",
     "bitwise_right_shift" -> "bitwise_right_shift(8, 3)",
     "bitwise_right_shift_arithmetic" -> "bitwise_right_shift_arithmetic(-8, 1)",
+    "is_nan" -> "is_nan(sqrt(-1.0))",
+    "json_extract" -> "json_extract('{\"a\": {\"b\": 1}}', '$.a.b')",
+    "json_extract_scalar" -> "json_extract_scalar('{\"a\": \"x\"}', '$.a')",
+    "json_object" -> "json_object('k', 1)",
+    "json_array" -> "json_array(1, 2, 3)",
+    "timezone" -> "timezone(now())",
+    "sha512" -> "sha512('x')",
+    "bitwise_and_agg" -> "(SELECT bitwise_and_agg(x) FROM VALUES (12),(10) t(x))",
+    "bitwise_or_agg" -> "(SELECT bitwise_or_agg(x) FROM VALUES (4),(1) t(x))",
     "arbitrary" -> "(SELECT arbitrary(x) FROM VALUES (1) t(x))",
     "approx_distinct" -> "(SELECT approx_distinct(x) FROM VALUES (1),(1),(2) t(x))",
     "approx_percentile" -> "(SELECT approx_percentile(x, 0.5) FROM VALUES (1.0),(2.0),(3.0) t(x))")
