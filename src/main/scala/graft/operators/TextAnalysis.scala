@@ -73,6 +73,38 @@ object TextAnalysis {
   /** Order-sensitive rolling-hash fingerprint (Rabin-Karp, mod 1e9+7). */
   def rollingFingerprint(text: Column): Column = toCol(RollingFingerprint(toExpr(text)))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    * heuristics, adapted to single-line docs: word- and n-gram-level
+    * repetition rather than line-level):
+    *   - dup_word_frac  = 1 - distinct_tokens / tokens
+    *   - top_word_frac  = count(most frequent token) / tokens
+    *   - dup_2gram_frac = 1 - distinct_2grams / 2grams
+    * All three are integer counts + one final rounded division, so any
+    * engine recomputes them bit-exactly, and every count is row-local:
+    * the whole operator is a zero-shuffle codegen'd projection — one
+    * scan at 100 TB. The top-word count is an O(d·u) fold (u = distinct
+    * tokens per doc) over the row's own array; there is no per-corpus
+    * state, unlike [[unigramLmScore]]. High dup/top fractions flag
+    * keyword-stuffed or boilerplate docs for removal. */
+  def repetitionStats(id: Column, text: Column): Seq[Column] = {
+    val ts = split(text, " ")
+    val nTok = size(ts)
+    val g2 = when(nTok >= 2,
+      transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topCnt = aggregate(array_distinct(ts), lit(0),
+      (acc, g) => greatest(acc, size(filter(ts, t => t === g))))
+    Seq(
+      id.as("doc_id"),
+      round(lit(1.0) - size(array_distinct(ts)).cast("double") / nTok, 6)
+        .as("dup_word_frac"),
+      round(topCnt.cast("double") / nTok, 6).as("top_word_frac"),
+      when(size(g2) > 0,
+        round(lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2), 6))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+  }
+
   /** Corpus-fit unigram LM score — the CCNet-style quality filter:
     * fit unigram log-probabilities over the corpus (one token-count
     * aggregate, top-`topK` vocabulary), then score each document as

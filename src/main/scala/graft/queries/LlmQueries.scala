@@ -440,6 +440,30 @@ object LlmQueries extends QueryCatalog {
       TextAnalysis.unigramLmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id")))
 
+  /** Gopher-style repetition quality signals; every count is integer
+    * and row-local, so DuckDB recomputes each fraction bit-exactly
+    * (same op order: 1.0 - cast/len, round 6). */
+  private val textRepetition = Q(
+    "text_repetition",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      tok AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+      cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+      top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id)
+      SELECT d.doc_id,
+             round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS dup_word_frac,
+             round(CAST(top.topc AS DOUBLE) / len(ts), 6) AS top_word_frac,
+             CASE WHEN len(ts) >= 2
+                  THEN round(1.0 - CAST(len(list_distinct(
+                         list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+                         AS DOUBLE) / (len(ts) - 1), 6)
+                  ELSE 0.0 END AS dup_2gram_frac
+      FROM d JOIN top USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.repetitionStats(col("doc_id"), col("text")): _*)
+        .orderBy(col("doc_id")))
+
   /** Fingerprints: normalized-md5 (oracle) + rolling hash (list_reduce
     * reconstruction in DuckDB). */
   private val textFingerprint = Q(
@@ -891,6 +915,7 @@ object LlmQueries extends QueryCatalog {
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,
+    textRepetition,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate,

@@ -278,6 +278,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == scores)
   }
 
+  test("repetitionStats: known fractions on crafted docs, no shuffle in the plan") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a b c d"),        // all distinct: dup 0, top 1/4, 2gram dup 0
+      (1L, "a a a a"),        // one token: dup 3/4, top 1, 2gram dup 2/3
+      (2L, "x y x y x"))      // alternating: dup 3/5, top 3/5, 2grams all dup'd but 2 distinct of 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats($"doc_id", $"text")
+    val rows = d.select(out: _*).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(0L) == ((0.0, 0.25, 0.0)))
+    assert(rows(1L) == ((0.75, 1.0, round6(1.0 - 1.0 / 3))))
+    assert(rows(2L) == ((round6(1.0 - 2.0 / 5), round6(3.0 / 5), 0.5)))
+    // zero-shuffle: a pure projection over the scan
+    val plan = d.select(out: _*).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
+
   test("langId picks en for english stopwords, und for none") {
     val s = spark
     import s.implicits._
