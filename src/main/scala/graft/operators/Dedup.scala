@@ -273,6 +273,59 @@ object Dedup {
     train.join(contaminated, id === col("train_id"), "left_anti")
   }
 
+  /** Span-level exact dedup stats (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * per document, the maximal token runs covered by k-grams that occur
+    * more than once ANYWHERE in the corpus (self-repeats included) —
+    * the output the paper computes with a suffix array, here via a
+    * distributed k-gram positional index, which detects the same spans
+    * for runs >= k tokens.
+    *
+    * Plan shape for 100 TB: grams are row-local (posexplode of a
+    * transform); duplicate detection is one groupBy(gram) with map-side
+    * partial counts; the hits join ships (gram, doc, pos) — shuffle ∝
+    * Σ grams (at real scale, key the join on a 128-bit digest of the
+    * gram to bound bytes; the string key here keeps the DuckDB oracle
+    * byte-exact). Interval merge is a per-doc window (one shuffle on
+    * doc_id). No driver state anywhere.
+    *
+    * Returns (doc_id, n_spans, dup_tokens, dup_frac) for every input
+    * doc; excising the spans (the paper's "cut" step) is then a join +
+    * row-local token filter.
+    */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = df.select(id.as("doc_id"), split(text, " ").as("ts"))
+      .withColumn("n_tokens", size(col("ts")))
+    val grams = base.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("n_tokens") - (k - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gram"))
+    val hits = grams.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+    // island detection: a hit starts a new span iff it does not overlap
+    // the previous hit's k-token window
+    val spans = hits
+      .withColumn("ni",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(w), lit(-1000000L)) + (k - 1), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
+
   /** SimHash fingerprint of whitespace tokens. */
   def simhash(text: Column): Column = toCol(SimHash64(toExpr(split(text, " "))))
 

@@ -169,6 +169,42 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("new_id"), col("corpus_id"))
     })
 
+  /** Span-level exact dedup (Lee et al. 2021): per-doc stats of maximal
+    * token runs covered by corpus-duplicated 8-grams. DuckDB mirrors the
+    * positional-gram index, HAVING count>1 duplicate set, and the
+    * lag-based interval merge step for step; all counts integer, one
+    * rounded division. */
+  private val dedupSpans = Q(
+    "dedup_spans",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      base AS (SELECT doc_id, ts, len(ts) AS n_tokens FROM d),
+      p AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, n_tokens - 8 + 1)) AS BIGINT) AS pos
+            FROM base WHERE n_tokens >= 8),
+      g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS gram FROM p),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                              -1000000) + 7 THEN 1 ELSE 0 END AS ni
+              FROM hits),
+      isl2 AS (SELECT doc_id, pos,
+                      sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+              FROM spans GROUP BY doc_id)
+      SELECT b.doc_id, coalesce(n_spans, 0) AS n_spans,
+             coalesce(dup_tokens, 0) AS dup_tokens,
+             round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 6) AS dup_frac
+      FROM base b LEFT JOIN per USING (doc_id) ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id")))
+
   /** Embedding near-dup: exact all-pairs cosine >= 0.35 (data max 0.46). */
   private val dedupEmbedding = Q(
     "dedup_embedding",
@@ -911,7 +947,7 @@ object LlmQueries extends QueryCatalog {
 
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
-    dedupIncremental, dedupEmbedding,
+    dedupIncremental, dedupSpans, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,

@@ -278,6 +278,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == scores)
   }
 
+  test("duplicateSpans: cross-doc and self-repeat spans, interval merge, clean docs zero") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): String = (1 to n).map(prefix + _).mkString(" ")
+    val shared = "s1 s2 s3 s4" // 4 tokens, shared between docs 0 and 1
+    val d = Seq(
+      (0L, s"${words("a", 3)} $shared ${words("b", 3)}"),   // 10 tokens, one shared span
+      (1L, s"${words("c", 5)} $shared"),                     // 9 tokens, same span at the end
+      (2L, s"$shared $shared ${words("d", 4)}"),             // self-repeat: two overlapping hits
+      (3L, words("z", 12)))                                  // all unique -> clean
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.duplicateSpans(d, $"doc_id", $"text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 0/1: the 4-token shared run is one span of exactly 4 tokens
+    assert(out(0L) == ((1L, 4L, 0.4)))
+    assert(out(1L) == ((1L, 4L, round6(4.0 / 9))))
+    // doc 2: "s1 s2 s3 s4 s1 s2 s3 s4 ..." — duplicated grams at pos 1
+    // and pos 5; the windows [1,4] and [5,8] touch but do not overlap,
+    // so they stay two spans covering the first 8 tokens
+    assert(out(2L)._1 == 2L && out(2L)._2 == 8L)
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("repetitionStats: known fractions on crafted docs, no shuffle in the plan") {
     val s = spark
     import s.implicits._
