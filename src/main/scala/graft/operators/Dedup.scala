@@ -294,6 +294,42 @@ object Dedup {
     * row-local token filter.
     */
   def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val (base, spans) = spanTables(df, id, text, k)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
+
+  /** The paper's "cut" step: the corpus with every duplicate span
+    * excised. Spans per doc are a bounded collect_list (span count ≤
+    * n_tokens/1, in practice a handful) broadcast-joined back; token
+    * filtering is row-local. Returns (doc_id, cleaned, kept_tokens). */
+  def exciseDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val (base, spans) = spanTables(df, id, text, k)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("sps"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("sps",
+        coalesce(col("sps"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept",
+        filter(sequence(lit(1L), col("n_tokens").cast("long")),
+          i => !exists(col("sps"), sp => i >= sp("s") && i <= sp("e"))))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), i => element_at(col("ts"), i.cast("int"))), " ")
+          .as("cleaned"),
+        size(col("kept")).cast("long").as("kept_tokens"))
+  }
+
+  /** Shared machinery for [[duplicateSpans]]/[[exciseDuplicateSpans]]:
+    * (base(doc_id, ts, n_tokens), merged spans(doc_id, s, e)). */
+  private def spanTables(df: DataFrame, id: Column, text: Column,
+      k: Int): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val base = df.select(id.as("doc_id"), split(text, " ").as("ts"))
@@ -315,15 +351,7 @@ object Dedup {
       .withColumn("island", sum(col("ni")).over(w))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
-    val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
-          .as("dup_frac"))
+    (base, spans)
   }
 
   /** SimHash fingerprint of whitespace tokens. */

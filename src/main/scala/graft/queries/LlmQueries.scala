@@ -205,6 +205,45 @@ object LlmQueries extends QueryCatalog {
       Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8)
         .orderBy(col("doc_id")))
 
+  /** The cut step on the same span set: cleaned corpus with duplicate
+    * spans excised (fully-duplicated docs collapse to empty strings —
+    * DuckDB's array_to_string(empty) is NULL where Spark's array_join
+    * is '', hence the coalesce). */
+  private val dedupSpansCut = Q(
+    "dedup_spans_cut",
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      base AS (SELECT doc_id, ts, len(ts) AS n_tokens FROM d),
+      p AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, n_tokens - 8 + 1)) AS BIGINT) AS pos
+            FROM base WHERE n_tokens >= 8),
+      g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS gram FROM p),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+      hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                              -1000000) + 7 THEN 1 ELSE 0 END AS ni
+              FROM hits),
+      isl2 AS (SELECT doc_id, pos,
+                      sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+               FROM isl),
+      spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+                FROM isl2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+              FROM spans GROUP BY doc_id),
+      kept AS (SELECT b.doc_id, b.ts,
+                      [i FOR i IN generate_series(1, b.n_tokens)
+                       IF len(list_filter(coalesce(sps, []),
+                                          sp -> i >= sp.s AND i <= sp.e)) = 0] AS ki
+               FROM base b LEFT JOIN per USING (doc_id))
+      SELECT doc_id,
+             coalesce(array_to_string([ts[i] FOR i IN ki], ' '), '') AS cleaned,
+             CAST(len(ki) AS BIGINT) AS kept_tokens
+      FROM kept ORDER BY doc_id"""),
+    (s, dir) =>
+      Dedup.exciseDuplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id")))
+
   /** Embedding near-dup: exact all-pairs cosine >= 0.35 (data max 0.46). */
   private val dedupEmbedding = Q(
     "dedup_embedding",
@@ -947,7 +986,7 @@ object LlmQueries extends QueryCatalog {
 
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
-    dedupIncremental, dedupSpans, dedupEmbedding,
+    dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,

@@ -301,6 +301,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("exciseDuplicateSpans: cuts exactly the spans, keeps clean docs verbatim") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): String = (1 to n).map(prefix + _).mkString(" ")
+    val shared = "s1 s2 s3 s4"
+    val d = Seq(
+      (0L, s"${words("a", 3)} $shared ${words("b", 3)}"),
+      (1L, s"${words("c", 5)} $shared"),
+      (2L, shared), // 4 tokens: fully duplicated (also appears in 0/1) -> empty
+      (3L, words("z", 12)))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.exciseDuplicateSpans(d, $"doc_id", $"text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == (("a1 a2 a3 b1 b2 b3", 6L)))
+    assert(out(1L) == (("c1 c2 c3 c4 c5", 5L)))
+    assert(out(2L) == (("", 0L)))
+    assert(out(3L) == ((words("z", 12), 12L)))
+  }
+
   test("repetitionStats: known fractions on crafted docs, no shuffle in the plan") {
     val s = spark
     import s.implicits._
