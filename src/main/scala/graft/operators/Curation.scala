@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.Fnv1a64
+import graft.functions.expressions.{Checksum, Fnv1a64}
 
 /** Dataset-curation primitives a training-data pipeline runs constantly
   * (beyond the reference's surface — it has no sampling/packing at
@@ -56,6 +56,26 @@ object Curation {
       .withColumn("end_block", floor((col("__cum") - 1) / blockTokens).cast("long"))
       .drop("__cum")
   }
+
+  /** Sink-side shard manifest: deterministic shard assignment
+    * (contentHash mod nShards — reproducible on any cluster shape, no
+    * RNG) plus the per-shard summary a downstream training job verifies
+    * against: doc count, token count, an order-independent XOR checksum
+    * of content hashes, and the id range. Writing the shards themselves
+    * is then `df.write.partitionBy("shard")`; the manifest makes the
+    * output verifiable and re-runs byte-identical. One partial-agg
+    * shuffle of nShards tiny rows at any corpus size. */
+  def shardManifest(df: DataFrame, id: Column, key: Column, tokens: Column,
+      nShards: Int): DataFrame =
+    df.select(id.as("doc_id"), pmod(contentHash(key), lit(nShards)).as("shard"),
+        contentHash(key).as("h"), tokens.cast("long").as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        toCol(Checksum(toExpr(col("h"))).toAggregateExpression()).as("checksum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
 
   /** Column profiler — the data-quality pass run before ingesting a new
     * source: per column, one row of (count, nulls, distinct, min, max),

@@ -683,6 +683,24 @@ object LlmQueries extends QueryCatalog {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id")))
 
+  /** Sink-side shard manifest: deterministic content-hash sharding +
+    * per-shard counts and an order-independent XOR checksum (DuckDB
+    * bit_xor over the same FNV values — XOR commutes, so both engines
+    * agree under any partitioning). */
+  private val dataShards = Q(
+    "data_shards",
+    Some(s"""
+      $fnvDocsCte
+      SELECT ((fnv % 8) + 8) % 8 AS shard, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+             bit_xor(fnv) AS checksum,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM fh GROUP BY 1 ORDER BY shard"""),
+    (s, dir) =>
+      graft.operators.Curation.shardManifest(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("n_chars"), nShards = 8)
+        .orderBy(col("shard")))
+
   /** Deterministic stratified sampling: smallest-hash n per stratum. */
   private val dataSampleStratified = Q(
     "data_sample_stratified",
@@ -992,7 +1010,7 @@ object LlmQueries extends QueryCatalog {
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,
     textRepetition,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
-    dataSampleHash, dataSampleStratified, dataPackBlocks, dataVocabTopk,
+    dataSampleHash, dataSampleStratified, dataShards, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate,
     dataSplit, dataShuffle)
 }

@@ -112,6 +112,18 @@ class CurationSpec extends AnyFunSuite {
     assert(!a.sorted.sameElements(c.sorted), "different seed must reshuffle")
   }
 
+  test("shardManifest: shards partition the corpus, checksum is order-independent") {
+    val m = Curation.shardManifest(docs, col("doc_id"), col("text"), col("n_chars"), 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(m.keySet.subsetOf((0L until 8L).toSet))
+    assert(m.values.map(_._1).sum == docs.count())
+    // identical manifest from a different physical layout (XOR commutes)
+    val m2 = Curation.shardManifest(docs.repartition(13), col("doc_id"), col("text"),
+        col("n_chars"), 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(m == m2)
+  }
+
   test("curation ops are physical-layout independent (repartitioning changes nothing)") {
     // the cluster-scale determinism claim: results depend only on
     // content, never on how rows happen to be partitioned
