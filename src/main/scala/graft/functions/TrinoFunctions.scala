@@ -148,6 +148,43 @@ object TrinoFunctions {
     // CSVs), which is exactly Spark's Sha2/Base64 behavior.
     reg("starts_with") { e => StartsWith(e(0), e(1)) }
     reg("ends_with") { e => EndsWith(e(0), e(1)) }
+    // binder name-parity block (BinderParitySpec): every name the
+    // reference binder dispatches resolves here. Aliases delegate to
+    // the Spark builtin builder so semantics track the target exactly.
+    def aliasTo(name: String, target: String): Unit = {
+      val builder = registry
+        .lookupFunctionBuilder(org.apache.spark.sql.catalyst.FunctionIdentifier(target))
+        .getOrElse(sys.error(s"alias target missing: $target"))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    aliasTo("group_concat", "listagg")
+    aliasTo("var", "var_samp")
+    aliasTo("zip", "arrays_zip")
+    aliasTo("array_concat", "concat")
+    aliasTo("array_reverse", "reverse")
+    aliasTo("array_length", "size")
+    aliasTo("bitwise_xor_agg", "bit_xor")
+    reg("bit_not") { e => BitwiseNot(e(0)) }
+    reg("array_first") { e => ElementAt(e(0), Literal(1), None, failOnError = false) }
+    reg("array_last") { e => ElementAt(e(0), Literal(-1), None, failOnError = false) }
+    reg("trim_array") { e =>
+      Slice(e(0), Literal(1), Subtract(Size(e(0), legacySizeOfNull = false),
+        Cast(e(1), IntegerType)))
+    }
+    // reference millisecond: (micros % 1e6) / 1000 as int (filter.rs:3566)
+    reg("millisecond") { e =>
+      Cast(Floor(Divide(
+        Cast(Pmod(UnixMicros(Cast(e(0), TimestampType)), Literal(1000000L)), DoubleType),
+        Literal(1000.0))), IntegerType)
+    }
+    // reference localtime: micros since local midnight (filter.rs:3631);
+    // session runs UTC, so UTC midnight is local midnight
+    reg("localtime") { _ =>
+      Pmod(UnixMicros(Cast(CurrentTimestamp(), TimestampType)), Literal(86400000000L))
+    }
+    reg("ngrams") { e => NGramsArray(e(0), e(1)) }
+    reg("combinations") { e => CombinationsArray(e(0), e(1)) }
+    reg("contains_sequence") { e => ContainsSequence(e(0), e(1)) }
     reg("is_nan") { e => IsNaN(Cast(e(0), DoubleType)) }
     reg("bitwise_and_agg") { e => aggregate.BitAndAgg(e(0)) }
     reg("bitwise_or_agg") { e => aggregate.BitOrAgg(e(0)) }

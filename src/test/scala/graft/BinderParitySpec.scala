@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Name-level parity with the reference's binder: every function name
+  * the binder dispatches (`"NAME" =>` match arms in
+  * src/planner/binder.rs) must resolve on this engine — as a Spark
+  * builtin, a TrinoFunctions registration, or a SQL syntax form.
+  * Extracted from the reference checkout at runtime like the other
+  * parity sweeps; cancels if the checkout is not mounted.
+  */
+class BinderParitySpec extends AnyFunSuite {
+
+  private val binderPath = "/root/reference/src/planner/binder.rs"
+
+  /** Names the reference binds to a NotImplemented error — omitted here
+    * deliberately (COVERAGE.md §2.8: parity with the reference means
+    * these fail there too). */
+  private val notImplementedInReference =
+    Set("murmur3", "spooky_hash_v2_32", "spooky_hash_v2_64", "parse_duration")
+
+  /** Valid SQL that Spark's parser handles as syntax rather than a
+    * registry lookup (so functionExists is false but the name works). */
+  private val syntaxForms = Map(
+    "extract" -> "extract(year FROM TIMESTAMP '2024-01-01 00:00:00')",
+    "position" -> "position('b' IN 'abc')",
+    "trim" -> "trim('  x  ')",
+    "substr" -> "substr('abc', 1, 2)",
+    "try_cast" -> "try_cast('x' AS INT)",
+    "current_date" -> "current_date",
+    "current_time" -> "current_timestamp", // Spark has no TIME type; reference maps to session clock
+    "current_timestamp" -> "current_timestamp",
+    "localtime" -> "localtimestamp",
+    "localtimestamp" -> "localtimestamp")
+
+  test("every reference binder function name resolves here") {
+    assume(new java.io.File(binderPath).exists(), "reference checkout not mounted")
+    val spark = TestSpark.spark
+    Engine.registerDir(spark, TestSpark.sf0001) // TrinoFunctions.register
+    val src = scala.io.Source.fromFile(binderPath)(scala.io.Codec.ISO8859)
+    val text = try src.mkString finally src.close()
+    val names = """"([A-Z][A-Z0-9_]{1,40})"\s*=>""".r
+      .findAllMatchIn(text).map(_.group(1).toLowerCase).toSet
+    assert(names.size > 200, s"suspiciously few binder names: ${names.size}")
+    val registry = spark.sessionState.functionRegistry
+    val missing = (names -- notImplementedInReference).toSeq.sorted.filterNot { n =>
+      registry.functionExists(FunctionIdentifier(n)) ||
+        (syntaxForms.contains(n) &&
+          (try { spark.sql(s"SELECT ${syntaxForms(n)}").collect(); true }
+           catch { case _: Throwable => false }))
+    }
+    assert(missing.isEmpty, s"binder names unresolved here: $missing")
+  }
+}

@@ -201,4 +201,31 @@ class FunctionValuesSpec extends AnyFunSuite {
       "(SELECT bitwise_and_agg(x) FROM VALUES (12),(10) t(x))" -> "8",
       "(SELECT bitwise_or_agg(x) FROM VALUES (4),(1) t(x))" -> "5"))
   }
+
+  test("binder name-parity values (BinderParitySpec gap closures)") {
+    check(Seq(
+      "array_concat(array(1,2), array(3))" -> "ArraySeq(1, 2, 3)",
+      "array_first(array(7,8,9))" -> "7",
+      "array_last(array(7,8,9))" -> "9",
+      "array_first(array())" -> "null",
+      "array_length(array(1,2,3))" -> "3",
+      "array_reverse(array(1,2,3))" -> "ArraySeq(3, 2, 1)",
+      "trim_array(array(1,2,3,4), 2)" -> "ArraySeq(1, 2)",
+      "bit_not(0)" -> "-1",
+      "ngrams(array('a','b','c','d'), 2)" ->
+        "ArraySeq(ArraySeq(a, b), ArraySeq(b, c), ArraySeq(c, d))",
+      "ngrams(array('a','b'), 5)" -> "ArraySeq(ArraySeq(a, b))",
+      "combinations(array(1,2,3), 2)" ->
+        "ArraySeq(ArraySeq(1, 2), ArraySeq(1, 3), ArraySeq(2, 3))",
+      "combinations(array(1,2), 0)" -> "ArraySeq(ArraySeq())",
+      "contains_sequence(array(1,2,3,4), array(2,3))" -> "true",
+      "contains_sequence(array(1,2,3,4), array(2,4))" -> "false",
+      "contains_sequence(array(1,2), array())" -> "true",
+      "millisecond(TIMESTAMP '2024-06-01 12:34:56.789')" -> "789",
+      "(SELECT var(x) FROM VALUES (1.0),(3.0) t(x))" -> "2.0",
+      "(SELECT bitwise_xor_agg(x) FROM VALUES (12),(10) t(x))" -> "6",
+      "(SELECT group_concat(x, ',') FROM VALUES ('a'),('b') t(x))" -> "a,b",
+      "zip(array(1,2), array('x','y'))" -> "ArraySeq([1,x], [2,y])",
+      "localtime() BETWEEN 0 AND 86399999999" -> "true"))
+  }
 }
