@@ -53,6 +53,30 @@ class PropertySpec extends AnyFunSuite {
     assert(MySqlPattern.translate("%%") == "%")
   }
 
+  test("ngrams/combinations/contains_sequence agree with Scala reference semantics") {
+    val spark = TestSpark.spark
+    Engine.registerDir(spark, TestSpark.sf0001) // TrinoFunctions.register
+    def one(sql: String) = spark.sql(s"SELECT $sql AS v").collect()(0)
+    forAll(Gen.zip(Gen.nonEmptyListOf(Gen.choose(0, 9)), Gen.choose(1, 4)), n = 25) {
+      case (xs, n) =>
+        val arr = xs.mkString("array(", ",", ")")
+        val ng = one(s"ngrams($arr, $n)").getSeq[scala.collection.Seq[Int]](0)
+        val expNg = if (xs.length <= n) Seq(xs) else xs.sliding(n).toSeq
+        assert(ng.map(_.toList) == expNg.map(_.toList))
+        val cb = one(s"combinations($arr, $n)").getSeq[scala.collection.Seq[Int]](0)
+        val expCb = xs.indices.combinations(n).map(ix => ix.map(xs).toList).toList
+        assert(cb.map(_.toList) == expCb)
+        // every contiguous slice is contained; a 10-free probe is not
+        val s0 = xs.length / 2
+        val sub = xs.slice(s0, s0 + math.min(2, xs.length - s0))
+        if (sub.nonEmpty) {
+          val subArr = sub.mkString("array(", ",", ")")
+          assert(one(s"contains_sequence($arr, $subArr)").getBoolean(0))
+        }
+        assert(!one(s"contains_sequence($arr, array(10))").getBoolean(0))
+    }
+  }
+
   test("minhash signature similarity estimates jaccard (deterministic fixture)") {
     // two sets with known jaccard 0.5: {a..f} vs {d..i} -> 3/9 = 1/3
     val a = (0 until 60).map(i => s"tok$i").toSet
