@@ -73,6 +73,24 @@ object TextAnalysis {
   /** Order-sensitive rolling-hash fingerprint (Rabin-Karp, mod 1e9+7). */
   def rollingFingerprint(text: Column): Column = toCol(RollingFingerprint(toExpr(text)))
 
+  /** Character-entropy quality signal (bits/char): low entropy flags
+    * repetitive/boilerplate text, near-random entropy flags binary
+    * junk. Row-local fold over the doc's own characters in SORTED
+    * order — the summation order is part of the contract, so any
+    * engine reproduces the double bit-for-bit (log2 is computed as
+    * ln(p)/ln(2) on both sides; a native log2 can differ in the last
+    * ulp). Zero shuffle at any scale. */
+  def charEntropy(text: Column): Column = {
+    val cs = split(text, "")
+    val n = length(text).cast("double")
+    round(
+      aggregate(array_sort(array_distinct(cs)), lit(0.0),
+        (acc, ch) => {
+          val p = size(filter(cs, c => c === ch)).cast("double") / n
+          acc + -p * (log(p) / log(lit(2.0)))
+        }), 6)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
     * heuristics, adapted to single-line docs: word- and n-gram-level
     * repetition rather than line-level):

@@ -515,6 +515,27 @@ object LlmQueries extends QueryCatalog {
       TextAnalysis.unigramLmScore(t(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id")))
 
+  /** Character entropy (bits/char) — row-local fold in sorted char
+    * order, so the double summation order (and thus the hash) is
+    * engine-independent; log2 = ln/ln(2) mirrored on both sides. */
+  private val textEntropy = Q(
+    "text_entropy",
+    Some("""
+      WITH cs AS (SELECT doc_id, [text[i] FOR i IN generate_series(1, len(text))] AS c,
+                         len(text) AS n
+                  FROM documents)
+      SELECT doc_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [ -(CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / n)
+                  * (ln(CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / n) / ln(2.0))
+                 FOR ch IN list_sort(list_distinct(c)) ]),
+               (a, x) -> a + x), 6) AS char_entropy
+      FROM cs ORDER BY doc_id"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("char_entropy"))
+        .orderBy(col("doc_id")))
+
   /** Gopher-style repetition quality signals; every count is integer
     * and row-local, so DuckDB recomputes each fraction bit-exactly
     * (same op order: 1.0 - cast/len, round 6). */
@@ -1008,7 +1029,7 @@ object LlmQueries extends QueryCatalog {
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,
-    textRepetition,
+    textRepetition, textEntropy,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataShards, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate,
