@@ -69,6 +69,24 @@ object Dedup {
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     toCol(MinHashSignature(toExpr(shingles(text, n)), k))
 
+  /** (doc_id, band, band_hash) LSH band keys of a (id, text) frame —
+    * the shared banding kernel of the batch pair search and the
+    * streaming ingest filter (EventStream.ingestDedupStream). */
+  def bandKeys(df: DataFrame, id: Column, text: Column, n: Int,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    bandedFrom(
+      df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+        .withColumn("sig",
+          toCol(MinHashSignature(toExpr(col("sh")), bands * rowsPerBand))),
+      bands, rowsPerBand)
+
+  /** Band key = (band index, hash of that band's slice of `sig`). */
+  private def bandedFrom(docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+
   /** Near-dup pairs via MinHash LSH banding + exact Jaccard verify.
     * bands*rowsPerBand = k. Candidate pairs come only from band-hash
     * collisions; verification recomputes true Jaccard on the shingle
@@ -81,11 +99,7 @@ object Dedup {
       .withColumn("sig", toCol(MinHashSignature(toExpr(col("sh")), k)))
       .withColumn("sh_size", size(col("sh")))
 
-    // band key = (band index, hash of that band's slice of the signature)
-    val banded = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val banded = bandedFrom(docs, bands, rowsPerBand)
 
     val bucketed = banded.groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))

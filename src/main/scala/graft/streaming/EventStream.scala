@@ -91,6 +91,25 @@ object EventStream {
         col("v_ts") >= col("c_ts") - expr(s"INTERVAL $maxGap"))
   }
 
+  /** Stream-static ingest dedup: each micro-batch of new documents is
+    * LSH-banded row-locally and left-semi joined against the STATIC
+    * corpus's band keys. Stream-static equi-joins keep NO streaming
+    * state and need no watermark — the corpus stays on the static side
+    * as ordinary partitioned data (100 TB-ready), re-planned each
+    * batch. Output is the stream of (doc_id, band) collision hits:
+    * a doc may hit in several bands; the downstream exact-verify step
+    * (the stateful part of any dedup) collapses them, exactly as the
+    * batch analogue `Dedup.incrementalLshPairs` verifies candidates. */
+  def ingestDedupStream(newDocs: DataFrame, corpus: DataFrame,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val corpusBands = graft.operators.Dedup
+      .bandKeys(corpus, col("doc_id"), col("text"), n, bands, rowsPerBand)
+      .select(col("band"), col("band_hash")).distinct()
+    graft.operators.Dedup.bandKeys(newDocs, col("doc_id"), col("text"), n, bands, rowsPerBand)
+      .join(corpusBands, Seq("band", "band_hash"), "left_semi")
+  }
+
   /** Drive the events parquet through the file-stream source into an
     * in-memory table; returns the completed batch result. (Streaming
     * reader needs an explicit schema; ts arrives as NANOS → repaired

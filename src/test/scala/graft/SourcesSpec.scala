@@ -244,6 +244,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.table("events_dedup_test").count() == 1000L)
   }
 
+  test("streaming: stream-static LSH ingest dedup matches the batch semi-join") {
+    val s = spark
+    val docsSchema = spark.read.parquet(s"$sf0001/documents.parquet").schema
+    val corpus = Engine.t(spark, sf0001, "documents").filter(col("doc_id") < 400)
+    val streamDocs = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+      .filter(col("doc_id") >= 400)
+    val q = streaming.EventStream.ingestDedupStream(streamDocs, corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_dedup_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamedIds = spark.table("ingest_dedup_test")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // batch analogue of the same stateless filter
+    val batchIds = streaming.EventStream.ingestDedupStream(
+        Engine.t(spark, sf0001, "documents").filter(col("doc_id") >= 400), corpus)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(streamedIds == batchIds)
+    // the planted near-dups of corpus docs must be among the hits
+    val planted = operators.Dedup.incrementalLshPairs(
+        Engine.t(spark, sf0001, "documents").filter(col("doc_id") >= 400), corpus,
+        col("doc_id"), col("text"), n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(streamedIds))
+  }
+
   test("streaming: stateful sessionization with mapGroupsWithState") {
     val s = spark
     import s.implicits._
