@@ -536,6 +536,49 @@ object LlmQueries extends QueryCatalog {
         .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("char_entropy"))
         .orderBy(col("doc_id")))
 
+  /** Composed per-doc quality GATE — the filter pipeline a corpus team
+    * actually runs: language check, then heuristic quality floor, then
+    * repetition ceiling; first failing check names the drop reason.
+    * Pure projection (zero shuffle); every signal reuses an
+    * oracle-verified kernel, and the gate itself is re-derived in
+    * DuckDB from the same snippets. */
+  private val textQualityGate = Q(
+    "text_quality_gate",
+    Some(s"""
+      WITH sig AS (SELECT doc_id, $qualityDuck AS quality, $langidDuck AS lang_pred,
+                          string_split(text, ' ') AS ts
+                   FROM documents),
+      r AS (SELECT doc_id, quality, lang_pred,
+                   CASE WHEN len(ts) >= 2
+                        THEN round(1.0 - CAST(len(list_distinct(
+                               list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])))
+                               AS DOUBLE) / (len(ts) - 1), 6)
+                        ELSE 0.0 END AS dup_2gram_frac
+            FROM sig),
+      g AS (SELECT doc_id, lang_pred, quality, dup_2gram_frac,
+                   CASE WHEN lang_pred <> 'en' THEN 'lang'
+                        WHEN quality < 0.5 THEN 'quality'
+                        WHEN dup_2gram_frac > 0.02 THEN 'repetition'
+                        ELSE 'ok' END AS reason
+            FROM r)
+      SELECT doc_id, lang_pred, quality, dup_2gram_frac, reason,
+             reason = 'ok' AS keep
+      FROM g ORDER BY doc_id"""),
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.repetitionStats(col("doc_id"), col("text"))(3))
+      base
+        .withColumn("reason",
+          when(col("lang_pred") =!= "en", "lang")
+            .when(col("quality") < 0.5, "quality")
+            .when(col("dup_2gram_frac") > 0.02, "repetition")
+            .otherwise("ok"))
+        .withColumn("keep", col("reason") === "ok")
+        .orderBy(col("doc_id"))
+    })
+
   /** Gopher-style repetition quality signals; every count is integer
     * and row-local, so DuckDB recomputes each fraction bit-exactly
     * (same op order: 1.0 - cast/len, round 6). */
@@ -640,7 +683,7 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("media_id"))
     })
 
-  private val qualityDuck = """
+  private lazy val qualityDuck = """
       round(least(length(text) / 500.0, 1.0) * 0.3
             + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                      / greatest(length(text), 1)::DOUBLE <= 0.1 THEN 1.0
@@ -653,7 +696,7 @@ object LlmQueries extends QueryCatalog {
                          / greatest(len(string_split_regex(text, '\s+')), 1)::DOUBLE
                          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 4)"""
 
-  private val langidDuck = """
+  private lazy val langidDuck = """
       CASE WHEN len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
                    ['the','a','of','and','to','in','is'])) = 0
             AND len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
@@ -1029,7 +1072,7 @@ object LlmQueries extends QueryCatalog {
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,
-    textRepetition, textEntropy,
+    textRepetition, textEntropy, textQualityGate,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataShards, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate,
