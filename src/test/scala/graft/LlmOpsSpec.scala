@@ -301,6 +301,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("duplicateSpans: k longer than every doc yields all-zero stats, full keep on cut") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text") // exact dups, but < k tokens
+    val stats = operators.Dedup.duplicateSpans(d, $"doc_id", $"text", k = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stats.forall(_ == ((0L, 0L, 0.0))))
+    val cut = operators.Dedup.exciseDuplicateSpans(d, $"doc_id", $"text", k = 8)
+      .collect().map(r => r.getString(1))
+    assert(cut.forall(_ == "a b c"))
+  }
+
   test("exciseDuplicateSpans: cuts exactly the spans, keeps clean docs verbatim") {
     val s = spark
     import s.implicits._
