@@ -67,6 +67,23 @@ def main():
             continue
         s_idx = [ [c.lower() for c in spark_rel.columns].index(c) for c in s_cols ]
         d_idx = [ [c.lower() for c in duck_rel.columns].index(c) for c in d_cols ]
+        # dtype audit: DECIMAL-vs-DOUBLE / HUGEINT-vs-BIGINT mismatches can
+        # flip the driver's arrow-level hash even when Python values compare
+        # equal below — surface them as warnings (int widths are benign:
+        # r04 greens include INT32-vs-BIGINT columns).
+        def base(t):
+            t = str(t)
+            if t.startswith('DECIMAL'): return 'DECIMAL'
+            if t in ('TINYINT','SMALLINT','INTEGER','BIGINT',
+                     'UTINYINT','USMALLINT','UINTEGER','UBIGINT'): return 'INT'
+            return t
+        s_types = {c.lower(): t for c, t in zip(spark_rel.columns, spark_rel.types)}
+        d_types = {c.lower(): t for c, t in zip(duck_rel.columns, duck_rel.types)}
+        for c in s_cols:
+            bs, bd = base(s_types[c]), base(d_types[c])
+            if bs != bd or (bs == 'DECIMAL' and str(s_types[c]) != str(d_types[c])) \
+               or 'HUGEINT' in (str(s_types[c]), str(d_types[c])):
+                print(f"  ! {name}.{c}: dtype spark={s_types[c]} duck={d_types[c]} (driver hash risk)")
         s_rows = sorted([tuple(norm(r[i]) for i in s_idx) for r in spark_rel.fetchall()], key=repr)
         d_rows = sorted([tuple(norm(r[i]) for i in d_idx) for r in duck_rel.fetchall()], key=repr)
         if len(s_rows) != len(d_rows):

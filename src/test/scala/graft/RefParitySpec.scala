@@ -2,8 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.expr
-
 /** Runs the reference's own DuckDB-validated golden-query suite —
   * every SQL string in `tests/expected_results/manifest.json` (156
   * queries: tpch/, basic/, agg/, join/, subquery/, setop/, orderby/,
@@ -35,73 +33,15 @@ import org.apache.spark.sql.functions.expr
   */
 class RefParitySpec extends AnyFunSuite {
 
-  private val manifestPath = "/root/reference/tests/expected_results/manifest.json"
-
-  /** id -> sql, parsed with Jackson (already on Spark's classpath). */
-  private def loadManifest(): Seq[(String, String)] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(new java.io.File(manifestPath))
-    (0 until root.size()).map { i =>
-      val q = root.get(i)
-      q.get("id").asText() -> q.get("sql").asText()
-    }
-  }
-
-  /** Pad a registered view with derived columns (skipping ones the
-    * testdata already has), replacing the temp view in place. The
-    * DataFrame captures the original view's plan before replacement,
-    * so there is no self-reference. */
-  private def pad(table: String, derived: Seq[(String, String)]): Unit = {
-    val spark = TestSpark.spark
-    val base = spark.table(table)
-    val have = base.columns.toSet
-    val out = derived.filterNot(c => have(c._1)).foldLeft(base) {
-      case (df, (name, e)) => df.withColumn(name, expr(e))
-    }
-    out.createOrReplaceTempView(table)
-  }
-
   test("all 156 reference golden queries parse, bind and execute") {
-    assume(new java.io.File(manifestPath).exists(), "reference checkout not mounted")
+    assume(queries.RefManifest.available, "reference checkout not mounted")
     val spark = TestSpark.spark
     Engine.registerDir(spark, TestSpark.sf0001)
     try {
-      pad("lineitem", Seq(
-        "l_commitdate" -> "cast(l_shipdate as timestamp_ntz) - make_interval(0,0,0,cast(l_orderkey % 30 as int))",
-        "l_receiptdate" -> "cast(l_shipdate as timestamp_ntz) + make_interval(0,0,0,cast(l_linenumber % 30 as int))",
-        "l_shipmode" -> "element_at(array('MAIL','SHIP','AIR','RAIL','TRUCK','FOB','REG AIR'), cast((l_orderkey + l_linenumber) % 7 + 1 as int))",
-        "l_comment" -> "concat('lineitem comment ', l_orderkey, '-', l_linenumber)"))
-      pad("orders", Seq(
-        "o_shippriority" -> "0",
-        "o_clerk" -> "concat('Clerk#', lpad(cast(o_orderkey % 1000 as string), 9, '0'))",
-        // some NULLs so IS [NOT] NULL sweeps exercise both branches
-        "o_comment" -> "if(o_orderkey % 10 = 0, cast(null as string), concat('order comment ', o_orderkey))"))
-      pad("customer", Seq(
-        "c_address" -> "concat('Address ', c_custkey)",
-        "c_phone" -> "concat(cast(10 + c_custkey % 25 as string), '-', lpad(cast(c_custkey % 10000000 as string), 7, '0'))",
-        "c_comment" -> "concat('customer comment ', c_custkey)"))
-      pad("supplier", Seq(
-        "s_address" -> "concat('Supplier Address ', s_suppkey)",
-        "s_phone" -> "concat(cast(10 + s_suppkey % 25 as string), '-', lpad(cast(s_suppkey % 10000000 as string), 7, '0'))",
-        // a deterministic sliver matches q16's LIKE '%Customer%Complaints%'
-        "s_comment" -> "if(s_suppkey % 13 = 0, 'sad Customer bad Complaints', concat('supplier comment ', s_suppkey))"))
-      pad("part", Seq(
-        "p_mfgr" -> "concat('Manufacturer#', cast(p_partkey % 5 + 1 as string))",
-        "p_container" -> "element_at(array('SM CASE','SM BOX','SM PACK','MED BAG','MED BOX','LG CASE','LG BOX','JUMBO PKG'), cast(p_partkey % 8 + 1 as int))"))
-      pad("nation", Seq(
-        "n_comment" -> "concat('nation comment ', n_nationkey)"))
-      spark.sql("""
-        SELECT DISTINCT
-          l_partkey AS ps_partkey,
-          l_suppkey AS ps_suppkey,
-          cast((l_partkey * 7 + l_suppkey) % 9999 + 1 as int) AS ps_availqty,
-          cast(l_partkey % 1000 + 1 as double) AS ps_supplycost,
-          concat('ps comment ', l_partkey, '-', l_suppkey) AS ps_comment
-        FROM lineitem""").createOrReplaceTempView("partsupp")
-
-      val queries = loadManifest()
-      assert(queries.size == 156, s"manifest size ${queries.size}")
-      val failures = queries.flatMap { case (id, sql) =>
+      queries.RefManifest.padViews(spark)
+      val manifest = queries.RefManifest.loadAll()
+      assert(manifest.size == 156, s"manifest size ${manifest.size}")
+      val failures = manifest.flatMap { case (id, sql) =>
         try { spark.sql(sql).collect(); None }
         catch { case e: Throwable =>
           Some(id -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
@@ -111,11 +51,7 @@ class RefParitySpec extends AnyFunSuite {
           failures.map { case (id, m) => s"  $id: $m" }.mkString("\n"))
     } finally {
       // restore the unpadded views for the other suites sharing the session
-      Seq("lineitem", "orders", "customer", "supplier", "part", "nation").foreach { t =>
-        sources.ParquetTables.read(spark, s"${TestSpark.sf0001}/$t.parquet")
-          .createOrReplaceTempView(t)
-      }
-      spark.catalog.dropTempView("partsupp")
+      queries.RefManifest.restoreViews(spark, TestSpark.sf0001)
     }
   }
 }
