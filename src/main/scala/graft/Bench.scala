@@ -39,6 +39,13 @@ object Bench {
     val shuffleWrite = new AtomicLong
     val spillMem = new AtomicLong
     val spillDisk = new AtomicLong
+    // max per-task peakExecutionMemory since the last resetPeak() — the
+    // reference's per-query peak-memory metric (context.rs:33-53). The
+    // per-TASK peak is the number that predicts executor OOM at scale
+    // (executor heap / task slots); a sum over tasks would overstate it
+    // by the task count. Reset per timed window, not delta'd.
+    val peakTask = new AtomicLong
+    def resetPeak(): Unit = peakTask.set(0)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -46,6 +53,7 @@ object Bench {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spillMem.addAndGet(m.memoryBytesSpilled)
         spillDisk.addAndGet(m.diskBytesSpilled)
+        peakTask.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
       }
     }
     def snapshot(): Seq[Long] =
@@ -81,15 +89,17 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // One timed run -> (wall sec, [shuffleRead, shuffleWrite, spillMem, spillDisk]).
-    def timeOnce(name: String): (Double, Seq[Long]) = {
+    // One timed run ->
+    // (wall sec, [shuffleRead, shuffleWrite, spillMem, spillDisk], peakTaskMem).
+    def timeOnce(name: String): (Double, Seq[Long], Long) = {
       val fn = SparkEntry.queries(name)
       val before = listener.settled()
+      listener.resetPeak()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       val after = listener.settled()
-      (wall, after.zip(before).map { case (a, b) => a - b })
+      (wall, after.zip(before).map { case (a, b) => a - b }, listener.peakTask.get)
     }
 
     // Untimed warm pass over the whole suite first: pays each query's
@@ -123,18 +133,40 @@ object Bench {
     val metricNames = Seq("shuffleRead", "shuffleWrite", "spillMem", "spillDisk")
     val ms = results.map { case (k, v) =>
       val fields = v match {
-        case Some((wall, bytes)) =>
-          (s""""wall":${r4(wall)}""" +: metricNames.zip(bytes).map { case (n, b) => s""""$n":$b""" })
-            .mkString(",")
+        case Some((wall, bytes, peak)) =>
+          ((s""""wall":${r4(wall)}""" +: metricNames.zip(bytes).map { case (n, b) => s""""$n":$b""" })
+            :+ s""""peakMem":$peak""").mkString(",")
         case None => """"wall":-1.0"""
       }
       "\"" + k + "\":{" + fields + "}"
     }.mkString("{", ",", "}")
     println(s"""{"bench_detail":$ms,"runs":$runs,"sf":"$sfDir"}""")
+
+    // Second bench surface: the reference's own 156-query golden suite
+    // (it benchmarks the same set), end-to-end into the noop sink over
+    // the padded views. One untimed warm pass (codegen compile), one
+    // timed pass. Skipped silently when no reference checkout is
+    // mounted. Emitted BEFORE the contract line, which must stay last.
+    if (queries.RefManifest.available) {
+      try {
+        queries.RefManifest.padViews(spark)
+        val golden = queries.RefManifest.loadAll()
+        def runAll(): Int = golden.count { case (_, sql) =>
+          try { spark.sql(sql).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        }
+        runAll() // warm
+        val g0 = System.nanoTime()
+        val ok = runAll()
+        val gWall = (System.nanoTime() - g0) / 1e9
+        println(s"""{"metric":"golden_suite","value":${r4(gWall)},"unit":"sec","queries":${golden.size},"succeeded":$ok,"sf":"$sfDir"}""")
+        queries.RefManifest.restoreViews(spark, sfDir)
+      } catch { case _: Throwable => }
+    }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(w => r4(w._1)).getOrElse(-1.0)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Some((w, _))) => w }.sum
+    val total = results.collect { case (_, Some((w, _, _))) => w }.sum
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -13,10 +13,16 @@ object Verify {
       else _ => true
     val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    var nOk, nFail = 0
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).filter(p => filter(p._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      } catch { case e: Throwable =>
+        nFail += 1
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -36,5 +42,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Compact one-line summary printed LAST (same tail-truncation
+    // discipline as Bench's contract line — r03 lesson): per-query
+    // detail lives above on stderr; this line alone says whether every
+    // dump succeeded, however large the catalog grows.
+    val failList = failed.take(20).map(q).mkString("[", ",", "]")
+    println(s"""{"verify_dumped":$nOk,"verify_failed":$nFail,"failed_names":$failList,"oracles":${SparkEntry.oracleSql.size},"sf":${q(sfDir)}}""")
   }
 }
