@@ -171,11 +171,15 @@ object TrinoFunctions {
       Slice(e(0), Literal(1), Subtract(Size(e(0), legacySizeOfNull = false),
         Cast(e(1), IntegerType)))
     }
-    // reference millisecond: (micros % 1e6) / 1000 as int (filter.rs:3566)
+    // reference millisecond: (micros % 1e6) / 1000 as int (filter.rs:3566).
+    // Rust's % and / are sign-preserving/truncating, so pre-1970
+    // timestamps with sub-second parts yield NEGATIVE milliseconds —
+    // Remainder + IntegralDivide mirror that exactly (Pmod would pin the
+    // result to 0..999 and diverge before the epoch).
     reg("millisecond") { e =>
-      Cast(Floor(Divide(
-        Cast(Pmod(UnixMicros(Cast(e(0), TimestampType)), Literal(1000000L)), DoubleType),
-        Literal(1000.0))), IntegerType)
+      Cast(IntegralDivide(
+        Remainder(UnixMicros(Cast(e(0), TimestampType)), Literal(1000000L)),
+        Literal(1000L)), IntegerType)
     }
     // reference localtime: micros since local midnight (filter.rs:3631);
     // session runs UTC, so UTC midnight is local midnight

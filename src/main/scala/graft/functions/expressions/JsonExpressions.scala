@@ -198,18 +198,27 @@ private object JsonBuild {
 }
 
 /** JSON_OBJECT('k1', v1, 'k2', v2, ...) — build a JSON object string
-  * (reference filter.rs:5263-5284). */
+  * (reference filter.rs:5263-5284). Odd arity is an ANALYSIS error
+  * (not a raw `require` blow-up at planning); a NULL key is a RUNTIME
+  * error, matching Trino/reference semantics — silently mapping NULL
+  * to "" would fabricate a key the user never wrote. */
 case class JsonObjectExpr(children: Seq[Expression])
     extends Expression with CodegenFallback {
-  require(children.nonEmpty && children.size % 2 == 0,
-    "JSON_OBJECT requires an even number of arguments")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.nonEmpty && children.size % 2 == 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"json_object requires a positive even number of arguments (key/value pairs), got ${children.size}")
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val obj = JsonBuild.mapper.createObjectNode()
     children.grouped(2).foreach { case Seq(k, v) =>
-      val key = Option(k.eval(input)).map(_.toString).getOrElse("")
-      obj.set[JsonNode](key, JsonBuild.toNode(v.eval(input)))
+      val key = k.eval(input)
+      if (key == null)
+        throw new org.apache.spark.SparkException(
+          "json_object: JSON object key cannot be NULL")
+      obj.set[JsonNode](key.toString, JsonBuild.toNode(v.eval(input)))
     }
     UTF8String.fromString(obj.toString)
   }

@@ -139,35 +139,61 @@ object Dedup {
     * "Connected Components in MapReduce" gives O(log n) worst-case
     * rounds for adversarial chain graphs; min-label is the same
     * per-round plan and strictly simpler, with the iteration cap as the
-    * guard). `localCheckpoint` truncates the per-round lineage so the
-    * plan doesn't grow with iterations (on a real cluster use a
-    * reliable checkpoint dir instead).
+    * guard). Per-round lineage is truncated by a checkpoint so the plan
+    * doesn't grow with iterations: `localCheckpoint` (executor-local,
+    * fine for local mode) by default, or a RELIABLE checkpoint when
+    * `reliableCheckpoint = true` — on a real cluster executor loss makes
+    * local checkpoints unrecoverable, so set
+    * `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)` and pass the
+    * flag.
     *
-    * Input: two id columns (pair orientation irrelevant). Output:
-    * (id, cluster_id) for every node that appears in some pair, where
-    * cluster_id = min node id in the component.
+    * Input: two id columns (pair orientation irrelevant); they must be
+    * integral (fail-fast — a silent cast of string ids to NULL would
+    * drop edges and return wrong clusters). Output: (id, cluster_id)
+    * for every node that appears in some pair, where cluster_id = min
+    * node id in the component.
     */
   def connectedComponents(pairs: DataFrame, a: String = "a_id",
-      b: String = "b_id", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-      .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      b: String = "b_id", maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairs, a, b, maxIter, reliableCheckpoint)._1
+
+  /** As [[connectedComponents]], additionally returning how many
+    * propagation rounds ran until the convergence witness stabilized —
+    * the telemetry a scale run records (rounds ≈ graph diameter; each
+    * round is one O(E) shuffle). */
+  def connectedComponentsWithRounds(pairs: DataFrame, a: String = "a_id",
+      b: String = "b_id", maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(a, b).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: id column '$c' must be integral, got $dt " +
+          "(a lossy cast would silently drop edges)")
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = ckpt(
+      pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+        .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+        .distinct())
+    var labels = ckpt(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     // no pairs at all → no non-singleton components (sum() over zero
     // rows is NULL, so the convergence witness needs the early exit)
-    if (labels.isEmpty) return labels.select(col("id"), col("label").as("cluster_id"))
+    if (labels.isEmpty)
+      return (labels.select(col("id"), col("label").as("cluster_id")), 0)
     var checksum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      labels = ckpt(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       val next = labels.agg(sum(col("label"))).head.getLong(0)
       converged = next == checksum
       checksum = next
@@ -176,7 +202,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    (labels.select(col("id"), col("label").as("cluster_id")), iter)
   }
 
   /** Full dedup clustering of a document set: near-dup pairs → connected
@@ -279,13 +305,33 @@ object Dedup {
 
   /** Decontaminated training set: drop every training doc whose
     * containment of ANY benchmark doc meets the threshold (left-anti
-    * join against the contamination report). */
+    * join against the contamination report). `maxBucket` is the same
+    * hot-shingle guard `contaminationPairs` carries — and because this
+    * check is safety-relevant (a dropped hot shingle UNDER-counts
+    * containment, i.e. can let leakage through), the guard is tunable
+    * here and observable via [[hotShingles]]: run that report alongside
+    * a release and alert when benchmark shingles land in the dropped
+    * set. */
   def decontaminate(train: DataFrame, bench: DataFrame, id: Column,
-      text: Column, n: Int, threshold: Double): DataFrame = {
-    val contaminated = contaminationPairs(train, bench, id, text, n, threshold)
+      text: Column, n: Int, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val contaminated = contaminationPairs(train, bench, id, text, n, threshold,
+        maxBucket)
       .select(col("train_id")).distinct()
     train.join(contaminated, id === col("train_id"), "left_anti")
   }
+
+  /** Observability companion to [[decontaminate]]/[[contaminationPairs]]:
+    * the shingles the `maxBucket` skew guard would DROP (document
+    * frequency above the cap), with their frequencies — lazily
+    * evaluated, so pipelines can count/log it without the operator
+    * itself paying an extra action. A benchmark doc composed mostly of
+    * corpus-common n-grams is the recall-loss case this surfaces. */
+  def hotShingles(train: DataFrame, id: Column, text: Column, n: Int,
+      maxBucket: Int = 10000): DataFrame =
+    train.select(id.as("train_id"), explode(shingles(text, n)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxBucket)
 
   /** Span-level exact dedup stats (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499):

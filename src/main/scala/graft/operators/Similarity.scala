@@ -129,26 +129,41 @@ object Similarity {
     * aggregate + a bounded nCells×dim collect. Cells that lose all
     * members keep their previous centroid. The plan shape per
     * iteration is scan → project → two-phase agg — nothing quadratic,
-    * nothing resident on the driver beyond the centroids themselves. */
+    * nothing resident on the driver beyond the centroids themselves.
+    *
+    * Caching: the ASSIGNED frame cannot be reused across iterations —
+    * the centroid literal is part of each round's projection, so round
+    * i+1's plan is different by construction; what IS loop-invariant is
+    * the pruned (id, vec) input, so that projection is persisted for
+    * the duration of the fit (iters scans of parquet become one scan +
+    * iters memory/disk reads) and unpersisted before returning. At
+    * 100 TB, fit on a bounded sample of the corpus instead (standard
+    * IVF practice; the centroids are estimates either way) — the
+    * persist then caches the sample, not the corpus. */
   def kmeansCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCells: Int, iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
     import org.apache.spark.sql.functions.{avg, posexplode}
     var (ids, vecs) = fitCentroids(corpus, corpusId, corpusVec, nCells)
-    (1 to iters).foreach { _ =>
-      val assigned = ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
-      val means = assigned
-        .select(col("cell_id"), posexplode(col(corpusVec).cast("array<double>")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getLong(0))
-      vecs = ids.zipWithIndex.map { case (id, i) =>
-        byCell.get(id) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          case None => vecs(i) // empty cell: keep previous centroid
+    if (iters == 0) return (ids, vecs)
+    val train = corpus.select(col(corpusId), col(corpusVec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to iters).foreach { _ =>
+        val assigned = ivfAssignWith(train, corpusId, corpusVec, ids, vecs)
+        val means = assigned
+          .select(col("cell_id"), posexplode(col(corpusVec).cast("array<double>")))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getLong(0))
+        vecs = ids.zipWithIndex.map { case (id, i) =>
+          byCell.get(id) match {
+            case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+            case None => vecs(i) // empty cell: keep previous centroid
+          }
         }
       }
-    }
+    } finally train.unpersist(false)
     (ids, vecs)
   }
 

@@ -100,10 +100,13 @@ object TextAnalysis {
     * All three are integer counts + one final rounded division, so any
     * engine recomputes them bit-exactly, and every count is row-local:
     * the whole operator is a zero-shuffle codegen'd projection — one
-    * scan at 100 TB. The top-word count is an O(d·u) fold (u = distinct
-    * tokens per doc) over the row's own array; there is no per-corpus
-    * state, unlike [[unigramLmScore]]. High dup/top fractions flag
-    * keyword-stuffed or boilerplate docs for removal. */
+    * scan at 100 TB. The top-word count is O(n log n) per doc: sort the
+    * row's tokens, then one linear fold finds the longest equal run
+    * (= the max token frequency) — no nested rescan, so a 1M-token
+    * straggler doc costs ~2·10⁷ comparisons, not 10¹² (the round-4
+    * advisory). There is no per-corpus state, unlike
+    * [[unigramLmScore]]. High dup/top fractions flag keyword-stuffed
+    * or boilerplate docs for removal. */
   def repetitionStats(id: Column, text: Column): Seq[Column] = {
     val ts = split(text, " ")
     val nTok = size(ts)
@@ -111,8 +114,19 @@ object TextAnalysis {
       transform(sequence(lit(1), nTok - 1),
         i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val topCnt = aggregate(array_distinct(ts), lit(0),
-      (acc, g) => greatest(acc, size(filter(ts, t => t === g))))
+    // longest equal run over sorted tokens == max frequency; the ""
+    // sentinel is safe: a leading "" token extends run 0 -> 1, exactly
+    // the count a first element should get
+    val topCnt = aggregate(
+      array_sort(ts),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     Seq(
       id.as("doc_id"),
       round(lit(1.0) - size(array_distinct(ts)).cast("double") / nTok, 6)

@@ -19,8 +19,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
 
-  private val quotedUnit =
-    """(?i)\b(date_add|dateadd|date_diff|datediff|timestampadd|timestampdiff|date_trunc|trunc)\(\s*'(year|quarter|month|week|day|dayofyear|hour|minute|second|millisecond|microsecond)'\s*,""".r
+  // matched against the END of a code segment: a datetime function whose
+  // next token (the following string literal) is its unit argument.
+  // date_trunc/trunc are deliberately absent — Spark keeps their quoted
+  // unit convention.
+  private val unitFnTail =
+    """(?i)\b(date_add|dateadd|date_diff|datediff|timestampadd|timestampdiff)\(\s*$""".r
+  private val unitLiteral =
+    """(?i)^'(year|quarter|month|week|day|dayofyear|hour|minute|second|millisecond|microsecond)'$""".r
 
   // Trino/DuckDB accept bare `VARCHAR`/`VARBINARY` as cast targets
   // (reference golden query expr/cast: `CAST(100 AS VARCHAR)`); Spark's
@@ -29,14 +35,65 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
   private val bareVarchar = """(?i)\bAS\s+VARCHAR\s*([,)])""".r
   private val bareVarbinary = """(?i)\bAS\s+VARBINARY\s*([,)])""".r
 
+  /** Split `sql` into alternating code / quoted segments. Quoted
+    * segments ('' literals with '' escaping, "" identifiers with ""
+    * escaping) are returned VERBATIM including their quotes — rewrites
+    * must never fire inside them (a literal containing `AS VARCHAR)`
+    * is data, not syntax). */
+  private def segments(sql: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        out += cur.toString; cur.clear()
+        val lit = new StringBuilder
+        lit.append(c); i += 1
+        var closed = false
+        while (!closed && i < sql.length) {
+          val ch = sql.charAt(i)
+          lit.append(ch); i += 1
+          if (ch == c) {
+            if (i < sql.length && sql.charAt(i) == c) { lit.append(c); i += 1 }
+            else closed = true
+          }
+        }
+        out += lit.toString
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result() // code segments at even indices, quoted at odd
+  }
+
   private[graft] def rewrite(sql: String): String = {
-    val units = quotedUnit.replaceAllIn(sql, m =>
-      // date_trunc/trunc keep Spark's own quoted-string unit convention
-      if (m.group(1).toLowerCase.contains("trunc")) m.matched
-      else s"${m.group(1)}(${m.group(2)},")
-    bareVarbinary.replaceAllIn(
-      bareVarchar.replaceAllIn(units, m => s"AS STRING${m.group(1)}"),
-      m => s"AS BINARY${m.group(1)}")
+    val segs = segments(sql)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < segs.length) {
+      if (i % 2 == 0) {
+        // code segment: cast-target rewrites are literal-safe here
+        sb.append(bareVarbinary.replaceAllIn(
+          bareVarchar.replaceAllIn(segs(i), m => s"AS STRING${m.group(1)}"),
+          m => s"AS BINARY${m.group(1)}"))
+        i += 1
+      } else {
+        // quoted segment: rewrite ONLY the quoted-unit idiom — a unit
+        // literal directly following `date_add(` etc. in the preceding
+        // code segment, with a comma right after — to the bare
+        // identifier Spark's parser requires
+        val isUnitArg = unitLiteral.findFirstMatchIn(segs(i)).filter { _ =>
+          unitFnTail.findFirstIn(segs(i - 1)).isDefined &&
+            (i + 1 < segs.length) && segs(i + 1).matches("""(?s)\s*,.*""")
+        }
+        isUnitArg match {
+          case Some(m) => sb.append(m.group(1))
+          case None => sb.append(segs(i))
+        }
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewrite(sqlText))

@@ -53,4 +53,19 @@ class EngineSpec extends AnyFunSuite {
     // parameterized VARCHAR(n) is valid Spark SQL and passes through
     assert(p.rewrite("SELECT CAST(x AS VARCHAR(5))") == "SELECT CAST(x AS VARCHAR(5))")
   }
+
+  test("TrinoDialectParser never rewrites inside string literals or quoted identifiers") {
+    val p = new TrinoDialectParser(null)
+    // a literal that CONTAINS cast syntax is data, not syntax (r4 advisory)
+    assert(p.rewrite("SELECT 'CAST(1 AS VARCHAR)' FROM t") == "SELECT 'CAST(1 AS VARCHAR)' FROM t")
+    assert(p.rewrite("SELECT 'x AS VARBINARY), tail'") == "SELECT 'x AS VARBINARY), tail'")
+    // quoted identifiers are protected too
+    assert(p.rewrite("SELECT a AS \"AS VARCHAR)\" FROM t") == "SELECT a AS \"AS VARCHAR)\" FROM t")
+    // escaped-quote literal that embeds the full date_add idiom
+    assert(p.rewrite("SELECT 'date_add(''day'', 1, ts) AS VARCHAR)'")
+      == "SELECT 'date_add(''day'', 1, ts) AS VARCHAR)'")
+    // the real idiom still fires when mixed with benign literals
+    assert(p.rewrite("SELECT 'AS VARCHAR)', date_add('day', 1, ts), CAST(1 AS VARCHAR)")
+      == "SELECT 'AS VARCHAR)', date_add(day, 1, ts), CAST(1 AS STRING)")
+  }
 }

@@ -222,10 +222,30 @@ class FunctionValuesSpec extends AnyFunSuite {
       "contains_sequence(array(1,2,3,4), array(2,4))" -> "false",
       "contains_sequence(array(1,2), array())" -> "true",
       "millisecond(TIMESTAMP '2024-06-01 12:34:56.789')" -> "789",
+      // pre-epoch: Rust's sign-preserving % / truncating / (r4 advisory) —
+      // -750000us % 1e6 = -750000, / 1000 = -750
+      "millisecond(TIMESTAMP '1969-12-31 23:59:59.250')" -> "-750",
+      "millisecond(TIMESTAMP '1969-12-31 23:59:59.999750')" -> "0",
       "(SELECT var(x) FROM VALUES (1.0),(3.0) t(x))" -> "2.0",
       "(SELECT bitwise_xor_agg(x) FROM VALUES (12),(10) t(x))" -> "6",
       "(SELECT group_concat(x, ',') FROM VALUES ('a'),('b') t(x))" -> "a,b",
       "zip(array(1,2), array('x','y'))" -> "ArraySeq([1,x], [2,y])",
       "localtime() BETWEEN 0 AND 86399999999" -> "true"))
+  }
+
+  test("json_object error semantics: NULL key is a runtime error, odd arity an analysis error") {
+    Engine.registerDir(spark, sf0001)
+    // NULL key: Trino/reference raise; silently mapping to "" would
+    // fabricate a key (r4 advisory)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT json_object(cast(null as string), 1) AS v").collect()
+    }
+    assert(e1.getMessage != null)
+    // odd arity: surfaced as an analysis-time type-check failure, not a
+    // raw require() IllegalArgumentException from deep in planning
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT json_object('a', 1, 'dangling') AS v").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("even number"), e2.getMessage)
   }
 }

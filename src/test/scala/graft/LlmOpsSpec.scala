@@ -67,6 +67,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: reliable checkpoint dir yields identical components; string ids fail fast") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 21L), (22L, 21L))
+      .toDF("a_id", "b_id")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real-cluster path: lineage truncation through a RELIABLE
+    // checkpoint (survives executor loss, unlike localCheckpoint)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val prev = Option(s.sparkContext.getCheckpointDir).flatten
+    try {
+      s.sparkContext.setCheckpointDir(dir)
+      val reliable = Dedup.connectedComponents(pairs, reliableCheckpoint = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == local)
+    } finally prev.foreach(s.sparkContext.setCheckpointDir)
+    // non-integral ids must be rejected, not silently cast to NULL and
+    // dropped from the edge set (r4 advisory)
+    val strPairs = Seq(("a", "b"), ("b", "c")).toDF("a_id", "b_id")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strPairs)
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
+  }
+
   test("clusters: pairs collapse transitively, singletons kept, canonical = min id") {
     val out = Dedup.clusters(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
@@ -349,6 +375,28 @@ class LlmOpsSpec extends AnyFunSuite {
     // zero-shuffle: a pure projection over the scan
     val plan = d.select(out: _*).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("repetitionStats: sorted-run top_word_frac equals brute-force max frequency on random docs") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random docs over a small vocabulary (forces
+    // heavy ties/runs), incl. the degenerate single- and all-same-token
+    // shapes the "" sort sentinel has to survive
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "a a".replace(" ", ""), "z9", "Q")
+    val docs = (0L until 60L).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      i -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ (60L -> "only") :+ (61L -> "same same same same")
+    val d = docs.toDF("doc_id", "text")
+    val got = d.select(TextAnalysis.repetitionStats($"doc_id", $"text"): _*)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val expected = round6(toks.groupBy(identity).map(_._2.length).max.toDouble / toks.length)
+      assert(got(id) == expected, s"doc $id: '$text'")
+    }
   }
 
   private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
