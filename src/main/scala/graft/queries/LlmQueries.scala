@@ -906,6 +906,26 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     })
 
+  /** Decontamination observability (r4 advisory): the shingles the
+    * maxBucket skew guard would drop, with document frequencies — the
+    * report a release pipeline logs so containment recall loss is
+    * visible, not silent. Cap of 3 (vs the 10000 default) so the
+    * testdata actually exercises the over-cap branch. */
+  private val dataHotShingles = Q(
+    "data_hot_shingles",
+    Some("""
+      WITH g AS (SELECT doc_id,
+                        unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                              FOR i IN generate_series(1, len(w) - 1)])) AS shingle
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT shingle, count(*) AS df_count
+      FROM g GROUP BY shingle HAVING count(*) > 3
+      ORDER BY shingle"""),
+    (s, dir) =>
+      Dedup.hotShingles(t(s, dir, "documents"), col("doc_id"), col("text"),
+          n = 2, maxBucket = 3)
+        .orderBy(col("shingle")))
+
   /** Top-k n-gram vocabulary (document frequency, deterministic
     * tiebreak) — two-phase agg + TakeOrderedAndProject. */
   private val dataVocabTopk = Q(
@@ -1075,6 +1095,6 @@ object LlmQueries extends QueryCatalog {
     textRepetition, textEntropy, textQualityGate,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataShards, dataPackBlocks, dataVocabTopk,
-    dataRedact, dataProfile, dataMixture, dataDecontaminate,
+    dataRedact, dataProfile, dataMixture, dataDecontaminate, dataHotShingles,
     dataSplit, dataShuffle)
 }

@@ -969,10 +969,44 @@ object OperatorQueries extends QueryCatalog {
         .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("sum_value"))
         .orderBy(col("day"), col("event_type")))
 
+  /** Salted two-stage aggregation must produce EXACTLY groupBy(key)
+    * semantics — the oracle is the plain GROUP BY (Skew.saltedCountSum;
+    * decimal accumulation makes the partial-sum order irrelevant, so
+    * the salt layout cannot perturb the hash). */
+  private val aggSkewSalted = Q(
+    "agg_skew_salted",
+    Some("""
+      SELECT l_returnflag AS k, count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS s
+      FROM lineitem GROUP BY l_returnflag ORDER BY k"""),
+    (s, dir) =>
+      graft.operators.Skew.saltedCountSum(t(s, dir, "lineitem"),
+          col("l_returnflag"),
+          col("l_quantity").cast(DataTypes.createDecimalType(18, 6)))
+        .select(col("k"), col("n"), round(col("s").cast("double"), 2).as("s"))
+        .orderBy(col("k")))
+
+  /** Salted fact⋈dim join (hot fact keys spread over dim replicas) must
+    * equal the plain equi-join — oracle is exactly that. */
+  private val joinSkewSalted = Q(
+    "join_skew_salted",
+    Some("""
+      SELECT l_orderkey, l_linenumber, s_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "lineitem").filter(col("l_orderkey") < 200),
+          t(s, dir, "supplier"), "l_suppkey", "s_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+
   override def defs: Seq[Q] = Seq(
     scanProjection, scanMemory, scanWriteRoundtrip,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
     joinSelf, joinInequality, joinRange, joinAsof,
+    aggSkewSalted, joinSkewSalted,
     aggBasic, aggDistinct, aggStats, aggBool, aggMinmaxBy, aggBitwise,
     aggListagg, aggCorr, aggSkewKurt, aggRegr, aggPercentile, aggAnyValue,
     aggRollup, aggCube, aggGroupingSets, aggGlobal,

@@ -15,9 +15,10 @@ class CatalogSpec extends AnyFunSuite {
 
   test("catalog size matches COVERAGE.md (catches silently dropped registrations)") {
     // update alongside COVERAGE.md's "Verification totals" when adding queries
-    // (144 + the 53 ref_func_/ref_expr_ golden rows added in round 5)
-    assert(SparkEntry.queries.size == 197, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 193, s"oracles: ${SparkEntry.oracleSql.size}")
+    // (144 + all 156 ref_* golden rows + agg_skew_salted /
+    // join_skew_salted / data_hot_shingles, all added in round 5)
+    assert(SparkEntry.queries.size == 303, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 299, s"oracles: ${SparkEntry.oracleSql.size}")
     // the 4 deliberate rows-only entries, each with an exact oracle-checked sibling
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
