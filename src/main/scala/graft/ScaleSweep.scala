@@ -1,0 +1,144 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-shot scale sweep of the dedup path at 10⁶ docs — the measured
+  * anchor for SCALE.md's 100 TB plan-shape arguments (round-4 verdict
+  * item 4: "the 100 TB arguments are plan-shape-verified but never
+  * exercised above oracle scale").
+  *
+  * Generates a DETERMINISTIC synthetic corpus (pure functions of the
+  * row id — no RNG state, so any rerun reproduces it bit-for-bit):
+  * 1,000,000 docs of ~25 tokens over a 50k-token vocabulary; every
+  * id ≡ 1 (mod 20) doc is a near-duplicate of its id-1 neighbor (one
+  * token perturbed → shingle Jaccard ≈ 0.85), planting 50k known
+  * 2-doc clusters. Runs:
+  *
+  *   1. `Dedup.clusters(useLsh = true)` — MinHash+LSH banding →
+  *      connected components (the 100 TB clustering path), and
+  *   2. `Dedup.incrementalLshPairs` — a 10k-doc batch (the dup member
+  *      of every 5th planted pair, so each has its partner on the
+  *      corpus side) against the 990k-doc remainder (the daily-ingest
+  *      path),
+  *
+  * recording per-phase wall time, shuffle bytes vs input bytes, CC
+  * round count, and the worst per-stage straggler ratio
+  * (max task duration / median, stages with ≥ 8 tasks) from a task
+  * listener. Prints one JSON line; usage:
+  *
+  *   sbt -batch "runMain graft.ScaleSweep [nDocs]"
+  */
+object ScaleSweep {
+
+  /** (stageId -> task durations ms, cumulative shuffle read+write bytes). */
+  private final class StageListener extends SparkListener {
+    val durations = new ConcurrentHashMap[Int, java.util.List[Long]]()
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        durations
+          .computeIfAbsent(t.stageId, _ => java.util.Collections.synchronizedList(
+            new java.util.ArrayList[Long]()))
+          .add(t.taskInfo.duration)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot(): (Long, Long) = (shuffleRead.get, shuffleWrite.get)
+    /** Worst max/median task-duration ratio over stages that do real
+      * work (median >= 200 ms, >= 8 tasks). Trivial stages — a 1 ms
+      * median with one 300 ms task — would otherwise report absurd
+      * ratios that say nothing about 100 TB skew. Also returns the
+      * single longest task anywhere (the straggler that matters in
+      * absolute terms). */
+    def worstStraggler(): (Double, Double) = {
+      val all = durations.asScala.values.map(_.asScala.toSeq.sorted).toSeq
+      val maxTaskSec = if (all.isEmpty) 0.0 else all.map(_.last).max / 1000.0
+      val ratios = all.flatMap { ds =>
+        val med = if (ds.isEmpty) 0L else ds(ds.size / 2)
+        if (ds.size < 8 || med < 200) None
+        else Some(ds.last.toDouble / med)
+      }
+      (if (ratios.isEmpty) 0.0 else ratios.max, maxTaskSec)
+    }
+  }
+
+  /** Deterministic ~25-token doc: token j of doc d is a pure hash of
+    * (d', j) where d' collapses each near-dup pair to its seed doc;
+    * the dup member then perturbs one token so the pair is near, not
+    * exact. */
+  private def corpusDf(spark: org.apache.spark.sql.SparkSession, nDocs: Long): DataFrame = {
+    val base = spark.range(nDocs).select(col("id").as("doc_id"))
+    // seed id: docs (20k, 20k+1) share a seed; everyone else is alone
+    val seed = when(col("doc_id") % 20 === 1, col("doc_id") - 1).otherwise(col("doc_id"))
+    val isDup = (col("doc_id") % 20 === 1).cast("int")
+    val text = array_join(
+      transform(sequence(lit(0), lit(24)), j =>
+        concat(lit("t"),
+          // perturb token 12 of the dup member only
+          when(j === 12 && isDup === 1, lit(99999L))
+            .otherwise(pmod(xxhash64(seed * 31 + j), lit(50000L))))),
+      " ")
+    base.select(col("doc_id"), text.as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = Engine.session()
+    val listener = new StageListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val corpus = corpusDf(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inputBytes = corpus.agg(sum(length(col("text")))).head.getLong(0)
+    val expectedPairs = nDocs / 20
+
+    // phase 1: LSH clustering end-to-end (pairs -> connected components)
+    val t0 = System.nanoTime()
+    val s0 = listener.snapshot()
+    val pairs = operators.Dedup.minhashLshPairs(
+      corpus, col("doc_id"), col("text"), n = 3, bands = 16, rowsPerBand = 4,
+      threshold = 0.5)
+    val (comps, ccRounds) = operators.Dedup.connectedComponentsWithRounds(pairs)
+    val nClusters = comps.groupBy(col("cluster_id")).count().count()
+    val clusterWall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    // phase 2: incremental batch-vs-corpus. The batch takes the DUP
+    // member of every 5th planted pair (ids ≡ 81 mod 100 are ≡ 1 mod
+    // 20), so its near-dup partner (id-1) always sits on the corpus
+    // side — nDocs/100 known cross pairs, the shape a daily-ingest
+    // check must find.
+    val batch = corpus.filter(col("doc_id") % 100 === 81)
+    val rest = corpus.filter(col("doc_id") % 100 =!= 81)
+    val expectedCross = nDocs / 100
+    val t1 = System.nanoTime()
+    val incPairs = operators.Dedup.incrementalLshPairs(
+      batch, rest, col("doc_id"), col("text"), n = 3, bands = 16,
+      rowsPerBand = 4, threshold = 0.5).count()
+    val incWall = (System.nanoTime() - t1) / 1e9
+    val s2 = listener.snapshot()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"dedup","docs":$nDocs,"inputMB":${mb(inputBytes)},""" +
+      s""""clusterWallSec":${math.round(clusterWall * 10) / 10.0},""" +
+      s""""clusterShuffleReadMB":${mb(s1._1 - s0._1)},"clusterShuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""ccRounds":$ccRounds,"clusters":$nClusters,"expectedNonSingleton":$expectedPairs,""" +
+      s""""incrementalPairs":$incPairs,"expectedCrossPairs":$expectedCross,""" +
+      s""""incrementalWallSec":${math.round(incWall * 10) / 10.0},""" +
+      s""""incShuffleReadMB":${mb(s2._1 - s1._1)},"incShuffleWriteMB":${mb(s2._2 - s1._2)},""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+    spark.stop()
+  }
+}
