@@ -14,7 +14,7 @@ object SparkEntry {
   /** All query catalogs (one per SURVEY §2 area). */
   def catalogs: Seq[QueryCatalog] = Seq(
     TpchQueries, OperatorQueries, FunctionQueries, TrinoQueries, LlmQueries,
-    IcebergQueries, RefGoldenQueries)
+    IcebergQueries, RefGoldenQueries, StreamingQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = catalogs.flatMap(_.defs)

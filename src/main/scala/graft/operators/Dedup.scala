@@ -263,9 +263,26 @@ object Dedup {
       .select(col("corpus_id"), col("band"), col("band_hash"))
     val cands = banded(nd, "new").join(cb, Seq("band", "band_hash"))
       .select(col("new_id"), col("corpus_id")).distinct()
+    verifyCrossPairs(cands, newDocs, corpus, id, text, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of cross-table candidate (new_id,
+    * corpus_id) pairs: joins each candidate back to both sides' shingle
+    * sets and keeps pairs at/above the threshold — the shared tail of
+    * [[incrementalLshPairs]] and the STREAMING ingest path (candidates
+    * from `EventStream.ingestDedupPairsStream`, verified on the
+    * finished batch). Candidate sets are small relative to the corpus
+    * (band collisions only), so both joins broadcast the candidate
+    * side at scale. */
+  def verifyCrossPairs(cands: DataFrame, newDocs: DataFrame, corpus: DataFrame,
+      id: Column, text: Column, n: Int, threshold: Double): DataFrame = {
+    val nd = newDocs.select(id.as("new_id"), shingles(text, n).as("new_sh"))
+      .withColumn("new_size", size(col("new_sh")))
+    val cd = corpus.select(id.as("corpus_id"), shingles(text, n).as("corpus_sh"))
+      .withColumn("corpus_size", size(col("corpus_sh")))
     cands
-      .join(nd.select(col("new_id"), col("new_sh"), col("new_size")), "new_id")
-      .join(cd.select(col("corpus_id"), col("corpus_sh"), col("corpus_size")), "corpus_id")
+      .join(nd, "new_id")
+      .join(cd, "corpus_id")
       .withColumn("common", size(array_intersect(col("new_sh"), col("corpus_sh"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("new_size") + col("corpus_size") - col("common")))

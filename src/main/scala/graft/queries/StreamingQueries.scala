@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Engine
+import graft.operators.Dedup
+import graft.streaming.EventStream
+import graft.streaming.EventStream._
+
+/** Structured-Streaming rows of the catalog: each entry runs a REAL
+  * streaming query — file source over the events parquet → transform →
+  * memory sink, driven to completion with `processAllAvailable` — and
+  * returns the finished table, so the driver's DuckDB oracle
+  * hash-checks streaming output against its batch-SQL equivalent.
+  *
+  * The reference has no event-time streaming at all (SURVEY §2.10: its
+  * "streaming" is volcano-style batch pull, plan.rs:12); these rows
+  * prove the incremental forms produce byte-identical answers to the
+  * batch semantics a reference user gets today.
+  *
+  * Determinism notes (why these are oracle-safe):
+  *  - session tz is UTC and ts is NTZ-repaired, so the LTZ casts
+  *    watermarks require are micros-identity;
+  *  - the file source lists the single events parquet as ONE
+  *    micro-batch (no maxFilesPerTrigger), so stateful results don't
+  *    depend on batch boundaries;
+  *  - sums accumulate in DECIMAL(18,6) (streaming state merges in
+  *    arrival order — a double sum would be run-dependent);
+  *  - `stream_window_agg` mirrors append-mode watermark semantics in
+  *    SQL: a window is emitted iff `window_end <= max(ts) - watermark`
+  *    (the no-data batch after the last file flushes exactly those).
+  */
+object StreamingQueries extends QueryCatalog {
+
+  /** Streaming exact dedup (`dropDuplicatesWithinWatermark`) over the
+    * stream unioned with itself: every event arrives twice, the state
+    * store must emit each event_id exactly once. Only the id column is
+    * emitted — WHICH duplicate survives is racy, the id set is not. */
+  private val streamDedupIds = Q(
+    "stream_dedup_ids",
+    Some("SELECT DISTINCT event_id FROM events"),
+    (s, dir) => {
+      val ev = eventsStream(s, dir)
+      runToMemory(dedupStream(ev.union(ev)).select("event_id"),
+        "stream_dedup_ids_sink")
+    })
+
+  /** Watermarked stream-stream inner join (clicks⋈views per user within
+    * 30 min) vs the plain batch range self-join. Ids only: the joined
+    * set is deterministic, row multiplicity included. */
+  private val streamJoinClickView = Q(
+    "stream_join_click_view",
+    Some("""
+      SELECT c.event_id AS click_id, v.event_id AS view_id,
+             c.user_id AS user_id
+      FROM events c JOIN events v ON c.user_id = v.user_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+        AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE"""),
+    (s, dir) =>
+      runToMemory(
+        clickViewJoin(eventsStream(s, dir))
+          .select(col("click_id"), col("view_id"), col("c_user").as("user_id")),
+        "stream_join_click_view_sink"))
+
+  /** Stateful sessionization (mapGroupsWithState, 30-min gap): the last
+    * session's event count + whether any earlier session closed, per
+    * user. The batch oracle rebuilds the same gap logic with window
+    * functions (ts ties are harmless: a zero gap can't break a session
+    * whichever side of the tie is scanned first). */
+  private val streamSessionize = Q(
+    "stream_sessionize",
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+      s AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM o),
+      m AS (SELECT user_id, max(sess) AS last_sess FROM s GROUP BY user_id)
+      SELECT s.user_id, count(*) AS n_events, (m.last_sess > 0) AS closed
+      FROM s JOIN m ON s.user_id = m.user_id AND s.sess = m.last_sess
+      GROUP BY s.user_id, m.last_sess"""),
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+        .as[EventStream.Event]
+      runToMemory(
+        sessionize(ev, gapMs = 30L * 60 * 1000)
+          .toDF("user_id", "n_events", "closed"),
+        "stream_sessionize_sink", OutputMode.Update())
+    })
+
+  /** Watermarked hourly window aggregation in APPEND mode: the sink
+    * holds exactly the finalized windows (end ≤ max event time − 2 h);
+    * the oracle applies the same horizon cut to the batch GROUP BY. */
+  private val streamWindowAgg = Q(
+    "stream_window_agg",
+    Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events)
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+      FROM events, mx
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+      GROUP BY date_trunc('hour', ts), event_type"""),
+    (s, dir) =>
+      runToMemory(windowedCounts(eventsStream(s, dir)), "stream_window_agg_sink")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value").cast("double"), 2).as("sum_value")))
+
+  /** Streaming ingest dedup end-to-end: new docs (id ≥ 400) arrive as a
+    * STREAM, LSH-band candidates against the static corpus (id < 400)
+    * via the stateless stream-static inner join, then the finished
+    * candidate set is exact-Jaccard verified in batch. The oracle is
+    * the exact cross-table Jaccard — the SAME oracle as the all-batch
+    * `dedup_incremental` row (banding recall ≈ 1 at this data's
+    * similarity gap), so streaming ingest is proven to admit exactly
+    * the pairs the batch path admits. */
+  private val streamIngestDedup = Q(
+    "stream_ingest_dedup",
+    Some("""
+      WITH g AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               FOR i IN generate_series(1, len(w) - 2)]) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      FROM g a JOIN g b ON a.doc_id >= 400 AND b.doc_id < 400
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      ORDER BY new_id, corpus_id"""),
+    (s, dir) => {
+      val docs = Engine.t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val cands = runToMemory(
+        ingestDedupPairsStream(
+          tableStream(s, dir, "documents").filter(col("doc_id") >= 400), corpus),
+        "stream_ingest_dedup_sink").distinct()
+      Dedup.verifyCrossPairs(cands, docs.filter(col("doc_id") >= 400), corpus,
+          col("doc_id"), col("text"), n = 3, threshold = 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    })
+
+  def defs: Seq[Q] = Seq(
+    streamDedupIds, streamJoinClickView, streamSessionize, streamWindowAgg,
+    streamIngestDedup)
+}

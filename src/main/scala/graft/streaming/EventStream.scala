@@ -16,7 +16,10 @@ object EventStream {
 
   /** Event-time windowed aggregation with a watermark: counts + value
     * sums per (window, event_type). Late data beyond the watermark is
-    * dropped — bounded state at any scale. */
+    * dropped — bounded state at any scale. The value sum accumulates in
+    * DECIMAL(18,6) (repo-wide bit-determinism pattern): streaming state
+    * merges in arrival order, so a double sum would carry ULP noise
+    * across runs. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
@@ -26,7 +29,9 @@ object EventStream {
       .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 6))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -110,22 +115,60 @@ object EventStream {
       .join(corpusBands, Seq("band", "band_hash"), "left_semi")
   }
 
-  /** Drive the events parquet through the file-stream source into an
-    * in-memory table; returns the completed batch result. (Streaming
-    * reader needs an explicit schema; ts arrives as NANOS → repaired
-    * the same way as the batch path.) */
-  def runFileStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+  /** Stream-static ingest dedup CANDIDATE PAIRS: like
+    * [[ingestDedupStream]] but an inner equi-join keeping the colliding
+    * corpus doc id, so the exact-verify step
+    * (`Dedup.verifyCrossPairs`) can run on the finished batch. Still
+    * stateless on the stream side — band keys are row-local; the
+    * corpus (with its hot-bucket skew guard) is the static side,
+    * re-planned per micro-batch. One row per colliding band; the
+    * verify step dedups. */
+  def ingestDedupPairsStream(newDocs: DataFrame, corpus: DataFrame,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val corpusBands = graft.operators.Dedup
+      .bandKeys(corpus, col("doc_id"), col("text"), n, bands, rowsPerBand)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
+    graft.operators.Dedup
+      .bandKeys(newDocs, col("doc_id"), col("text"), n, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(corpusBands, Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+  }
+
+  /** A testdata table as a file-source STREAM. Streaming readers need
+    * an explicit schema, so the batch footer is read once. */
+  def tableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream
+    val batchSchema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    spark.readStream
       .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", s"$table.parquet")
       .parquet(sfDir)
-    val events = raw.withColumn("ts",
-      expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    val q = windowedCounts(events)
-      .writeStream
-      .outputMode(OutputMode.Append)
+  }
+
+  /** The events table as a stream with the same NANOS→NTZ ts repair as
+    * the batch reader (ParquetTables.read). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "events")
+      .withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  /** Run a streaming DataFrame to completion into an in-memory table
+    * and return the finished result: start → processAllAvailable (which
+    * also runs the no-data batch that flushes watermark-finalized
+    * state) → stop. The sink table is dropped first so re-runs in a
+    * long-lived session (Verify, tests) start clean. */
+  def runToMemory(df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(queryName)
+    val q = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .start()
@@ -133,4 +176,9 @@ object EventStream {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Drive the events parquet through the file-stream source into an
+    * in-memory table; returns the completed batch result. */
+  def runFileStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame =
+    runToMemory(windowedCounts(eventsStream(spark, sfDir)), queryName)
 }
