@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * (max task duration / median, stages with ≥ 8 tasks) from a task
   * listener. Prints one JSON line; usage:
   *
-  *   sbt -batch "runMain graft.ScaleSweep [nDocs]"
+  *   sbt -batch "runMain graft.ScaleSweep [nDocs]"        # dedup paths
+  *   sbt -batch "runMain graft.ScaleSweep ann [nDocs]"    # ANN paths
   */
 object ScaleSweep {
 
@@ -90,11 +91,23 @@ object ScaleSweep {
     base.select(col("doc_id"), text.as("text"))
   }
 
+  /** Deterministic dim-`dim` embedding: value (d) of doc id is a pure
+    * hash of (id, d) mapped to [-1, 1] — any rerun reproduces the
+    * corpus bit-for-bit, like [[corpusDf]]. */
+  private def embeddingsDf(spark: org.apache.spark.sql.SparkSession,
+      nDocs: Long, dim: Int): DataFrame =
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => ((pmod(xxhash64(col("id") * 131 + d), lit(2001L)) - 1000L) / 1000.0)
+          .cast("float")).as("vec"))
+
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val mode = args.headOption.filterNot(_.forall(_.isDigit)).getOrElse("dedup")
+    val nDocs = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
     val spark = Engine.session()
     val listener = new StageListener
     spark.sparkContext.addSparkListener(listener)
+    if (mode == "ann") { annSweep(spark, listener, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -140,5 +153,83 @@ object ScaleSweep {
       s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
       s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
     spark.stop()
+  }
+
+  /** ANN sweep at 10⁶ vectors — the measured anchor for the similarity
+    * path's scale claims: (1) brute-force top-k (broadcast queries; the
+    * per-query rank filter is pushed below the shuffle by Spark's
+    * WindowGroupLimit, so shuffle is O(partitions × queries × k), not
+    * O(corpus)); (2) IVF top-k with a 2-iteration k-means fit (bounded
+    * collects only) and an 8/64-cell probe; recall measured against the
+    * exact brute-force result.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep ann [nDocs]"
+    */
+  private def annSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val dim = 32
+    val k = 10
+    // materialize to parquet and scan back: the shape of real use (the
+    // corpus lives in storage), and a generator-rooted self-referencing
+    // plan trips constraint propagation on the cell_id alias
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_sweep").toString + "/emb"
+    embeddingsDf(spark, nDocs, dim).write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    // materialized as a standalone 20-row frame (bounded collect), the
+    // shape of real use — queries are a small separate table, not a
+    // projection of the corpus plan (a range×range self-join trips
+    // Catalyst's relation dedup on identical generator plans)
+    val qPlan = corpus
+      .filter(col("doc_id") % (nDocs / 20L) === 7)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qPlan.collect(): _*), qPlan.schema)
+    val nQueries = queries.count()
+
+    val t0 = System.nanoTime()
+    val s0 = listener.snapshot()
+    val brute = operators.Similarity.bruteForceTopK(
+        corpus, queries, "doc_id", "vec", "query_id", "qvec", k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bruteRows = brute.count()
+    val bruteWall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    // fit (amortized once per index build) timed separately from the
+    // per-query-batch probe — the number that matters for serving
+    val tFit = System.nanoTime()
+    val index = operators.Similarity.kmeansCentroids(
+      corpus, "doc_id", "vec", nCells = 64, iters = 2)
+    val fitWall = (System.nanoTime() - tFit) / 1e9
+
+    val t1 = System.nanoTime()
+    val ivf = operators.Similarity.ivfTopK(
+        corpus, queries, "doc_id", "vec", "query_id", "qvec", k,
+        nCells = 64, nProbe = 8, centroids = Some(index))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivfRows = ivf.count()
+    val ivfWall = (System.nanoTime() - t1) / 1e9
+    val s2 = listener.snapshot()
+
+    val hit = ivf.select(col("query_id"), col("neighbor_id"))
+      .join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+    val recall = if (bruteRows == 0) 0.0 else hit.toDouble / bruteRows
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"ann","docs":$nDocs,"dim":$dim,"queries":$nQueries,"k":$k,""" +
+      s""""bruteWallSec":${math.round(bruteWall * 10) / 10.0},""" +
+      s""""bruteShuffleReadMB":${mb(s1._1 - s0._1)},"bruteShuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""ivfFitWallSec":${math.round(fitWall * 10) / 10.0},""" +
+      s""""ivfProbeWallSec":${math.round(ivfWall * 10) / 10.0},""" +
+      s""""ivfShuffleReadMB":${mb(s2._1 - s1._1)},"ivfShuffleWriteMB":${mb(s2._2 - s1._2)},""" +
+      s""""ivfRows":$ivfRows,"recallVsExact":${math.round(recall * 1000) / 1000.0},""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
   }
 }

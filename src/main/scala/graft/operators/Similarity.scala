@@ -185,11 +185,15 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0,
+      centroids: Option[(Seq[Long], Seq[Seq[Double]])] = None): DataFrame = {
     import org.apache.spark.sql.functions.explode
-    val (cellIds, cellVecs) =
+    // `centroids` = a precomputed index (production shape: fit once —
+    // kmeansCentroids — then serve many query batches without re-fitting)
+    val (cellIds, cellVecs) = centroids.getOrElse {
       if (kmeansIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, nCells, kmeansIters)
       else fitCentroids(corpus, corpusId, corpusVec, nCells)
+    }
     val assigned = ivfAssignWith(corpus, corpusId, corpusVec, cellIds, cellVecs)
 
     // each query probes its nProbe nearest cells — also pure map-side
