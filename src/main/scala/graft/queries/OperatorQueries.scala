@@ -1002,10 +1002,49 @@ object OperatorQueries extends QueryCatalog {
         .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
         .orderBy(col("l_orderkey"), col("l_linenumber")))
 
+  /** Bucketed CO-LOCATED join: both sides are written `bucketBy` the
+    * join key into catalog tables, so the join consumes the bucketing
+    * and needs no Exchange (the 100 TB technique for repeated fact⋈fact
+    * joins; ScaleSpec asserts the shuffle-free plan). The oracle is the
+    * plain equi-join — value-checks that the bucketed write+read path
+    * loses/duplicates nothing. */
+  private val joinBucketed = Q(
+    "join_bucketed",
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+    (s, dir) => {
+      Engine.registerDir(s, dir)
+      Seq("graft_li_bkt", "graft_o_bkt").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // each JVM gets a fresh in-memory metastore, so a DROP can't see
+        // (or clean) a previous run's warehouse dir — remove it directly
+        val loc = java.nio.file.Paths.get(
+          java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+            .getPath, tbl)
+        if (java.nio.file.Files.exists(loc)) {
+          java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+        }
+      }
+      s.table("lineitem").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_bkt")
+      s.table("orders").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_o_bkt")
+      s.table("graft_li_bkt")
+        .join(s.table("graft_o_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(dsum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderstatus"))
+    })
+
   override def defs: Seq[Q] = Seq(
     scanProjection, scanMemory, scanWriteRoundtrip,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
-    joinSelf, joinInequality, joinRange, joinAsof,
+    joinSelf, joinInequality, joinRange, joinAsof, joinBucketed,
     aggSkewSalted, joinSkewSalted,
     aggBasic, aggDistinct, aggStats, aggBool, aggMinmaxBy, aggBitwise,
     aggListagg, aggCorr, aggSkewKurt, aggRegr, aggPercentile, aggAnyValue,

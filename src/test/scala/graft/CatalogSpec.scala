@@ -17,9 +17,9 @@ class CatalogSpec extends AnyFunSuite {
     // update alongside COVERAGE.md's "Verification totals" when adding queries
     // (144 + all 156 ref_* golden rows + agg_skew_salted /
     // join_skew_salted / data_hot_shingles + the 5 stream_* rows +
-    // iceberg_append, all added in round 5)
-    assert(SparkEntry.queries.size == 309, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 305, s"oracles: ${SparkEntry.oracleSql.size}")
+    // iceberg_append / join_bucketed, all added in round 5)
+    assert(SparkEntry.queries.size == 310, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 306, s"oracles: ${SparkEntry.oracleSql.size}")
     // the 4 deliberate rows-only entries, each with an exact oracle-checked sibling
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
