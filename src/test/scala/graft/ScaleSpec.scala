@@ -13,23 +13,51 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle (co-located join)") {
     Engine.registerDir(spark, sf0001) // tables land in ./spark-warehouse (gitignored)
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS o_b")
+    Seq("li_b", "o_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // a fresh metastore can't see a previous JVM's warehouse dirs;
+      // remove any stale location directly (same as join_bucketed)
+      val loc = java.nio.file.Paths.get(
+        java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     spark.table("lineitem").write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     spark.table("orders").write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
-    // bucketed joins bypass AQE shuffle planning only when both sides
-    // report the same bucketing; assert no Exchange in the plan
-    val joined = spark.table("li_b")
-      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
-    joined.collect()
-    val p = joined.queryExecution.executedPlan.toString
-    val joinSection = p.substring(p.indexOf("Join"))
-    assert(!joinSection.substring(0, joinSection.indexOf("Scan"))
-      .contains("Exchange hashpartitioning"),
-      s"join should consume bucketing, plan:\n$p")
+    // disable broadcast for this test: at toy SF the dimension fits the
+    // broadcast threshold and AQE plans a BroadcastHashJoin, which has
+    // no shuffle to elide — the no-Exchange assert would be vacuous.
+    // Forcing the sort-merge path proves the join actually CONSUMES the
+    // bucketing (no Exchange, no per-side Sort re-sort needed).
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val full = joined.queryExecution.executedPlan.toString
+      // AQE toString appends the pre-adaptive "Initial Plan" (which
+      // legitimately contains the planned exchanges) — assert on the
+      // final plan section only
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      assert(p.contains("SortMergeJoin"), s"expected SMJ, plan:\n$p")
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"join should consume bucketing, plan:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"bucketed scan, plan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
