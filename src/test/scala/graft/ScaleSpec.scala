@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Skew
 
 /** Cluster-scale techniques demonstrated and asserted locally:
-  * bucketed co-located joins (no exchange), salted aggregation/join
-  * equivalence. */
+  * bucketed co-located joins (forced SMJ, no exchange), salted
+  * aggregation/join equivalence, AQE runtime skew-join splitting. */
 class ScaleSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -100,5 +100,36 @@ class ScaleSpec extends AnyFunSuite {
     val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
     val salted = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 4).count()
     assert(plain == salted)
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key holding 75% of the left side — the 100 TB failure
+    // mode AQE's skew-join handles without salting. Thresholds lowered
+    // so the toy volume qualifies as skewed; broadcast disabled so the
+    // join shuffles (a broadcast join has no skewed partition to split).
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = prev.keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toMap
+    prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(300000L).select(
+        when(col("id") < 225000L, 7L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(2000L).select(col("id").as("k2"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // collect() (not count()) so the assert reads the SAME query
+      // execution that ran, with AQE's final plan in place
+      assert(joined.collect().length == 225000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE should mark the skewed join, plan:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
