@@ -76,6 +76,29 @@ object Engine {
     }
   }
 
+  /** Recursively delete a directory tree if it exists (no-op
+    * otherwise). Closes the walk stream — `Files.walk` holds directory
+    * handles until closed. Shared by the bucketed-table warehouse
+    * cleanup and the fixed-path temp-table rows. */
+  def deleteRecursively(path: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(path)) {
+      val walk = java.nio.file.Files.walk(path)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+
+  /** Drop a catalog table AND its warehouse directory: each JVM gets a
+    * fresh in-memory metastore, so DROP TABLE alone can't see (or
+    * clean) a previous run's location and the next saveAsTable fails
+    * with LOCATION_ALREADY_EXISTS. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteRecursively(java.nio.file.Paths.get(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table))
+  }
+
   /** Standalone session for mains/tests. local[*] stands in for a real
     * cluster; shuffle partitions sized for local cores, AQE on for
     * runtime re-planning (skew join, partition coalescing) as it would

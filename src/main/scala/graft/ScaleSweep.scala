@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * row id — no RNG state, so any rerun reproduces it bit-for-bit):
   * 1,000,000 docs of ~25 tokens over a 50k-token vocabulary; every
   * id ≡ 1 (mod 20) doc is a near-duplicate of its id-1 neighbor (one
-  * token perturbed → shingle Jaccard ≈ 0.85), planting 50k known
+  * token perturbed → shingle Jaccard ≈ 0.77: 20 of 26 distinct shingles shared), planting 50k known
   * 2-doc clusters. Runs:
   *
   *   1. `Dedup.clusters(useLsh = true)` — MinHash+LSH banding →
@@ -171,9 +171,10 @@ object ScaleSweep {
     val k = 10
     // materialize to parquet and scan back: the shape of real use (the
     // corpus lives in storage), and a generator-rooted self-referencing
-    // plan trips constraint propagation on the cell_id alias
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("graft_ann_sweep").toString + "/emb"
+    // plan trips constraint propagation on the cell_id alias. Fixed
+    // path, replaced per run — no temp-dir accumulation.
+    val corpusPath = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ann_sweep", "emb").toString
     embeddingsDf(spark, nDocs, dim).write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

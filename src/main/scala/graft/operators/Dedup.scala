@@ -243,28 +243,27 @@ object Dedup {
   def incrementalLshPairs(newDocs: DataFrame, corpus: DataFrame, id: Column,
       text: Column, n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int = 10000): DataFrame = {
-    val k = bands * rowsPerBand
-    def prep(df: DataFrame, prefix: String): DataFrame =
-      df.select(id.as(s"${prefix}_id"), shingles(text, n).as(s"${prefix}_sh"))
-        .withColumn(s"${prefix}_sig", toCol(MinHashSignature(toExpr(col(s"${prefix}_sh")), k)))
-        .withColumn(s"${prefix}_size", size(col(s"${prefix}_sh")))
-    def banded(df: DataFrame, prefix: String): DataFrame =
-      df.select(col(s"${prefix}_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, slice(col(s"${prefix}_sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
-        .select(col(s"${prefix}_id"), col("pos").as("band"), col("col").as("band_hash"))
-    val nd = prep(newDocs, "new")
-    val cd = prep(corpus, "corpus")
-    // hot-bucket guard on the corpus side (the big one)
-    val cb = banded(cd, "corpus").withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .select(col("corpus_id"), col("band"), col("band_hash"))
-    val cands = banded(nd, "new").join(cb, Seq("band", "band_hash"))
+    val cands = bandKeys(newDocs, id, text, n, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(guardedCorpusBands(corpus, id, text, n, bands, rowsPerBand, maxBucket),
+        Seq("band", "band_hash"))
       .select(col("new_id"), col("corpus_id")).distinct()
     verifyCrossPairs(cands, newDocs, corpus, id, text, n, threshold)
   }
+
+  /** (corpus_id, band, band_hash) band keys of the corpus with the
+    * hot-bucket skew guard applied — THE shared corpus-side kernel of
+    * the batch incremental path ([[incrementalLshPairs]]) and the
+    * streaming ingest path (`EventStream.ingestDedupPairsStream`), so
+    * the two can't silently diverge on guard semantics. */
+  def guardedCorpusBands(corpus: DataFrame, id: Column, text: Column, n: Int,
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame =
+    bandKeys(corpus, id, text, n, bands, rowsPerBand)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
 
   /** Exact-Jaccard verification of cross-table candidate (new_id,
     * corpus_id) pairs: joins each candidate back to both sides' shingle

@@ -143,11 +143,13 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCells: Int, iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
     import org.apache.spark.sql.functions.{avg, posexplode}
-    var (ids, vecs) = fitCentroids(corpus, corpusId, corpusVec, nCells)
-    if (iters == 0) return (ids, vecs)
+    if (iters == 0) return fitCentroids(corpus, corpusId, corpusVec, nCells)
     val train = corpus.select(col(corpusId), col(corpusVec))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // seed from the persisted pruned frame so the seeding action is
+      // the scan that populates the cache (one storage scan total)
+      var (ids, vecs) = fitCentroids(train, corpusId, corpusVec, nCells)
       (1 to iters).foreach { _ =>
         val assigned = ivfAssignWith(train, corpusId, corpusVec, ids, vecs)
         val means = assigned
@@ -163,8 +165,8 @@ object Similarity {
           }
         }
       }
+      (ids, vecs)
     } finally train.unpersist(false)
-    (ids, vecs)
   }
 
   /** Nearest-centroid assignment as a PURE PROJECTION — argmax over the

@@ -36,10 +36,12 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
   private val bareVarbinary = """(?i)\bAS\s+VARBINARY\s*([,)])""".r
 
   /** Split `sql` into alternating code / quoted segments. Quoted
-    * segments ('' literals with '' escaping, "" identifiers with ""
-    * escaping) are returned VERBATIM including their quotes — rewrites
-    * must never fire inside them (a literal containing `AS VARCHAR)`
-    * is data, not syntax). */
+    * segments ('' literals with '' doubling AND backslash escapes —
+    * Spark's default `escapedStringLiterals=false` dialect accepts
+    * `'it\'s'` — and "" identifiers with "" doubling only; identifiers
+    * have no backslash escape) are returned VERBATIM including their
+    * quotes — rewrites must never fire inside them (a literal
+    * containing `AS VARCHAR)` is data, not syntax). */
   private def segments(sql: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
@@ -54,7 +56,11 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
         while (!closed && i < sql.length) {
           val ch = sql.charAt(i)
           lit.append(ch); i += 1
-          if (ch == c) {
+          if (ch == '\\' && c == '\'' && i < sql.length) {
+            // backslash escape inside a string literal: consume the
+            // escaped char so an escaped quote can't close the segment
+            lit.append(sql.charAt(i)); i += 1
+          } else if (ch == c) {
             if (i < sql.length && sql.charAt(i) == c) { lit.append(c); i += 1 }
             else closed = true
           }

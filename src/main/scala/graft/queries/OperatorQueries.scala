@@ -1018,18 +1018,8 @@ object OperatorQueries extends QueryCatalog {
       ORDER BY o_orderstatus"""),
     (s, dir) => {
       Engine.registerDir(s, dir)
-      Seq("graft_li_bkt", "graft_o_bkt").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        // each JVM gets a fresh in-memory metastore, so a DROP can't see
-        // (or clean) a previous run's warehouse dir — remove it directly
-        val loc = java.nio.file.Paths.get(
-          java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
-            .getPath, tbl)
-        if (java.nio.file.Files.exists(loc)) {
-          java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.delete(p))
-        }
-      }
+      Seq("graft_li_bkt", "graft_o_bkt")
+        .foreach(Engine.dropTableAndLocation(s, _))
       s.table("lineitem").write
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_bkt")
       s.table("orders").write

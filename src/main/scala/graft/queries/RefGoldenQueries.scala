@@ -186,6 +186,41 @@ object RefGoldenQueries extends QueryCatalog {
       }
     } ++ forcePads.getOrElse(id, Seq.empty)).distinct.sorted
 
+  /** Redirect word-boundary occurrences of table `t` to `${t}_p` only
+    * OUTSIDE quoted regions — a table name inside a string literal
+    * (e.g. `LIKE '%orders%'`) is data, not a reference, and rewriting
+    * it would silently corrupt the oracle. DuckDB literals/identifiers
+    * use ''/"" doubling (no backslash escapes by default). A QUOTED
+    * identifier naming the table is also left alone: the pad CTE only
+    * binds the bare name, so a miss there fails loudly in DuckDB
+    * rather than silently diverging. */
+  private[graft] def redirectOutsideQuotes(sql: String, t: String): String = {
+    val re = s"(?i)\\b$t\\b".r
+    val out = new StringBuilder
+    val code = new StringBuilder
+    def flush(): Unit = {
+      out.append(re.replaceAllIn(code.toString, s"${t}_p")); code.clear()
+    }
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        flush()
+        out.append(c); i += 1
+        var closed = false
+        while (!closed && i < sql.length) {
+          val ch = sql.charAt(i); out.append(ch); i += 1
+          if (ch == c) {
+            if (i < sql.length && sql.charAt(i) == c) { out.append(c); i += 1 }
+            else closed = true
+          }
+        }
+      } else { code.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** Oracle side: manifest SQL (+wrapper), dialect rewrites applied,
     * padded-table CTEs prepended with references redirected. Merges
     * with a query's own leading WITH if present. */
@@ -197,9 +232,7 @@ object RefGoldenQueries extends QueryCatalog {
     val needsPartsupp = q.matches("(?is).*\\bpartsupp\\b.*")
     if (padTables.isEmpty && !needsPartsupp) return q
 
-    val redirected = padTables.foldLeft(q) { (acc, t) =>
-      acc.replaceAll(s"(?i)\\b$t\\b", s"${t}_p")
-    }
+    val redirected = padTables.foldLeft(q)((acc, t) => redirectOutsideQuotes(acc, t))
     val ctes =
       (if (needsPartsupp) Seq(duckPartsupp) else Seq.empty) ++
         padTables.map { t =>

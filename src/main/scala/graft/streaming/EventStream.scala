@@ -125,20 +125,14 @@ object EventStream {
     * verify step dedups. */
   def ingestDedupPairsStream(newDocs: DataFrame, corpus: DataFrame,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
-    val corpusBands = graft.operators.Dedup
-      .bandKeys(corpus, col("doc_id"), col("text"), n, bands, rowsPerBand)
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= maxBucket)
-      .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
+      maxBucket: Int = 10000): DataFrame =
     graft.operators.Dedup
       .bandKeys(newDocs, col("doc_id"), col("text"), n, bands, rowsPerBand)
       .withColumnRenamed("doc_id", "new_id")
-      .join(corpusBands, Seq("band", "band_hash"))
+      .join(graft.operators.Dedup.guardedCorpusBands(
+          corpus, col("doc_id"), col("text"), n, bands, rowsPerBand, maxBucket),
+        Seq("band", "band_hash"))
       .select(col("new_id"), col("corpus_id"))
-  }
 
   /** A testdata table as a file-source STREAM. Streaming readers need
     * an explicit schema, so the batch footer is read once. */

@@ -68,4 +68,21 @@ class EngineSpec extends AnyFunSuite {
     assert(p.rewrite("SELECT 'AS VARCHAR)', date_add('day', 1, ts), CAST(1 AS VARCHAR)")
       == "SELECT 'AS VARCHAR)', date_add(day, 1, ts), CAST(1 AS STRING)")
   }
+
+  test("TrinoDialectParser handles backslash-escaped quotes in literals") {
+    val p = new TrinoDialectParser(null)
+    // Spark's default dialect accepts \' inside a literal — the escaped
+    // quote must not close the segment and swallow the rest of the query
+    assert(p.rewrite("SELECT 'it\\'s', CAST(1 AS VARCHAR)")
+      == "SELECT 'it\\'s', CAST(1 AS STRING)")
+    assert(p.rewrite("SELECT 'a\\'b', date_add('day', 1, ts)")
+      == "SELECT 'a\\'b', date_add(day, 1, ts)")
+    // a trailing backslash before the closing quote is the literal's
+    // own escape of the quote — still closed correctly by '' doubling
+    assert(p.rewrite("SELECT 'path\\\\', CAST(1 AS VARCHAR)")
+      == "SELECT 'path\\\\', CAST(1 AS STRING)")
+    // identifiers have no backslash escape: \ is an ordinary char
+    assert(p.rewrite("SELECT a AS \"x\\\" FROM t, CAST(1 AS VARCHAR)")
+      == "SELECT a AS \"x\\\" FROM t, CAST(1 AS STRING)")
+  }
 }

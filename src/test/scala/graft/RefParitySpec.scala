@@ -33,6 +33,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RefParitySpec extends AnyFunSuite {
 
+  test("oracle table redirect never fires inside string literals") {
+    val r = queries.RefGoldenQueries.redirectOutsideQuotes(_, "orders")
+    assert(r("SELECT * FROM orders WHERE o_comment LIKE '%orders%'")
+      == "SELECT * FROM orders_p WHERE o_comment LIKE '%orders%'")
+    // case-insensitive match; replacement normalizes to the CTE's
+    // lower-case name (DuckDB resolves identifiers case-insensitively)
+    assert(r("SELECT 'orders', Orders.o_orderkey FROM ORDERS")
+      == "SELECT 'orders', orders_p.o_orderkey FROM orders_p")
+    // '' doubling keeps the literal one segment
+    assert(r("SELECT 'it''s orders data' FROM orders")
+      == "SELECT 'it''s orders data' FROM orders_p")
+    // word boundary: suborders / orders_p are different identifiers
+    assert(r("SELECT suborders FROM orders_archive")
+      == "SELECT suborders FROM orders_archive")
+  }
+
   test("all 156 reference golden queries parse, bind and execute") {
     assume(queries.RefManifest.available, "reference checkout not mounted")
     val spark = TestSpark.spark

@@ -13,17 +13,7 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed tables join without a shuffle (co-located join)") {
     Engine.registerDir(spark, sf0001) // tables land in ./spark-warehouse (gitignored)
-    Seq("li_b", "o_b").foreach { tbl =>
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      // a fresh metastore can't see a previous JVM's warehouse dirs;
-      // remove any stale location directly (same as join_bucketed)
-      val loc = java.nio.file.Paths.get(
-        java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
-    }
+    Seq("li_b", "o_b").foreach(Engine.dropTableAndLocation(spark, _))
     spark.table("lineitem").write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     spark.table("orders").write
