@@ -122,4 +122,47 @@ class ScaleSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sort/window buffers spill under memory pressure (metrics prove it)") {
+    // The reference's always-on larger-than-memory story maps to
+    // Spark's UnifiedMemoryManager + spillable operator buffers. Force
+    // the behavior at toy volume via the force-spill row threshold and
+    // PROVE bytes took the spill path via task metrics, rather than
+    // leaving "spillable" as a built-in claim.
+    Engine.registerDir(spark, sf0001)
+    // both knobs: the buffer only becomes a spillable sorter past the
+    // in-memory threshold; the spill threshold then forces it to disk
+    val keys = Seq("spark.sql.windowExec.buffer.in.memory.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold")
+    val savedThresholds = keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toMap
+    keys.foreach(spark.conf.set(_, "64"))
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) spilled.addAndGet(
+          t.taskMetrics.memoryBytesSpilled + t.taskMetrics.diskBytesSpilled)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val total = spark.table("lineitem")
+        .withColumn("rn", row_number().over(w))
+        .agg(sum(col("rn"))).collect()(0).getLong(0)
+      assert(total > 0)
+      // listener delivery is async — settle like Bench does
+      var tries = 0
+      while (spilled.get() == 0 && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(spilled.get() > 0,
+        "window buffer should have spilled past the 64-row threshold")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      savedThresholds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
