@@ -117,6 +117,45 @@ object StreamingQueries extends QueryCatalog {
           col("event_type"), col("n"),
           round(col("sum_value").cast("double"), 2).as("sum_value")))
 
+  /** NATIVE gap-based session windows (merging-sessions state store, a
+    * different operator than the mapGroupsWithState row): per-user
+    * 30-min-gap sessions with counts + decimal sums; append mode emits
+    * a session once the watermark passes its end. The oracle rebuilds
+    * the same islands with window functions (boundary caveat: the SQL
+    * breaks a session when the gap EXCEEDS 30 min, Spark when it
+    * reaches it — they differ only on an exact-to-the-µs 30-min gap,
+    * which this testdata cannot produce) and applies the same
+    * `session_end ≤ max(ts) − 2 h` horizon cut. */
+  private val streamSessionWindow = Q(
+    "stream_session_window",
+    Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      o AS (SELECT user_id, ts, value,
+              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+            FROM events),
+      s AS (SELECT user_id, ts, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+            FROM o),
+      g AS (SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(*) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+            FROM s GROUP BY user_id, sess)
+      SELECT CAST(session_start AS TIMESTAMP) AS session_start,
+             CAST(session_end AS TIMESTAMP) AS session_end,
+             user_id, n, sum_value
+      FROM g, mx
+      WHERE session_end <= m - INTERVAL 2 HOUR"""),
+    (s, dir) =>
+      runToMemory(sessionWindowCounts(eventsStream(s, dir)),
+        "stream_session_window_sink")
+        .select(col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("user_id"), col("n"),
+          round(col("sum_value").cast("double"), 2).as("sum_value")))
+
   /** Streaming ingest dedup end-to-end: new docs (id ≥ 400) arrive as a
     * STREAM, LSH-band candidates against the static corpus (id < 400)
     * via the stateless stream-static inner join, then the finished
@@ -152,5 +191,5 @@ object StreamingQueries extends QueryCatalog {
 
   def defs: Seq[Q] = Seq(
     streamDedupIds, streamJoinClickView, streamSessionize, streamWindowAgg,
-    streamIngestDedup)
+    streamIngestDedup, streamSessionWindow)
 }

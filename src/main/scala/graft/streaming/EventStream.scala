@@ -67,6 +67,24 @@ object EventStream {
       }
   }
 
+  /** NATIVE session-window aggregation (gap-based `session_window`,
+    * Spark's merging-sessions state store — a different operator class
+    * than the custom [[sessionize]] state): per (user, session) event
+    * counts and decimal value sums. Append mode emits a session once
+    * the watermark passes its end (last event + gap). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 6))).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the incremental form of Dedup.exact (state is
     * bounded by the watermark; the batch analogue is a hash aggregate). */
