@@ -1031,8 +1031,29 @@ object OperatorQueries extends QueryCatalog {
         .orderBy(col("o_orderstatus"))
     })
 
+  /** Table-function / generator surface (SURVEY §2.11: the reference
+    * has NO table functions — no UNNEST, no LATERAL): posexplode of a
+    * per-row array with the ordinal kept, the lateral-join shape every
+    * Spark generator plans to (Generate operator). Oracle: DuckDB
+    * UNNEST WITH ORDINALITY. ➕ exceeds reference. */
+  private val unnestLateral = Q(
+    "unnest_lateral",
+    Some("""
+      SELECT o_orderkey, CAST(i - 1 AS INT) AS pos, l[i] AS x
+      FROM (SELECT o_orderkey, [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7] AS l
+            FROM orders WHERE o_orderkey < 100) t,
+           (SELECT unnest(generate_series(1, 3)) AS i) s
+      ORDER BY o_orderkey, pos"""),
+    (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          posexplode(array(col("o_orderkey") % 3, col("o_orderkey") % 5,
+            col("o_orderkey") % 7)))
+        .select(col("o_orderkey"), col("pos"), col("col").as("x"))
+        .orderBy(col("o_orderkey"), col("pos")))
+
   override def defs: Seq[Q] = Seq(
-    scanProjection, scanMemory, scanWriteRoundtrip,
+    scanProjection, scanMemory, scanWriteRoundtrip, unnestLateral,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
     joinSelf, joinInequality, joinRange, joinAsof, joinBucketed,
     aggSkewSalted, joinSkewSalted,
