@@ -171,10 +171,12 @@ object ScaleSweep {
     val k = 10
     // materialize to parquet and scan back: the shape of real use (the
     // corpus lives in storage), and a generator-rooted self-referencing
-    // plan trips constraint propagation on the cell_id alias. Fixed
-    // path, replaced per run — no temp-dir accumulation.
-    val corpusPath = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_ann_sweep", "emb").toString
+    // plan trips constraint propagation on the cell_id alias. Unique
+    // temp dir per sweep run — a fixed path would let two concurrent
+    // sweeps overwrite each other's corpus mid-read (sweeps are rare
+    // manual runs, so the per-run dir doesn't meaningfully accumulate).
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_sweep").resolve("emb").toString
     embeddingsDf(spark, nDocs, dim).write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

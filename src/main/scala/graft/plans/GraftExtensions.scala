@@ -35,42 +35,15 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
   private val bareVarchar = """(?i)\bAS\s+VARCHAR\s*([,)])""".r
   private val bareVarbinary = """(?i)\bAS\s+VARBINARY\s*([,)])""".r
 
-  /** Split `sql` into alternating code / quoted segments. Quoted
-    * segments ('' literals with '' doubling AND backslash escapes —
-    * Spark's default `escapedStringLiterals=false` dialect accepts
-    * `'it\'s'` — and "" identifiers with "" doubling only; identifiers
-    * have no backslash escape) are returned VERBATIM including their
-    * quotes — rewrites must never fire inside them (a literal
+  /** Split `sql` into alternating code / quoted segments (shared
+    * walker: graft.SqlText). Quoted segments ('' literals with ''
+    * doubling AND backslash escapes — Spark's default
+    * `escapedStringLiterals=false` dialect accepts `'it\'s'` — and ""
+    * identifiers with "" doubling only) are returned VERBATIM including
+    * their quotes — rewrites must never fire inside them (a literal
     * containing `AS VARCHAR)` is data, not syntax). */
-  private def segments(sql: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
-        out += cur.toString; cur.clear()
-        val lit = new StringBuilder
-        lit.append(c); i += 1
-        var closed = false
-        while (!closed && i < sql.length) {
-          val ch = sql.charAt(i)
-          lit.append(ch); i += 1
-          if (ch == '\\' && c == '\'' && i < sql.length) {
-            // backslash escape inside a string literal: consume the
-            // escaped char so an escaped quote can't close the segment
-            lit.append(sql.charAt(i)); i += 1
-          } else if (ch == c) {
-            if (i < sql.length && sql.charAt(i) == c) { lit.append(c); i += 1 }
-            else closed = true
-          }
-        }
-        out += lit.toString
-      } else { cur.append(c); i += 1 }
-    }
-    out += cur.toString
-    out.result() // code segments at even indices, quoted at odd
-  }
+  private def segments(sql: String): Vector[String] =
+    graft.SqlText.splitQuoted(sql, backslashInSingleQuotes = true)
 
   private[graft] def rewrite(sql: String): String = {
     val segs = segments(sql)

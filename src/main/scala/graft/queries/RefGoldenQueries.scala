@@ -196,29 +196,10 @@ object RefGoldenQueries extends QueryCatalog {
     * rather than silently diverging. */
   private[graft] def redirectOutsideQuotes(sql: String, t: String): String = {
     val re = s"(?i)\\b$t\\b".r
-    val out = new StringBuilder
-    val code = new StringBuilder
-    def flush(): Unit = {
-      out.append(re.replaceAllIn(code.toString, s"${t}_p")); code.clear()
-    }
-    var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
-        flush()
-        out.append(c); i += 1
-        var closed = false
-        while (!closed && i < sql.length) {
-          val ch = sql.charAt(i); out.append(ch); i += 1
-          if (ch == c) {
-            if (i < sql.length && sql.charAt(i) == c) { out.append(c); i += 1 }
-            else closed = true
-          }
-        }
-      } else { code.append(c); i += 1 }
-    }
-    flush()
-    out.toString
+    // DuckDB dialect: no backslash escapes inside literals ('' doubling
+    // only). Shared walker with the Spark-side parser rewrites.
+    graft.SqlText.mapCode(sql, backslashInSingleQuotes = false)(
+      code => re.replaceAllIn(code, s"${t}_p"))
   }
 
   /** Oracle side: manifest SQL (+wrapper), dialect rewrites applied,
