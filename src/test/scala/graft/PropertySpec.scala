@@ -14,6 +14,33 @@ class PropertySpec extends AnyFunSuite {
   private def forAll[T](g: Gen[T], n: Int = 300)(check: T => Unit): Unit =
     Iterator.continually(g.sample).flatten.take(n).foreach(check)
 
+  test("SqlText.splitQuoted reconstructs any input verbatim (both dialects)") {
+    // the shared quote-walker behind the parser rewrites AND the golden
+    // oracle redirect: segmentation must be lossless however quotes,
+    // escapes, and garbage interleave
+    val sqlish = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const('\''), 2 -> Gen.const('"'),
+      2 -> Gen.const('\\'), 2 -> Gen.oneOf(' ', ',', '(', ')', '%'))).map(_.mkString)
+    forAll(sqlish) { s =>
+      assert(SqlText.splitQuoted(s, backslashInSingleQuotes = true).mkString == s)
+      assert(SqlText.splitQuoted(s, backslashInSingleQuotes = false).mkString == s)
+      // identity code-mapping is the identity overall
+      assert(SqlText.mapCode(s, backslashInSingleQuotes = true)(identity) == s)
+    }
+  }
+
+  test("SqlText quoted segments carry every quote char (code is quote-free)") {
+    val sqlish = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.const('\''), 2 -> Gen.const('"'))).map(_.mkString)
+    forAll(sqlish) { s =>
+      SqlText.splitQuoted(s, backslashInSingleQuotes = false).zipWithIndex.foreach {
+        case (seg, i) if i % 2 == 0 =>
+          assert(!seg.exists(c => c == '\'' || c == '"'), s"code segment quoted: $seg in $s")
+        case _ => ()
+      }
+    }
+  }
+
   test("base32 roundtrips arbitrary byte arrays") {
     forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val arr = bytes.toArray
