@@ -75,6 +75,35 @@ object OperatorQueries extends QueryCatalog {
         .agg(count(lit(1)).as("n"), countDistinct(col("n_nationkey")).as("nk"))
     })
 
+  /** CSV write + schema'd re-read roundtrip (➕ source format beyond
+    * the reference, which reads parquet/iceberg only — SURVEY §2.1).
+    * Full row contents verified, not just counts: the oracle reads the
+    * original parquet, so any type/quoting/null loss in the CSV hop
+    * flips the hash. Explicit schema on re-read (CSV carries none). */
+  private val scanCsvRoundtrip = Q(
+    "scan_csv_roundtrip",
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+    (s, dir) => {
+      val src = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${dir.hashCode}"
+      src.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .orderBy(col("n_nationkey"))
+    })
+
+  /** JSON-lines write + re-read roundtrip (➕ likewise absent in the
+    * reference). Same oracle shape: parquet truth vs the JSON hop. */
+  private val scanJsonRoundtrip = Q(
+    "scan_json_roundtrip",
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+    (s, dir) => {
+      val src = t(s, dir, "region").select("r_regionkey", "r_name")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt_${dir.hashCode}"
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .orderBy(col("r_regionkey"))
+    })
+
   // ---------------------------------------------------------------- joins
 
   /** Inner equi-join (reference HashJoinExec Inner, hash_join.rs:172). */
@@ -1053,7 +1082,8 @@ object OperatorQueries extends QueryCatalog {
         .orderBy(col("o_orderkey"), col("pos")))
 
   override def defs: Seq[Q] = Seq(
-    scanProjection, scanMemory, scanWriteRoundtrip, unnestLateral,
+    scanProjection, scanMemory, scanWriteRoundtrip, scanCsvRoundtrip,
+    scanJsonRoundtrip, unnestLateral,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
     joinSelf, joinInequality, joinRange, joinAsof, joinBucketed,
     aggSkewSalted, joinSkewSalted,
