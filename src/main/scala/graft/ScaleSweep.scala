@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
   *
   *   sbt -batch "runMain graft.ScaleSweep [nDocs]"        # dedup paths
   *   sbt -batch "runMain graft.ScaleSweep ann [nDocs]"    # ANN paths
+  *   sbt -batch "runMain graft.ScaleSweep spans [nDocs]"  # span dedup
   */
 object ScaleSweep {
 
@@ -108,6 +109,7 @@ object ScaleSweep {
     val listener = new StageListener
     spark.sparkContext.addSparkListener(listener)
     if (mode == "ann") { annSweep(spark, listener, nDocs); spark.stop(); return }
+    if (mode == "spans") { spansSweep(spark, listener, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -153,6 +155,56 @@ object ScaleSweep {
       s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
       s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
     spark.stop()
+  }
+
+  /** Span-dedup sweep at 10⁶ docs — the measured anchor for
+    * `Dedup.duplicateSpans` (the heaviest shuffle of the dedup family:
+    * the hits join ships (gram, doc, pos)). Reuses [[corpusDf]], whose
+    * planted near-dup pairs (id ≡ 1 mod 20 copies its id−1 seed with
+    * token 12 perturbed) double as planted duplicate PASSAGES: with
+    * k = 8 every within-pair gram not covering the perturbed token
+    * (1-based position 13) is duplicated, so each pair member carries
+    * exactly two spans — [1,12] (gram starts 1-5) and [14,25] (gram
+    * starts 14-18), 24 of 25 tokens — and every other doc is span-free
+    * (a cross-seed 8-gram collision needs 8 consecutive 1-in-50k token
+    * matches).
+    * Runs the digest-keyed path (the production form: 16-byte gram
+    * keys; string-path equivalence is property-tested in LlmOpsSpec)
+    * and checks the planted counts exactly.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep spans [nDocs]"
+    */
+  private def spansSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val k = 8
+    val corpus = corpusDf(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inputBytes = corpus.agg(sum(length(col("text")))).head.getLong(0)
+    val expectedDupDocs = 2 * (nDocs / 20)
+
+    val t0 = System.nanoTime()
+    val s0 = listener.snapshot()
+    val stats = operators.Dedup.duplicateSpans(
+        corpus, col("doc_id"), col("text"), k, digestKeyed = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = stats.agg(
+      sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("dup_docs"),
+      sum(col("dup_tokens")).as("dup_tokens"),
+      sum(when(col("n_spans") === 2 && col("dup_tokens") === 24, 1L)
+        .otherwise(0L)).as("exact_shape")).head
+    val wall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"spans","docs":$nDocs,"k":$k,"inputMB":${mb(inputBytes)},""" +
+      s""""wallSec":${math.round(wall * 10) / 10.0},""" +
+      s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""dupDocs":${agg.getLong(0)},"expectedDupDocs":$expectedDupDocs,""" +
+      s""""exactShapeDocs":${agg.getLong(2)},"dupTokens":${agg.getLong(1)},""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
   }
 
   /** ANN sweep at 10⁶ vectors — the measured anchor for the similarity

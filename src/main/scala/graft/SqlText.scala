@@ -6,8 +6,13 @@ package graft
   * backslash escapes inside single-quoted literals are honored when
   * `backslashInSingleQuotes` (Spark's default dialect accepts `'it\'s'`)
   * and ignored otherwise (DuckDB, where `\` is an ordinary character).
-  * Double-quoted segments never have backslash escapes (identifiers in
-  * both dialects).
+  * Double-quoted segments have backslash escapes only when
+  * `backslashInDoubleQuotes`: with Spark's
+  * `spark.sql.ansi.doubleQuotedIdentifiers=false` (the vanilla
+  * default) `"..."` is a string LITERAL with backslash escapes; with
+  * it true (what Engine.session sets) `"..."` is an identifier and `\`
+  * is ordinary — callers must pass what the session they rewrite for
+  * actually parses (TrinoDialectParser reads the live conf).
   *
   * Shared by the Trino-dialect parser rewrites
   * (plans/GraftExtensions.scala) and the golden-oracle table redirect
@@ -17,7 +22,8 @@ package graft
   */
 object SqlText {
 
-  def splitQuoted(sql: String, backslashInSingleQuotes: Boolean): Vector[String] = {
+  def splitQuoted(sql: String, backslashInSingleQuotes: Boolean,
+      backslashInDoubleQuotes: Boolean = false): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
@@ -31,7 +37,8 @@ object SqlText {
         while (!closed && i < sql.length) {
           val ch = sql.charAt(i)
           lit.append(ch); i += 1
-          if (ch == '\\' && c == '\'' && backslashInSingleQuotes && i < sql.length) {
+          val bs = if (c == '\'') backslashInSingleQuotes else backslashInDoubleQuotes
+          if (ch == '\\' && bs && i < sql.length) {
             // escaped char: consume it so an escaped quote can't close
             lit.append(sql.charAt(i)); i += 1
           } else if (ch == c) {

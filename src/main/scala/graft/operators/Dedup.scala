@@ -42,6 +42,22 @@ object Dedup {
     df.groupBy(md5(key.cast("string")).as("dup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Document-frequency skew guard for an inverted index: keeps only
+    * postings of shingles whose document frequency is within
+    * `maxBucket` (a hot shingle adds quadratic pair cost for near-zero
+    * signal). Implemented as groupBy-count + join — the partial
+    * (map-side) count aggregates BEFORE the exchange, so a hot
+    * shingle's count arrives as a handful of partial rows instead of
+    * one task buffering its full posting list (the
+    * `Window.partitionBy(shingle)` form this replaces did exactly
+    * that). PlanSpec asserts the partial-aggregate shape. */
+  private def dfGuard(inv: DataFrame, maxBucket: Int): DataFrame =
+    inv.join(
+      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
+        .filter(col("df_count") <= maxBucket)
+        .select(col("shingle")),
+      Seq("shingle"))
+
   /** All pairs with shingle-set Jaccard >= threshold — exact, via an
     * inverted-index join on shingles (never materializes the n² pairs). */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
@@ -50,9 +66,7 @@ object Dedup {
       .withColumn("sh_size", size(col("sh")))
     val inv = sh.select(col("doc_id"), col("sh_size"), explode(col("sh")).as("shingle"))
     // skew guard: drop shingles shared by too many docs (no signal, n² cost)
-    val rare = inv.withColumn("df_count",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df_count") <= maxBucket)
+    val rare = dfGuard(inv, maxBucket)
     val a = rare.select(col("doc_id").as("a_id"), col("sh_size").as("a_size"), col("shingle"))
     val b = rare.select(col("doc_id").as("b_id"), col("sh_size").as("b_size"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -307,9 +321,7 @@ object Dedup {
     val bSh = bench.select(id.as("bench_id"), shingles(text, n).as("sh"))
       .withColumn("bench_size", size(col("sh")))
       .select(col("bench_id"), col("bench_size"), explode(col("sh")).as("shingle"))
-    val rare = tSh.withColumn("df_count",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df_count") <= maxBucket)
+    val rare = dfGuard(tSh, maxBucket)
     rare.join(bSh, Seq("shingle"))
       .groupBy(col("train_id"), col("bench_id"), col("bench_size"))
       .agg(count(lit(1)).as("common"))
@@ -368,9 +380,19 @@ object Dedup {
     * Returns (doc_id, n_spans, dup_tokens, dup_frac) for every input
     * doc; excising the spans (the paper's "cut" step) is then a join +
     * row-local token filter.
+    *
+    * `digestKeyed = true` keys the duplicate-detection groupBy and the
+    * hits join on a 128-bit md5 digest of the gram instead of the gram
+    * string — the production form SCALE.md promises: shuffle bytes are
+    * bounded at 16 bytes/gram regardless of k or token length, and a
+    * 128-bit digest makes a false gram collision (which would only
+    * over-mark a span) cosmically unlikely. The string-keyed default
+    * stays because it keeps the DuckDB oracle byte-exact; the two
+    * paths are equivalence-tested in LlmOpsSpec.
     */
-  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val (base, spans) = spanTables(df, id, text, k)
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int,
+      digestKeyed: Boolean = false): DataFrame = {
+    val (base, spans) = spanTables(df, id, text, k, digestKeyed)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
     base.select(col("doc_id"), col("n_tokens"))
@@ -385,17 +407,39 @@ object Dedup {
   /** The paper's "cut" step: the corpus with every duplicate span
     * excised. Spans per doc are a bounded collect_list (span count ≤
     * n_tokens/1, in practice a handful) broadcast-joined back; token
-    * filtering is row-local. Returns (doc_id, cleaned, kept_tokens). */
-  def exciseDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val (base, spans) = spanTables(df, id, text, k)
+    * filtering is row-local. The kept indices are built as the GAPS
+    * between the sorted spans — one `sequence` per gap, flattened —
+    * so the cost is O(n_tokens + n_spans) per doc, not the
+    * O(n_tokens × n_spans) a per-token `exists` over the span list
+    * costs (adversarial docs alternating duplicate/unique k-grams
+    * have n_spans ∝ n/k, making that form quadratic row-local work;
+    * equivalence on exactly that shape is property-tested in
+    * LlmOpsSpec). Valid because [[spanTables]] emits merged DISJOINT
+    * islands: after array_sort, span j+1 starts at least one token
+    * after span j ends. Returns (doc_id, cleaned, kept_tokens). */
+  def exciseDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int,
+      digestKeyed: Boolean = false): DataFrame = {
+    val (base, spans) = spanTables(df, id, text, k, digestKeyed)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("sps"))
+    val sps = array_sort(col("sps"))
+    val m = size(sps)
+    val n = col("n_tokens").cast("long")
+    // gap j (0-based) runs from the end of span j (or token 1) to the
+    // start of span j+1 (or the last token); `when` evaluates lazily,
+    // so element_at never sees an out-of-range index
+    val kept = flatten(transform(sequence(lit(0), m), j => {
+      val gapStart = when(j === 0, lit(1L))
+        .otherwise(element_at(sps, j).getField("e") + 1L)
+      val gapEnd = when(j === m, n)
+        .otherwise(element_at(sps, j + 1).getField("s") - 1L)
+      when(gapStart <= gapEnd, sequence(gapStart, gapEnd))
+        .otherwise(array().cast("array<bigint>"))
+    }))
     base.join(perDoc, Seq("doc_id"), "left")
       .withColumn("sps",
         coalesce(col("sps"), array().cast("array<struct<s:bigint,e:bigint>>")))
-      .withColumn("kept",
-        filter(sequence(lit(1L), col("n_tokens").cast("long")),
-          i => !exists(col("sps"), sp => i >= sp("s") && i <= sp("e"))))
+      .withColumn("kept", kept)
       .select(col("doc_id"),
         array_join(transform(col("kept"), i => element_at(col("ts"), i.cast("int"))), " ")
           .as("cleaned"),
@@ -403,18 +447,24 @@ object Dedup {
   }
 
   /** Shared machinery for [[duplicateSpans]]/[[exciseDuplicateSpans]]:
-    * (base(doc_id, ts, n_tokens), merged spans(doc_id, s, e)). */
+    * (base(doc_id, ts, n_tokens), merged spans(doc_id, s, e)).
+    * `digestKeyed` swaps the gram string for its 16-byte md5 digest as
+    * the shuffle key of the duplicate groupBy + hits join (identical
+    * plan shape, bounded key bytes — the 100 TB form). */
   private def spanTables(df: DataFrame, id: Column, text: Column,
-      k: Int): (DataFrame, DataFrame) = {
+      k: Int, digestKeyed: Boolean = false): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val base = df.select(id.as("doc_id"), split(text, " ").as("ts"))
       .withColumn("n_tokens", size(col("ts")))
+    val gramKey: Column => Column =
+      if (digestKeyed) g => unhex(md5(g)) else identity
     val grams = base.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), col("n_tokens") - (k - 1)),
           i => concat_ws(" ", slice(col("ts"), i, lit(k))))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        gramKey(col("col")).as("gram"))
     val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("gram"))
     val hits = grams.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))

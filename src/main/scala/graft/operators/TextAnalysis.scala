@@ -75,20 +75,43 @@ object TextAnalysis {
 
   /** Character-entropy quality signal (bits/char): low entropy flags
     * repetitive/boilerplate text, near-random entropy flags binary
-    * junk. Row-local fold over the doc's own characters in SORTED
-    * order — the summation order is part of the contract, so any
-    * engine reproduces the double bit-for-bit (log2 is computed as
-    * ln(p)/ln(2) on both sides; a native log2 can differ in the last
-    * ulp). Zero shuffle at any scale. */
+    * junk. ONE sorted-run fold over `array_sort(cs)`: a run of equal
+    * chars ends when the next char differs, contributing its
+    * -p·log2(p) term right there — O(n log n) per doc, no nested
+    * rescan (the previous per-distinct-char `filter` was O(u·n):
+    * fine for Latin's ~100 distinct chars, a straggler-task hazard
+    * for unique-heavy CJK docs — the same bug class as the round-4
+    * repetitionStats advisory, fixed with the same fold). Terms
+    * accumulate in sorted-distinct-char order with p = count/n and
+    * log2 = ln(p)/ln(2), exactly the sequence the naive form adds, so
+    * results are bit-identical (equivalence property-tested in
+    * LlmOpsSpec). Zero shuffle at any scale. */
   def charEntropy(text: Column): Column = {
     val cs = split(text, "")
     val n = length(text).cast("double")
+    def term(run: Column): Column = {
+      val p = run.cast("double") / n
+      -p * (log(p) / log(lit(2.0)))
+    }
+    // run=0 marks "no run open yet", so the "" init sentinel can never
+    // be confused with a real first char (split never yields "" chars
+    // for non-empty text; for empty text the single "" run folds the
+    // same way either form computes it)
     round(
-      aggregate(array_sort(array_distinct(cs)), lit(0.0),
-        (acc, ch) => {
-          val p = size(filter(cs, c => c === ch)).cast("double") / n
-          acc + -p * (log(p) / log(lit(2.0)))
-        }), 6)
+      aggregate(
+        array_sort(cs),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+        (st, ch) => {
+          val closes = st.getField("run") > 0 && ch =!= st.getField("prev")
+          struct(
+            ch.as("prev"),
+            when(closes, lit(1L)).otherwise(st.getField("run") + 1).as("run"),
+            when(closes, st.getField("acc") + term(st.getField("run")))
+              .otherwise(st.getField("acc")).as("acc"))
+        },
+        st => when(st.getField("run") > 0,
+          st.getField("acc") + term(st.getField("run")))
+          .otherwise(st.getField("acc"))), 6)
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality

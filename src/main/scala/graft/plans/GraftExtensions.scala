@@ -36,14 +36,27 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
   private val bareVarbinary = """(?i)\bAS\s+VARBINARY\s*([,)])""".r
 
   /** Split `sql` into alternating code / quoted segments (shared
-    * walker: graft.SqlText). Quoted segments ('' literals with ''
-    * doubling AND backslash escapes — Spark's default
-    * `escapedStringLiterals=false` dialect accepts `'it\'s'` — and ""
-    * identifiers with "" doubling only) are returned VERBATIM including
-    * their quotes — rewrites must never fire inside them (a literal
-    * containing `AS VARCHAR)` is data, not syntax). */
-  private def segments(sql: String): Vector[String] =
-    graft.SqlText.splitQuoted(sql, backslashInSingleQuotes = true)
+    * walker: graft.SqlText). Quoted segments are returned VERBATIM
+    * including their quotes — rewrites must never fire inside them (a
+    * literal containing `AS VARCHAR)` is data, not syntax). Escape
+    * rules track the LIVE session confs, so the walker segments
+    * exactly what the delegate parser will parse: backslash escapes
+    * apply inside `'...'` unless `escapedStringLiterals=true`, and
+    * inside `"..."` only when those are string literals too — i.e.
+    * `doubleQuotedIdentifiers=false`, the vanilla default; Engine
+    * .session sets it true, making `"..."` identifiers with `""`
+    * doubling only (round-5 advisory: assuming that conf here would
+    * mis-segment in a vanilla session and let rewrites fire inside
+    * literal data). */
+  private def segments(sql: String): Vector[String] = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val backslash =
+      !conf.getConfString("spark.sql.parser.escapedStringLiterals", "false").toBoolean
+    val dqIdentifiers =
+      conf.getConfString("spark.sql.ansi.doubleQuotedIdentifiers", "false").toBoolean
+    graft.SqlText.splitQuoted(sql, backslashInSingleQuotes = backslash,
+      backslashInDoubleQuotes = backslash && !dqIdentifiers)
+  }
 
   private[graft] def rewrite(sql: String): String = {
     val segs = segments(sql)

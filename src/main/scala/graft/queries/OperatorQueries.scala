@@ -62,6 +62,13 @@ object OperatorQueries extends QueryCatalog {
         .orderBy(col("x"))
     })
 
+  /** Per-JVM scratch root for the source-format roundtrip rows (same
+    * pattern as IcebergQueries.appendRoot): a fixed cross-process path
+    * derived from the sf dir would let two concurrent catalog runs
+    * overwrite/delete each other's files mid-read. */
+  private lazy val roundtripRoot =
+    java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+
   /** Parquet write + re-read roundtrip (reference ParquetWriter,
     * physical/operators/parquet.rs). */
   private val scanWriteRoundtrip = Q(
@@ -69,7 +76,7 @@ object OperatorQueries extends QueryCatalog {
     Some("""
       SELECT count(*) AS n, count(DISTINCT n_nationkey) AS nk FROM nation"""),
     (s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${dir.hashCode}"
+      val out = s"$roundtripRoot/parquet_${dir.hashCode}"
       t(s, dir, "nation").write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .agg(count(lit(1)).as("n"), countDistinct(col("n_nationkey")).as("nk"))
@@ -85,7 +92,7 @@ object OperatorQueries extends QueryCatalog {
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
     (s, dir) => {
       val src = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${dir.hashCode}"
+      val out = s"$roundtripRoot/csv_${dir.hashCode}"
       src.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(src.schema).option("header", "true").csv(out)
         .orderBy(col("n_nationkey"))
@@ -98,7 +105,7 @@ object OperatorQueries extends QueryCatalog {
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
     (s, dir) => {
       val src = t(s, dir, "region").select("r_regionkey", "r_name")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt_${dir.hashCode}"
+      val out = s"$roundtripRoot/json_${dir.hashCode}"
       src.write.mode("overwrite").json(out)
       s.read.schema(src.schema).json(out)
         .orderBy(col("r_regionkey"))
@@ -1047,14 +1054,18 @@ object OperatorQueries extends QueryCatalog {
       ORDER BY o_orderstatus"""),
     (s, dir) => {
       Engine.registerDir(s, dir)
-      Seq("graft_li_bkt", "graft_o_bkt")
-        .foreach(Engine.dropTableAndLocation(s, _))
+      // per-JVM table names: two concurrent catalog runs sharing one
+      // working directory (and so one spark-warehouse) must not drop
+      // each other's live bucketed tables
+      val tag = ProcessHandle.current().pid()
+      val (liBkt, oBkt) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
+      Seq(liBkt, oBkt).foreach(Engine.dropTableAndLocation(s, _))
       s.table("lineitem").write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_bkt")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liBkt)
       s.table("orders").write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_o_bkt")
-      s.table("graft_li_bkt")
-        .join(s.table("graft_o_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oBkt)
+      s.table(liBkt)
+        .join(s.table(oBkt), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(dsum(col("l_quantity")), 2).as("qty"))
         .orderBy(col("o_orderstatus"))

@@ -27,9 +27,12 @@ import graft.streaming.EventStream._
   *    depend on batch boundaries;
   *  - sums accumulate in DECIMAL(18,6) (streaming state merges in
   *    arrival order — a double sum would be run-dependent);
-  *  - `stream_window_agg` mirrors append-mode watermark semantics in
-  *    SQL: a window is emitted iff `window_end <= max(ts) - watermark`
-  *    (the no-data batch after the last file flushes exactly those).
+  *  - `stream_window_agg`/`stream_session_window` mirror append-mode
+  *    watermark semantics in SQL: a window/session is emitted iff
+  *    `end <= ms_trunc(max(ts)) - delay` — inclusive boundary,
+  *    millisecond-truncated watermark, both pinned empirically in
+  *    WatermarkBoundarySpec (the no-data batch after the last file
+  *    flushes exactly those).
   */
 object StreamingQueries extends QueryCatalog {
 
@@ -99,12 +102,18 @@ object StreamingQueries extends QueryCatalog {
     })
 
   /** Watermarked hourly window aggregation in APPEND mode: the sink
-    * holds exactly the finalized windows (end ≤ max event time − 2 h);
-    * the oracle applies the same horizon cut to the batch GROUP BY. */
+    * holds exactly the finalized windows — end ≤ the watermark, which
+    * Spark tracks at MILLISECOND precision (max event time is
+    * ms-truncated before the delay is subtracted), and the boundary is
+    * INCLUSIVE: a window ending exactly on the watermark is emitted.
+    * Both facts are pinned empirically in WatermarkBoundarySpec; the
+    * oracle cut mirrors them with date_trunc('milliseconds', max(ts))
+    * (for hour-aligned window ends the truncation cannot change the
+    * answer, but the cut is exact by construction, not by luck). */
   private val streamWindowAgg = Q(
     "stream_window_agg",
     Some("""
-      WITH mx AS (SELECT max(ts) AS m FROM events)
+      WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events)
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
              event_type, count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
@@ -125,11 +134,15 @@ object StreamingQueries extends QueryCatalog {
     * breaks a session when the gap EXCEEDS 30 min, Spark when it
     * reaches it — they differ only on an exact-to-the-µs 30-min gap,
     * which this testdata cannot produce) and applies the same
-    * `session_end ≤ max(ts) − 2 h` horizon cut. */
+    * horizon cut: `session_end ≤ watermark`, INCLUSIVE, against the
+    * MS-TRUNCATED max event time (WatermarkBoundarySpec pins both;
+    * session ends carry µs, so the ms truncation is load-bearing here
+    * — a session ending µs above the truncated watermark is held
+    * back even when the raw µs max(ts) − 2 h would pass it). */
   private val streamSessionWindow = Q(
     "stream_session_window",
     Some("""
-      WITH mx AS (SELECT max(ts) AS m FROM events),
+      WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM events),
       o AS (SELECT user_id, ts, value,
               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk

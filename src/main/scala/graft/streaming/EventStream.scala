@@ -189,6 +189,29 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Run a streaming DataFrame into a parquet FILE SINK with a real
+    * `checkpointLocation`, until all currently-available input is
+    * processed (including the no-data batch that flushes
+    * watermark-finalized state), then stop. Unlike [[runToMemory]]
+    * this is the RECOVERABLE form a deployment uses: the checkpoint
+    * carries source offsets, the watermark, and operator state, and
+    * the file sink's `_spark_metadata` commit log makes output
+    * exactly-once — stopping and calling this again with the same
+    * dirs resumes precisely where the stream stopped, never
+    * re-emitting a committed window (SourcesSpec proves the
+    * kill-restart roundtrip is row-identical to an uninterrupted
+    * run). */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive the events parquet through the file-stream source into an
     * in-memory table; returns the completed batch result. */
   def runFileStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame =

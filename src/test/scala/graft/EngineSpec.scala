@@ -85,4 +85,28 @@ class EngineSpec extends AnyFunSuite {
     assert(p.rewrite("SELECT a AS \"x\\\" FROM t, CAST(1 AS VARCHAR)")
       == "SELECT a AS \"x\\\" FROM t, CAST(1 AS STRING)")
   }
+
+  test("TrinoDialectParser double-quote escape rules track the live session conf") {
+    // r5 advisory: with doubleQuotedIdentifiers=false (the vanilla
+    // default — Engine.session sets it true) Spark parses "..." as a
+    // string LITERAL with backslash escapes; the walker must segment
+    // the same way or rewrites can fire inside literal data
+    import org.apache.spark.sql.internal.SQLConf
+    val p = new TrinoDialectParser(null)
+    val vanillaConf = new SQLConf
+    SQLConf.withExistingConf(vanillaConf) {
+      // the escaped quote must NOT close the literal — everything up
+      // to the final quote is data, so the cast bait stays untouched
+      assert(p.rewrite("SELECT \"it\\\" CAST(1 AS VARCHAR) \" FROM t")
+        == "SELECT \"it\\\" CAST(1 AS VARCHAR) \" FROM t")
+    }
+    val engineConf = new SQLConf
+    engineConf.setConfString("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    SQLConf.withExistingConf(engineConf) {
+      // identifier semantics: \ is ordinary, the identifier ends at the
+      // second quote, and the cast AFTER it is code that must rewrite
+      assert(p.rewrite("SELECT \"it\\\" , CAST(1 AS VARCHAR) FROM t")
+        == "SELECT \"it\\\" , CAST(1 AS STRING) FROM t")
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -358,6 +359,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((words("z", 12), 12L)))
   }
 
+  test("exciseDuplicateSpans: gap-walk cut is exact on adversarial alternating-span docs") {
+    val s = spark
+    import s.implicits._
+    // the worst case for the per-token-exists form this replaced:
+    // duplicate k-gram blocks alternating with unique tokens, so
+    // n_spans ∝ n_tokens/k. Doc 0 = D1 u1 D2 u2 ... D40 u40 (each D_i
+    // a k=3-token block also present in doc 1); doc 1 = the 40 blocks
+    // concatenated. Every within-block gram is duplicated, every gram
+    // crossing a block/unique boundary is unique, so the spans are
+    // exactly the D blocks: doc 0 keeps exactly its u tokens, doc 1
+    // keeps nothing.
+    val k = 3
+    val blocks = (1 to 40).map(b => (1 to k).map(j => s"d${b}_$j").mkString(" "))
+    val uniques = (1 to 40).map(b => s"u$b")
+    val doc0 = blocks.zip(uniques).map { case (d, u) => s"$d $u" }.mkString(" ")
+    val doc1 = blocks.mkString(" ")
+    val d = Seq((0L, doc0), (1L, doc1)).toDF("doc_id", "text")
+    val out = operators.Dedup.exciseDuplicateSpans(d, $"doc_id", $"text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((uniques.mkString(" "), 40L)))
+    assert(out(1L) == (("", 0L)))
+    val stats = operators.Dedup.duplicateSpans(d, $"doc_id", $"text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(0L) == ((40L, 120L)))
+  }
+
+  test("duplicateSpans/exciseDuplicateSpans: digest-keyed gram join equals the string-keyed path") {
+    val real = Engine.t(spark, sf0001, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      canon(operators.Dedup.duplicateSpans(real, col("doc_id"), col("text"), k = 8,
+        digestKeyed = true)) ==
+      canon(operators.Dedup.duplicateSpans(real, col("doc_id"), col("text"), k = 8)))
+    assert(
+      canon(operators.Dedup.exciseDuplicateSpans(real, col("doc_id"), col("text"), k = 8,
+        digestKeyed = true)) ==
+      canon(operators.Dedup.exciseDuplicateSpans(real, col("doc_id"), col("text"), k = 8)))
+  }
+
   test("repetitionStats: known fractions on crafted docs, no shuffle in the plan") {
     val s = spark
     import s.implicits._
@@ -397,6 +438,48 @@ class LlmOpsSpec extends AnyFunSuite {
       val expected = round6(toks.groupBy(identity).map(_._2.length).max.toDouble / toks.length)
       assert(got(id) == expected, s"doc $id: '$text'")
     }
+  }
+
+  test("charEntropy: sorted-run fold is bit-identical to the naive per-distinct-char form") {
+    val s = spark
+    import s.implicits._
+    // the naive O(u·n) form the fold replaced — kept here as the
+    // equivalence oracle (same term order: sorted distinct chars; same
+    // p = count/n; same ln(p)/ln(2) log2)
+    def naive(text: Column): Column = {
+      val cs = split(text, "")
+      val n = length(text).cast("double")
+      round(
+        aggregate(array_sort(array_distinct(cs)), lit(0.0),
+          (acc, ch) => {
+            val p = size(filter(cs, c => c === ch)).cast("double") / n
+            acc + -p * (log(p) / log(lit(2.0)))
+          }), 6)
+    }
+    val rnd = new scala.util.Random(7)
+    // random unicode docs: latin, CJK, emoji-range, mixed, plus the
+    // degenerate single-char and all-same shapes
+    val alphabets = Vector(
+      "abcdefghij", "的是在了和一个人我不", "αβγδε", "!@#$% ^&*()",
+      "ab的α!x yz")
+    val docs = (0L until 80L).map { i =>
+      val alpha = alphabets(rnd.nextInt(alphabets.size))
+      val len = 1 + rnd.nextInt(60)
+      i -> (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    } :+ (80L -> "x") :+ (81L -> "aaaaaaaa")
+    val d = docs.toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.charEntropy($"text").as("e"),
+        naive($"text").as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"doc ${r.getLong(0)}: fold ${r.getDouble(1)} != naive ${r.getDouble(2)}")
+    }
+    // still a pure zero-shuffle projection
+    val plan = d.select(TextAnalysis.charEntropy($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   private def round6(d: Double): Double = math.round(d * 1e6) / 1e6

@@ -80,6 +80,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("inverted-index df guard: partial count before the exchange, no posting-list window") {
+    // VERDICT r5 item 4: the hot-shingle guard must be a groupBy-count
+    // + join (map-side partial_count aggregates a hot shingle's posting
+    // list BEFORE the shuffle) — not a Window.partitionBy(shingle),
+    // which buffers the full posting list in one task first.
+    import org.apache.spark.sql.functions.col
+    val real = Engine.t(spark, sf0001, "documents")
+    val pairs = operators.Dedup.jaccardPairs(real, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5, maxBucket = 100)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"df guard must partial-aggregate:\n$p")
+    assert(!p.contains("Window"), s"df guard must not window over postings:\n$p")
+  }
+
   test("IVF cell assignment is map-side: zero exchanges on the corpus") {
     // VERDICT r1 item 3: the old plan window-shuffled the corpus×cells
     // cross product. Now assignment is a pure projection over a centroid
