@@ -271,13 +271,20 @@ object Dedup {
     * streaming ingest path (`EventStream.ingestDedupPairsStream`), so
     * the two can't silently diverge on guard semantics. */
   def guardedCorpusBands(corpus: DataFrame, id: Column, text: Column, n: Int,
-      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame =
-    bandKeys(corpus, id, text, n, bands, rowsPerBand)
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val keys = bandKeys(corpus, id, text, n, bands, rowsPerBand)
+    // groupBy-count + join, not Window.partitionBy: the map-side
+    // partial count collapses a hot bucket's rows before the exchange
+    // (same discipline as dfGuard — a window would buffer the whole
+    // bucket in one task only to drop it)
+    keys.join(
+        keys.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+          .select(col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_hash"))
+  }
 
   /** Exact-Jaccard verification of cross-table candidate (new_id,
     * corpus_id) pairs: joins each candidate back to both sides' shingle
@@ -500,10 +507,14 @@ object Dedup {
     val banded = fp.select(col("doc_id"), col("sh64"),
         posexplode(array(chunkVals: _*)))
       .select(col("doc_id"), col("sh64"), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val guarded = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("chunk"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // groupBy-count + join (map-side partial), not a posting-buffering
+    // window — same skew discipline as dfGuard/guardedCorpusBands
+    val guarded = banded.join(
+      banded.groupBy(col("chunk"), col("chunk_val"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket)
+        .select(col("chunk"), col("chunk_val")),
+      Seq("chunk", "chunk_val"))
     val a = guarded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("a_id"), col("sh64").as("a_fp"))
     val b = guarded.select(col("chunk"), col("chunk_val"),

@@ -212,6 +212,45 @@ object EventStream {
     q.stop()
   }
 
+  /** Run the custom [[sessionize]] (mapGroupsWithState) stream in its
+    * RECOVERABLE form: update-mode via foreachBatch into an
+    * append-only parquet log of (update, batch_id) rows. The
+    * checkpoint carries the user-defined SessionState, so stop +
+    * restart resumes per-user counters instead of restarting them —
+    * the custom-state analogue of [[runToParquet]]'s built-in-state
+    * recovery (SourcesSpec proves the kill-restart roundtrip). The
+    * log is replay-tolerant by construction: readers reduce to the
+    * per-user row with the highest batch_id, so a re-run batch
+    * overwrites itself rather than double-counting. */
+  def runSessionizeToParquet(events: DataFrame, gapMs: Long,
+      outDir: String, checkpointDir: String): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+        col("event_type")).as[Event]
+    val q = sessionize(typed, gapMs).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[SessionUpdate], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Latest per-user session state from a [[runSessionizeToParquet]]
+    * log: the row with the highest batch_id per user. */
+  def latestSessionStates(spark: SparkSession, outDir: String): DataFrame = {
+    val log = spark.read.parquet(outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("batch_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("userId"), col("nEvents"), col("closed"))
+  }
+
   /** Drive the events parquet through the file-stream source into an
     * in-memory table; returns the completed batch result. */
   def runFileStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame =

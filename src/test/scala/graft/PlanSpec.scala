@@ -95,6 +95,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"df guard must not window over postings:\n$p")
   }
 
+  test("LSH band and SimHash chunk bucket guards: partial count, no posting window") {
+    // r6 extension of the dfGuard fix: the OTHER two hot-bucket guards
+    // (incremental-LSH corpus bands, SimHash pigeonhole chunks) carry
+    // the same skew hazard and must use the same groupBy-count + join
+    // shape — map-side partial_count, never Window.partitionBy(bucket).
+    import org.apache.spark.sql.functions.col
+    val real = Engine.t(spark, sf0001, "documents")
+    val bands = operators.Dedup.guardedCorpusBands(real, col("doc_id"), col("text"),
+      n = 3, bands = 4, rowsPerBand = 2, maxBucket = 100)
+    bands.collect()
+    val bp = bands.queryExecution.executedPlan.toString
+    assert(bp.contains("partial_count"), s"band guard must partial-aggregate:\n$bp")
+    assert(!bp.contains("Window"), s"band guard must not window over buckets:\n$bp")
+
+    val sim = operators.Dedup.simhashPairs(real, col("doc_id"), col("text"),
+      maxHamming = 3, chunks = 8, maxBucket = 100)
+    sim.collect()
+    val sp = sim.queryExecution.executedPlan.toString
+    assert(sp.contains("partial_count"), s"chunk guard must partial-aggregate:\n$sp")
+    assert(!sp.contains("Window"), s"chunk guard must not window over buckets:\n$sp")
+  }
+
   test("IVF cell assignment is map-side: zero exchanges on the corpus") {
     // VERDICT r1 item 3: the old plan window-shuffled the corpus×cells
     // cross product. Now assignment is a pure projection over a centroid

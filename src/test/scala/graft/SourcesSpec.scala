@@ -333,6 +333,64 @@ class SourcesSpec extends AnyFunSuite {
       "restart re-emitted a committed window")
   }
 
+  test("streaming: kill + restart recovers CUSTOM mapGroupsWithState state") {
+    // r6 extension of the recovery proof: the windowed-agg/session-
+    // window test above exercises Spark's BUILT-IN state stores; this
+    // one proves the user-defined SessionState in EventStream.sessionize
+    // survives a checkpoint restart — per-user counters must RESUME
+    // (count first-half events fed before the kill), not restart at
+    // zero, and the final states must match an uninterrupted run.
+    val root = Files.createTempDirectory("graft_ckpt_mgws").toString
+    val gapMs = 60 * 60 * 1000L
+    val realEv = Engine.t(spark, sf0001, "events")
+    val tsMicros = unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val midMicros = realEv.select(tsMicros.as("m"))
+      .agg(((min(col("m")) + max(col("m"))) / 2).cast("long")).head.getLong(0)
+    // plant user 9999 with one session STRADDLING the cut (6 events at
+    // 10-min spacing, 3 per side): the real sf0.001 users' median
+    // inter-event gap (~7.7 h) exceeds the session gap, so without a
+    // planted user no session reliably spans the cut and the carry-over
+    // witness below would be vacuous
+    val planted = spark.range(6).select(
+      (col("id") + 9000000L).as("event_id"),
+      timestamp_micros(lit(midMicros) + (col("id") - 2) * 600L * 1000000L)
+        .cast(realEv.schema("ts").dataType).as("ts"),
+      lit(9999L).as("user_id"), lit("planted").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
+    val ev = realEv.unionByName(planted)
+    val inDir = s"$root/in"
+    ev.filter(tsMicros <= midMicros).write.parquet(inDir)
+
+    def stream() = spark.readStream.schema(ev.schema).parquet(inDir)
+    def run(out: String, ckpt: String): Unit =
+      EventStream.runSessionizeToParquet(stream(), gapMs, s"$root/$out", s"$root/$ckpt")
+
+    run("out_split", "ckpt_split") // first half
+    ev.filter(tsMicros > midMicros).write.mode("append").parquet(inDir)
+    run("out_split", "ckpt_split") // kill + restart: same checkpoint, rest of input
+    run("out_full", "ckpt_full")   // uninterrupted reference over the full input
+
+    // compare final COUNTERS only: `closed` reports "a session closed
+    // during this batch" — batch-relative by design, meaningless to
+    // compare across different batch splits
+    def states(out: String): Map[Long, Long] =
+      EventStream.latestSessionStates(spark, s"$root/$out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = states("out_split")
+    val full = states("out_full")
+    assert(split == full, "custom session state diverged across kill-restart")
+
+    // witness that state actually CARRIED OVER: at least one user's
+    // final counter exceeds their post-cut event count (impossible if
+    // the restart had begun from empty state)
+    val secondHalfCounts = ev.filter(tsMicros > midMicros)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val carried = split.exists { case (u, n) =>
+      n > secondHalfCounts.getOrElse(u, 0L) }
+    assert(carried, "no user's counter resumed from checkpointed state")
+  }
+
   test("streaming: stateful sessionization with mapGroupsWithState") {
     val s = spark
     import s.implicits._
