@@ -113,6 +113,7 @@ object ScaleSweep {
     if (mode == "ann-clustered") {
       annClusteredSweep(spark, nDocs); spark.stop(); return
     }
+    if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -206,6 +207,68 @@ object ScaleSweep {
       s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
       s""""dupDocs":${agg.getLong(0)},"expectedDupDocs":$expectedDupDocs,""" +
       s""""exactShapeDocs":${agg.getLong(2)},"dupTokens":${agg.getLong(1)},""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** Decontamination sweep at 10⁶ train docs — the measured anchor for
+    * `Dedup.contaminationPairs`/`decontaminate` (the release-gate
+    * leakage check): a small benchmark set (2,000 docs) where bench
+    * doc b verbatim-copies train doc 20b+2 (ids ≡ 2 mod 20 are never
+    * planted near-dup members, so each bench doc has EXACTLY one
+    * containing train doc at containment 1.0, and a cross-seed 3-gram
+    * collision needs 3 consecutive 1-in-50k token matches — no false
+    * pairs at threshold 0.8). Checks the report finds all nBench
+    * planted leaks and nothing else, and that `decontaminate` keeps
+    * exactly nDocs − nBench docs. The claimed scale shape under
+    * measure: shuffle is dominated by ONE pass over the train
+    * shingles; the benchmark side is tiny.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep contam [nDocs]"
+    */
+  private def contamSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val nBench = 2000L
+    require(nDocs > nBench * 20, "need nDocs > 20*nBench for distinct plants")
+    val corpus = corpusDf(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inputBytes = corpus.agg(sum(length(col("text")))).head.getLong(0)
+    val bench = corpusDf(spark, nDocs)
+      .filter(col("doc_id") % 20 === 2 && col("doc_id") < nBench * 20)
+      .select(((col("doc_id") - 2) / 20).cast("long").as("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBenchActual = bench.count()
+
+    val t0 = System.nanoTime()
+    val s0 = listener.snapshot()
+    val report = operators.Dedup.contaminationPairs(
+        corpus, bench, col("doc_id"), col("text"), n = 3, threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = report.count()
+    val fullContainment = report.filter(col("containment") === 1.0).count()
+    // every planted (train 20b+2, bench b) pair must be present
+    val planted = report.filter(col("train_id") === col("bench_id") * 20 + 2).count()
+    val reportWall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val t1 = System.nanoTime()
+    val kept = operators.Dedup.decontaminate(
+      corpus, bench, col("doc_id"), col("text"), n = 3, threshold = 0.8).count()
+    val decontamWall = (System.nanoTime() - t1) / 1e9
+    val s2 = listener.snapshot()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"contam","docs":$nDocs,"benchDocs":$nBenchActual,""" +
+      s""""inputMB":${mb(inputBytes)},""" +
+      s""""reportWallSec":${math.round(reportWall * 10) / 10.0},""" +
+      s""""reportShuffleReadMB":${mb(s1._1 - s0._1)},"reportShuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""pairs":$nPairs,"fullContainment":$fullContainment,"plantedFound":$planted,""" +
+      s""""expectedPairs":$nBench,""" +
+      s""""decontamWallSec":${math.round(decontamWall * 10) / 10.0},""" +
+      s""""decontamShuffleReadMB":${mb(s2._1 - s1._1)},"decontamShuffleWriteMB":${mb(s2._2 - s1._2)},""" +
+      s""""keptDocs":$kept,"expectedKept":${nDocs - nBench},""" +
       s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
       s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
   }

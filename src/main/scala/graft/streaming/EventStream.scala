@@ -242,7 +242,10 @@ object EventStream {
   }
 
   /** Latest per-user session state from a [[runSessionizeToParquet]]
-    * log: the row with the highest batch_id per user. */
+    * log: the row with the highest batch_id per user. (The window here
+    * partitions by user over at most one row per micro-batch — bounded
+    * by batch count, not data volume, so it is not the posting-list
+    * window shape the dedup guards avoid.) */
   def latestSessionStates(spark: SparkSession, outDir: String): DataFrame = {
     val log = spark.read.parquet(outDir)
     val w = org.apache.spark.sql.expressions.Window

@@ -104,6 +104,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("statistical CDFs: symmetry, monotonicity, inverse roundtrips (property)") {
+    // The normal/beta CDF bucket is the one DuckDB-inexpressible
+    // no_oracle row (no erf) — so pin it with the mathematical
+    // IDENTITIES any correct implementation must satisfy, over random
+    // parameters, on top of FunctionSpec's scipy-checked point values.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.expressions.{NormalCdf, InverseNormalCdf, BetaCdf, InverseBetaCdf, TCdf}
+    def nCdf(m: Double, s: Double, x: Double) =
+      NormalCdf(Literal(m), Literal(s), Literal(x)).eval(null).asInstanceOf[Double]
+    def nInv(m: Double, s: Double, p: Double) =
+      InverseNormalCdf(Literal(m), Literal(s), Literal(p)).eval(null).asInstanceOf[Double]
+    def bCdf(a: Double, b: Double, x: Double) =
+      BetaCdf(Literal(a), Literal(b), Literal(x)).eval(null).asInstanceOf[Double]
+    def bInv(a: Double, b: Double, p: Double) =
+      InverseBetaCdf(Literal(a), Literal(b), Literal(p)).eval(null).asInstanceOf[Double]
+    def tCdf(df: Double, x: Double) = // expression order: (df, x)
+      TCdf(Literal(df), Literal(x)).eval(null).asInstanceOf[Double]
+
+    val normal = for {
+      m <- Gen.choose(-100.0, 100.0); s <- Gen.choose(0.1, 50.0)
+      z <- Gen.choose(-4.0, 4.0)
+    } yield (m, s, z)
+    forAll(normal, n = 200) { case (m, s, z) =>
+      val v = m + z * s
+      // symmetry about the mean: F(m+d) + F(m-d) = 1
+      assert(math.abs(nCdf(m, s, m + z * s) + nCdf(m, s, m - z * s) - 1.0) < 1e-12)
+      // monotone nondecreasing
+      assert(nCdf(m, s, v) <= nCdf(m, s, v + s / 10) + 1e-15)
+      // inverse roundtrip (|z| <= 4 keeps p away from the erfInv poles)
+      assert(math.abs(nInv(m, s, nCdf(m, s, v)) - v) <= 1e-6 * math.max(1.0, math.abs(v)))
+    }
+
+    val beta = for {
+      a <- Gen.choose(0.5, 20.0); b <- Gen.choose(0.5, 20.0)
+      x <- Gen.choose(0.01, 0.99)
+    } yield (a, b, x)
+    forAll(beta, n = 200) { case (a, b, x) =>
+      // reflection identity: I_x(a,b) = 1 - I_(1-x)(b,a)
+      assert(math.abs(bCdf(a, b, x) - (1.0 - bCdf(b, a, 1.0 - x))) < 1e-10)
+      assert(bCdf(a, b, x) <= bCdf(a, b, math.min(0.999, x + 0.005)) + 1e-12)
+      val p = bCdf(a, b, x)
+      if (p > 1e-9 && p < 1.0 - 1e-9)
+        assert(math.abs(bInv(a, b, p) - x) <= 1e-6)
+    }
+
+    val t = for { df <- Gen.choose(1.0, 50.0); x <- Gen.choose(0.0, 5.0) } yield (df, x)
+    forAll(t, n = 100) { case (df, x) =>
+      // symmetry: F(-x) = 1 - F(x)
+      assert(math.abs(tCdf(df, -x) + tCdf(df, x) - 1.0) < 1e-12)
+    }
+    // t converges to standard normal as df grows
+    assert(math.abs(tCdf(1e6, 1.5) - nCdf(0.0, 1.0, 1.5)) < 1e-4)
+  }
+
   test("minhash signature similarity estimates jaccard (deterministic fixture)") {
     // two sets with known jaccard 0.5: {a..f} vs {d..i} -> 3/9 = 1/3
     val a = (0 until 60).map(i => s"tok$i").toSet
