@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   * (max task duration / median, stages with ≥ 8 tasks) from a task
   * listener. Prints one JSON line; usage:
   *
-  *   sbt -batch "runMain graft.ScaleSweep [nDocs]"        # dedup paths
-  *   sbt -batch "runMain graft.ScaleSweep ann [nDocs]"    # ANN paths
-  *   sbt -batch "runMain graft.ScaleSweep spans [nDocs]"  # span dedup
+  *   sbt -batch "runMain graft.ScaleSweep [nDocs]"          # dedup paths
+  *   sbt -batch "runMain graft.ScaleSweep ann [nDocs]"      # ANN paths
+  *   sbt -batch "runMain graft.ScaleSweep spans [nDocs]"    # span dedup
+  *   sbt -batch "runMain graft.ScaleSweep simhash [nDocs]"  # simhash banding
   */
 object ScaleSweep {
 
@@ -114,6 +115,7 @@ object ScaleSweep {
       annClusteredSweep(spark, nDocs); spark.stop(); return
     }
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
+    if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -207,6 +209,73 @@ object ScaleSweep {
       s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
       s""""dupDocs":${agg.getLong(0)},"expectedDupDocs":$expectedDupDocs,""" +
       s""""exactShapeDocs":${agg.getLong(2)},"dupTokens":${agg.getLong(1)},""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** SimHash sweep at 10⁶ docs — the measured anchor for
+    * `Dedup.simhashPairs` (the last dedup-family member without one).
+    * Two claims under measure:
+    *
+    *  1. CHUNK WIDTH IS THE SCALE DIAL. The catalog row's chunks=8
+    *     (8-bit chunks, 256 bucket values) is fine at oracle scale but
+    *     puts ~nDocs/2048 docs in every bucket at 10⁶ — a quadratic
+    *     candidate join. The sweep runs chunks=4 (16-bit chunks,
+    *     65,536 values/chunk → ~15-doc buckets at 10⁶), the width a
+    *     100 TB deployment would pick: bucket size ∝ corpus/2^width is
+    *     the knob, at the price of a tighter radius (maxHamming <
+    *     chunks).
+    *  2. PIGEONHOLE RECALL IS EXACT, NOT PROBABILISTIC. Any pair
+    *     within Hamming radius maxHamming ≤ chunks−1 shares ≥ 1 exact
+    *     chunk, so banding must find EVERY within-radius planted pair.
+    *     The sweep computes the ground truth independently (one narrow
+    *     join pairing each planted dup with its seed, comparing full
+    *     64-bit fingerprints) and checks set equality — the planted
+    *     pairs NOT within radius (one perturbed token in 25 flips >3
+    *     of 64 bits for some pairs) are reported as radius coverage,
+    *     the dial a deployment tunes with maxHamming/chunks.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep simhash [nDocs]"
+    */
+  private def simhashSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val maxHamming = 3
+    val corpus = corpusDf(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inputBytes = corpus.agg(sum(length(col("text")))).head.getLong(0)
+    val expectedPairs = nDocs / 20
+
+    // ground truth: the planted pairs whose full fingerprints really
+    // are within the radius — one equi-join on the planted pairing
+    val fp = corpus.select(col("doc_id"),
+      operators.Dedup.simhash(col("text")).as("sh"))
+    val withinRadius = fp.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(fp.filter(col("doc_id") % 20 === 1)
+        .select((col("doc_id") - 1).as("a_id"), col("sh").as("b_sh")), "a_id")
+      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
+      .count()
+
+    val t0 = System.nanoTime()
+    val s0 = listener.snapshot()
+    val pairs = operators.Dedup.simhashPairs(
+        corpus, col("doc_id"), col("text"), maxHamming = maxHamming, chunks = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalPairs = pairs.count()
+    val plantedFound = pairs
+      .filter(col("b_id") === col("a_id") + 1 && col("a_id") % 20 === 0).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"simhash","docs":$nDocs,"chunks":4,"maxHamming":$maxHamming,""" +
+      s""""inputMB":${mb(inputBytes)},"wallSec":${math.round(wall * 10) / 10.0},""" +
+      s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""totalPairs":$totalPairs,"plantedFound":$plantedFound,""" +
+      s""""plantedWithinRadius":$withinRadius,"exactRecall":${plantedFound == withinRadius},""" +
+      s""""plantedPairs":$expectedPairs,""" +
       s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
       s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
   }

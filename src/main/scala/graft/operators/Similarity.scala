@@ -283,6 +283,123 @@ object Similarity {
         col(corpusId).as("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  // ───────────────────────── Product quantization (PQ) ──────────────────────
+  // The OTHER compression dial for 100 TB ANN (complementing SQ8's
+  // uniform per-dimension affine map): the vector is split into `m`
+  // subspaces and each sub-vector replaced by the id of its nearest
+  // codeword from a per-subspace k-means codebook — m bytes per vector
+  // at ksub<=256 (64-dim float32 → 8 bytes at m=8: a 32× shrink, vs
+  // SQ8's 4×). Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search" (TPAMI 2011). Everything below follows the IVF
+  // discipline: fit = bounded collects, encode/decode = pure map-side
+  // projections against the codebook literal, no UDFs.
+
+  /** Squared L2 between two double arrays — one row-local fold. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** 1-based id of the nearest codeword of sub-vector `sv` in subspace
+    * `sub`: distances to every codeword, then the FIRST index of the
+    * minimum (`array_position` on the value `array_min` returned —
+    * bit-identical, so the match is exact and ties deterministically
+    * take the lowest codeword id). */
+  private def pqCode(books: Seq[Seq[Seq[Double]]], sub: Column, sv: Column): Column = {
+    val dists = transform(element_at(typedlit(books), sub + 1), w => l2sq(sv, w))
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Fit the PQ codebook: deterministic init (each subspace seeds from
+    * the slices of the `ksub` lowest-id vectors) + `iters` Lloyd
+    * rounds run over ALL subspaces at once — one zero-shuffle
+    * assignment projection + one (sub, code, pos) partial aggregate
+    * per round, collected bounded (m·ksub·dsub rows, never the
+    * corpus). Codewords that lose all members keep their previous
+    * value. At 100 TB, fit on a bounded sample (the codebook is an
+    * estimate either way), exactly like the IVF centroids. */
+  def pqFit(corpus: DataFrame, corpusId: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 1): Seq[Seq[Seq[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val seed = corpus
+      .select(col(corpusId).cast("long").as("i"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("i")).limit(ksub).collect().map(_.getSeq[Double](1))
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seed.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq).toSeq)
+    if (iters == 0) return books
+    // (sub, sv) rows — m per vector, built row-locally; loop-invariant,
+    // so persisted for the fit (same pattern as kmeansCentroids)
+    val subs = corpus.select(posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)): _*)))
+      .toDF("sub", "sv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to iters).foreach { _ =>
+        val means = subs.select(col("sub"),
+            pqCode(books, col("sub"), col("sv")).as("code"),
+            posexplode(col("sv")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(avg(col("col")).as("mu"))
+          .collect()
+        val byKey = means.map(r =>
+          (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+        books = (0 until m).map { s =>
+          (0 until ksub).map { w =>
+            val cw = (0 until dsub).map(p => byKey.get((s, w + 1, p)))
+            if (cw.forall(_.isDefined)) cw.map(_.get) else books(s)(w)
+          }
+        }
+      }
+      books
+    } finally subs.unpersist(false)
+  }
+
+  /** Encode a vector as its `m` (1-based) codeword ids — a pure
+    * projection against the codebook literal. */
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val dsub = books.head.head.size
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      pqCode(books, s,
+        slice(vec.cast("array<double>"), s * dsub + lit(1), lit(dsub))))
+  }
+
+  /** Reconstruct the approximate vector from its codes — also a pure
+    * projection (codeword concatenation). */
+  def pqDecode(codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    flatten(transform(codes, (c, s) =>
+      element_at(element_at(typedlit(books), s + 1), c)))
+
+  /** ANN top-k over the PQ-coded corpus — the same two-pass shape as
+    * [[sq8TopK]]: the approximate pass scores reconstructions (at
+    * scale, the scan reads m bytes/vector instead of 4·dim), keeps
+    * `k·oversample` candidates per query, and only those fetch their
+    * full-precision vectors (broadcast — the corpus never shuffles)
+    * for the exact re-rank. Oversample covering the corpus reduces to
+    * exact brute force (the `ann_pq_full` oracle row). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1, oversample: Int = 4,
+      codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val books = codebook.getOrElse(pqFit(corpus, corpusId, corpusVec, m, ksub, iters))
+    val quant = corpus.select(col(corpusId).as("c_id"),
+      pqDecode(pqEncode(col(corpusVec), books), books).as("c_dq"))
+    val over = k * oversample
+    val wApprox = Window.partitionBy(col(queryId)).orderBy(col("approx_sim").desc, col("c_id"))
+    val cands = quant.join(broadcast(queries), col("c_id") =!= col(queryId))
+      .withColumn("approx_sim", cosine(col(queryVec), col("c_dq")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= over)
+      .select(col(queryId), col(queryVec), col("c_id"))
+    val wExact = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId))
+    corpus.join(broadcast(cands), col(corpusId) === col("c_id"))
+      .withColumn("cos_sim", cosine(col(queryVec), col(corpusVec)))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
     * lsh=false: exact all-pairs (self-join, for oracle-checkable truth
     * at test scale). lsh=true: banded-signature candidates only — the

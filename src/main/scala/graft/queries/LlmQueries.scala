@@ -421,6 +421,83 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     })
 
+  /** PQ encoding with an init-only codebook, full oracle: DuckDB
+    * independently re-derives the deterministic codebook (per-subspace
+    * slices of the 16 lowest-id vectors) and the argmin-L2 assignment
+    * (tie → lowest codeword id), so the subspace slicing, the distance
+    * fold, and the 1-based code layout are all value-checked. The
+    * Lloyd-refined fit (iters>0) shares every one of those kernels and
+    * is covered by the `ann_pq_full` exactness row + the spec's
+    * reconstruction-error test. */
+  private val pqEncodeQ = Q(
+    "pq_encode",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS w, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+      s8 AS (SELECT unnest(generate_series(0, 7)) AS s),
+      subs AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e CROSS JOIN s8),
+      words AS (SELECT w, s, v[s*8+1 : s*8+8] AS wv FROM seeds CROSS JOIN s8),
+      dists AS (SELECT vec_id, subs.s AS s, w,
+                       list_sum([(sv[i]-wv[i])*(sv[i]-wv[i])
+                                 FOR i IN generate_series(1, 8)]) AS d
+                FROM subs JOIN words ON subs.s = words.s),
+      best AS (SELECT vec_id, s, w,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, w) AS rn
+               FROM dists)
+      SELECT vec_id,
+             string_agg(CAST(w AS VARCHAR), ',' ORDER BY s) AS codes
+      FROM best WHERE rn = 1
+      GROUP BY vec_id
+      ORDER BY vec_id"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 0)
+      emb.select(col("vec_id"),
+          concat_ws(",", Similarity.pqEncode(col("embedding"), books)
+            .cast("array<string>")).as("codes"))
+        .orderBy(col("vec_id"))
+    })
+
+  /** PQ ANN at full oversample: every candidate survives the approx
+    * pass, the exact re-rank sees the whole corpus → exact top-k by
+    * construction, so the brute-force oracle applies verbatim (proves
+    * the fit → encode → decode-scan → fetch → re-rank plumbing,
+    * Lloyd refinement included). */
+  private val annPqFull = Q(
+    "ann_pq_full",
+    Some(bruteTopkDuck),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5,
+          m = 8, ksub = 16, iters = 1, oversample = 100)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  /** PQ ANN at practical oversample (the 32×-compression scale path) —
+    * probabilistic: rows-only; recall vs brute force asserted in the
+    * spec. */
+  private val annPq = Q(
+    "ann_pq_topk",
+    None,
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "query_id", queryVec = "qv", k = 5,
+          m = 8, ksub = 16, iters = 1, oversample = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   /** Language ID distribution (stopword-hit argmax heuristic). */
   private val textLangid = Q(
     "text_langid",
@@ -1091,6 +1168,7 @@ object LlmQueries extends QueryCatalog {
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
+    pqEncodeQ, annPqFull, annPq,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,
     textRepetition, textEntropy, textQualityGate,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,

@@ -140,24 +140,26 @@ object IcebergLite {
     files.filter(f => filters.forall(_.matches(f)))
   }
 
-  /** Append `df` as a NEW SNAPSHOT (exceeds the reference, whose
-    * Iceberg surface is read-only): data files land under
-    * `data/append-<snapId>/` (hive layout when `partitionColumns` is
-    * set — written in parallel, one file per task, NOT coalesced), a
-    * new manifest lists them with per-partition column bounds
-    * (computed in one aggregate pass; conservative-correct for
-    * file-level pruning since partition bounds ⊇ file bounds), and the
-    * snapshot chain grows by one — prior snapshots stay time-travelable.
-    * Single-writer assumed (the JSON layout has no commit protocol).
-    * Returns the new snapshot id. */
-  def append(spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionColumns: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max, min}
-    val prior = snapshots(tablePath)
-    val parentId = currentSnapshotId(tablePath)
-    val newId = (prior :+ 0L).max + 1
-    val runDir = s"append-$newId"
+  /** Serialize a (possibly carried-forward) data file back to its
+    * manifest-entry JSON — bounds and partition tuple preserved, so a
+    * copy-on-write commit re-lists untouched files verbatim. */
+  private def entryJson(f: DataFile): String = {
+    def jmap(m: Map[String, String]) =
+      m.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    s"""{"data_file": {"file_path": "${f.filePath}", "file_format": "${f.fileFormat}",
+       |  "partition": ${jmap(f.partition)}, "record_count": ${f.recordCount},
+       |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}}}""".stripMargin
+  }
 
+  /** Write `df`'s rows as new data files under `data/<runDir>/` (hive
+    * layout when `partitionColumns` is set — written in parallel, one
+    * file per task, NOT coalesced) and return one manifest-entry JSON
+    * per written parquet file, with per-partition column bounds computed
+    * in one aggregate pass (conservative-correct for file-level pruning
+    * since partition bounds ⊇ file bounds). */
+  private def writeDataFiles(spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionColumns: Seq[String], runDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
     val writer = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
@@ -186,30 +188,32 @@ object IcebergLite {
         .filter(_.contains("=")).map { seg =>
           val Array(k, v) = seg.split("=", 2); k -> v
         }.toMap
-    val entries = files.map { p =>
+    files.map { p =>
       val part = partOf(p)
       val (lo, hi) = boundRows.getOrElse(part, (Map.empty[String, String], Map.empty[String, String]))
-      val rel = s"data/$runDir/${root.relativize(p).toString}"
-      def jmap(m: Map[String, String]) =
-        m.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-      s"""{"data_file": {"file_path": "$rel", "file_format": "PARQUET",
-         |  "partition": ${jmap(part)}, "record_count": -1,
-         |  "lower_bounds": ${jmap(lo)}, "upper_bounds": ${jmap(hi)}}}""".stripMargin
+      entryJson(DataFile(
+        filePath = s"data/$runDir/${root.relativize(p).toString}",
+        fileFormat = "PARQUET", partition = part, recordCount = -1L,
+        lowerBounds = lo, upperBounds = hi))
     }
+  }
+
+  /** Write the new manifest + manifest list + snapshot JSON, then flip
+    * the current-snapshot pointer. The pointer flip is the COMMIT
+    * POINT: everything else used fresh snapshot-suffixed names, so the
+    * only file a concurrent reader can race on is the pointer — write
+    * it to a temp name and atomically move it into place, so a reader
+    * always parses either the old or the new pointer, never a torn
+    * half-written JSON (real Iceberg's metadata swap has the same
+    * contract; single-writer is still assumed for commits themselves).
+    * `carriedManifests` lets append keep the parent's manifests as-is;
+    * copy-on-write commits (delete/overwrite) pass none and re-list
+    * surviving files in the new manifest instead. */
+  private def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
+      entries: Seq[String], carriedManifests: Seq[String]): Long = {
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$newId.json"),
       entries.mkString("{\"entries\": [", ",\n", "]}"))
-
-    // manifest list = parent's list + the new manifest
-    val parentManifests: Seq[String] = parentId.map { pid =>
-      readJson(s"$tablePath/metadata/snap-$pid.snapshot.json") \ "manifest_list" match {
-        case JString(ml) => readJson(s"$tablePath/$ml") match {
-          case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
-          case _ => Nil
-        }
-        case _ => Nil
-      }
-    }.getOrElse(Nil)
-    val allManifests = parentManifests :+ s"metadata/manifest-$newId.json"
+    val allManifests = carriedManifests :+ s"metadata/manifest-$newId.json"
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$newId.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
@@ -218,13 +222,6 @@ object IcebergLite {
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$newId.snapshot.json"),
       s"""{"snapshot_id": $newId${parentId.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
          | "manifest_list": "metadata/manifest-list-$newId.json"}""".stripMargin)
-    // The COMMIT POINT: flip the current-snapshot pointer. Everything
-    // written above used fresh snapshot-suffixed names, so the only
-    // file a concurrent reader can race on is this pointer — write it
-    // to a temp name and atomically move it into place, so a reader
-    // always parses either the old or the new pointer, never a torn
-    // half-written JSON (real Iceberg's metadata swap has the same
-    // contract; single-writer is still assumed for appends themselves).
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
     Files.writeString(tmp,
       s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $newId}""")
@@ -232,6 +229,34 @@ object IcebergLite {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     newId
+  }
+
+  /** Manifest paths listed by `parentId`'s manifest list (empty for an
+    * empty table). */
+  private def parentManifests(tablePath: String, parentId: Option[Long]): Seq[String] =
+    parentId.map { pid =>
+      readJson(s"$tablePath/metadata/snap-$pid.snapshot.json") \ "manifest_list" match {
+        case JString(ml) => readJson(s"$tablePath/$ml") match {
+          case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }.getOrElse(Nil)
+
+  /** Append `df` as a NEW SNAPSHOT (exceeds the reference, whose
+    * Iceberg surface is read-only): data files land under
+    * `data/append-<snapId>/`, a new manifest lists them, the parent's
+    * manifests are carried forward, and the snapshot chain grows by
+    * one — prior snapshots stay time-travelable. Returns the new
+    * snapshot id. */
+  def append(spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionColumns: Seq[String] = Nil): Long = {
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"append-$newId")
+    commitSnapshot(tablePath, newId, parentId, entries,
+      carriedManifests = parentManifests(tablePath, parentId))
   }
 
   /** Read a snapshot of the table as a DataFrame: metadata-pruned file
@@ -244,11 +269,16 @@ object IcebergLite {
     * need the columns. Spark's pushdown/row-group pruning apply on top. */
   def read(spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None,
       filters: Seq[PartitionFilter] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
     val files = dataFiles(tablePath, snapshotId, filters)
-    if (files.isEmpty) {
-      return spark.emptyDataFrame
-    }
+    if (files.isEmpty) spark.emptyDataFrame
+    else readFileSet(spark, tablePath, files)
+  }
+
+  /** Read an explicit manifest file list (partition values recovered
+    * per-row, as in `read`). */
+  private def readFileSet(spark: SparkSession, tablePath: String,
+      files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_replace}
     val partCols = files.flatMap(_.partition.keys).distinct.sorted
     val paths = files.map(f => s"$tablePath/${f.filePath}")
     val base = spark.read.parquet(paths: _*)
@@ -270,5 +300,91 @@ object IcebergLite {
         .join(broadcast(partDf), Seq("__graft_file"))
         .drop("__graft_file")
     }
+  }
+
+  /** Row-level Column for one filter over a DATA column — the literal
+    * is cast to the column's native type so the comparison matches the
+    * bounds semantics (bounds are min/max string-casts of the same
+    * typed data). Partition-column conjuncts are never built this way:
+    * their truth is uniform per file and is decided exactly at the
+    * file level by `PartitionFilter.matches`. */
+  private def rowPredicate(df: DataFrame, f: PartitionFilter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dt = df.schema(f.column).dataType
+    def l(v: String) = lit(v).cast(dt)
+    f match {
+      case Eq(c, v) => col(c) === l(v)
+      case Gt(c, v) => col(c) > l(v)
+      case Lt(c, v) => col(c) < l(v)
+      case In(c, vs) => vs.map(v => col(c) === l(v)).reduce(_ || _)
+    }
+  }
+
+  /** Copy-on-write row-level DELETE (rows matching ALL `filters` are
+    * removed) as a NEW SNAPSHOT. The pruning that powers reads powers
+    * the write too: files the filters prove untouched are carried
+    * forward VERBATIM (same path, never re-read or rewritten — at
+    * 100 TB a delete scoped to one partition/day rewrites only that
+    * slice); only files that might hold matching rows are read,
+    * row-filtered, and rewritten under `data/delete-<snapId>/`. The
+    * new manifest re-lists surviving originals + rewritten files; prior
+    * snapshots keep their old manifest lists, so time travel still sees
+    * the pre-delete data. Returns the new snapshot id. */
+  def delete(spark: SparkSession, tablePath: String,
+      filters: Seq[PartitionFilter]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(filters.nonEmpty, "delete with no filters would truncate the table; be explicit")
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val live = dataFiles(tablePath)
+    // a file needs rewriting only if every conjunct can match it
+    val (touched, kept) = live.partition(f => filters.forall(_.matches(f)))
+    val rewritten: Seq[String] =
+      if (touched.isEmpty) Nil
+      else {
+        val partCols = touched.flatMap(_.partition.keys).distinct.sorted
+        // residual = conjuncts on data columns (partition conjuncts are
+        // uniformly true for every touched file, decided file-level) —
+        // only sound when every touched file carries the partition
+        // value exactly (not the conservative bounds fallback)
+        val residual = filters.filterNot(f =>
+          partCols.contains(f.column) &&
+            touched.forall(_.partition.contains(f.column)))
+        if (residual.isEmpty) Nil // every touched file is deleted wholesale
+        else {
+          val df = readFileSet(spark, tablePath, touched)
+          val survivors = df.filter(not(coalesce(
+            residual.map(rowPredicate(df, _)).reduce(_ && _), lit(false))))
+          writeDataFiles(spark, tablePath, survivors, partCols, s"delete-$newId")
+        }
+      }
+    commitSnapshot(tablePath, newId, parentId,
+      kept.map(entryJson) ++ rewritten, carriedManifests = Nil)
+  }
+
+  /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
+    * in `df` are replaced wholesale by `df`'s rows; all other
+    * partitions are carried forward verbatim (path-identical, never
+    * rewritten). This is the idempotent-backfill primitive a daily
+    * pipeline needs — re-running a day's job replaces exactly that
+    * day's files. Prior snapshots stay time-travelable. */
+  def overwrite(spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionColumns: Seq[String]): Long = {
+    require(partitionColumns.nonEmpty,
+      "dynamic overwrite needs partition columns; use delete+append for full rewrites")
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    // partition tuples present in df — bounded collect (one row per
+    // partition, same cardinality writeDataFiles' bounds pass collects)
+    val replaced: Set[Map[String, String]] = df
+      .select(partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect()
+      .map(r => partitionColumns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap)
+      .toSet
+    val kept = dataFiles(tablePath).filterNot(f =>
+      replaced.contains(partitionColumns.map(c => c -> f.partition.getOrElse(c, "null")).toMap))
+    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-$newId")
+    commitSnapshot(tablePath, newId, parentId,
+      kept.map(entryJson) ++ entries, carriedManifests = Nil)
   }
 }

@@ -289,6 +289,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 oversample=4 recall $recall < 0.8")
   }
 
+  test("PQ: Lloyd refinement lowers reconstruction error, full oversample = brute force, practical recall") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+
+    // encode/decode roundtrip shape: m codes, each in 1..ksub; decoded
+    // vector has the original dimensionality
+    val books0 = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 0)
+    assert(books0.size == 8 && books0.forall(b => b.size == 16 && b.forall(_.size == 8)))
+    val enc = emb.select(Similarity.pqEncode(col("embedding"), books0).as("codes"))
+    val shapes = enc.select(size(col("codes")).as("n"),
+        expr("aggregate(codes, true, (acc, c) -> acc and c >= 1 and c <= 16)").as("inRange"))
+      .agg(min(col("n")), max(col("n")), min(col("inRange"))).head
+    assert(shapes.getInt(0) == 8 && shapes.getInt(1) == 8 && shapes.getBoolean(2))
+
+    // k-means refinement must not hurt the fit: mean squared
+    // reconstruction error is non-increasing in Lloyd iterations
+    // (each round reassigns to nearest codeword then recenters)
+    def mse(books: Seq[Seq[Seq[Double]]]): Double = emb
+      .withColumn("dq", Similarity.pqDecode(
+        Similarity.pqEncode(col("embedding"), books), books))
+      .select(expr("""
+        aggregate(zip_with(cast(embedding as array<double>), dq, (a, b) -> (a - b) * (a - b)),
+                  cast(0.0 as double), (acc, x) -> acc + x)""").as("e"))
+      .agg(avg(col("e"))).head.getDouble(0)
+    val books2 = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    assert(mse(books2) <= mse(books0) * 1.0001,
+      "Lloyd-refined codebook reconstructs worse than its init")
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.bruteForceTopK(emb.select(col("vec_id"), col("embedding")),
+      queries, "vec_id", "embedding", "query_id", "qv", k = 5))
+    // full oversample: exact by construction, whatever the codebook
+    val full = ids(Similarity.pqTopK(emb.select(col("vec_id"), col("embedding")),
+      queries, "vec_id", "embedding", "query_id", "qv", k = 5, oversample = 100))
+    assert(full == brute)
+    // practical oversample: recall is measurable and nontrivial — PQ at
+    // 32× compression on UNIFORM-random vectors is the worst case
+    // (every subspace distance is noise-dominated), so the bar here is
+    // deliberately the sanity floor, not the clustered-corpus figure
+    val approx = ids(Similarity.pqTopK(emb.select(col("vec_id"), col("embedding")),
+      queries, "vec_id", "embedding", "query_id", "qv", k = 5, oversample = 4))
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall > 0.0, s"PQ oversample=4 recall $recall")
+  }
+
   test("unigramLmScore: OOV-heavy docs score at the floor, in-vocab docs above it") {
     val s = spark
     import s.implicits._

@@ -175,6 +175,91 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, root, snapshotId = Some(appendedId)).count() == before + 2)
   }
 
+  test("delete rewrites only touched files and keeps prior snapshots intact") {
+    val root = Files.createTempDirectory("iceberg_delete_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val before = IcebergLite.dataFiles(root).map(_.filePath).toSet
+
+    // region='EU' AND id>10: sales-eu-1 (ids 1-3) is PROVEN untouched by
+    // its id upper bound; sales-eu-2 (ids 10-12) is rewritten, id 10 kept
+    val delId = IcebergLite.delete(spark, root,
+      Seq(IcebergLite.Eq("region", "EU"), IcebergLite.Gt("id", "10")))
+
+    val ids = IcebergLite.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 10L), s"expected ids 1-10 after delete, got $ids")
+
+    // copy-on-write granularity: untouched files carried forward
+    // path-identical (never re-read, never rewritten); ONLY the one
+    // matching file moved to a rewritten delete-snapshot path
+    val after = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    val untouched = before - "data/region=EU/sales-eu-2.parquet"
+    assert(untouched.subsetOf(after), "untouched files must keep their original paths")
+    assert(!after.contains("data/region=EU/sales-eu-2.parquet"))
+    assert((after -- untouched).forall(_.startsWith(s"data/delete-$delId/")),
+      s"rewritten files must land under data/delete-$delId/, got ${after -- untouched}")
+
+    // rewritten bounds prune: nothing with id>10 remains in any file
+    assert(IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Gt("id", "10"))).isEmpty)
+
+    // prior snapshots still time-travel to the pre-delete data
+    assert(IcebergLite.read(spark, root, snapshotId = Some(2L)).count() == 12)
+    assert(IcebergLite.read(spark, root, snapshotId = Some(2L))
+      .filter(col("id") > 10).count() == 2)
+  }
+
+  test("whole-partition delete drops files without any rewrite job") {
+    val root = Files.createTempDirectory("iceberg_delete_part_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    IcebergLite.delete(spark, root, Seq(IcebergLite.Eq("region", "AP")))
+
+    val after = IcebergLite.dataFiles(root).map(_.filePath)
+    // every conjunct decided at the partition level => no rewritten
+    // files at all, just the AP entry dropped from the new manifest
+    assert(after.forall(!_.startsWith("data/delete-")),
+      s"partition-scoped delete must not rewrite any file, got $after")
+    assert(after.toSet ==
+      Set("data/region=EU/sales-eu-1.parquet", "data/region=US/sales-us-1.parquet",
+          "data/region=EU/sales-eu-2.parquet"))
+    assert(IcebergLite.read(spark, root).filter(col("region") === "AP").count() == 0)
+    assert(IcebergLite.read(spark, root).count() == 9)
+  }
+
+  test("dynamic overwrite replaces exactly the partitions present in the new data") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_overwrite_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val before = IcebergLite.dataFiles(root).map(_.filePath).toSet
+
+    def replacement() = Seq((200L, 1.5, "US"), (201L, 2.25, "US"))
+      .toDF("id", "amount", "region")
+    val owId = IcebergLite.overwrite(spark, root, replacement(), Seq("region"))
+
+    val got = IcebergLite.read(spark, root)
+    assert(got.filter(col("region") === "US").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(200L, 201L))
+    assert(got.filter(col("region") =!= "US").count() == 9)
+
+    // EU/AP carried forward path-identical; all US files replaced
+    val after = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    val nonUs = before.filterNot(_.contains("region=US"))
+    assert(nonUs.subsetOf(after))
+    assert(!after.contains("data/region=US/sales-us-1.parquet"))
+    assert((after -- nonUs).forall(_.startsWith(s"data/overwrite-$owId/")))
+
+    // pre-overwrite snapshot still sees the original US rows
+    assert(IcebergLite.read(spark, root, snapshotId = Some(2L))
+      .filter(col("region") === "US").count() == 3)
+
+    // the backfill primitive is idempotent: re-running the same
+    // overwrite yields the same table (and still never touches EU/AP)
+    IcebergLite.overwrite(spark, root, replacement(), Seq("region"))
+    val again = IcebergLite.read(spark, root)
+    assert(again.count() == 11)
+    assert(nonUs.subsetOf(IcebergLite.dataFiles(root).map(_.filePath).toSet))
+  }
+
   test("read is a single parquet scan regardless of partition count") {
     val df = IcebergLite.read(spark, demoDir)
     assert(df.count() == 12)
@@ -389,6 +474,64 @@ class SourcesSpec extends AnyFunSuite {
     val carried = split.exists { case (u, n) =>
       n > secondHalfCounts.getOrElse(u, 0L) }
     assert(carried, "no user's counter resumed from checkpointed state")
+  }
+
+  test("streaming: kill + restart recovers STREAM-STREAM JOIN state") {
+    // Completes the recovery matrix: windowed agg and session windows
+    // cover the AGGREGATION state store, the mapGroupsWithState test
+    // covers CUSTOM state — this one covers the two-sided JOIN state
+    // (unmatched rows buffered on both sides awaiting the other
+    // stream). A click/view pair is planted STRADDLING the cut: the
+    // view arrives before the kill, its matching click only after, so
+    // the match can only be emitted if the buffered view row survives
+    // the checkpoint restart.
+    val root = Files.createTempDirectory("graft_ckpt_join").toString
+    val realEv = Engine.t(spark, sf0001, "events")
+    val tsMicros = unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val midMicros = realEv.select(tsMicros.as("m"))
+      .agg(((min(col("m")) + max(col("m"))) / 2).cast("long")).head.getLong(0)
+    // planted pair: view 5 min before the cut, click 5 min after —
+    // inside the 30-min join gap, far inside the 30-min watermark
+    def plantedRow(id: Long, offsetMin: Long, typ: String) =
+      spark.range(1).select(
+        lit(id).as("event_id"),
+        timestamp_micros(lit(midMicros) + offsetMin * 60L * 1000000L)
+          .cast(realEv.schema("ts").dataType).as("ts"),
+        lit(8888L).as("user_id"), lit(typ).as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val ev = realEv
+      .unionByName(plantedRow(9000001L, -5L, "view"))
+      .unionByName(plantedRow(9000002L, 5L, "click"))
+    val inDir = s"$root/in"
+    ev.filter(tsMicros <= midMicros).write.parquet(inDir)
+
+    def stream() = spark.readStream.schema(ev.schema).parquet(inDir)
+    def run(): Unit = EventStream.runToParquet(
+      EventStream.clickViewJoin(stream()), s"$root/out", s"$root/ckpt")
+
+    run() // first half
+    val firstHalf = spark.read.parquet(s"$root/out")
+    assert(firstHalf.count() > 0, "no pairs matched before the kill")
+    assert(firstHalf.filter(col("click_id") === 9000002L).isEmpty,
+      "the straddling click cannot have matched before its row arrived")
+
+    ev.filter(tsMicros > midMicros).write.mode("append").parquet(inDir)
+    run() // kill + restart: same checkpoint, rest of the input
+
+    val got = spark.read.parquet(s"$root/out")
+    val ref = EventStream.runToMemory(
+      EventStream.clickViewJoin(stream()), "ckpt_join_ref")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(got) == canon(ref),
+      "stream-stream join diverged across kill-restart")
+    // the carry-over witness: the straddling pair IS in the final
+    // output — impossible unless the pre-kill view row was restored
+    // from the checkpointed join state
+    assert(got.filter(col("click_id") === 9000002L && col("view_id") === 9000001L)
+      .count() == 1, "buffered view row did not survive the restart")
+    assert(got.count() == got.distinct().count(),
+      "restart re-emitted a committed join result")
   }
 
   test("streaming: stateful sessionization with mapGroupsWithState") {
