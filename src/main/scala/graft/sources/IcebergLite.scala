@@ -281,7 +281,13 @@ object IcebergLite {
     import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_replace}
     val partCols = files.flatMap(_.partition.keys).distinct.sorted
     val paths = files.map(f => s"$tablePath/${f.filePath}")
-    val base = spark.read.parquet(paths: _*)
+    // mergeSchema = add-column schema evolution (by NAME — the
+    // reference's JSON layout carries no Iceberg field ids): a snapshot
+    // mixing pre- and post-evolution files reads as the union schema,
+    // with files that predate a column yielding NULL for it; a
+    // time-travel read of an old snapshot sees only that snapshot's
+    // columns. Footer merging is metadata-only and Spark distributes it.
+    val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     if (partCols.isEmpty) base
     else {
       // canonical scheme-less absolute path on both sides of the join

@@ -132,6 +132,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"corpus assignment must not join:\n$p")
   }
 
+  test("PQ encode/decode is map-side: zero exchanges, zero joins on the corpus") {
+    // Same discipline as IVF assignment: the codebook travels as a
+    // literal inside the projection, so encoding 100 TB of vectors is
+    // a narrow scan→project — no shuffle, no join, no window.
+    import org.apache.spark.sql.functions.col
+    val emb = Engine.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val books = operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val coded = emb.select(col("vec_id"),
+      operators.Similarity.pqDecode(
+        operators.Similarity.pqEncode(col("embedding"), books), books).as("dq"))
+    coded.collect()
+    val p = coded.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ encode/decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"PQ encode/decode must not join:\n$p")
+  }
+
+  test("PQ top-k broadcasts queries and candidates; corpus side never sort-merges") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .toDF("query_id", "qv")
+    val df = operators.Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      "query_id", "qv", k = 3, m = 8, ksub = 16, iters = 1, oversample = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("IVF top-k broadcasts the probe side; corpus side never sort-merges") {
     val emb = Engine.t(spark, sf0001, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),

@@ -260,6 +260,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(nonUs.subsetOf(IcebergLite.dataFiles(root).map(_.filePath).toSet))
   }
 
+  test("add-column schema evolution: union schema forward, old snapshots unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_evolve_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+
+    val extra = Seq((300L, 3.5, "EU", "online"), (301L, 4.25, "US", "store"))
+      .toDF("id", "amount", "region", "channel")
+    val newId = IcebergLite.append(spark, root, extra, partitionColumns = Seq("region"))
+
+    // current snapshot: union schema; pre-evolution rows NULL in the
+    // new column, new rows carry their values
+    val cur = IcebergLite.read(spark, root)
+    assert(cur.columns.contains("channel"))
+    assert(cur.filter(col("id") < 300 && col("channel").isNotNull).count() == 0)
+    assert(cur.filter(col("channel") === "online").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(300L))
+
+    // evolution is snapshot-scoped: time travel to the pre-evolution
+    // snapshot reads the OLD schema, not a null-padded new one
+    assert(!IcebergLite.read(spark, root, snapshotId = Some(2L))
+      .columns.contains("channel"))
+    assert(IcebergLite.read(spark, root, snapshotId = Some(newId)).count() == 14)
+
+    // the new column participates in file-level bounds pruning; files
+    // that predate it have no bounds and are conservatively kept
+    val pruned = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Eq("channel", "online")))
+    assert(pruned.exists(_.filePath.startsWith(s"data/append-$newId/")),
+      "the post-evolution file carrying the value must survive pruning")
+  }
+
   test("read is a single parquet scan regardless of partition count") {
     val df = IcebergLite.read(spark, demoDir)
     assert(df.count() == 12)
