@@ -368,6 +368,140 @@ object IcebergLite {
       kept.map(entryJson) ++ rewritten, carriedManifests = Nil)
   }
 
+  /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
+    * rewritten into one file per partition tuple (the bin-packing
+    * maintenance op a 100 TB table needs after many small appends —
+    * manifest length and open-file count stay sane). Data is
+    * row-identical by construction (same rows, per-partition bounds
+    * re-derived by the shared write path); prior snapshots still
+    * reference the original small files, so time travel is unaffected
+    * until a separate GC expires them. At real scale, compact a
+    * partition-predicate-pruned file subset per maintenance run rather
+    * than the whole table, and split fat partitions over several tasks
+    * — the same `readFileSet`/`writeDataFiles` machinery applies to
+    * any file subset. */
+  def compact(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val live = dataFiles(tablePath)
+    if (live.isEmpty) return parentId.getOrElse(0L)
+    val partCols = live.flatMap(_.partition.keys).distinct.sorted
+    val base = readFileSet(spark, tablePath, live)
+    val df =
+      if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
+      else base.coalesce(1)
+    val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId")
+    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil)
+  }
+
+  /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose
+    * `keyCols` match an existing target row REPLACE it (WHEN MATCHED
+    * UPDATE SET *); unmatched source rows are INSERTED (WHEN NOT
+    * MATCHED INSERT *). The same metadata pruning that scopes DELETE
+    * scopes the rewrite: a target file is touched only if some source
+    * key falls within its per-column bounds / partition value — every
+    * other file is carried forward VERBATIM (path-identical, never
+    * read). Source keys are collected for exact per-file pruning when
+    * ≤ `maxKeyPrune` distinct keys (the usual upsert-batch case; at
+    * 100 TB an upsert touching one day's keys rewrites only that day's
+    * files), else pruning falls back to the source's per-column
+    * [min,max] range. Touched files are read, matched rows dropped
+    * (left-anti on the keys), and survivors ∪ source land under
+    * `data/merge-<snapId>/`. A source with duplicate keys is rejected
+    * (the merge would be ambiguous — real Iceberg MERGE errors the
+    * same way). Prior snapshots stay time-travelable. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+      keyCols: Seq[String], maxKeyPrune: Int = 10000): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val live = dataFiles(tablePath)
+    val partCols = live.flatMap(_.partition.keys).distinct.sorted
+    val dup = source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
+    // file-level pruning against the source's key set (string-cast, the
+    // same encoding the manifest bounds use)
+    def within(f: DataFile, c: String, v: String): Boolean =
+      f.partition.get(c) match {
+        case Some(pv) => pv == v
+        case None =>
+          f.lowerBounds.get(c).forall(cmp(_, v) <= 0) &&
+            f.upperBounds.get(c).forall(cmp(_, v) >= 0)
+      }
+    val keyRows = source
+      .select(keyCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().limit(maxKeyPrune + 1).collect()
+    val touched =
+      if (keyRows.length <= maxKeyPrune)
+        live.filter(f => keyRows.exists(r =>
+          keyCols.indices.forall(i => within(f, keyCols(i), r.getString(i)))))
+      else {
+        val aggs = keyCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"__lo_$c"),
+          max(col(c)).cast("string").as(s"__hi_$c")))
+        val r = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+        live.filter(f => keyCols.forall { c =>
+          val (lo, hi) = (r.getAs[String](s"__lo_$c"), r.getAs[String](s"__hi_$c"))
+          f.partition.get(c) match {
+            case Some(pv) => cmp(pv, lo) >= 0 && cmp(pv, hi) <= 0
+            case None =>
+              f.lowerBounds.get(c).forall(cmp(_, hi) <= 0) &&
+                f.upperBounds.get(c).forall(cmp(_, lo) >= 0)
+          }
+        })
+      }
+    val touchedSet = touched.toSet
+    val kept = live.filterNot(touchedSet)
+    val newData =
+      if (touched.isEmpty) source
+      else readFileSet(spark, tablePath, touched)
+        .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(source)
+    val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId")
+    commitSnapshot(tablePath, newId, parentId,
+      kept.map(entryJson) ++ entries, carriedManifests = Nil)
+  }
+
+  /** Snapshot EXPIRY — the GC that completes the copy-on-write family:
+    * every snapshot except the most recent `retainLast` (the current
+    * snapshot is always retained) is dropped, and every manifest,
+    * manifest list, and DATA FILE that no retained snapshot references
+    * is physically deleted. Compact/delete/overwrite keep old files
+    * alive for time travel; this is where the space is actually
+    * reclaimed once the retention window passes. Driver work is
+    * metadata-only and the delete set comes from MANIFESTS, never a
+    * directory walk of `data/` — at 100 TB, listing the data tree is
+    * the operation you cannot afford (orphan-file scavenging is a
+    * separate audit job in real Iceberg too). A retained snapshot
+    * whose parent was expired keeps its dangling parent id, exactly
+    * like real Iceberg: lineage is historical, reads never consult it.
+    * Single-writer assumed, like commits. Returns
+    * (expired snapshot count, deleted data file count). */
+  def expireSnapshots(tablePath: String, retainLast: Int = 1): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val all = snapshots(tablePath)
+    val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath)).distinct.toSet
+    val expired = all.filterNot(retained)
+    if (expired.isEmpty) return (0, 0)
+    def manifestsOf(id: Long): Seq[String] = parentManifests(tablePath, Some(id))
+    val keepManifests = retained.flatMap(manifestsOf)
+    val keepData = retained.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
+    val dropData = expired.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
+      .distinct.filterNot(keepData)
+    val dropManifests = expired.flatMap(manifestsOf).distinct.filterNot(keepManifests)
+    def rm(rel: String): Unit = Files.deleteIfExists(Paths.get(s"$tablePath/$rel"))
+    dropData.foreach(rm)
+    dropManifests.foreach(rm)
+    expired.foreach { id =>
+      rm(s"metadata/manifest-list-$id.json")
+      rm(s"metadata/snap-$id.snapshot.json")
+    }
+    (expired.size, dropData.size)
+  }
+
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
     * in `df` are replaced wholesale by `df`'s rows; all other
     * partitions are carried forward verbatim (path-identical, never

@@ -123,6 +123,54 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The 100 TB join lever Engine.session enables: a selective filter
+    // on one side injects bloom_filter_might_contain into the OTHER
+    // side's scan, so non-matching fact rows die before the shuffle.
+    // Size thresholds are production-scaled, so at toy SF the rewrite
+    // must be coaxed: drop the thresholds, disable broadcast (a
+    // broadcast join needs no runtime filter), and check both the plan
+    // shape and that results are identical to the unfiltered config.
+    Engine.registerDir(spark, sf0001)
+    val orders = spark.table("orders")
+    val lineitem = spark.table("lineitem")
+    def join() = lineitem.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+
+    val expected = join().collect().toSeq
+
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    try {
+      val df = join()
+      df.collect()
+      // creation side (bloom_filter_agg over the filtered dimension's
+      // keys) shows in the physical plan; the application side's
+      // might_contain lands inside the scan filter, which the physical
+      // toString elides — read it from the optimized plan
+      val physical = df.queryExecution.executedPlan.toString
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(physical.contains("bloom_filter_agg"),
+        s"bloom filter creation side missing:\n$physical")
+      assert(optimized.contains("might_contain"),
+        s"bloom filter application side missing:\n$optimized")
+      assert(df.collect().toSeq == expected,
+        "bloom-filtered join changed the result")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("sort/window buffers spill under memory pressure (metrics prove it)") {
     // The reference's always-on larger-than-memory story maps to
     // Spark's UnifiedMemoryManager + spillable operator buffers. Force

@@ -292,6 +292,109 @@ class SourcesSpec extends AnyFunSuite {
       "the post-evolution file carrying the value must survive pruning")
   }
 
+  test("compaction merges small files per partition without changing a row") {
+    val root = Files.createTempDirectory("iceberg_compact_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val before = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(IcebergLite.dataFiles(root).size == 4) // EU has two small files
+
+    val newId = IcebergLite.compact(spark, root)
+
+    // one file per partition tuple now; every row identical
+    val files = IcebergLite.dataFiles(root)
+    assert(files.size == 3, s"expected 3 compacted files, got ${files.map(_.filePath)}")
+    assert(files.map(_.partition("region")).sorted == Seq("AP", "EU", "US"))
+    assert(files.forall(_.filePath.startsWith(s"data/compact-$newId/")))
+    val after = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed data")
+
+    // bounds re-derived per partition: the EU file's id bounds now span
+    // both original EU files, so id>10 pruning keeps exactly it
+    val pruned = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Gt("id", "10")))
+    assert(pruned.map(_.partition("region")) == Seq("EU"))
+
+    // the pre-compaction snapshot still lists the original 4 files
+    assert(IcebergLite.dataFiles(root, snapshotId = Some(2L)).size == 4)
+  }
+
+  test("merge rewrites only files a source key can touch; upserts exactly") {
+    val root = Files.createTempDirectory("iceberg_merge_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val pathsBefore = IcebergLite.dataFiles(root).map(f => f.filePath -> f).toMap
+    import spark.implicits._
+    // update id=2 (hits only sales-eu-1, ids 1-3), insert id=13 (beyond
+    // every file's bounds)
+    val src = Seq((2L, "EU", 999.5), (13L, "AP", 7.25)).toDF("id", "region", "amount")
+    val newId = IcebergLite.merge(spark, root, src, Seq("id"))
+
+    val after = IcebergLite.dataFiles(root)
+    // us-1 / ap-1 / eu-2 carried forward path-identical; eu-1 rewritten
+    val carried = after.filter(f => pathsBefore.contains(f.filePath))
+    assert(carried.map(_.filePath).sorted == Seq(
+      "data/region=AP/sales-ap-1.parquet", "data/region=EU/sales-eu-2.parquet",
+      "data/region=US/sales-us-1.parquet"), s"carried ${carried.map(_.filePath)}")
+    assert(after.filterNot(f => pathsBefore.contains(f.filePath))
+      .forall(_.filePath.startsWith(s"data/merge-$newId/")))
+
+    val rows = IcebergLite.read(spark, root)
+      .select(col("id"), col("region"), col("amount"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val expected = ((1L to 12L).map { i =>
+      val base = Seq((1L, 10.5), (2L, 20.25), (3L, 30.75), (4L, 40.0), (5L, 55.5),
+        (6L, 61.25), (7L, 70.75), (8L, 88.0), (9L, 99.5), (10L, 101.25),
+        (11L, 115.0), (12L, 128.5)).toMap
+      val region = if (i <= 3 || i >= 10) "EU" else if (i <= 6) "US" else "AP"
+      (i, region, if (i == 2L) 999.5 else base(i))
+    } :+ (13L, "AP", 7.25)).sorted
+    assert(rows == expected)
+
+    // pre-merge time travel unaffected
+    assert(IcebergLite.read(spark, root, snapshotId = Some(2L)).count() == 12)
+    // ambiguous source rejected
+    val dup = Seq((1L, "EU", 0.0), (1L, "EU", 1.0)).toDF("id", "region", "amount")
+    intercept[IllegalArgumentException] { IcebergLite.merge(spark, root, dup, Seq("id")) }
+  }
+
+  test("expireSnapshots reclaims exactly the files no retained snapshot references") {
+    val root = Files.createTempDirectory("iceberg_expire_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val before = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
+    val compactId = IcebergLite.compact(spark, root) // snap 3: 3 new files
+    val originals = Seq("data/region=EU/sales-eu-1.parquet",
+      "data/region=US/sales-us-1.parquet", "data/region=AP/sales-ap-1.parquet",
+      "data/region=EU/sales-eu-2.parquet")
+
+    val (nSnaps, nFiles) = IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert((nSnaps, nFiles) == (2, 4), s"expired ($nSnaps snapshots, $nFiles files)")
+
+    // the four pre-compaction files are physically gone; compacted live
+    assert(originals.forall(p => !Files.exists(Paths.get(s"$root/$p"))))
+    assert(IcebergLite.dataFiles(root).forall(f =>
+      Files.exists(Paths.get(s"$root/${f.filePath}"))))
+    // expired snapshot metadata gone, current chain intact
+    assert(IcebergLite.snapshots(root) == Seq(compactId))
+    assert(!Files.exists(Paths.get(s"$root/metadata/manifest-1.json")))
+    val after = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "GC changed the current snapshot's data")
+
+    // expiring again is a no-op
+    assert(IcebergLite.expireSnapshots(root, retainLast = 1) == (0, 0))
+  }
+
+  test("expireSnapshots keeps files still referenced by a retained snapshot") {
+    // the demo's snapshot 2 carries snapshot 1's manifest (and thus its
+    // data files) forward — expiring snapshot 1 must delete NOTHING but
+    // its own snapshot/manifest-list metadata
+    val root = Files.createTempDirectory("iceberg_expire_shared").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val (nSnaps, nFiles) = IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert((nSnaps, nFiles) == (1, 0), "shared data files must survive")
+    assert(Files.exists(Paths.get(s"$root/metadata/manifest-1.json")),
+      "manifest-1 is still referenced by snapshot 2's manifest list")
+    assert(!Files.exists(Paths.get(s"$root/metadata/snap-1.snapshot.json")))
+    assert(IcebergLite.read(spark, root).count() == 12)
+  }
+
   test("read is a single parquet scan regardless of partition count") {
     val df = IcebergLite.read(spark, demoDir)
     assert(df.count() == 12)
