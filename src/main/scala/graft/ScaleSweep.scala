@@ -116,6 +116,7 @@ object ScaleSweep {
     }
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
+    if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -418,6 +419,88 @@ object ScaleSweep {
     *
     *   sbt -batch "runMain graft.ScaleSweep ann [nDocs]"
     */
+  /** PQ sweep at 10⁶ vectors — the measured anchor for
+    * `Similarity.pqFit/pqTopK` (the 32× ANN compression dial): exact
+    * brute-force baseline, then the codebook fit (amortized once per
+    * index build) and the two-pass PQ top-k at practical oversample,
+    * with recall vs exact. Uniform-random vectors are PQ's worst case
+    * (subspace distances noise-dominated), so the recall figure is the
+    * documented floor, not the clustered-corpus expectation — the
+    * anchor's point is the SHUFFLE/STRAGGLER shape: the approx pass
+    * must move ~queries×k·oversample rows, never the corpus.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep pq [nDocs]"
+    */
+  private def pqSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val dim = 32
+    val k = 10
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_pq_sweep").resolve("emb").toString
+    embeddingsDf(spark, nDocs, dim).write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val qPlan = corpus
+      .filter(col("doc_id") % (nDocs / 20L) === 7)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qPlan.collect(): _*), qPlan.schema)
+    val nQueries = queries.count()
+
+    val t0 = System.nanoTime()
+    val s0 = listener.snapshot()
+    val brute = operators.Similarity.bruteForceTopK(
+        corpus, queries, "doc_id", "vec", "query_id", "qvec", k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bruteRows = brute.count()
+    val bruteWall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val tFit = System.nanoTime()
+    val books = operators.Similarity.pqFit(
+      corpus, "doc_id", "vec", m = 8, ksub = 16, iters = 2)
+    val fitWall = (System.nanoTime() - tFit) / 1e9
+
+    // index build (encode once) — amortized across query batches, like
+    // the codebook fit; timed separately from the probe
+    val tEnc = System.nanoTime()
+    val index = operators.Similarity.pqIndex(corpus, "doc_id", "vec", books)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    val encWall = (System.nanoTime() - tEnc) / 1e9
+
+    val t1 = System.nanoTime()
+    val s1b = listener.snapshot()
+    val pq = operators.Similarity.pqTopK(
+        corpus, queries, "doc_id", "vec", "query_id", "qvec", k,
+        m = 8, ksub = 16, oversample = 4, codebook = Some(books),
+        index = Some(index))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pqRows = pq.count()
+    val pqWall = (System.nanoTime() - t1) / 1e9
+    val s2 = listener.snapshot()
+
+    val hit = pq.select(col("query_id"), col("neighbor_id"))
+      .join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+    val recall = if (bruteRows == 0) 0.0 else hit.toDouble / bruteRows
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"pq","docs":$nDocs,"dim":$dim,"queries":$nQueries,"k":$k,""" +
+      s""""bruteWallSec":${math.round(bruteWall * 10) / 10.0},""" +
+      s""""bruteShuffleReadMB":${mb(s1._1 - s0._1)},"bruteShuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""pqFitWallSec":${math.round(fitWall * 10) / 10.0},""" +
+      s""""pqEncodeWallSec":${math.round(encWall * 10) / 10.0},""" +
+      s""""pqWallSec":${math.round(pqWall * 10) / 10.0},""" +
+      s""""pqShuffleReadMB":${mb(s2._1 - s1b._1)},"pqShuffleWriteMB":${mb(s2._2 - s1b._2)},""" +
+      s""""pqRows":$pqRows,"recallVsExact":${math.round(recall * 1000) / 1000.0},""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
   private def annSweep(spark: org.apache.spark.sql.SparkSession,
       listener: StageListener, nDocs: Long): Unit = {
     val dim = 32

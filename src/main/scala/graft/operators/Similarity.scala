@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{CosineSimilarity, HyperplaneLsh}
+import graft.functions.expressions.{CosineSimilarity, HyperplaneLsh, PqAdcDot, PqEncode}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -294,20 +294,6 @@ object Similarity {
   // discipline: fit = bounded collects, encode/decode = pure map-side
   // projections against the codebook literal, no UDFs.
 
-  /** Squared L2 between two double arrays — one row-local fold. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-
-  /** 1-based id of the nearest codeword of sub-vector `sv` in subspace
-    * `sub`: distances to every codeword, then the FIRST index of the
-    * minimum (`array_position` on the value `array_min` returned —
-    * bit-identical, so the match is exact and ties deterministically
-    * take the lowest codeword id). */
-  private def pqCode(books: Seq[Seq[Seq[Double]]], sub: Column, sv: Column): Column = {
-    val dists = transform(element_at(typedlit(books), sub + 1), w => l2sq(sv, w))
-    array_position(dists, array_min(dists)).cast("int")
-  }
-
   /** Fit the PQ codebook: deterministic init (each subspace seeds from
     * the slices of the `ksub` lowest-id vectors) + `iters` Lloyd
     * rounds run over ALL subspaces at once — one zero-shuffle
@@ -327,18 +313,21 @@ object Similarity {
     var books: Seq[Seq[Seq[Double]]] =
       (0 until m).map(s => seed.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq).toSeq)
     if (iters == 0) return books
-    // (sub, sv) rows — m per vector, built row-locally; loop-invariant,
-    // so persisted for the fit (same pattern as kmeansCentroids)
-    val subs = corpus.select(posexplode(array((0 until m).map(s =>
-        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)): _*)))
-      .toDF("sub", "sv")
+    // loop-invariant corpus projection, persisted for the fit (same
+    // pattern as kmeansCentroids). Each Lloyd round: ONE native encode
+    // per vector (PqEncode) + a position explode feeding the partial
+    // aggregate — not a per-(sub,sv)-row interpreted argmin.
+    val vs = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       (1 to iters).foreach { _ =>
-        val means = subs.select(col("sub"),
-            pqCode(books, col("sub"), col("sv")).as("code"),
-            posexplode(col("sv")))
-          .groupBy(col("sub"), col("code"), col("pos"))
+        val means = vs
+          .select(pqEncode(col("v"), books).as("codes"), posexplode(col("v")))
+          .select(floor(col("pos") / dsub).cast("int").as("sub"),
+            col("pos"), col("codes"), col("col"))
+          .groupBy(col("sub"),
+            element_at(col("codes"), col("sub") + 1).as("code"),
+            (col("pos") % dsub).as("pos"))
           .agg(avg(col("col")).as("mu"))
           .collect()
         val byKey = means.map(r =>
@@ -351,18 +340,15 @@ object Similarity {
         }
       }
       books
-    } finally subs.unpersist(false)
+    } finally vs.unpersist(false)
   }
 
   /** Encode a vector as its `m` (1-based) codeword ids — a pure
-    * projection against the codebook literal. */
-  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
-    val m = books.size
-    val dsub = books.head.head.size
-    transform(sequence(lit(0), lit(m - 1)), s =>
-      pqCode(books, s,
-        slice(vec.cast("array<double>"), s * dsub + lit(1), lit(dsub))))
-  }
+    * projection against the codebook, run as a native primitive-loop
+    * expression ([[graft.functions.expressions.PqEncode]]; the HOF
+    * form it replaces cost 94 s/1M vectors in the r6 sweep). */
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqEncode(toExpr(vec), books.map(_.map(_.toArray).toArray).toArray))
 
   /** Reconstruct the approximate vector from its codes — also a pure
     * projection (codeword concatenation). */
@@ -370,26 +356,74 @@ object Similarity {
     flatten(transform(codes, (c, s) =>
       element_at(element_at(typedlit(books), s + 1), c)))
 
+  /** Per-codeword squared L2 norms, driver-side (m × ksub doubles). */
+  private def bookNorms2(books: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
+    books.map(_.map(w => w.map(x => x * x).sum))
+
+  /** Encode the corpus ONCE as the PQ index — the amortized build step
+    * a production deployment runs when the index is created, not per
+    * query batch: `(c_id, c_codes, c_dqn2)` where `c_dqn2` is the
+    * reconstruction's squared norm (a codeword-norm table lookup, so
+    * the probe never rebuilds the decoded vector). At 100 TB this is
+    * the table the approximate pass scans: m bytes/vector + one
+    * double, 32× smaller than the float32 corpus. */
+  def pqIndex(corpus: DataFrame, corpusId: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col(corpusId).as("c_id"), pqEncode(col(vecCol), books).as("c_codes"))
+      .withColumn("c_dqn2",
+        toCol(PqAdcDot(toExpr(col("c_codes")),
+          toExpr(typedlit(bookNorms2(books).flatten)))))
+
   /** ANN top-k over the PQ-coded corpus — the same two-pass shape as
-    * [[sq8TopK]]: the approximate pass scores reconstructions (at
-    * scale, the scan reads m bytes/vector instead of 4·dim), keeps
-    * `k·oversample` candidates per query, and only those fetch their
-    * full-precision vectors (broadcast — the corpus never shuffles)
-    * for the exact re-rank. Oversample covering the corpus reduces to
-    * exact brute force (the `ann_pq_full` oracle row). */
+    * [[sq8TopK]], scored ADC-style (asymmetric distance computation,
+    * Jégou et al. §III): each query precomputes a m×ksub lookup table
+    * of query-subvector·codeword dot products (512 muls per QUERY, on
+    * the broadcast side), and the approximate score of a corpus row is
+    * then m table lookups — cos(q, decode(codes)) =
+    * Σ_s lut[s][code_s] / (‖q‖·‖dq‖) — never a per-row decode +
+    * full-width cosine (the r6 sweep measured that naive form 10×
+    * slower than brute force; ADC is what makes the compressed scan
+    * actually cheaper than the thing it approximates). The top
+    * `k·oversample` candidates per query fetch their full-precision
+    * vectors (broadcast — the corpus never shuffles) for the exact
+    * re-rank. Oversample covering the corpus reduces to exact brute
+    * force (the `ann_pq_full` oracle row). Pass `index` (from
+    * [[pqIndex]]) to amortize the encode across query batches. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1, oversample: Int = 4,
-      codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+      codebook: Option[Seq[Seq[Seq[Double]]]] = None,
+      index: Option[DataFrame] = None): DataFrame = {
     val books = codebook.getOrElse(pqFit(corpus, corpusId, corpusVec, m, ksub, iters))
-    val quant = corpus.select(col(corpusId).as("c_id"),
-      pqDecode(pqEncode(col(corpusVec), books), books).as("c_dq"))
+    val quant = index.getOrElse(pqIndex(corpus, corpusId, corpusVec, books))
+    val dsub = books.head.head.size
+    val qarr = col(queryVec).cast("array<double>")
+    // flat m·ksub LUT (row-major), built once per QUERY row on the
+    // broadcast side — ~m·ksub·dsub muls per query, irrelevant next to
+    // the corpus scan
+    val lut = flatten(transform(sequence(lit(0), lit(books.size - 1)), s =>
+      transform(element_at(typedlit(books), s + 1), w =>
+        aggregate(zip_with(slice(qarr, s * dsub + lit(1), lit(dsub)), w,
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v))))
+    val q2 = queries
+      .withColumn("__q_lut", lut)
+      .withColumn("__q_n2",
+        aggregate(transform(qarr, x => x * x), lit(0.0), (acc, v) => acc + v))
     val over = k * oversample
     val wApprox = Window.partitionBy(col(queryId)).orderBy(col("approx_sim").desc, col("c_id"))
-    val cands = quant.join(broadcast(queries), col("c_id") =!= col(queryId))
-      .withColumn("approx_sim", cosine(col(queryVec), col("c_dq")))
+    val denom = sqrt(col("__q_n2") * col("c_dqn2"))
+    val adcDot = toCol(PqAdcDot(toExpr(col("c_codes")), toExpr(col("__q_lut"))))
+    // project down to (query, candidate, score) BEFORE the rank so the
+    // per-query LUT and vector never ride through the window buffers;
+    // the full query vector re-attaches to the ~k·oversample survivors
+    // via a second broadcast of the raw queries
+    val cands = quant.join(broadcast(q2), col("c_id") =!= col(queryId))
+      .select(col(queryId),
+        when(denom === 0.0, lit(0.0)).otherwise(adcDot / denom).as("approx_sim"),
+        col("c_id"))
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= over)
+      .join(broadcast(queries), Seq(queryId))
       .select(col(queryId), col(queryVec), col("c_id"))
     val wExact = Window.partitionBy(col(queryId)).orderBy(col("cos_sim").desc, col(corpusId))
     corpus.join(broadcast(cands), col(corpusId) === col("c_id"))

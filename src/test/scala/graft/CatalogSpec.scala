@@ -14,21 +14,20 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("catalog size matches COVERAGE.md (catches silently dropped registrations)") {
-    // update alongside COVERAGE.md's "Verification totals" when adding queries
-    // (144 + all 156 ref_* golden rows + agg_skew_salted /
-    // join_skew_salted / data_hot_shingles + the 5 stream_* rows +
-    // iceberg_append / join_bucketed / stream_session_window / unnest_lateral / scan_{csv,json}_roundtrip,
-    // all added
-    // in round 5). The ref_*
-    // rows exist only when a reference checkout is mounted (they read
-    // its manifest at runtime), so count them conditionally.
+    // update alongside COVERAGE.md's "Verification totals" when adding
+    // queries (round-5 state was 158 + 156 ref_*; round 6 added
+    // pq_encode / ann_pq_full / ann_pq_topk and the Iceberg write
+    // family: iceberg_delete / overwrite / evolve / compact / expire /
+    // merge → 167 non-ref). The ref_* rows exist only when a reference
+    // checkout is mounted (they read its manifest at runtime), so
+    // count them conditionally.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 158 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 154 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
-    // the 4 deliberate rows-only entries, each with an exact oracle-checked sibling
+    assert(SparkEntry.queries.size == 167 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 162 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    // the 5 deliberate rows-only entries, each with an exact oracle-checked sibling
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",
-      "trino_statistical_fns"), s"rows-only: $rowsOnly")
+      "ann_pq_topk", "trino_statistical_fns"), s"rows-only: $rowsOnly")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
