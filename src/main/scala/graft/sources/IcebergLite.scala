@@ -244,6 +244,17 @@ object IcebergLite {
       }
     }.getOrElse(Nil)
 
+  /** Initialize an EMPTY table (a current-snapshot pointer with no
+    * snapshot) so the first `append` has a commit target. Idempotent;
+    * never touches an existing pointer. */
+  def createTable(tablePath: String): Unit = {
+    Files.createDirectories(Paths.get(s"$tablePath/metadata"))
+    val p = Paths.get(s"$tablePath/metadata/v0.metadata.json")
+    if (!Files.exists(p))
+      Files.writeString(p,
+        """{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": null}""")
+  }
+
   /** Append `df` as a NEW SNAPSHOT (exceeds the reference, whose
     * Iceberg surface is read-only): data files land under
     * `data/append-<snapId>/`, a new manifest lists them, the parent's
@@ -500,6 +511,73 @@ object IcebergLite {
       rm(s"metadata/snap-$id.snapshot.json")
     }
     (expired.size, dropData.size)
+  }
+
+  /** Sort-based CLUSTER rewrite as a NEW SNAPSHOT — the data-skipping
+    * maintenance op: live rows are range-repartitioned on `sortCols`
+    * into ~`targetFiles` files (sorted within each), and per-FILE
+    * column bounds are re-derived with one `input_file_name()` stats
+    * pass over the rewritten files. That last step is the point:
+    * `append`/`compact` record bounds per partition tuple
+    * (conservative-correct but wide), so a predicate on a scattered
+    * column keeps every file; after clustering, file ranges on
+    * `sortCols` are disjoint and min/max skipping becomes surgical —
+    * at 100 TB this is the difference between scanning a partition
+    * and scanning one file of it. Multi-column clustering composes by
+    * passing an interleaved-bits (z-order) expression column upstream;
+    * single-key range clustering is the common case and what the
+    * bounds model here rewards. The stats pass is one distributed
+    * aggregate over exactly the rewritten slice — the same cost class
+    * as the rewrite itself. Prior snapshots stay time-travelable. */
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFiles: Int): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(sortCols.nonEmpty && targetFiles >= 1, "cluster needs sort columns and a file target")
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val live = dataFiles(tablePath)
+    if (live.isEmpty) return parentId.getOrElse(0L)
+    val partCols = live.flatMap(_.partition.keys).distinct.sorted
+    val runDir = s"cluster-$newId"
+    val df = readFileSet(spark, tablePath, live)
+      .repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(s"$tablePath/data/$runDir")
+
+    // per-file bounds + row counts: one aggregate keyed by the file
+    // each row landed in
+    val written = spark.read.parquet(s"$tablePath/data/$runDir")
+    val dataCols = written.schema.fields.map(_.name)
+    val aggs = count(lit(1)).as("__n") +: dataCols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"__min_$c"), max(col(c)).cast("string").as(s"__max_$c")))
+    def canon(p: String): String =
+      new java.io.File(p.replaceFirst("^[a-z]+:/+", "/")).getCanonicalPath
+    val stats = written.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val lo = dataCols.flatMap(c => Option(r.getAs[Any](s"__min_$c")).map(v => c -> v.toString)).toMap
+        val hi = dataCols.flatMap(c => Option(r.getAs[Any](s"__max_$c")).map(v => c -> v.toString)).toMap
+        canon(r.getAs[String]("__f")) -> (r.getAs[Long]("__n"), lo, hi)
+      }.toMap
+
+    val root = Paths.get(s"$tablePath/data/$runDir")
+    val entries = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      .map { p =>
+        val part = root.relativize(p).iterator().asScala.map(_.toString)
+          .filter(_.contains("=")).map { seg =>
+            val Array(k, v) = seg.split("=", 2); k -> v
+          }.toMap
+        val (n, lo, hi) = stats.getOrElse(canon(p.toString),
+          (0L, Map.empty[String, String], Map.empty[String, String]))
+        entryJson(DataFile(
+          filePath = s"data/$runDir/${root.relativize(p).toString}",
+          fileFormat = "PARQUET", partition = part, recordCount = n,
+          lowerBounds = lo, upperBounds = hi))
+      }
+    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil)
   }
 
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present

@@ -355,6 +355,41 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { IcebergLite.merge(spark, root, dup, Seq("id")) }
   }
 
+  test("cluster rewrites into disjoint ranges; per-file bounds make pruning surgical") {
+    val root = Files.createTempDirectory("iceberg_cluster_spec").toString
+    IcebergLite.createTable(root)
+    import spark.implicits._
+    // 4 appends, each spanning the whole id range (ids interleaved mod
+    // 4) — append records bounds per partition tuple (here: global), so
+    // NO id predicate can skip any file before clustering
+    (0 until 4).foreach { i =>
+      IcebergLite.append(spark, root,
+        (0 until 250).map(j => (j * 4L + i, s"v$i-$j")).toDF("id", "v").coalesce(1))
+    }
+    assert(IcebergLite.dataFiles(root).size == 4)
+    assert(IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Gt("id", "900"))).size == 4,
+      "interleaved appends must be unprunable")
+    val before = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
+
+    IcebergLite.cluster(spark, root, Seq("id"), targetFiles = 4)
+
+    val files = IcebergLite.dataFiles(root)
+    assert(files.size == 4, s"got ${files.map(_.filePath)}")
+    assert(files.map(_.recordCount).sum == 1000)
+    val ranges = files
+      .map(f => (f.lowerBounds("id").toLong, f.upperBounds("id").toLong)).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"ranges overlap: $ranges")
+    assert(IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Gt("id", "900"))).size == 1,
+      "clustered bounds must prune to one file")
+    val after = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "clustering changed data")
+  }
+
   test("expireSnapshots reclaims exactly the files no retained snapshot references") {
     val root = Files.createTempDirectory("iceberg_expire_spec").toString
     graft.sources.IcebergDemo.write(spark, root)
