@@ -117,6 +117,7 @@ object ScaleSweep {
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
+    if (mode == "iceberg") { icebergSweep(spark, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -499,6 +500,95 @@ object ScaleSweep {
       s""""pqRows":$pqRows,"recallVsExact":${math.round(recall * 1000) / 1000.0},""" +
       s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
       s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** Iceberg write-family sweep at 10⁶ rows / 32 partitions / 128
+    * files — the measured anchor for the copy-on-write ops' scale
+    * claim: REWRITE SCOPE IS PROPORTIONAL TO TOUCHED FILES, NOT TABLE
+    * SIZE. Partition p holds the contiguous key range
+    * [p·perPart, (p+1)·perPart), so a merge batch confined to one
+    * partition's range must carry 124 of 128 files forward verbatim, a
+    * partition-scoped delete must rewrite nothing (metadata-only), and
+    * compaction + snapshot expiry must leave exactly one file per
+    * partition with every byte of history reclaimed.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep iceberg [nRows]"
+    */
+  private def icebergSweep(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_sweep").resolve("t").toString
+    sources.IcebergLite.createTable(root)
+    val nParts = 32
+    val perPart = nRows / nParts
+    def partOf(k: org.apache.spark.sql.Column) =
+      format_string("p%02d", (k / perPart).cast("int"))
+
+    // 4 appends, each spanning every partition (key ≡ batch mod 4) —
+    // the many-small-files shape a streaming ingest leaves behind
+    val tApp = System.nanoTime()
+    (0 until 4).foreach { b =>
+      val df = spark.range(nRows / 4)
+        .select((col("id") * 4 + b).as("k"))
+        .select(col("k"), partOf(col("k")).as("part"),
+          (col("k") % 1000 * 1.0).as("amount"))
+        .repartition(col("part"))
+      sources.IcebergLite.append(spark, root, df, partitionColumns = Seq("part"))
+    }
+    val appendWall = (System.nanoTime() - tApp) / 1e9
+    val nFiles0 = sources.IcebergLite.dataFiles(root).size
+
+    // merge: 5k updates inside partition 7's key range + 5k inserts in
+    // fresh key space (a new partition) — only p07's files may rewrite
+    val before = sources.IcebergLite.dataFiles(root).map(_.filePath).toSet
+    val updates = spark.range(5000)
+      .select((col("id") * (perPart / 5000) + 7L * perPart).as("k"))
+    val inserts = spark.range(5000).select((col("id") + nRows).as("k"))
+    val batch = updates.union(inserts)
+      .select(col("k"), partOf(col("k")).as("part"), lit(-1.0).as("amount"))
+    val tMerge = System.nanoTime()
+    sources.IcebergLite.merge(spark, root, batch, Seq("k"))
+    val mergeWall = (System.nanoTime() - tMerge) / 1e9
+    val afterMerge = sources.IcebergLite.dataFiles(root)
+    val carried = afterMerge.count(f => before.contains(f.filePath))
+    val updatedCount = sources.IcebergLite.read(spark, root)
+      .filter(col("amount") === -1.0).count()
+
+    // partition-scoped delete: metadata-only, zero files rewritten
+    val tDel = System.nanoTime()
+    sources.IcebergLite.delete(spark, root,
+      Seq(sources.IcebergLite.Eq("part", "p31")))
+    val delWall = (System.nanoTime() - tDel) / 1e9
+    val afterDel = sources.IcebergLite.dataFiles(root)
+    val delRewrote = afterDel.exists(_.filePath.contains("delete-"))
+
+    // compact to one file per partition, then expire everything else
+    val tComp = System.nanoTime()
+    sources.IcebergLite.compact(spark, root)
+    val compactWall = (System.nanoTime() - tComp) / 1e9
+    val nFilesComp = sources.IcebergLite.dataFiles(root).size
+    val tExp = System.nanoTime()
+    val (expSnaps, expFiles) = sources.IcebergLite.expireSnapshots(root, retainLast = 1)
+    val expWall = (System.nanoTime() - tExp) / 1e9
+
+    // end-state invariant: full history applied exactly once
+    val fin = sources.IcebergLite.read(spark, root)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    val expectRows = nRows + 5000 - perPart // +inserts, -p31
+    println(
+      s"""{"sweep":"iceberg","rows":$nRows,"partitions":$nParts,"files":$nFiles0,""" +
+      s""""appendWallSec":${math.round(appendWall * 10) / 10.0},""" +
+      s""""mergeWallSec":${math.round(mergeWall * 10) / 10.0},""" +
+      s""""mergeCarriedFiles":$carried,"mergeTouchedFiles":${nFiles0 - carried},""" +
+      s""""mergeUpdatedRows":$updatedCount,""" +
+      s""""partitionDeleteWallSec":${math.round(delWall * 100) / 100.0},""" +
+      s""""partitionDeleteRewroteFiles":$delRewrote,""" +
+      s""""compactWallSec":${math.round(compactWall * 10) / 10.0},""" +
+      s""""filesAfterCompact":$nFilesComp,""" +
+      s""""expireWallSec":${math.round(expWall * 100) / 100.0},""" +
+      s""""expiredSnapshots":$expSnaps,"expiredFiles":$expFiles,""" +
+      s""""finalRows":${fin.getLong(0)},"expectedRows":$expectRows,""" +
+      s""""rowsMatch":${fin.getLong(0) == expectRows}}""")
   }
 
   private def annSweep(spark: org.apache.spark.sql.SparkSession,
