@@ -202,7 +202,34 @@ object StreamingQueries extends QueryCatalog {
         .orderBy(col("new_id"), col("corpus_id"))
     })
 
+  private lazy val upsertRoot = java.nio.file.Files
+    .createTempDirectory("graft_stream_upsert_row")
+
+  /** Streaming CDC upsert into an IcebergLite table (foreachBatch →
+    * ordered merge, sequence = event_id): the finished TABLE must hold
+    * exactly the max-event_id record per user — the same answer the
+    * batch window-rank query gives. Replay idempotence and
+    * batch-boundary independence are proven in SourcesSpec; this row
+    * pins the end-to-end stream → lakehouse value path. */
+  private val streamUpsert = Q(
+    "stream_upsert",
+    Some("""
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id"""),
+    (s, dir) => {
+      Engine.deleteRecursively(upsertRoot)
+      val root = s"$upsertRoot/t"
+      graft.sources.IcebergLite.createTable(root)
+      upsertStream(eventsStream(s, dir), root, s"$upsertRoot/ckpt")
+      graft.sources.IcebergLite.read(s, root)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    })
+
   def defs: Seq[Q] = Seq(
     streamDedupIds, streamJoinClickView, streamSessionize, streamWindowAgg,
-    streamIngestDedup, streamSessionWindow)
+    streamIngestDedup, streamSessionWindow, streamUpsert)
 }

@@ -108,6 +108,24 @@ object IcebergLite {
       }.sorted
   }
 
+  /** Parse one manifest file's data-file entries. */
+  private def manifestFiles(tablePath: String, manifestPath: String): Seq[DataFile] =
+    (readJson(s"$tablePath/$manifestPath") \ "entries") match {
+      case JArray(entries) =>
+        entries.flatMap { e =>
+          (e \ "data_file").toOption.map { df =>
+            DataFile(
+              filePath = (df \ "file_path").extract[String],
+              fileFormat = (df \ "file_format").extractOrElse[String]("PARQUET"),
+              partition = (df \ "partition").extractOrElse[Map[String, String]](Map.empty),
+              recordCount = (df \ "record_count").extractOrElse[Long](0L),
+              lowerBounds = (df \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
+              upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty))
+          }
+        }
+      case _ => Nil
+    }
+
   /** Live data files of a snapshot, after partition pruning. */
   def dataFiles(tablePath: String, snapshotId: Option[Long] = None,
       filters: Seq[PartitionFilter] = Nil): Seq[DataFile] = {
@@ -120,23 +138,7 @@ object IcebergLite {
       case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
       case _ => Nil
     }
-    val files = manifests.flatMap { mp =>
-      (readJson(s"$tablePath/$mp") \ "entries") match {
-        case JArray(entries) =>
-          entries.flatMap { e =>
-            (e \ "data_file").toOption.map { df =>
-              DataFile(
-                filePath = (df \ "file_path").extract[String],
-                fileFormat = (df \ "file_format").extractOrElse[String]("PARQUET"),
-                partition = (df \ "partition").extractOrElse[Map[String, String]](Map.empty),
-                recordCount = (df \ "record_count").extractOrElse[Long](0L),
-                lowerBounds = (df \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
-                upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty))
-            }
-          }
-        case _ => Nil
-      }
-    }
+    val files = manifests.flatMap(manifestFiles(tablePath, _))
     files.filter(f => filters.forall(_.matches(f)))
   }
 
@@ -210,7 +212,8 @@ object IcebergLite {
     * copy-on-write commits (delete/overwrite) pass none and re-list
     * surviving files in the new manifest instead. */
   private def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
-      entries: Seq[String], carriedManifests: Seq[String]): Long = {
+      entries: Seq[String], carriedManifests: Seq[String],
+      operation: String = "append"): Long = {
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$newId.json"),
       entries.mkString("{\"entries\": [", ",\n", "]}"))
     val allManifests = carriedManifests :+ s"metadata/manifest-$newId.json"
@@ -221,6 +224,7 @@ object IcebergLite {
       }.mkString("[", ",\n", "]"))
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$newId.snapshot.json"),
       s"""{"snapshot_id": $newId${parentId.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
+         | "operation": "$operation",
          | "manifest_list": "metadata/manifest-list-$newId.json"}""".stripMargin)
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
     Files.writeString(tmp,
@@ -283,6 +287,60 @@ object IcebergLite {
     val files = dataFiles(tablePath, snapshotId, filters)
     if (files.isEmpty) spark.emptyDataFrame
     else readFileSet(spark, tablePath, files)
+  }
+
+  /** The operation that produced a snapshot (`append` / `delete` /
+    * `overwrite` / `replace`). Tables written before the field existed
+    * were append-built, so a missing field reads as `append`. */
+  def snapshotOperation(tablePath: String, snapshotId: Long): String =
+    (readJson(s"$tablePath/metadata/snap-$snapshotId.snapshot.json") \ "operation")
+      .toOption.collect { case JString(op) => op }.getOrElse("append")
+
+  /** Parent snapshot id (None for the chain root). */
+  def parentSnapshotId(tablePath: String, snapshotId: Long): Option[Long] =
+    (readJson(s"$tablePath/metadata/snap-$snapshotId.snapshot.json") \ "parent_snapshot_id")
+      .toOption.collect { case JInt(n) => n.toLong }
+
+  /** INCREMENTAL READ (changelog): the rows ADDED strictly after
+    * `fromSnapshotId`, up to and including `toSnapshotId` (default:
+    * current) — the batch half of a CDC pipeline, mirroring real
+    * Iceberg's incremental scan (spark option `start-snapshot-id`)
+    * over `/root/reference/src/iceberg/iceberg.rs`'s snapshot model,
+    * which is read-only and has no changelog at all (➕).
+    *
+    * Semantics follow real Iceberg's appends-only contract: walking
+    * the parent chain (`to` … exclusive `from`), an `append` snapshot
+    * contributes exactly the entries of ITS OWN manifest — O(added
+    * files) metadata work per snapshot, never a full-snapshot file-set
+    * diff, which is what keeps a long-history 100 TB table's
+    * incremental planning cheap; a `replace` snapshot (compaction /
+    * cluster rewrite) changes no logical rows and is SKIPPED; a
+    * `delete`/`overwrite` snapshot makes "rows added since" ill-posed,
+    * so the read REFUSES, exactly like Iceberg's "cannot support
+    * incremental scan through overwrite" error. Expired (GC'd)
+    * intermediate snapshots also refuse — the history is gone. */
+  def incrementalRead(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val to = toSnapshotId.orElse(currentSnapshotId(tablePath)).getOrElse(
+      throw new IllegalArgumentException("empty table has no snapshots"))
+    val added = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    var cursor = to
+    while (cursor != fromSnapshotId) {
+      if (!Files.exists(Paths.get(s"$tablePath/metadata/snap-$cursor.snapshot.json")))
+        throw new IllegalArgumentException(
+          s"snapshot $cursor in the incremental range was expired")
+      snapshotOperation(tablePath, cursor) match {
+        case "append" => added ++= manifestFiles(tablePath, s"metadata/manifest-$cursor.json")
+        case "replace" => // compaction/cluster: no logical row change
+        case op => throw new IllegalArgumentException(
+          s"cannot read incrementally through a '$op' snapshot ($cursor)")
+      }
+      cursor = parentSnapshotId(tablePath, cursor).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $fromSnapshotId is not an ancestor of $to"))
+    }
+    if (added.isEmpty) spark.emptyDataFrame
+    else readFileSet(spark, tablePath, added.toSeq)
   }
 
   /** Read an explicit manifest file list (partition values recovered
@@ -376,7 +434,8 @@ object IcebergLite {
         }
       }
     commitSnapshot(tablePath, newId, parentId,
-      kept.map(entryJson) ++ rewritten, carriedManifests = Nil)
+      kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
+      operation = "delete")
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
@@ -403,7 +462,8 @@ object IcebergLite {
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
     val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId")
-    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil)
+    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
+      operation = "replace")
   }
 
   /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose
@@ -421,10 +481,20 @@ object IcebergLite {
     * (left-anti on the keys), and survivors ∪ source land under
     * `data/merge-<snapId>/`. A source with duplicate keys is rejected
     * (the merge would be ambiguous — real Iceberg MERGE errors the
-    * same way). Prior snapshots stay time-travelable. */
+    * same way). Prior snapshots stay time-travelable.
+    *
+    * `precedence` turns the unconditional upsert into an ORDERED one
+    * (WHEN MATCHED AND source.seq >= target.seq THEN UPDATE): on a key
+    * match the row with the greater value of that column wins, and the
+    * SOURCE wins ties. That makes the merge idempotent under
+    * at-least-once replay and insensitive to batch arrival order — the
+    * CDC contract `EventStream.upsertStream` builds on (a late batch
+    * carrying a stale sequence number cannot clobber a newer stored
+    * row). */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
-      keyCols: Seq[String], maxKeyPrune: Int = 10000): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      keyCols: Seq[String], maxKeyPrune: Int = 10000,
+      precedence: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
@@ -468,12 +538,25 @@ object IcebergLite {
     val kept = live.filterNot(touchedSet)
     val newData =
       if (touched.isEmpty) source
-      else readFileSet(spark, tablePath, touched)
-        .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(source)
+      else precedence match {
+        case None =>
+          readFileSet(spark, tablePath, touched)
+            .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(source)
+        case Some(p) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(p).desc, col("__graft_src").desc)
+          readFileSet(spark, tablePath, touched).withColumn("__graft_src", lit(0))
+            .unionByName(source.withColumn("__graft_src", lit(1)))
+            .withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1)
+            .drop("__graft_src", "__graft_rn")
+      }
     val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId")
     commitSnapshot(tablePath, newId, parentId,
-      kept.map(entryJson) ++ entries, carriedManifests = Nil)
+      kept.map(entryJson) ++ entries, carriedManifests = Nil,
+      operation = "overwrite")
   }
 
   /** Snapshot EXPIRY — the GC that completes the copy-on-write family:
@@ -523,15 +606,31 @@ object IcebergLite {
     * column keeps every file; after clustering, file ranges on
     * `sortCols` are disjoint and min/max skipping becomes surgical —
     * at 100 TB this is the difference between scanning a partition
-    * and scanning one file of it. Multi-column clustering composes by
-    * passing an interleaved-bits (z-order) expression column upstream;
-    * single-key range clustering is the common case and what the
-    * bounds model here rewards. The stats pass is one distributed
+    * and scanning one file of it.
+    *
+    * Lexicographic sort (the default) makes skipping surgical on the
+    * LEADING column only. `zorder = true` instead range-partitions on
+    * a Morton code ([[graft.functions.expressions.ZOrderCode]]:
+    * each column min/max-scaled to 16 bits, bits interleaved
+    * MSB-first), so every file covers a roughly square region of the
+    * multi-column key space and min/max skipping works on ALL the
+    * clustered columns — a predicate selecting 1/w of ONE dimension
+    * touches O(files/w^(1/k)) files instead of all of them
+    * (SourcesSpec measures both dimensions pruning on the same
+    * table, and the lexicographic trailing-column failure it fixes).
+    * Z-order columns must be numeric/date/timestamp — rank-coding
+    * strings needs a quantile pass; use lexicographic clustering for
+    * string keys. The min/max scaling pass collects 2 doubles per
+    * column; skewed value distributions waste code range (quantile
+    * coding would fix that) but per-file BOUNDS are recorded from
+    * the actual values, so skipping stays exact either way.
+    *
+    * The stats pass is one distributed
     * aggregate over exactly the rewritten slice — the same cost class
     * as the rewrite itself. Prior snapshots stay time-travelable. */
   def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
-      targetFiles: Int): Long = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      targetFiles: Int, zorder: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, floor, input_file_name, lit, max, min}
     require(sortCols.nonEmpty && targetFiles >= 1, "cluster needs sort columns and a file target")
     val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
@@ -539,9 +638,40 @@ object IcebergLite {
     if (live.isEmpty) return parentId.getOrElse(0L)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     val runDir = s"cluster-$newId"
-    val df = readFileSet(spark, tablePath, live)
-      .repartitionByRange(targetFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+    val base = readFileSet(spark, tablePath, live)
+    val df =
+      if (!zorder)
+        base.repartitionByRange(targetFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else {
+        sortCols.foreach { c =>
+          val dt = base.schema(c).dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.DateType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+            s"zorder column $c must be numeric/date/timestamp, got $dt")
+        }
+        // one bounded agg: 2 doubles per z-column, for the 16-bit scaling
+        val aggs = sortCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__lo_$c"),
+          max(col(c).cast("double")).as(s"__hi_$c")))
+        val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val codes = sortCols.zipWithIndex.map { case (c, i) =>
+          val (lo, hi) =
+            if (r.isNullAt(2 * i)) (0.0, 1.0)
+            else (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+          val span = if (hi > lo) hi - lo else 1.0
+          floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
+            / lit(span) * lit(65535.0)).cast("int")
+        }
+        import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+        base.withColumn("__z", toCol(
+            graft.functions.expressions.ZOrderCode(codes.map(toExpr))))
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
     val writer = df.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
@@ -577,7 +707,8 @@ object IcebergLite {
           fileFormat = "PARQUET", partition = part, recordCount = n,
           lowerBounds = lo, upperBounds = hi))
       }
-    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil)
+    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
+      operation = "replace")
   }
 
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
@@ -603,6 +734,7 @@ object IcebergLite {
       replaced.contains(partitionColumns.map(c => c -> f.partition.getOrElse(c, "null")).toMap))
     val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-$newId")
     commitSnapshot(tablePath, newId, parentId,
-      kept.map(entryJson) ++ entries, carriedManifests = Nil)
+      kept.map(entryJson) ++ entries, carriedManifests = Nil,
+      operation = "overwrite")
   }
 }

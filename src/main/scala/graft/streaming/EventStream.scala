@@ -152,6 +152,45 @@ object EventStream {
         Seq("band", "band_hash"))
       .select(col("new_id"), col("corpus_id"))
 
+  /** Streaming CDC UPSERT into an IcebergLite table: each micro-batch
+    * keeps its last record per key (CDC sequence = `event_id`, the
+    * log sequence number), then copy-on-write MERGEs it with
+    * `precedence = event_id` — on a key match the higher sequence
+    * wins and the source wins ties. This is effectively-once WITHOUT
+    * a transactional sink, the production CDC-ingest pattern: the
+    * checkpoint gives at-least-once batch delivery, a replayed batch
+    * re-merges the same (key → winning row) set (a no-op for the end
+    * state), and batch BOUNDARIES don't matter either — whatever
+    * order records arrive in, the stored row per key is the global
+    * max-sequence record (SourcesSpec proves a stale late batch
+    * cannot clobber a newer stored row, and that a re-run from
+    * scratch over differently-split input lands byte-identical).
+    * Combined with merge's key-bounds file pruning, a micro-batch
+    * touching k keys rewrites only the files those keys live in —
+    * the CDC shape a 100 TB lakehouse table needs. */
+  def upsertStream(events: DataFrame, tablePath: String,
+      checkpointDir: String): Unit = {
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+          val latest = batch
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"), col("value"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
+            latest, Seq("user_id"), precedence = Some("event_id"))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** A testdata table as a file-source STREAM. Streaming readers need
     * an explicit schema, so the batch footer is read once. */
   def tableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {

@@ -317,6 +317,94 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.dataFiles(root, snapshotId = Some(2L)).size == 4)
   }
 
+  test("streaming CDC upsert: stale late batches lose, replay and re-split are no-ops") {
+    val root = Files.createTempDirectory("cdc_upsert_spec")
+    val in = root.resolve("in").toString
+    val table = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    IcebergLite.createTable(table)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def feed(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def stream() = {
+      val schema = spark.read.parquet(in).schema
+      EventStream.upsertStream(
+        spark.readStream.schema(schema).parquet(in), table, ckpt)
+    }
+    def state(): Map[Long, (Long, Double)] =
+      IcebergLite.read(spark, table).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+
+    // batch A carries user 1's NEWEST record (seq 5) and user 2's seq 1
+    feed(Seq((1L, 5L, ts("2024-01-01 10:00:00"), "click", 50.0),
+      (2L, 1L, ts("2024-01-01 09:00:00"), "view", 10.0)))
+    stream()
+    assert(state() == Map(1L -> (5L, 50.0), 2L -> (1L, 10.0)))
+
+    // batch B arrives LATER but carries a STALE record for user 1
+    // (seq 3) plus a genuinely newer one for user 2 (seq 2)
+    feed(Seq((1L, 3L, ts("2024-01-01 09:30:00"), "click", 30.0),
+      (2L, 2L, ts("2024-01-01 09:45:00"), "purchase", 20.0)))
+    stream()
+    assert(state() == Map(1L -> (5L, 50.0), 2L -> (2L, 20.0)),
+      "stale seq 3 must not clobber stored seq 5")
+
+    // replay: same checkpoint, no new input — a no-op
+    stream()
+    assert(state() == Map(1L -> (5L, 50.0), 2L -> (2L, 20.0)))
+
+    // re-run FROM SCRATCH (fresh checkpoint → both files in one batch)
+    // into the same table: batch-boundary independence means the end
+    // state is identical
+    graft.Engine.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    stream()
+    assert(state() == Map(1L -> (5L, 50.0), 2L -> (2L, 20.0)))
+  }
+
+  test("incremental read: appends only, replace skipped, refusals on overwrite/expiry") {
+    val root = Files.createTempDirectory("iceberg_incr_spec").toString
+    import spark.implicits._
+    IcebergLite.createTable(root)
+    def batch(rows: (Long, Double, String)*) =
+      rows.toDF("id", "amount", "region")
+    val s1 = IcebergLite.append(spark, root, batch((1L, 1.0, "EU")), Seq("region"))
+    val s2 = IcebergLite.append(spark, root, batch((2L, 2.0, "US")), Seq("region"))
+    IcebergLite.compact(spark, root) // replace: no logical change
+    val s4 = IcebergLite.append(spark, root, batch((3L, 3.0, "EU")), Seq("region"))
+
+    // rows added since s1 = batches 2 and 4; the compaction's rewrite
+    // of row 1 into a fresh file must NOT resurface it
+    assert(IcebergLite.incrementalRead(spark, root, fromSnapshotId = s1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // from == to → empty
+    assert(IcebergLite.incrementalRead(spark, root, fromSnapshotId = s4).isEmpty)
+
+    // a delete snapshot in the range makes "added since" ill-posed
+    IcebergLite.delete(spark, root, Seq(IcebergLite.Eq("region", "US")))
+    val exDel = intercept[IllegalArgumentException] {
+      IcebergLite.incrementalRead(spark, root, fromSnapshotId = s2)
+    }
+    assert(exDel.getMessage.contains("delete"))
+
+    // expiring history must refuse, not silently under-report: fresh
+    // append-only table so GC (not the delete above) is what breaks
+    // the chain — after retainLast=1 only the final append survives
+    // and the walk hits a missing intermediate snapshot
+    val root2 = Files.createTempDirectory("iceberg_incr_gc_spec").toString
+    IcebergLite.createTable(root2)
+    val g1 = IcebergLite.append(spark, root2, batch((1L, 1.0, "EU")), Seq("region"))
+    IcebergLite.append(spark, root2, batch((2L, 2.0, "US")), Seq("region"))
+    IcebergLite.append(spark, root2, batch((3L, 3.0, "EU")), Seq("region"))
+    IcebergLite.expireSnapshots(root2, retainLast = 1)
+    val exGc = intercept[IllegalArgumentException] {
+      IcebergLite.incrementalRead(spark, root2, fromSnapshotId = g1)
+    }
+    assert(exGc.getMessage.contains("expired"))
+  }
+
   test("merge rewrites only files a source key can touch; upserts exactly") {
     val root = Files.createTempDirectory("iceberg_merge_spec").toString
     graft.sources.IcebergDemo.write(spark, root)
