@@ -405,6 +405,52 @@ class SourcesSpec extends AnyFunSuite {
     assert(exGc.getMessage.contains("expired"))
   }
 
+  test("z-order cluster: min/max skipping prunes on BOTH clustered dimensions") {
+    val root = Files.createTempDirectory("iceberg_zorder_spec").toString
+    IcebergLite.createTable(root)
+    import spark.implicits._
+    // 4096 rows; amount is a decorrelated permutation of id (odd
+    // multiplier mod 2^12 is a bijection), so after a lexicographic
+    // (id, amount) sort every file still spans the full amount range
+    val rows = (0 until 4096).map(i => (i.toLong, ((i * 2654435761L) % 4096).toDouble))
+    IcebergLite.append(spark, root, rows.toDF("id", "amount"), partitionColumns = Nil)
+
+    // lexicographic baseline: leading column prunes, trailing never does
+    IcebergLite.cluster(spark, root, Seq("id", "amount"), targetFiles = 16)
+    val lexAll = IcebergLite.dataFiles(root).size
+    val lexId = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("id", "256"))).size
+    val lexAmt = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("amount", "256"))).size
+    assert(lexId <= 2, s"leading-column skip: kept $lexId of $lexAll")
+    assert(lexAmt >= lexAll - 1,
+      s"trailing column should NOT prune after a lexicographic sort ($lexAmt of $lexAll)")
+
+    // z-order rewrite of the same table: both dimensions prune
+    IcebergLite.cluster(spark, root, Seq("id", "amount"), targetFiles = 16, zorder = true)
+    val all = IcebergLite.dataFiles(root).size
+    val idKept = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("id", "256"))).size
+    val amtKept = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("amount", "256"))).size
+    assert(idKept <= all / 2, s"z-order id skip: kept $idKept of $all")
+    assert(amtKept <= all / 2, s"z-order amount skip: kept $amtKept of $all")
+
+    // the rewrite is a value identity
+    val got = IcebergLite.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 4096L), "z-order rewrite must not change values")
+
+    // strings can't be min/max-scaled to codes: refuse, don't garble
+    val root2 = Files.createTempDirectory("iceberg_zorder_str_spec").toString
+    IcebergLite.createTable(root2)
+    IcebergLite.append(spark, root2,
+      Seq((1L, "a")).toDF("id", "s"), partitionColumns = Nil)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergLite.cluster(spark, root2, Seq("id", "s"), targetFiles = 2, zorder = true)
+    }
+    assert(ex.getMessage.contains("numeric"))
+  }
+
   test("merge rewrites only files a source key can touch; upserts exactly") {
     val root = Files.createTempDirectory("iceberg_merge_spec").toString
     graft.sources.IcebergDemo.write(spark, root)
