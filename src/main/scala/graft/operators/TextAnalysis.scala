@@ -186,4 +186,53 @@ object TextAnalysis {
           lit(0.0), (acc, x) => acc + x) / size(split(text, " ")),
         4).as("lm_score"))
   }
+
+  /** BM25 keyword search: top-k documents for a bag of query terms
+    * (Robertson/Sparck Jones; the `+1` idf form Lucene uses, so idf is
+    * never negative). The plan is built for corpus scale, NOT the
+    * textbook explode-and-join shape:
+    *
+    *  - per-doc term frequencies are `size(filter(tokens, = term))`
+    *    projections — one codegen'd scan, NO token explode (a 100 TB
+    *    corpus never shuffles tokens);
+    *  - corpus stats (N, avgdl, per-term document frequencies) reduce
+    *    to ONE aggregate row — `2 + |terms|` scalars — broadcast back
+    *    with a cross join (BroadcastNestedLoopJoin over 1 row);
+    *  - the final ranking is TakeOrderedAndProject (top-k fusion), so
+    *    only k rows per partition leave the executors.
+    *
+    * Scores are rounded to 4 decimals and tie-broken by doc_id, making
+    * the top-k deterministic and oracle-comparable. Tokenization =
+    * lowercase alnum runs (`[a-z0-9]+`), the same contract the dedup
+    * shingles use. */
+  def bm25(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      "bm25 expects 1-16 query terms (each term adds one tf column)")
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+    val tfCols = queryTerms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("__toks"), t => t === lit(term))).as(s"__tf_$i")
+    }
+    val perDoc = df
+      .select(id.as("doc_id"), toks.as("__toks"))
+      .select((col("doc_id") +: size(col("__toks")).as("__dl") +: tfCols): _*)
+    // one row: N, avgdl, df_i — the whole corpus model for this query
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = log(lit(1.0) + (col("__n") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1163,6 +1163,47 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("doc_id"))
     })
 
+  /** BM25 keyword search (Lucene's +1 idf form), top-10 for a 3-term
+    * query — scores via zero-explode tf projections + a one-row corpus
+    * stats broadcast; ranking is top-k fused. The oracle replays the
+    * identical arithmetic (same operand order, ln, round-4, doc_id
+    * tiebreak) over DuckDB list lambdas. */
+  private val textBm25 = Q(
+    "text_bm25",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents),
+      per AS (
+        SELECT doc_id, len(t) AS dl,
+               len(list_filter(t, x -> x = 'spark')) AS tf0,
+               len(list_filter(t, x -> x = 'vector')) AS tf1,
+               len(list_filter(t, x -> x = 'merge')) AS tf2
+        FROM toks),
+      stats AS (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        FROM per),
+      scored AS (
+        SELECT doc_id,
+               round(
+                 ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0::DOUBLE * (1.2 + 1.0)
+                   / (tf0::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1::DOUBLE * (1.2 + 1.0)
+                   / (tf1::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2::DOUBLE * (1.2 + 1.0)
+                   / (tf2::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 4) AS score
+        FROM per, stats)
+      SELECT doc_id, score FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 10"""),
+    (s, dir) =>
+      graft.operators.TextAnalysis.bm25(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        queryTerms = Seq("spark", "vector", "merge"), k = 10))
+
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
@@ -1170,7 +1211,7 @@ object LlmQueries extends QueryCatalog {
     sq8QuantizeQ, annSq8Full, annSq8,
     pqEncodeQ, annPqFull, annPq,
     textLangid, textQuality, textTokens, textFingerprint, textLmScore,
-    textRepetition, textEntropy, textQualityGate,
+    textRepetition, textEntropy, textQualityGate, textBm25,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataShards, dataPackBlocks, dataVocabTopk,
     dataRedact, dataProfile, dataMixture, dataDecontaminate, dataHotShingles,

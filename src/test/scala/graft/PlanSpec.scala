@@ -95,6 +95,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"df guard must not window over postings:\n$p")
   }
 
+  test("bm25: no token explode, one-row stats broadcast, top-k fused") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.t(spark, sf0001, "documents")
+    val ranked = operators.TextAnalysis.bm25(docs, col("doc_id"), col("text"),
+      queryTerms = Seq("spark", "vector"), k = 5)
+    ranked.collect()
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"bm25 must not explode tokens:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"stats row must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ranking must fuse top-k:\n$p")
+  }
+
   test("LSH band and SimHash chunk bucket guards: partial count, no posting window") {
     // r6 extension of the dfGuard fix: the OTHER two hot-bucket guards
     // (incremental-LSH corpus bands, SimHash pigeonhole chunks) carry
