@@ -571,6 +571,24 @@ object ScaleSweep {
     val (expSnaps, expFiles) = sources.IcebergLite.expireSnapshots(root, retainLast = 1)
     val expWall = (System.nanoTime() - tExp) / 1e9
 
+    // z-order cluster on (k, amount): in the compacted layout every
+    // partition file spans the full amount cycle, so an amount-only
+    // predicate skips NOTHING; after the Morton-code rewrite both
+    // dimensions prune (k via partition values + bounds, amount via
+    // bounds). The end-state row/sum invariant below also runs over
+    // the z-ordered table, pinning the rewrite as a value identity.
+    val amtFilter = Seq(sources.IcebergLite.Lt("amount", "100"))
+    val preZFiles = sources.IcebergLite.dataFiles(root).size
+    val preZAmtKept = sources.IcebergLite.dataFiles(root, filters = amtFilter).size
+    val tZ = System.nanoTime()
+    sources.IcebergLite.cluster(spark, root, Seq("k", "amount"),
+      targetFiles = 32, zorder = true)
+    val zWall = (System.nanoTime() - tZ) / 1e9
+    val zFiles = sources.IcebergLite.dataFiles(root).size
+    val zAmtKept = sources.IcebergLite.dataFiles(root, filters = amtFilter).size
+    val zKKept = sources.IcebergLite.dataFiles(root,
+      filters = Seq(sources.IcebergLite.Lt("k", perPart.toString))).size
+
     // end-state invariant: full history applied exactly once
     val fin = sources.IcebergLite.read(spark, root)
       .agg(count(lit(1)), sum(col("k"))).head()
@@ -587,6 +605,11 @@ object ScaleSweep {
       s""""filesAfterCompact":$nFilesComp,""" +
       s""""expireWallSec":${math.round(expWall * 100) / 100.0},""" +
       s""""expiredSnapshots":$expSnaps,"expiredFiles":$expFiles,""" +
+      s""""zorderWallSec":${math.round(zWall * 10) / 10.0},""" +
+      s""""zorderFiles":$zFiles,""" +
+      s""""amountKeptPreZorder":"$preZAmtKept/$preZFiles",""" +
+      s""""amountKeptPostZorder":"$zAmtKept/$zFiles",""" +
+      s""""kKeptPostZorder":"$zKKept/$zFiles",""" +
       s""""finalRows":${fin.getLong(0)},"expectedRows":$expectRows,""" +
       s""""rowsMatch":${fin.getLong(0) == expectRows}}""")
   }

@@ -596,6 +596,48 @@ object IcebergLite {
     (expired.size, dropData.size)
   }
 
+  /** ORPHAN-FILE removal — the separate audit job `expireSnapshots`'s
+    * docstring defers to: physically deletes files under `data/` that
+    * NO snapshot (current or historical) references. Orphans are the
+    * residue of failed writes — a job wrote its data files but died
+    * before the snapshot commit flipped the metadata pointer, so no
+    * manifest ever points at them and neither reads nor expiry (which
+    * works from manifests alone) will ever reclaim them. Unlike every
+    * other op here, this one necessarily LISTS the data tree — that is
+    * the definition of finding orphans, and real Iceberg's
+    * `remove_orphan_files` pays the same listing (distributed over
+    * executors at scale; here a local walk, same contract). It runs on
+    * an audit cadence, never on the commit path. `olderThanMs` guards
+    * files an IN-FLIGHT write has landed but not yet committed — the
+    * race real Iceberg mitigates with its 3-day default retention;
+    * 0 (the test setting) means "everything unreferenced". Hidden
+    * paths (any `_`- or `.`-prefixed segment: committer markers like
+    * `_SUCCESS`, `.crc` sidecars) are skipped, the same
+    * HiddenPathFilter real Iceberg's orphan scan applies — they are
+    * write bookkeeping, not data, and no manifest will ever reference
+    * them. Returns the table-relative paths it deleted. */
+  def removeOrphanFiles(tablePath: String, olderThanMs: Long = 3L * 24 * 3600 * 1000)
+      : Seq[String] = {
+    val referenced: Set[String] = snapshots(tablePath)
+      .flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath)).toSet
+    val dataRoot = Paths.get(s"$tablePath/data")
+    if (!Files.exists(dataRoot)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val tableRoot = Paths.get(tablePath)
+    def hidden(rel: String): Boolean =
+      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    val orphans = Files.walk(dataRoot).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => tableRoot.relativize(p).toString)
+      .filterNot(referenced)
+      .filterNot(hidden)
+      .filter(rel => Files.getLastModifiedTime(
+        tableRoot.resolve(rel)).toMillis <= cutoff)
+      .toSeq.sorted
+    orphans.foreach(rel => Files.deleteIfExists(tableRoot.resolve(rel)))
+    orphans
+  }
+
   /** Sort-based CLUSTER rewrite as a NEW SNAPSHOT — the data-skipping
     * maintenance op: live rows are range-repartitioned on `sortCols`
     * into ~`targetFiles` files (sorted within each), and per-FILE

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -403,6 +405,47 @@ class SourcesSpec extends AnyFunSuite {
       IcebergLite.incrementalRead(spark, root2, fromSnapshotId = g1)
     }
     assert(exGc.getMessage.contains("expired"))
+  }
+
+  test("orphan-file removal deletes only unreferenced data files") {
+    val root = Files.createTempDirectory("iceberg_orphan_spec").toString
+    IcebergLite.createTable(root)
+    import spark.implicits._
+    IcebergLite.append(spark, root,
+      Seq((1L, 1.0, "EU"), (2L, 2.0, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    IcebergLite.append(spark, root,
+      Seq((3L, 3.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    // plant the residue of a failed write: data files landed, commit
+    // never flipped — no manifest references them
+    val failed = Paths.get(s"$root/data/failed-job")
+    Files.createDirectories(failed)
+    Seq((99L, 9.9, "EU")).toDF("id", "amount", "region")
+      .write.mode("overwrite").parquet(failed.toString)
+    assert(Files.walk(failed).iterator().asScala.count(Files.isRegularFile(_)) > 0)
+
+    // age guard first: nothing old enough, nothing deleted
+    assert(IcebergLite.removeOrphanFiles(root).isEmpty)
+    // audit pass: orphan DATA files (and only those) deleted — hidden
+    // committer bookkeeping (_SUCCESS, .crc) is skipped like real
+    // Iceberg's HiddenPathFilter
+    val removed = IcebergLite.removeOrphanFiles(root, olderThanMs = 0L)
+    assert(removed.nonEmpty && removed.forall(r =>
+        r.startsWith("data/failed-job") && r.endsWith(".parquet")),
+      s"removed: $removed")
+    val survivors = Files.walk(failed).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+    assert(survivors.forall(n => n.startsWith("_") || n.startsWith(".")),
+      s"only hidden bookkeeping may survive in the failed dir: $survivors")
+    // the table (current AND time travel) still reads exactly
+    assert(IcebergLite.read(spark, root).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    val first = IcebergLite.snapshots(root).min
+    assert(IcebergLite.read(spark, root, snapshotId = Some(first))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // idempotent: second pass finds nothing
+    assert(IcebergLite.removeOrphanFiles(root, olderThanMs = 0L).isEmpty)
   }
 
   test("z-order cluster: min/max skipping prunes on BOTH clustered dimensions") {
