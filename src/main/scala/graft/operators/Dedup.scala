@@ -236,10 +236,18 @@ object Dedup {
     val withCluster = df.select(id.as("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // cluster_size via groupBy-count + join, NOT a count().over(Window
+    // .partitionBy(cluster_id)): the window form buffers every row of a
+    // cluster in one task, and web corpora routinely have one
+    // mega-cluster of millions of boilerplate near-identical docs. The
+    // aggregate gets a map-side partial combine, so the shuffle carries
+    // one (cluster_id, partial_count) row per partition per cluster —
+    // bounded regardless of cluster size (same shape as dfGuard).
+    val sizes = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
     withCluster
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .withColumn("is_canonical",
         (col("doc_id") === col("cluster_id")).cast("int"))
   }

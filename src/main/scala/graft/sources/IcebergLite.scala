@@ -669,10 +669,26 @@ object IcebergLite {
     *
     * The stats pass is one distributed
     * aggregate over exactly the rewritten slice — the same cost class
-    * as the rewrite itself. Prior snapshots stay time-travelable. */
+    * as the rewrite itself. Prior snapshots stay time-travelable.
+    *
+    * `partitionScoped = true` clusters each hive partition's files
+    * INDEPENDENTLY: the range shuffle keys on (partition columns,
+    * sort key), so each output task holds one partition's contiguous
+    * key range and the `partitionBy` write emits ~one file per task
+    * instead of one file per (task × partition dir) — without it a
+    * global z-range straddles every hive dir and the file count
+    * multiplies by the partition count (the r6 SCALE.md caveat). For
+    * z-order the min/max scaling is also computed PER PARTITION
+    * TUPLE (one grouped agg, broadcast-joined back), so each
+    * partition uses its full 16-bit code range — a day-partitioned
+    * table whose ids grow monotonically would otherwise spend most
+    * of the global code range on other days. `targetFiles` becomes
+    * per-partition; total output files ≲ targetFiles × partitions
+    * (+1 per range-boundary straddle). */
   def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
-      targetFiles: Int, zorder: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, floor, input_file_name, lit, max, min}
+      targetFiles: Int, zorder: Boolean = false,
+      partitionScoped: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, input_file_name, lit, max, min, when}
     require(sortCols.nonEmpty && targetFiles >= 1, "cluster needs sort columns and a file target")
     val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
@@ -681,11 +697,17 @@ object IcebergLite {
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     val runDir = s"cluster-$newId"
     val base = readFileSet(spark, tablePath, live)
+    // scoped mode only changes anything on a partitioned table
+    val scoped = partitionScoped && partCols.nonEmpty
+    val nTuples = if (scoped) live.map(_.partition).distinct.size else 1
+    val numParts = targetFiles * nTuples
+    val keyPrefix = if (scoped) partCols.map(col) else Nil
     val df =
-      if (!zorder)
-        base.repartitionByRange(targetFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else {
+      if (!zorder) {
+        val keys = keyPrefix ++ sortCols.map(col)
+        base.repartitionByRange(numParts, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      } else {
         sortCols.foreach { c =>
           val dt = base.schema(c).dataType
           require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
@@ -694,24 +716,34 @@ object IcebergLite {
             dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
             s"zorder column $c must be numeric/date/timestamp, got $dt")
         }
-        // one bounded agg: 2 doubles per z-column, for the 16-bit scaling
+        // bounded agg for the 16-bit scaling: 2 doubles per z-column —
+        // global (one row) or per partition tuple (one row per tuple,
+        // broadcast-joined back so codes use each partition's range)
         val aggs = sortCols.flatMap(c => Seq(
           min(col(c).cast("double")).as(s"__lo_$c"),
           max(col(c).cast("double")).as(s"__hi_$c")))
-        val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val codes = sortCols.zipWithIndex.map { case (c, i) =>
-          val (lo, hi) =
-            if (r.isNullAt(2 * i)) (0.0, 1.0)
-            else (r.getDouble(2 * i), r.getDouble(2 * i + 1))
-          val span = if (hi > lo) hi - lo else 1.0
-          floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
-            / lit(span) * lit(65535.0)).cast("int")
+        val withBounds =
+          if (scoped)
+            base.join(
+              broadcast(base.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)),
+              partCols)
+          else
+            base.crossJoin(broadcast(base.agg(aggs.head, aggs.tail: _*)))
+        val codes = sortCols.map { c =>
+          val lo = coalesce(col(s"__lo_$c"), lit(0.0))
+          val hi = coalesce(col(s"__hi_$c"), lit(1.0))
+          val span = when(hi > lo, hi - lo).otherwise(lit(1.0))
+          floor((coalesce(col(c).cast("double"), lo) - lo) / span * lit(65535.0))
+            .cast("int")
         }
         import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
-        base.withColumn("__z", toCol(
+        val boundCols = sortCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c"))
+        val keys = keyPrefix :+ col("__z")
+        withBounds.withColumn("__z", toCol(
             graft.functions.expressions.ZOrderCode(codes.map(toExpr))))
-          .repartitionByRange(targetFiles, col("__z"))
-          .sortWithinPartitions(col("__z"))
+          .drop(boundCols: _*)
+          .repartitionByRange(numParts, keys: _*)
+          .sortWithinPartitions(keys: _*)
           .drop("__z")
       }
     val writer = df.write.mode("overwrite")

@@ -202,12 +202,24 @@ object EventStream {
       .parquet(sfDir)
   }
 
-  /** The events table as a stream with the same NANOS→NTZ ts repair as
-    * the batch reader (ParquetTables.read). */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    tableStream(spark, sfDir, "events")
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** The events table as a stream with the same footer-aware NANOS→NTZ
+    * ts repair as the batch reader (ParquetTables.read): the raw-long
+    * repair is applied ONLY when the parquet footer actually annotates
+    * `ts` as TIMESTAMP(NANOS). Testdata written with ordinary
+    * TIMESTAMP_MICROS arrives as a timestamp column already and needs
+    * at most a cast to TIMESTAMP_NTZ (session tz is pinned UTC, so the
+    * cast is value-preserving either way). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = tableStream(spark, sfDir, "events")
+    val nanoTs = graft.sources.ParquetTables
+      .nanoTimestampColumns(s"$sfDir/events.parquet",
+        spark.sparkContext.hadoopConfiguration)
+      .contains("ts")
+    val repaired =
+      if (nanoTs) expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      else expr("cast(ts as timestamp_ntz)")
+    raw.withColumn("ts", repaired)
+  }
 
   /** Run a streaming DataFrame to completion into an in-memory table
     * and return the finished result: start → processAllAvailable (which

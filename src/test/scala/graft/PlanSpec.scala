@@ -95,6 +95,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"df guard must not window over postings:\n$p")
   }
 
+  test("dedup clusters: cluster_size is partial count + join, no mega-cluster window") {
+    // VERDICT r6 item 4 (the last posting-buffering window in the dedup
+    // family): cluster_size must be groupBy-count + join so a
+    // mega-cluster (millions of boilerplate near-dups — the common case
+    // in web corpora) never buffers all its rows in one window task.
+    import org.apache.spark.sql.functions.col
+    val real = Engine.t(spark, sf0001, "documents")
+    val cl = operators.Dedup.clusters(real, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+    cl.collect()
+    val p = cl.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"cluster_size must partial-aggregate:\n$p")
+    assert(!p.contains("Window"), s"cluster_size must not window over clusters:\n$p")
+  }
+
   test("bm25: no token explode, one-row stats broadcast, top-k fused") {
     import org.apache.spark.sql.functions.col
     val docs = Engine.t(spark, sf0001, "documents")
