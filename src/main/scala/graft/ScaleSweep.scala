@@ -525,13 +525,15 @@ object ScaleSweep {
       format_string("p%02d", (k / perPart).cast("int"))
 
     // 4 appends, each spanning every partition (key ≡ batch mod 4) —
-    // the many-small-files shape a streaming ingest leaves behind
+    // the many-small-files shape a streaming ingest leaves behind.
+    // `seq` is the CDC sequence column the upsert-stream stage orders
+    // on; the seed rows all carry seq 0.
     val tApp = System.nanoTime()
     (0 until 4).foreach { b =>
       val df = spark.range(nRows / 4)
         .select((col("id") * 4 + b).as("k"))
         .select(col("k"), partOf(col("k")).as("part"),
-          (col("k") % 1000 * 1.0).as("amount"))
+          (col("k") % 1000 * 1.0).as("amount"), lit(0L).as("seq"))
         .repartition(col("part"))
       sources.IcebergLite.append(spark, root, df, partitionColumns = Seq("part"))
     }
@@ -545,7 +547,8 @@ object ScaleSweep {
       .select((col("id") * (perPart / 5000) + 7L * perPart).as("k"))
     val inserts = spark.range(5000).select((col("id") + nRows).as("k"))
     val batch = updates.union(inserts)
-      .select(col("k"), partOf(col("k")).as("part"), lit(-1.0).as("amount"))
+      .select(col("k"), partOf(col("k")).as("part"), lit(-1.0).as("amount"),
+        lit(0L).as("seq"))
     val tMerge = System.nanoTime()
     sources.IcebergLite.merge(spark, root, batch, Seq("k"))
     val mergeWall = (System.nanoTime() - tMerge) / 1e9
@@ -553,6 +556,51 @@ object ScaleSweep {
     val carried = afterMerge.count(f => before.contains(f.filePath))
     val updatedCount = sources.IcebergLite.read(spark, root)
       .filter(col("amount") === -1.0).count()
+
+    // streaming CDC upsert through the PRODUCTION path
+    // (EventStream.upsertStream → ordered merge): 4 staged changelog
+    // files consumed one per micro-batch (maxFilesPerTrigger=1), each
+    // 2,000 keyed updates confined to ONE partition's key range —
+    // batches 1 and 2 deliberately update the SAME keys with rising
+    // sequence numbers, so the end state proves order-insensitive
+    // precedence (the file source picks its own batch order). Rewrite
+    // scope per batch is recovered from snapshot history afterwards:
+    // each micro-batch commit may touch only its target partition's
+    // files, every other file carried path-identical.
+    val cdcTargets = Seq(3, 11, 11, 27)
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_stage").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ckpt").toString
+    cdcTargets.zipWithIndex.foreach { case (p, b) =>
+      spark.range(2000)
+        .select((col("id") * (perPart / 2000) + p.toLong * perPart).as("k"))
+        .select(col("k"), partOf(col("k")).as("part"),
+          lit(-(10.0 + b)).as("amount"), lit((b + 1).toLong).as("seq"))
+        .coalesce(1).write.mode("append").parquet(stageDir)
+    }
+    val snapsBefore = sources.IcebergLite.snapshots(root)
+    val changelog = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val tCdc = System.nanoTime()
+    streaming.EventStream.upsertStream(changelog, root, ckptDir,
+      keyCol = "k", seqCol = "seq", carryCols = Seq("part", "amount"))
+    val cdcWall = (System.nanoTime() - tCdc) / 1e9
+    val cdcSnaps = sources.IcebergLite.snapshots(root)
+      .filterNot(snapsBefore.toSet).sorted
+    val cdcScope = (snapsBefore.max +: cdcSnaps).sliding(2).map { w =>
+      val parentFiles = sources.IcebergLite.dataFiles(root, Some(w(0)))
+        .map(_.filePath).toSet
+      val files = sources.IcebergLite.dataFiles(root, Some(w(1)))
+      val carriedN = files.count(f => parentFiles.contains(f.filePath))
+      s"""{"carried":$carriedN,"rewritten":${parentFiles.size - carriedN}}"""
+    }.toSeq
+    // ordered-merge end state: the seq-3 batch must win over seq-2 on
+    // the shared p11 keys REGARDLESS of micro-batch arrival order
+    val cdcFinal = sources.IcebergLite.read(spark, root)
+    val staleRows = cdcFinal.filter(col("amount") === -11.0).count()
+    val winRows = cdcFinal.filter(col("amount") === -12.0).count()
 
     // partition-scoped delete: metadata-only, zero files rewritten
     val tDel = System.nanoTime()
@@ -589,6 +637,19 @@ object ScaleSweep {
     val zKKept = sources.IcebergLite.dataFiles(root,
       filters = Seq(sources.IcebergLite.Lt("k", perPart.toString))).size
 
+    // partition-SCOPED z-order rewrite of the same table: the global
+    // z-range straddles every hive dir (zorderFiles multiplies ~8× the
+    // target), scoped keys the shuffle on (part, z) and caps files at
+    // targetFiles × partitions while keeping both-dimension pruning
+    val tZs = System.nanoTime()
+    sources.IcebergLite.cluster(spark, root, Seq("k", "amount"),
+      targetFiles = 4, zorder = true, partitionScoped = true)
+    val zsWall = (System.nanoTime() - tZs) / 1e9
+    val zsFiles = sources.IcebergLite.dataFiles(root).size
+    val zsAmtKept = sources.IcebergLite.dataFiles(root, filters = amtFilter).size
+    val zsKKept = sources.IcebergLite.dataFiles(root,
+      filters = Seq(sources.IcebergLite.Lt("k", perPart.toString))).size
+
     // end-state invariant: full history applied exactly once
     val fin = sources.IcebergLite.read(spark, root)
       .agg(count(lit(1)), sum(col("k"))).head()
@@ -599,6 +660,10 @@ object ScaleSweep {
       s""""mergeWallSec":${math.round(mergeWall * 10) / 10.0},""" +
       s""""mergeCarriedFiles":$carried,"mergeTouchedFiles":${nFiles0 - carried},""" +
       s""""mergeUpdatedRows":$updatedCount,""" +
+      s""""cdcWallSec":${math.round(cdcWall * 10) / 10.0},""" +
+      s""""cdcBatches":[${cdcScope.mkString(",")}],""" +
+      s""""cdcStaleRows":$staleRows,"cdcWinRows":$winRows,""" +
+      s""""cdcOrderedOk":${staleRows == 0 && winRows == 2000},""" +
       s""""partitionDeleteWallSec":${math.round(delWall * 100) / 100.0},""" +
       s""""partitionDeleteRewroteFiles":$delRewrote,""" +
       s""""compactWallSec":${math.round(compactWall * 10) / 10.0},""" +
@@ -610,6 +675,10 @@ object ScaleSweep {
       s""""amountKeptPreZorder":"$preZAmtKept/$preZFiles",""" +
       s""""amountKeptPostZorder":"$zAmtKept/$zFiles",""" +
       s""""kKeptPostZorder":"$zKKept/$zFiles",""" +
+      s""""zorderScopedWallSec":${math.round(zsWall * 10) / 10.0},""" +
+      s""""zorderScopedFiles":$zsFiles,""" +
+      s""""amountKeptScopedZorder":"$zsAmtKept/$zsFiles",""" +
+      s""""kKeptScopedZorder":"$zsKKept/$zsFiles",""" +
       s""""finalRows":${fin.getLong(0)},"expectedRows":$expectRows,""" +
       s""""rowsMatch":${fin.getLong(0) == expectRows}}""")
   }

@@ -71,3 +71,61 @@ case class ZOrderCode(children: Seq[Expression])
       cs: IndexedSeq[Expression]): ZOrderCode = copy(children = cs)
   override def prettyName: String = "zorder_code"
 }
+
+/** Rank (quantile) bucket code for z-order clustering: binary-searches
+  * the row's value in a sorted boundary array computed once at plan
+  * time (approx-percentile for numerics, a distributed sample for
+  * strings — the same sketch-then-broadcast shape Spark's own
+  * RangePartitioner uses) and returns the bucket index in
+  * [0, boundaries.length]. This replaces min/max linear scaling as
+  * [[graft.sources.IcebergLite.cluster]]'s code source when
+  * `quantileCoded = true`, fixing its two documented limitations
+  * (IcebergLite cluster Scaladoc): a SKEWED column no longer wastes
+  * most of the 16-bit code range on an empty tail (every bucket holds
+  * ~1/N of the rows by construction), and STRING keys — which cannot
+  * be linearly scaled at all — code by rank like any other type.
+  *
+  * `boundaries` are plan-time constants (Double for numeric input,
+  * UTF8String for string input), ≤ a few hundred values — driver
+  * footprint is bounded and the closure ships once per task. NULL
+  * codes to bucket 0 (NULLS FIRST, matching ZOrderCode). Like
+  * ZOrderCode this evaluates once per row inside a maintenance
+  * rewrite, so interpreted eval is the right cost point. */
+case class QuantileBucket(child: Expression, boundaries: IndexedSeq[Any])
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (boundaries.isEmpty)
+      TypeCheckResult.TypeCheckFailure("quantile_bucket needs at least one boundary")
+    else child.dataType match {
+      case DoubleType | StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"quantile_bucket expects a double or string input, got $t")
+    }
+
+  private def cmp(v: Any, b: Any): Int = v match {
+    case d: java.lang.Double => java.lang.Double.compare(d, b.asInstanceOf[Double])
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      s.compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0
+    // upper bound: number of boundaries <= v
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(v, boundaries(mid)) >= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): QuantileBucket = copy(child = cs.head)
+  override def prettyName: String = "quantile_bucket"
+}

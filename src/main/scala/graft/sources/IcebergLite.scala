@@ -684,10 +684,24 @@ object IcebergLite {
     * table whose ids grow monotonically would otherwise spend most
     * of the global code range on other days. `targetFiles` becomes
     * per-partition; total output files ≲ targetFiles × partitions
-    * (+1 per range-boundary straddle). */
+    * (+1 per range-boundary straddle).
+    *
+    * `quantileCoded = true` switches the z codes from min/max linear
+    * scaling to RANK coding ([[graft.functions.expressions
+    * .QuantileBucket]]): each column's code is its bucket among ~256
+    * equi-depth quantile boundaries (approx-percentile for numerics;
+    * a bounded distributed sample for strings, the RangePartitioner
+    * sketch). This closes min/max coding's two gaps: a skewed column
+    * (web-corpus doc lengths, power-law ids) no longer collapses 99%
+    * of rows into a few codes — every bucket holds ~1/256 of the rows
+    * so file bounds stay tight where the data actually is — and
+    * STRING keys z-order by rank instead of being rejected. Boundary
+    * computation is one agg / one bounded sample per column; codes
+    * stay a per-row projection. */
   def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
       targetFiles: Int, zorder: Boolean = false,
-      partitionScoped: Boolean = false): Long = {
+      partitionScoped: Boolean = false,
+      quantileCoded: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, input_file_name, lit, max, min, when}
     require(sortCols.nonEmpty && targetFiles >= 1, "cluster needs sort columns and a file target")
     val parentId = currentSnapshotId(tablePath)
@@ -707,6 +721,59 @@ object IcebergLite {
         val keys = keyPrefix ++ sortCols.map(col)
         base.repartitionByRange(numParts, keys: _*)
           .sortWithinPartitions(keys: _*)
+      } else if (quantileCoded) {
+        // rank coding: ~256 equi-depth boundaries per column, then the
+        // per-row code is a binary-searched bucket index. Numerics use
+        // one approx-percentile agg; strings use a bounded distributed
+        // sample (takeSample is a reservoir over executors — the same
+        // sketch RangePartitioner draws), sorted, thinned to ≤255
+        // boundaries. Boundaries are computed over the whole rewrite
+        // slice even under partitionScoped — scoping's file-count
+        // guarantee comes from the (part, z) shuffle keys, not from
+        // code scaling, and global equi-depth codes stay balanced
+        // within any subset of rows.
+        val nBuckets = 256
+        import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+        // the bucket index is stretched to the FULL [0, 65535] code
+        // range before interleaving: with the raw 0..~255 bucket as
+        // the code, a column with few distinct boundaries has its
+        // high Morton bits constant, the other dimension dominates
+        // every interleave level, and file bounds never separate on
+        // it — the exact failure the quantile mode exists to fix
+        def scaled(bucket: org.apache.spark.sql.Column, nB: Int) =
+          (bucket * lit(65535) / lit(math.max(1, nB))).cast("int")
+        val codes = sortCols.map { c =>
+          base.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              val sampled = base.select(col(c)).na.drop()
+                .rdd.map(_.getString(0))
+                .takeSample(withReplacement = false, num = nBuckets * 64, seed = 42L)
+                .sorted.distinct
+              val step = math.max(1, sampled.length / nBuckets)
+              val bs = sampled.indices.by(step).map(i =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(sampled(i)))
+              val bsOr = if (bs.nonEmpty) bs.toIndexedSeq
+                else IndexedSeq(org.apache.spark.unsafe.types.UTF8String.fromString(""))
+              scaled(toCol(graft.functions.expressions.QuantileBucket(
+                toExpr(col(c)), bsOr)), bsOr.length)
+            case _ =>
+              val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+              val bs = Option(base.agg(org.apache.spark.sql.functions
+                  .percentile_approx(col(c).cast("double"),
+                    org.apache.spark.sql.functions.lit(pcts.toArray),
+                    org.apache.spark.sql.functions.lit(10000)))
+                .collect()(0).getSeq[Double](0)).getOrElse(Seq(0.0))
+                .distinct.sorted.toIndexedSeq
+              scaled(toCol(graft.functions.expressions.QuantileBucket(
+                toExpr(col(c).cast("double")), bs)), bs.length)
+          }
+        }
+        val keys = keyPrefix :+ col("__z")
+        base.withColumn("__z", toCol(
+            graft.functions.expressions.ZOrderCode(codes.map(toExpr))))
+          .repartitionByRange(numParts, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__z")
       } else {
         sortCols.foreach { c =>
           val dt = base.schema(c).dataType

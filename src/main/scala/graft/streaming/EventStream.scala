@@ -167,22 +167,27 @@ object EventStream {
     * scratch over differently-split input lands byte-identical).
     * Combined with merge's key-bounds file pruning, a micro-batch
     * touching k keys rewrites only the files those keys live in —
-    * the CDC shape a 100 TB lakehouse table needs. */
+    * the CDC shape a 100 TB lakehouse table needs.
+    *
+    * The defaults bind the events-table CDC shape (key = `user_id`,
+    * sequence = `event_id`); any keyed changelog works — ScaleSweep's
+    * 1M-row anchor drives this same function over a (k, seq) table. */
   def upsertStream(events: DataFrame, tablePath: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, keyCol: String = "user_id",
+      seqCol: String = "event_id",
+      carryCols: Seq[String] = Seq("ts", "event_type", "value")): Unit = {
     val q = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id")).orderBy(col("event_id").desc)
+            .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
           val latest = batch
-            .select(col("user_id"), col("event_id"), col("ts"),
-              col("event_type"), col("value"))
+            .select((keyCol +: seqCol +: carryCols).map(col): _*)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
           graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
-            latest, Seq("user_id"), precedence = Some("event_id"))
+            latest, Seq(keyCol), precedence = Some(seqCol))
         }
         ()
       }

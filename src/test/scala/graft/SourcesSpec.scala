@@ -494,6 +494,65 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("numeric"))
   }
 
+  test("quantile-coded z-order: skewed numerics keep pruning, string keys cluster by rank") {
+    // min/max scaling collapses a skewed column: with 90% of values in
+    // [0,100) and a 1e9 tail, codes for the dense mass are all ~0, so
+    // every file's bounds overlap every dense-range predicate. Rank
+    // coding gives each equi-depth bucket ~1/256 of the rows, so files
+    // separate where the data actually lives.
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberg_zorder_quant_spec").toString
+    IcebergLite.createTable(root)
+    // id 0..4095; v: dense [0,100) for 90% of rows (decorrelated from
+    // id), huge sparse tail for the rest
+    val rows = (0 until 4096).map { i =>
+      val r = (i * 2654435761L) % 4096
+      val v = if (r < 3686) (r % 100).toDouble + r / 4096.0 else 1e9 + r.toDouble * 1e6
+      (i.toLong, v)
+    }
+    IcebergLite.append(spark, root, rows.toDF("id", "v"), partitionColumns = Nil)
+
+    // min/max-coded baseline: dense-range predicate prunes ~nothing
+    IcebergLite.cluster(spark, root, Seq("id", "v"), targetFiles = 16, zorder = true)
+    val mmAll = IcebergLite.dataFiles(root).size
+    val mmKept = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("v", "25"))).size
+    assert(mmKept >= mmAll / 2,
+      s"min/max coding should NOT separate the dense mass ($mmKept of $mmAll)")
+
+    // quantile-coded rewrite: the same predicate prunes
+    IcebergLite.cluster(spark, root, Seq("id", "v"), targetFiles = 16,
+      zorder = true, quantileCoded = true)
+    val qAll = IcebergLite.dataFiles(root).size
+    val qKept = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("v", "25"))).size
+    val qIdKept = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("id", "256"))).size
+    assert(qKept <= qAll / 2, s"quantile coding must prune the dense range ($qKept of $qAll)")
+    assert(qIdKept <= qAll / 2, s"quantile coding must keep id pruning ($qIdKept of $qAll)")
+    // value identity across both rewrites
+    assert(IcebergLite.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 4096L), "quantile z-order must not change values")
+
+    // string keys: rejected by min/max coding, clustered by rank coding
+    val root2 = Files.createTempDirectory("iceberg_zorder_qstr_spec").toString
+    IcebergLite.createTable(root2)
+    val srows = (0 until 4096).map { i =>
+      val r = (i * 2654435761L) % 4096
+      (i.toLong, f"doc_${r}%05d")
+    }
+    IcebergLite.append(spark, root2, srows.toDF("id", "s"), partitionColumns = Nil)
+    IcebergLite.cluster(spark, root2, Seq("id", "s"), targetFiles = 16,
+      zorder = true, quantileCoded = true)
+    val sAll = IcebergLite.dataFiles(root2).size
+    val sKept = IcebergLite.dataFiles(root2,
+      filters = Seq(IcebergLite.Lt("s", "doc_01024"))).size
+    val sIdKept = IcebergLite.dataFiles(root2,
+      filters = Seq(IcebergLite.Lt("id", "1024"))).size
+    assert(sKept <= sAll / 2, s"string rank coding must prune ($sKept of $sAll)")
+    assert(sIdKept <= sAll / 2, s"id must still prune alongside strings ($sIdKept of $sAll)")
+  }
+
   test("partition-scoped z-order: no cross-partition file multiplication, per-partition pruning") {
     // VERDICT r6 item 7 (the builder's own SCALE.md caveat made code):
     // on a hive-partitioned table a GLOBAL z-range straddles every
