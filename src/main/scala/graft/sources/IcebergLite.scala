@@ -126,20 +126,51 @@ object IcebergLite {
       case _ => Nil
     }
 
-  /** Live data files of a snapshot, after partition pruning. */
+  /** Live data files of a snapshot, after partition pruning. Filter
+    * columns are LOGICAL names (post-rename); manifests store physical
+    * names, so filters are translated before matching. The returned
+    * DataFile entries keep physical keys — they round-trip verbatim
+    * into copy-on-write commits via `entryJson`. */
   def dataFiles(tablePath: String, snapshotId: Option[Long] = None,
       filters: Seq[PartitionFilter] = Nil): Seq[DataFile] = {
-    val snap = snapshotId.orElse(currentSnapshotId(tablePath)) match {
+    val id = snapshotId.orElse(currentSnapshotId(tablePath)) match {
       case None => return Nil
-      case Some(id) => readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
+      case Some(i) => i
     }
+    val snap = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
     val manifestList = (snap \ "manifest_list").extract[String]
     val manifests = readJson(s"$tablePath/$manifestList") match {
       case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
       case _ => Nil
     }
     val files = manifests.flatMap(manifestFiles(tablePath, _))
-    files.filter(f => filters.forall(_.matches(f)))
+    val rmap = renames(tablePath, Some(id))
+    val physFilters =
+      if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _))
+    files.filter(f => physFilters.forall(_.matches(f)))
+  }
+
+  /** Cumulative physical→logical column-name mapping as of a snapshot
+    * (empty when the table has never been renamed). Stored whole in
+    * each snapshot's JSON, so resolution is O(1) — no chain walk. */
+  def renames(tablePath: String, snapshotId: Option[Long] = None): Map[String, String] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Map.empty
+      case Some(id) =>
+        (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "column_renames")
+          .extractOrElse[Map[String, String]](Map.empty)
+    }
+
+  /** The physical (as-written-in-parquet) name behind a logical name. */
+  private def physicalName(rmap: Map[String, String], logical: String): String =
+    rmap.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
+
+  private def physicalFilter(rmap: Map[String, String],
+      f: PartitionFilter): PartitionFilter = f match {
+    case Eq(c, v) => Eq(physicalName(rmap, c), v)
+    case Gt(c, v) => Gt(physicalName(rmap, c), v)
+    case Lt(c, v) => Lt(physicalName(rmap, c), v)
+    case In(c, vs) => In(physicalName(rmap, c), vs)
   }
 
   /** Serialize a (possibly carried-forward) data file back to its
@@ -159,9 +190,17 @@ object IcebergLite {
     * per written parquet file, with per-partition column bounds computed
     * in one aggregate pass (conservative-correct for file-level pruning
     * since partition bounds ⊇ file bounds). */
-  private def writeDataFiles(spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionColumns: Seq[String], runDir: String): Seq[String] = {
+  private def writeDataFiles(spark: SparkSession, tablePath: String, df0: DataFrame,
+      partitionColumns0: Seq[String], runDir: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, max, min}
+    // files are ALWAYS written under physical names, so a table's data
+    // files share one schema across renames and mergeSchema reads stay
+    // coherent; a df arriving with logical (renamed) columns is
+    // translated back (no-op for never-renamed tables or dfs already
+    // in physical names — the rename map only matches logical names)
+    val rmap = renames(tablePath)
+    val df = if (rmap.isEmpty) df0 else df0.withColumnsRenamed(rmap.map(_.swap))
+    val partitionColumns = partitionColumns0.map(physicalName(rmap, _))
     val writer = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
@@ -213,7 +252,12 @@ object IcebergLite {
     * surviving files in the new manifest instead. */
   private def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
       entries: Seq[String], carriedManifests: Seq[String],
-      operation: String = "append"): Long = {
+      operation: String = "append",
+      columnRenames: Map[String, String] = null): Long = {
+    // every commit must carry the parent's rename mapping forward
+    // (or the successor snapshot would silently revert renamed
+    // columns); callers pass an explicit map only when CHANGING it
+    val rmap = Option(columnRenames).getOrElse(renames(tablePath, parentId))
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$newId.json"),
       entries.mkString("{\"entries\": [", ",\n", "]}"))
     val allManifests = carriedManifests :+ s"metadata/manifest-$newId.json"
@@ -222,9 +266,13 @@ object IcebergLite {
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
            |  "snapshot_id": $newId, "sequence_number": ${i + 1}}""".stripMargin
       }.mkString("[", ",\n", "]"))
+    val renamesJson =
+      if (rmap.isEmpty) ""
+      else rmap.map { case (p, l) => s""""$p": "$l"""" }
+        .mkString(",\n \"column_renames\": {", ", ", "}")
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$newId.snapshot.json"),
       s"""{"snapshot_id": $newId${parentId.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
-         | "operation": "$operation",
+         | "operation": "$operation"$renamesJson,
          | "manifest_list": "metadata/manifest-list-$newId.json"}""".stripMargin)
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
     Files.writeString(tmp,
@@ -286,7 +334,16 @@ object IcebergLite {
       filters: Seq[PartitionFilter] = Nil): DataFrame = {
     val files = dataFiles(tablePath, snapshotId, filters)
     if (files.isEmpty) spark.emptyDataFrame
-    else readFileSet(spark, tablePath, files)
+    else {
+      // surface the SNAPSHOT's logical column names: a renamed column
+      // reads under its name as of that snapshot (time travel before
+      // the rename sees the old name), while the parquet files keep
+      // their original physical schema — real Iceberg's field-id
+      // indirection, done as a name map in this JSON layout
+      val rmap = renames(tablePath, snapshotId)
+      val base = readFileSet(spark, tablePath, files)
+      if (rmap.isEmpty) base else base.withColumnsRenamed(rmap)
+    }
   }
 
   /** The operation that produced a snapshot (`append` / `delete` /
@@ -340,7 +397,11 @@ object IcebergLite {
           s"snapshot $fromSnapshotId is not an ancestor of $to"))
     }
     if (added.isEmpty) spark.emptyDataFrame
-    else readFileSet(spark, tablePath, added.toSeq)
+    else {
+      val rmap = renames(tablePath, Some(to))
+      val base = readFileSet(spark, tablePath, added.toSeq)
+      if (rmap.isEmpty) base else base.withColumnsRenamed(rmap)
+    }
   }
 
   /** Read an explicit manifest file list (partition values recovered
@@ -406,6 +467,14 @@ object IcebergLite {
     * snapshots keep their old manifest lists, so time travel still sees
     * the pre-delete data. Returns the new snapshot id. */
   def delete(spark: SparkSession, tablePath: String,
+      filters: Seq[PartitionFilter]): Long = {
+    // filters arrive with logical names; files/manifests are physical
+    val rmap = renames(tablePath)
+    deleteImpl(spark, tablePath,
+      if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _)))
+  }
+
+  private def deleteImpl(spark: SparkSession, tablePath: String,
       filters: Seq[PartitionFilter]): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     require(filters.nonEmpty, "delete with no filters would truncate the table; be explicit")
@@ -494,6 +563,19 @@ object IcebergLite {
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String], maxKeyPrune: Int = 10000,
       precedence: Option[String] = None): Long = {
+    // source and key/precedence names arrive logical; translate once
+    // and run the whole merge in physical names (readFileSet and
+    // writeDataFiles are physical-native)
+    val rmap = renames(tablePath)
+    mergeImpl(spark, tablePath,
+      if (rmap.isEmpty) source else source.withColumnsRenamed(rmap.map(_.swap)),
+      keyCols.map(physicalName(rmap, _)), maxKeyPrune,
+      precedence.map(physicalName(rmap, _)))
+  }
+
+  private def mergeImpl(spark: SparkSession, tablePath: String, source: DataFrame,
+      keyCols: Seq[String], maxKeyPrune: Int,
+      precedence: Option[String]): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val parentId = currentSnapshotId(tablePath)
@@ -594,6 +676,45 @@ object IcebergLite {
       rm(s"metadata/snap-$id.snapshot.json")
     }
     (expired.size, dropData.size)
+  }
+
+  /** Metadata-only column RENAME as a NEW SNAPSHOT — the second
+    * schema-evolution form after add-column (which is append-driven
+    * via mergeSchema). Real Iceberg renames through field-id
+    * indirection: data files never change, the schema maps ids to
+    * current names. This JSON layout has no field ids, so the same
+    * contract is kept with a cumulative physical→logical NAME MAP
+    * stored in each snapshot: data files (and manifest bounds /
+    * partition keys) always keep the ORIGINAL physical name — writes
+    * after a rename translate back before touching parquet — and
+    * `read` surfaces each snapshot's own logical names, so time
+    * travel before the rename sees the old name, exactly like real
+    * Iceberg's per-snapshot schema. Renames compose (a→b then b→c
+    * maps the physical a→c; renaming back to the physical name drops
+    * the entry) and every subsequent commit carries the map forward.
+    * Zero data I/O: one empty-manifest snapshot commit. */
+  def renameColumn(tablePath: String, oldName: String, newName: String): Long = {
+    val parentId = currentSnapshotId(tablePath)
+    require(parentId.nonEmpty, "rename on an empty table (no snapshot)")
+    val parentMap = renames(tablePath, parentId)
+    // the current logical column set, recovered from metadata alone
+    // (manifest bounds + partition keys name every column data files
+    // carry) — used to refuse collisions and renames of nothing
+    val physCols = dataFiles(tablePath).flatMap(f =>
+      f.lowerBounds.keys ++ f.upperBounds.keys ++ f.partition.keys).toSet
+    val logicalNow = physCols.map(p => parentMap.getOrElse(p, p)) ++ parentMap.values
+    require(!logicalNow.contains(newName),
+      s"column name $newName is already in use")
+    require(logicalNow.contains(oldName) || physCols.isEmpty,
+      s"column $oldName does not exist")
+    val phys = physicalName(parentMap, oldName)
+    val newMap =
+      if (phys == newName) parentMap - phys
+      else (parentMap - phys) + (phys -> newName)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    commitSnapshot(tablePath, newId, parentId, entries = Nil,
+      carriedManifests = parentManifests(tablePath, parentId),
+      operation = "replace", columnRenames = newMap)
   }
 
   /** ORPHAN-FILE removal — the separate audit job `expireSnapshots`'s
@@ -701,7 +822,16 @@ object IcebergLite {
   def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
       targetFiles: Int, zorder: Boolean = false,
       partitionScoped: Boolean = false,
-      quantileCoded: Boolean = false): Long = {
+      quantileCoded: Boolean = false): Long =
+    // sort keys arrive logical; the rewrite reads/writes physical files
+    clusterImpl(spark, tablePath,
+      sortCols.map(physicalName(renames(tablePath), _)),
+      targetFiles, zorder, partitionScoped, quantileCoded)
+
+  private def clusterImpl(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFiles: Int, zorder: Boolean,
+      partitionScoped: Boolean,
+      quantileCoded: Boolean): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, input_file_name, lit, max, min, when}
     require(sortCols.nonEmpty && targetFiles >= 1, "cluster needs sort columns and a file target")
     val parentId = currentSnapshotId(tablePath)
@@ -859,6 +989,16 @@ object IcebergLite {
     * pipeline needs — re-running a day's job replaces exactly that
     * day's files. Prior snapshots stay time-travelable. */
   def overwrite(spark: SparkSession, tablePath: String, df: DataFrame,
+      partitionColumns: Seq[String]): Long = {
+    // logical → physical: the replaced-tuple set compares against
+    // manifest partition keys, which are physical
+    val rmap = renames(tablePath)
+    overwriteImpl(spark, tablePath,
+      if (rmap.isEmpty) df else df.withColumnsRenamed(rmap.map(_.swap)),
+      partitionColumns.map(physicalName(rmap, _)))
+  }
+
+  private def overwriteImpl(spark: SparkSession, tablePath: String, df: DataFrame,
       partitionColumns: Seq[String]): Long = {
     require(partitionColumns.nonEmpty,
       "dynamic overwrite needs partition columns; use delete+append for full rewrites")

@@ -494,6 +494,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("numeric"))
   }
 
+  test("column rename: metadata-only, snapshot-scoped, composes, writes translate back") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberg_rename_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val filesBefore = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    val preRenameSnap = IcebergLite.currentSnapshotId(root).get
+
+    // rename amount -> price: zero data I/O, all files carried verbatim
+    IcebergLite.renameColumn(root, "amount", "price")
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == filesBefore,
+      "rename must not touch a single data file")
+    val renamed = IcebergLite.read(spark, root)
+    assert(renamed.columns.contains("price") && !renamed.columns.contains("amount"))
+    // values identical under the new name
+    val sumBefore = IcebergLite.read(spark, root, snapshotId = Some(preRenameSnap))
+      .agg(sum($"amount")).head.getDouble(0)
+    assert(renamed.agg(sum($"price")).head.getDouble(0) == sumBefore)
+    // time travel BEFORE the rename sees the old name (per-snapshot schema)
+    val old = IcebergLite.read(spark, root, snapshotId = Some(preRenameSnap))
+    assert(old.columns.contains("amount") && !old.columns.contains("price"))
+
+    // bounds pruning works under the LOGICAL name (translated to the
+    // physical bounds key): amount < 40 kept exactly 1 file pre-rename
+    assert(IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Lt("price", "40"))).size == 1)
+
+    // a write AFTER the rename uses logical names and lands physically
+    // under the original name, so mergeSchema stays coherent
+    IcebergLite.append(spark, root,
+      Seq((300L, 77.5, "EU")).toDF("id", "price", "region"),
+      partitionColumns = Seq("region"))
+    val afterAppend = IcebergLite.read(spark, root)
+    assert(afterAppend.filter($"id" === 300L).select($"price")
+      .head.getDouble(0) == 77.5)
+    assert(afterAppend.columns.toSet == Set("id", "price", "region"))
+
+    // merge keyed through the renamed column's table still works
+    IcebergLite.merge(spark, root,
+      Seq((300L, 99.0, "EU")).toDF("id", "price", "region"), Seq("id"))
+    assert(IcebergLite.read(spark, root).filter($"id" === 300L)
+      .select($"price").head.getDouble(0) == 99.0)
+
+    // renames compose: price -> cost maps the ORIGINAL physical name
+    IcebergLite.renameColumn(root, "price", "cost")
+    val r2 = IcebergLite.read(spark, root)
+    assert(r2.columns.contains("cost") && !r2.columns.contains("price"))
+    assert(IcebergLite.renames(root) == Map("amount" -> "cost"))
+    // renaming back to the physical name drops the mapping entirely
+    IcebergLite.renameColumn(root, "cost", "amount")
+    assert(IcebergLite.renames(root).isEmpty)
+    assert(IcebergLite.read(spark, root).columns.contains("amount"))
+
+    // name collision refuses
+    val ex = intercept[IllegalArgumentException] {
+      IcebergLite.renameColumn(root, "amount", "region2")
+      IcebergLite.renameColumn(root, "id", "region2")
+    }
+    assert(ex.getMessage.contains("already in use"))
+  }
+
   test("quantile-coded z-order: skewed numerics keep pruning, string keys cluster by rank") {
     // min/max scaling collapses a skewed column: with 90% of values in
     // [0,100) and a 1e9 tail, codes for the dense mass are all ~0, so
