@@ -239,6 +239,35 @@ object IcebergLite {
     }
   }
 
+  /** Thrown when a commit finds the table advanced past the snapshot
+    * it was planned against and the operation cannot rebase (real
+    * Iceberg's `CommitFailedException` validation semantics). */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Cross-process commit mutex: `metadata/.commit.lock` created
+    * atomically (`Files.createFile` is O_EXCL on POSIX — this is a
+    * LOCAL-FS lock; an object-store deployment would use a catalog
+    * CAS instead, which is exactly what real Iceberg's REST/Hive
+    * catalogs provide). A lock older than `staleMs` is presumed
+    * abandoned by a crashed writer and broken. */
+  private def withCommitLock[A](tablePath: String, staleMs: Long = 60000L)(body: => A): A = {
+    val lock = Paths.get(s"$tablePath/metadata/.commit.lock")
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => -1L }
+          if (age > staleMs) Files.deleteIfExists(lock)
+          else Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   /** Write the new manifest + manifest list + snapshot JSON, then flip
     * the current-snapshot pointer. The pointer flip is the COMMIT
     * POINT: everything else used fresh snapshot-suffixed names, so the
@@ -246,41 +275,66 @@ object IcebergLite {
     * it to a temp name and atomically move it into place, so a reader
     * always parses either the old or the new pointer, never a torn
     * half-written JSON (real Iceberg's metadata swap has the same
-    * contract; single-writer is still assumed for commits themselves).
+    * contract).
+    *
+    * Commits are OPTIMISTICALLY CONCURRENT: the metadata writes run
+    * under a commit lock, and the pointer is re-read inside it. If
+    * the table advanced past `parentId` (another writer committed
+    * since this op planned), an APPEND rebases — its new files
+    * conflict with nothing, so the commit is re-parented onto the
+    * current snapshot with the current snapshot's manifests carried
+    * instead (real Iceberg's fast-append retry). Any copy-on-write
+    * commit (delete/overwrite/merge/compact/cluster/rename) planned
+    * its kept-file list against the stale snapshot and CANNOT safely
+    * rebase — it throws [[CommitConflictException]], and the caller
+    * re-runs against the new current snapshot.
+    *
     * `carriedManifests` lets append keep the parent's manifests as-is;
     * copy-on-write commits (delete/overwrite) pass none and re-list
     * surviving files in the new manifest instead. */
-  private def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
+  private[graft] def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
       entries: Seq[String], carriedManifests: Seq[String],
       operation: String = "append",
-      columnRenames: Map[String, String] = null): Long = {
-    // every commit must carry the parent's rename mapping forward
-    // (or the successor snapshot would silently revert renamed
-    // columns); callers pass an explicit map only when CHANGING it
-    val rmap = Option(columnRenames).getOrElse(renames(tablePath, parentId))
-    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$newId.json"),
+      columnRenames: Map[String, String] = null,
+      rebaseOnConflict: Boolean = false): Long = withCommitLock(tablePath) {
+    val cur = currentSnapshotId(tablePath)
+    val conflicted = cur != parentId
+    if (conflicted && !rebaseOnConflict)
+      throw new CommitConflictException(
+        s"concurrent commit: $operation planned against parent $parentId " +
+          s"but the table is now at $cur; re-run against the current snapshot")
+    val (id, parent, carried) =
+      if (!conflicted) (newId, parentId, carriedManifests)
+      else ((snapshots(tablePath) :+ 0L).max + 1, cur,
+        parentManifests(tablePath, cur))
+    // every commit must carry the (possibly rebased) parent's rename
+    // mapping forward (or the successor snapshot would silently revert
+    // renamed columns); callers pass an explicit map only when
+    // CHANGING it
+    val rmap = Option(columnRenames).getOrElse(renames(tablePath, parent))
+    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
       entries.mkString("{\"entries\": [", ",\n", "]}"))
-    val allManifests = carriedManifests :+ s"metadata/manifest-$newId.json"
-    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$newId.json"),
+    val allManifests = carried :+ s"metadata/manifest-$id.json"
+    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$id.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
-           |  "snapshot_id": $newId, "sequence_number": ${i + 1}}""".stripMargin
+           |  "snapshot_id": $id, "sequence_number": ${i + 1}}""".stripMargin
       }.mkString("[", ",\n", "]"))
     val renamesJson =
       if (rmap.isEmpty) ""
       else rmap.map { case (p, l) => s""""$p": "$l"""" }
         .mkString(",\n \"column_renames\": {", ", ", "}")
-    Files.writeString(Paths.get(s"$tablePath/metadata/snap-$newId.snapshot.json"),
-      s"""{"snapshot_id": $newId${parentId.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
+    Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
+      s"""{"snapshot_id": $id${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
          | "operation": "$operation"$renamesJson,
-         | "manifest_list": "metadata/manifest-list-$newId.json"}""".stripMargin)
+         | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
     Files.writeString(tmp,
-      s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $newId}""")
+      s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $id}""")
     Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    newId
+    id
   }
 
   /** Manifest paths listed by `parentId`'s manifest list (empty for an
@@ -317,10 +371,23 @@ object IcebergLite {
       partitionColumns: Seq[String] = Nil): Long = {
     val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
-    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"append-$newId")
+    val entries = writeDataFiles(spark, tablePath, df, partitionColumns,
+      s"append-$newId-${runTag()}")
+    // an append's files conflict with nothing: on a concurrent commit
+    // it rebases onto the new current snapshot (fast-append retry)
     commitSnapshot(tablePath, newId, parentId, entries,
-      carriedManifests = parentManifests(tablePath, parentId))
+      carriedManifests = parentManifests(tablePath, parentId),
+      rebaseOnConflict = true)
   }
+
+  /** Process-unique data-directory suffix so CONCURRENT writers can
+    * never land files in each other's run dir (dir names are opaque —
+    * manifests reference explicit file paths). A conflicted
+    * copy-on-write writer's already-written dir becomes unreferenced
+    * residue that `removeOrphanFiles` reclaims on audit cadence. */
+  private def runTag(): String =
+    ProcessHandle.current().pid().toString + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   /** Read a snapshot of the table as a DataFrame: metadata-pruned file
     * list → ONE `spark.read.parquet` over all surviving files (plan size
@@ -499,7 +566,7 @@ object IcebergLite {
           val df = readFileSet(spark, tablePath, touched)
           val survivors = df.filter(not(coalesce(
             residual.map(rowPredicate(df, _)).reduce(_ && _), lit(false))))
-          writeDataFiles(spark, tablePath, survivors, partCols, s"delete-$newId")
+          writeDataFiles(spark, tablePath, survivors, partCols, s"delete-$newId-${runTag()}")
         }
       }
     commitSnapshot(tablePath, newId, parentId,
@@ -530,7 +597,7 @@ object IcebergLite {
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
-    val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId")
+    val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
       operation = "replace")
   }
@@ -635,7 +702,7 @@ object IcebergLite {
             .filter(col("__graft_rn") === 1)
             .drop("__graft_src", "__graft_rn")
       }
-    val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId")
+    val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite")
@@ -839,7 +906,7 @@ object IcebergLite {
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
-    val runDir = s"cluster-$newId"
+    val runDir = s"cluster-$newId-${runTag()}"
     val base = readFileSet(spark, tablePath, live)
     // scoped mode only changes anything on a partitioned table
     val scoped = partitionScoped && partCols.nonEmpty
@@ -1013,7 +1080,7 @@ object IcebergLite {
       .toSet
     val kept = dataFiles(tablePath).filterNot(f =>
       replaced.contains(partitionColumns.map(c => c -> f.partition.getOrElse(c, "null")).toMap))
-    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-$newId")
+    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite")

@@ -198,7 +198,7 @@ class SourcesSpec extends AnyFunSuite {
     val untouched = before - "data/region=EU/sales-eu-2.parquet"
     assert(untouched.subsetOf(after), "untouched files must keep their original paths")
     assert(!after.contains("data/region=EU/sales-eu-2.parquet"))
-    assert((after -- untouched).forall(_.startsWith(s"data/delete-$delId/")),
+    assert((after -- untouched).forall(_.startsWith(s"data/delete-$delId-")),
       s"rewritten files must land under data/delete-$delId/, got ${after -- untouched}")
 
     // rewritten bounds prune: nothing with id>10 remains in any file
@@ -248,7 +248,7 @@ class SourcesSpec extends AnyFunSuite {
     val nonUs = before.filterNot(_.contains("region=US"))
     assert(nonUs.subsetOf(after))
     assert(!after.contains("data/region=US/sales-us-1.parquet"))
-    assert((after -- nonUs).forall(_.startsWith(s"data/overwrite-$owId/")))
+    assert((after -- nonUs).forall(_.startsWith(s"data/overwrite-$owId-")))
 
     // pre-overwrite snapshot still sees the original US rows
     assert(IcebergLite.read(spark, root, snapshotId = Some(2L))
@@ -290,7 +290,7 @@ class SourcesSpec extends AnyFunSuite {
     // that predate it have no bounds and are conservatively kept
     val pruned = IcebergLite.dataFiles(root,
       filters = Seq(IcebergLite.Eq("channel", "online")))
-    assert(pruned.exists(_.filePath.startsWith(s"data/append-$newId/")),
+    assert(pruned.exists(_.filePath.startsWith(s"data/append-$newId-")),
       "the post-evolution file carrying the value must survive pruning")
   }
 
@@ -306,7 +306,7 @@ class SourcesSpec extends AnyFunSuite {
     val files = IcebergLite.dataFiles(root)
     assert(files.size == 3, s"expected 3 compacted files, got ${files.map(_.filePath)}")
     assert(files.map(_.partition("region")).sorted == Seq("AP", "EU", "US"))
-    assert(files.forall(_.filePath.startsWith(s"data/compact-$newId/")))
+    assert(files.forall(_.filePath.startsWith(s"data/compact-$newId-")))
     val after = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
     assert(after == before, "compaction changed data")
 
@@ -492,6 +492,71 @@ class SourcesSpec extends AnyFunSuite {
       IcebergLite.cluster(spark, root2, Seq("id", "s"), targetFiles = 2, zorder = true)
     }
     assert(ex.getMessage.contains("numeric"))
+  }
+
+  test("optimistic concurrency: appends rebase, copy-on-write conflicts refuse, no lost updates") {
+    import spark.implicits._
+
+    // deterministic conflict path, driven through the commit seam: a
+    // commit planned against a stale parent must THROW for
+    // copy-on-write semantics (rebaseOnConflict = false) ...
+    val root = Files.createTempDirectory("iceberg_occ_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val stale = IcebergLite.currentSnapshotId(root)
+    IcebergLite.append(spark, root,
+      Seq((500L, 1.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    val advanced = IcebergLite.currentSnapshotId(root)
+    assert(advanced != stale)
+    intercept[IcebergLite.CommitConflictException] {
+      IcebergLite.commitSnapshot(root, newId = 999, parentId = stale,
+        entries = Nil, carriedManifests = Nil, operation = "delete")
+    }
+
+    // ... and REBASE for append semantics: the commit re-parents onto
+    // the current snapshot and carries ITS manifests, so the rows the
+    // competing writer committed survive
+    val rowsBefore = IcebergLite.read(spark, root).count()
+    val rebasedId = IcebergLite.commitSnapshot(root, newId = 999, parentId = stale,
+      entries = Nil, carriedManifests = Nil, operation = "append",
+      rebaseOnConflict = true)
+    assert(rebasedId != 999L, "rebased commit must take a fresh id under the lock")
+    assert(IcebergLite.parentSnapshotId(root, rebasedId) == advanced,
+      "rebased commit must re-parent onto the snapshot that won the race")
+    assert(IcebergLite.read(spark, root).count() == rowsBefore,
+      "no rows lost through the rebase")
+
+    // threaded stress: 4 writers x 3 appends each against one table —
+    // every append must land (rebase hides the races), the snapshot
+    // chain stays linear, and the final table holds every row
+    val root2 = Files.createTempDirectory("iceberg_occ_stress").toString
+    IcebergLite.createTable(root2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { b =>
+            IcebergLite.append(spark, root2,
+              Seq((t * 100L + b, (t * 100 + b).toDouble, s"T$t"))
+                .toDF("id", "amount", "region"),
+              partitionColumns = Seq("region"))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends must all succeed: ${errs.peek()}")
+    assert(IcebergLite.read(spark, root2).count() == 12L,
+      "all 12 concurrent appends must be readable — no lost update")
+    // linear history: walking parents from current reaches all 12
+    // commits then the root
+    var cursor = IcebergLite.currentSnapshotId(root2)
+    var walked = 0
+    while (cursor.nonEmpty) {
+      walked += 1
+      cursor = IcebergLite.parentSnapshotId(root2, cursor.get)
+    }
+    assert(walked == 12, s"snapshot chain must be linear over all commits, walked $walked")
   }
 
   test("column rename: metadata-only, snapshot-scoped, composes, writes translate back") {
@@ -689,7 +754,7 @@ class SourcesSpec extends AnyFunSuite {
       "data/region=AP/sales-ap-1.parquet", "data/region=EU/sales-eu-2.parquet",
       "data/region=US/sales-us-1.parquet"), s"carried ${carried.map(_.filePath)}")
     assert(after.filterNot(f => pathsBefore.contains(f.filePath))
-      .forall(_.filePath.startsWith(s"data/merge-$newId/")))
+      .forall(_.filePath.startsWith(s"data/merge-$newId-")))
 
     val rows = IcebergLite.read(spark, root)
       .select(col("id"), col("region"), col("amount"))
