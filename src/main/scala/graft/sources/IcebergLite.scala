@@ -327,6 +327,7 @@ object IcebergLite {
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
       s"""{"snapshot_id": $id${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
          | "operation": "$operation"$renamesJson,
+         | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
     Files.writeString(tmp,
@@ -424,6 +425,117 @@ object IcebergLite {
   def parentSnapshotId(tablePath: String, snapshotId: Long): Option[Long] =
     (readJson(s"$tablePath/metadata/snap-$snapshotId.snapshot.json") \ "parent_snapshot_id")
       .toOption.collect { case JInt(n) => n.toLong }
+
+  /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots
+    * written before timestamps existed — they read as "older than any
+    * requested time", the conservative direction). */
+  def snapshotTimestampMs(tablePath: String, snapshotId: Long): Long =
+    (readJson(s"$tablePath/metadata/snap-$snapshotId.snapshot.json") \ "timestamp_ms")
+      .toOption.collect { case JInt(n) => n.toLong }.getOrElse(0L)
+
+  /** TIMESTAMP AS OF resolution: the latest ancestor of the current
+    * snapshot committed at or before `tsMillis` (None when the table
+    * has no snapshot that old) — pair with `read(snapshotId = ...)`
+    * for Iceberg's `TIMESTAMP AS OF` / Delta's `timestampAsOf`. Walks
+    * the parent chain, so a concurrently-committed snapshot newer
+    * than `tsMillis` is correctly skipped over. */
+  def snapshotAsOf(tablePath: String, tsMillis: Long): Option[Long] = {
+    var cursor = currentSnapshotId(tablePath)
+    while (cursor.nonEmpty && snapshotTimestampMs(tablePath, cursor.get) > tsMillis)
+      cursor = parentSnapshotId(tablePath, cursor.get)
+    cursor
+  }
+
+  // ---- Named refs: TAGS (immutable) and BRANCHES (movable) ----------
+  //
+  // Real Iceberg's refs, minimally: a name → snapshot-id map in
+  // metadata/refs.json, mutated under the commit lock and swapped
+  // atomically. The load-bearing integration is GC RETENTION:
+  // expireSnapshots never reclaims a snapshot a ref points at, so a
+  // tag pinned on the exact table state a training run consumed stays
+  // time-travelable for as long as the tag lives — the reproducibility
+  // contract a 100 TB corpus needs from its lakehouse.
+
+  private def readRefs(tablePath: String): (Map[String, Long], Map[String, Long]) = {
+    val p = Paths.get(s"$tablePath/metadata/refs.json")
+    if (!Files.exists(p)) return (Map.empty, Map.empty)
+    val j = readJson(p.toString)
+    def m(field: String): Map[String, Long] =
+      (j \ field).extractOrElse[Map[String, Long]](Map.empty)
+    (m("tags"), m("branches"))
+  }
+
+  private def writeRefs(tablePath: String,
+      tags: Map[String, Long], branches: Map[String, Long]): Unit = {
+    def jm(m: Map[String, Long]) =
+      m.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val tmp = Paths.get(s"$tablePath/metadata/.refs.json.tmp")
+    Files.writeString(tmp, s"""{"tags": ${jm(tags)}, "branches": ${jm(branches)}}""")
+    Files.move(tmp, Paths.get(s"$tablePath/metadata/refs.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def tags(tablePath: String): Map[String, Long] = readRefs(tablePath)._1
+  def branches(tablePath: String): Map[String, Long] = readRefs(tablePath)._2
+
+  /** Pin `name` to a snapshot (default: current). Tags are immutable —
+    * re-tagging an existing name refuses. */
+  def createTag(tablePath: String, name: String,
+      snapshotId: Option[Long] = None): Long = withCommitLock(tablePath) {
+    val id = snapshotId.orElse(currentSnapshotId(tablePath)).getOrElse(
+      throw new IllegalArgumentException("cannot tag an empty table"))
+    require(snapshots(tablePath).contains(id), s"snapshot $id does not exist")
+    val (t, b) = readRefs(tablePath)
+    require(!t.contains(name) && !b.contains(name), s"ref $name already exists")
+    writeRefs(tablePath, t + (name -> id), b)
+    id
+  }
+
+  def dropTag(tablePath: String, name: String): Unit = withCommitLock(tablePath) {
+    val (t, b) = readRefs(tablePath)
+    writeRefs(tablePath, t - name, b)
+  }
+
+  /** Create a movable branch head at a snapshot (default: current). */
+  def createBranch(tablePath: String, name: String,
+      snapshotId: Option[Long] = None): Long = withCommitLock(tablePath) {
+    val id = snapshotId.orElse(currentSnapshotId(tablePath)).getOrElse(
+      throw new IllegalArgumentException("cannot branch an empty table"))
+    require(snapshots(tablePath).contains(id), s"snapshot $id does not exist")
+    val (t, b) = readRefs(tablePath)
+    require(!t.contains(name) && !b.contains(name), s"ref $name already exists")
+    writeRefs(tablePath, t, b + (name -> id))
+    id
+  }
+
+  /** Move an existing branch head (default target: current snapshot). */
+  def advanceBranch(tablePath: String, name: String,
+      snapshotId: Option[Long] = None): Long = withCommitLock(tablePath) {
+    val (t, b) = readRefs(tablePath)
+    require(b.contains(name), s"branch $name does not exist")
+    val id = snapshotId.orElse(currentSnapshotId(tablePath)).get
+    require(snapshots(tablePath).contains(id), s"snapshot $id does not exist")
+    writeRefs(tablePath, t, b + (name -> id))
+    id
+  }
+
+  def dropBranch(tablePath: String, name: String): Unit = withCommitLock(tablePath) {
+    val (t, b) = readRefs(tablePath)
+    writeRefs(tablePath, t, b - name)
+  }
+
+  /** Resolve a tag or branch name to its snapshot id. */
+  def resolveRef(tablePath: String, name: String): Long = {
+    val (t, b) = readRefs(tablePath)
+    t.get(name).orElse(b.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown ref $name"))
+  }
+
+  /** Read the table at a named ref (`VERSION AS OF 'tag'`). */
+  def readRef(spark: SparkSession, tablePath: String, name: String,
+      filters: Seq[PartitionFilter] = Nil): DataFrame =
+    read(spark, tablePath, Some(resolveRef(tablePath, name)), filters)
 
   /** INCREMENTAL READ (changelog): the rows ADDED strictly after
     * `fromSnapshotId`, up to and including `toSnapshotId` (default:
@@ -726,7 +838,13 @@ object IcebergLite {
   def expireSnapshots(tablePath: String, retainLast: Int = 1): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val all = snapshots(tablePath)
-    val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath)).distinct.toSet
+    // ref'd snapshots are GC-immune: a tag/branch head stays
+    // time-travelable (its manifest list re-lists every file it needs,
+    // so retaining the snapshot retains its data) until the ref is
+    // dropped — real Iceberg's ref-retention contract
+    val (refTags, refBranches) = readRefs(tablePath)
+    val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath) ++
+      refTags.values ++ refBranches.values).distinct.toSet
     val expired = all.filterNot(retained)
     if (expired.isEmpty) return (0, 0)
     def manifestsOf(id: Long): Seq[String] = parentManifests(tablePath, Some(id))

@@ -186,8 +186,20 @@ object EventStream {
             .select((keyCol +: seqCol +: carryCols).map(col): _*)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
-            latest, Seq(keyCol), precedence = Some(seqCol))
+          // a merge that loses a commit race re-plans against the new
+          // current snapshot and re-runs — safe because merge derives
+          // its whole rewrite from the table state at call time, and
+          // the ordered precedence makes re-application idempotent
+          var attempts = 0
+          var committed = false
+          while (!committed) try {
+            graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
+              latest, Seq(keyCol), precedence = Some(seqCol))
+            committed = true
+          } catch {
+            case _: graft.sources.IcebergLite.CommitConflictException
+                if attempts < 5 => attempts += 1
+          }
         }
         ()
       }

@@ -22,13 +22,13 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_incremental changelog row, the z-order cluster
     // rewrite, and the text_bm25 keyword-search row; round 7 added the
     // iceberg_orphan audit-GC row, the iceberg_cluster_quantile
-    // rank-coded z-order row, and the iceberg_rename column-rename
-    // row → 175 non-ref).
+    // rank-coded z-order row, the iceberg_rename column-rename row,
+    // and the iceberg_tag_travel ref-through-GC row → 176 non-ref).
     // The ref_* rows exist only when a reference checkout is mounted
     // (they read its manifest at runtime), so count them conditionally.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 175 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 170 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 176 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 171 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     // the 5 deliberate rows-only entries, each with an exact oracle-checked sibling
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",

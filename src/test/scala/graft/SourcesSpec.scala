@@ -494,6 +494,68 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("numeric"))
   }
 
+  test("timestamp travel and refs: TIMESTAMP AS OF resolves, tags survive GC, branches move") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberg_refs_spec").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(spark, root,
+      Seq((1L, 10.0, "EU"), (2L, 20.0, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    val snapA = IcebergLite.currentSnapshotId(root).get
+    val tsA = IcebergLite.snapshotTimestampMs(root, snapA)
+    assert(tsA > 0, "commits must record a timestamp")
+    IcebergLite.append(spark, root,
+      Seq((600L, 1.5, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    val snapB = IcebergLite.currentSnapshotId(root).get
+    val tsB = IcebergLite.snapshotTimestampMs(root, snapB)
+    assert(tsB >= tsA, "timestamps monotone along the chain")
+
+    // TIMESTAMP AS OF: exactly-at resolves to that snapshot; far
+    // future resolves to current; before history resolves to None
+    assert(IcebergLite.snapshotAsOf(root, tsA).contains(snapA))
+    assert(IcebergLite.snapshotAsOf(root, tsB + 100000).contains(snapB))
+    assert(IcebergLite.snapshotAsOf(root, 1L).isEmpty)
+
+    // tag the pre-append state, then expire everything unreferenced:
+    // the tag keeps its snapshot fully readable through GC
+    IcebergLite.createTag(root, "train-v1", Some(snapA))
+    val taggedRows = IcebergLite.read(spark, root, snapshotId = Some(snapA))
+      .orderBy($"id").collect().toSeq
+    IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert(IcebergLite.tags(root) == Map("train-v1" -> snapA))
+    assert(IcebergLite.readRef(spark, root, "train-v1")
+      .orderBy($"id").collect().toSeq == taggedRows,
+      "tagged snapshot must read identically after GC")
+    // tags are immutable; unknown refs refuse
+    intercept[IllegalArgumentException] {
+      IcebergLite.createTag(root, "train-v1", Some(snapB))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.resolveRef(root, "nope")
+    }
+
+    // branch: head created at current, moves on advance
+    IcebergLite.createBranch(root, "dev")
+    assert(IcebergLite.resolveRef(root, "dev") == snapB)
+    IcebergLite.append(spark, root,
+      Seq((601L, 2.5, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    val snapC = IcebergLite.currentSnapshotId(root).get
+    assert(IcebergLite.resolveRef(root, "dev") == snapB,
+      "branch head must not move on a main commit")
+    assert(IcebergLite.readRef(spark, root, "dev").count() + 1 ==
+      IcebergLite.read(spark, root).count())
+    IcebergLite.advanceBranch(root, "dev")
+    assert(IcebergLite.resolveRef(root, "dev") == snapC)
+
+    // dropping the tag releases its snapshot to the next GC
+    IcebergLite.dropTag(root, "train-v1")
+    IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert(!IcebergLite.snapshots(root).contains(snapA),
+      "untagged snapshot must be reclaimable")
+  }
+
   test("optimistic concurrency: appends rebase, copy-on-write conflicts refuse, no lost updates") {
     import spark.implicits._
 
