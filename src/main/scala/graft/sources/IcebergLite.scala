@@ -150,6 +150,51 @@ object IcebergLite {
     files.filter(f => physFilters.forall(_.matches(f)))
   }
 
+  /** A pending merge-on-read row delete: rows matching all `filters`
+    * are dead in exactly the listed data files (files appended AFTER
+    * the delete are unaffected — the file list is the sequence-number
+    * scoping of real Iceberg v2 equality deletes, expressed by path).
+    * Filters use PHYSICAL column names, like everything in the
+    * manifest layer. */
+  final case class RowDelete(files: Set[String], filters: Seq[PartitionFilter])
+
+  private def filterJson(f: PartitionFilter): String = f match {
+    case Eq(c, v) => s"""{"column": "$c", "op": "eq", "value": "$v"}"""
+    case Gt(c, v) => s"""{"column": "$c", "op": "gt", "value": "$v"}"""
+    case Lt(c, v) => s"""{"column": "$c", "op": "lt", "value": "$v"}"""
+    case In(c, vs) =>
+      s"""{"column": "$c", "op": "in", "values": [${vs.map(v => s""""$v"""").mkString(", ")}]}"""
+  }
+
+  private def parseFilter(j: JValue): PartitionFilter = {
+    val c = (j \ "column").extract[String]
+    (j \ "op").extract[String] match {
+      case "eq" => Eq(c, (j \ "value").extract[String])
+      case "gt" => Gt(c, (j \ "value").extract[String])
+      case "lt" => Lt(c, (j \ "value").extract[String])
+      case "in" => In(c, (j \ "values").extract[Seq[String]])
+    }
+  }
+
+  /** Pending merge-on-read deletes as of a snapshot (empty when none
+    * or all have been materialized by a rewrite). */
+  def rowDeletes(tablePath: String, snapshotId: Option[Long] = None): Seq[RowDelete] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) =>
+        (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "row_deletes") match {
+          case JArray(ds) => ds.map { d =>
+            RowDelete(
+              (d \ "files").extract[Seq[String]].toSet,
+              (d \ "filters") match {
+                case JArray(fs) => fs.map(parseFilter)
+                case _ => Nil
+              })
+          }
+          case _ => Nil
+        }
+    }
+
   /** Cumulative physical→logical column-name mapping as of a snapshot
     * (empty when the table has never been renamed). Stored whole in
     * each snapshot's JSON, so resolution is O(1) — no chain walk. */
@@ -296,7 +341,8 @@ object IcebergLite {
       entries: Seq[String], carriedManifests: Seq[String],
       operation: String = "append",
       columnRenames: Map[String, String] = null,
-      rebaseOnConflict: Boolean = false): Long = withCommitLock(tablePath) {
+      rebaseOnConflict: Boolean = false,
+      pendingRowDeletes: Seq[RowDelete] = null): Long = withCommitLock(tablePath) {
     val cur = currentSnapshotId(tablePath)
     val conflicted = cur != parentId
     if (conflicted && !rebaseOnConflict)
@@ -312,6 +358,10 @@ object IcebergLite {
     // renamed columns); callers pass an explicit map only when
     // CHANGING it
     val rmap = Option(columnRenames).getOrElse(renames(tablePath, parent))
+    // like renames, pending merge-on-read deletes are carried forward
+    // by every commit unless the op explicitly changes them (a rewrite
+    // materializes deletes and passes a pruned/empty list)
+    val dels = Option(pendingRowDeletes).getOrElse(rowDeletes(tablePath, parent))
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
       entries.mkString("{\"entries\": [", ",\n", "]}"))
     val allManifests = carried :+ s"metadata/manifest-$id.json"
@@ -324,9 +374,15 @@ object IcebergLite {
       if (rmap.isEmpty) ""
       else rmap.map { case (p, l) => s""""$p": "$l"""" }
         .mkString(",\n \"column_renames\": {", ", ", "}")
+    val deletesJson =
+      if (dels.isEmpty) ""
+      else dels.map { d =>
+        s"""{"files": [${d.files.toSeq.sorted.map(f => s""""$f"""").mkString(", ")}],
+           |   "filters": [${d.filters.map(filterJson).mkString(", ")}]}""".stripMargin
+      }.mkString(",\n \"row_deletes\": [", ",\n  ", "]")
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
       s"""{"snapshot_id": $id${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
-         | "operation": "$operation"$renamesJson,
+         | "operation": "$operation"$renamesJson$deletesJson,
          | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
@@ -403,13 +459,15 @@ object IcebergLite {
     val files = dataFiles(tablePath, snapshotId, filters)
     if (files.isEmpty) spark.emptyDataFrame
     else {
-      // surface the SNAPSHOT's logical column names: a renamed column
-      // reads under its name as of that snapshot (time travel before
-      // the rename sees the old name), while the parquet files keep
-      // their original physical schema — real Iceberg's field-id
-      // indirection, done as a name map in this JSON layout
+      // pending merge-on-read deletes anti-apply first (physical
+      // names), then the SNAPSHOT's logical column names surface: a
+      // renamed column reads under its name as of that snapshot (time
+      // travel before the rename sees the old name), while the parquet
+      // files keep their original physical schema — real Iceberg's
+      // field-id indirection, done as a name map in this JSON layout
       val rmap = renames(tablePath, snapshotId)
-      val base = readFileSet(spark, tablePath, files)
+      val base = applyRowDeletes(readFileSet(spark, tablePath, files),
+        tablePath, files, rowDeletes(tablePath, snapshotId))
       if (rmap.isEmpty) base else base.withColumnsRenamed(rmap)
     }
   }
@@ -623,6 +681,81 @@ object IcebergLite {
     * typed data). Partition-column conjuncts are never built this way:
     * their truth is uniform per file and is decided exactly at the
     * file level by `PartitionFilter.matches`. */
+  /** Apply pending merge-on-read deletes to a physical-name DataFrame
+    * being read from `files`: each delete kills rows matching its
+    * filters inside ITS OWN file list only, so rows appended after the
+    * delete (new files, not listed) are never affected — the
+    * sequence-number scoping of Iceberg v2 equality deletes, by path.
+    * The file check is an `input_file_name()` projection against a
+    * bounded in-plan list (≤ the delete's touched files); the filters
+    * are ordinary codegen'd predicates. */
+  private def applyRowDeletes(df: DataFrame, tablePath: String,
+      files: Seq[DataFile], dels: Seq[RowDelete]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, regexp_replace}
+    val readPaths = files.map(_.filePath).toSet
+    val relevant = dels.map(d => d.copy(files = d.files.intersect(readPaths)))
+      .filter(_.files.nonEmpty)
+    if (relevant.isEmpty) return df
+    def canon(rel: String): String = new java.io.File(s"$tablePath/$rel").getCanonicalPath
+    val withFile = df.withColumn("__graft_del_file",
+      regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
+    val filtered = relevant.foldLeft(withFile) { (d, del) =>
+      val inFiles = col("__graft_del_file").isin(del.files.toSeq.map(canon): _*)
+      val pred = del.filters.map(rowPredicate(d, _)).reduce(_ && _)
+      d.filter(not(inFiles && coalesce(pred, lit(false))))
+    }
+    filtered.drop("__graft_del_file")
+  }
+
+  /** Drop rewritten/removed files from pending deletes; a delete whose
+    * file list empties out has been fully materialized and vanishes. */
+  private def pruneDeletes(dels: Seq[RowDelete],
+      keptPaths: Set[String]): Seq[RowDelete] =
+    dels.map(d => d.copy(files = d.files.intersect(keptPaths)))
+      .filter(_.files.nonEmpty)
+
+  /** Merge-on-read row DELETE as a NEW SNAPSHOT — Iceberg v2's delete
+    * path, the latency/read-overhead counterpoint to the copy-on-write
+    * [[delete]]: ZERO data I/O at delete time. Files the filters cover
+    * WHOLESALE are dropped from the manifest (metadata-only, exactly
+    * like the CoW fast path); files only partially covered stay listed
+    * and the residual predicate is recorded against EXACTLY those
+    * files in the snapshot's `row_deletes`. Readers anti-apply pending
+    * deletes (`read`, time travel, refs all honor them); any rewrite
+    * that touches a file (compact / cluster / merge / CoW delete)
+    * MATERIALIZES the deletes for that file and drops it from the
+    * pending list. At 100 TB this is the difference between a delete
+    * that finishes in milliseconds regardless of table size and one
+    * that rewrites every touched file inline — with the cost moved to
+    * reads until the next maintenance compaction, real Iceberg's
+    * exact trade. */
+  def deleteMergeOnRead(spark: SparkSession, tablePath: String,
+      filters: Seq[PartitionFilter]): Long = {
+    require(filters.nonEmpty, "delete with no filters would truncate the table; be explicit")
+    val rmap = renames(tablePath)
+    val filtersP =
+      if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _))
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val live = dataFiles(tablePath)
+    val (touched, kept) = live.partition(f => filtersP.forall(_.matches(f)))
+    val partCols = touched.flatMap(_.partition.keys).distinct.sorted
+    // same residual analysis as the CoW path: conjuncts decided
+    // file-level by an exact partition value hold for every row of a
+    // touched file, so the residual alone is the row-level predicate
+    val residual = filtersP.filterNot(f =>
+      partCols.contains(f.column) && touched.forall(_.partition.contains(f.column)))
+    val (entries, newDel) =
+      if (touched.isEmpty || residual.isEmpty)
+        (kept.map(entryJson), None) // wholesale: pure metadata delete
+      else
+        (live.map(entryJson),
+          Some(RowDelete(touched.map(_.filePath).toSet, residual)))
+    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
+      operation = "delete",
+      pendingRowDeletes = rowDeletes(tablePath, parentId) ++ newDel)
+  }
+
   private def rowPredicate(df: DataFrame, f: PartitionFilter): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
     val dt = df.schema(f.column).dataType
@@ -675,7 +808,9 @@ object IcebergLite {
             touched.forall(_.partition.contains(f.column)))
         if (residual.isEmpty) Nil // every touched file is deleted wholesale
         else {
-          val df = readFileSet(spark, tablePath, touched)
+          // pending MoR deletes on the touched files materialize here
+          val df = applyRowDeletes(readFileSet(spark, tablePath, touched),
+            tablePath, touched, rowDeletes(tablePath, parentId))
           val survivors = df.filter(not(coalesce(
             residual.map(rowPredicate(df, _)).reduce(_ && _), lit(false))))
           writeDataFiles(spark, tablePath, survivors, partCols, s"delete-$newId-${runTag()}")
@@ -683,7 +818,9 @@ object IcebergLite {
       }
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
-      operation = "delete")
+      operation = "delete",
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId),
+        kept.map(_.filePath).toSet))
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
@@ -705,13 +842,16 @@ object IcebergLite {
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
-    val base = readFileSet(spark, tablePath, live)
+    // a full rewrite MATERIALIZES every pending merge-on-read delete:
+    // read with deletes applied, commit with the pending list cleared
+    val base = applyRowDeletes(readFileSet(spark, tablePath, live),
+      tablePath, live, rowDeletes(tablePath, parentId))
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
     val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
-      operation = "replace")
+      operation = "replace", pendingRowDeletes = Nil)
   }
 
   /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose
@@ -797,18 +937,22 @@ object IcebergLite {
       }
     val touchedSet = touched.toSet
     val kept = live.filterNot(touchedSet)
+    // touched files read with pending MoR deletes applied — the merge
+    // materializes them for the files it rewrites
+    def touchedDf() = applyRowDeletes(readFileSet(spark, tablePath, touched),
+      tablePath, touched, rowDeletes(tablePath, parentId))
     val newData =
       if (touched.isEmpty) source
       else precedence match {
         case None =>
-          readFileSet(spark, tablePath, touched)
+          touchedDf()
             .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
             .unionByName(source)
         case Some(p) =>
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols.map(col): _*)
             .orderBy(col(p).desc, col("__graft_src").desc)
-          readFileSet(spark, tablePath, touched).withColumn("__graft_src", lit(0))
+          touchedDf().withColumn("__graft_src", lit(0))
             .unionByName(source.withColumn("__graft_src", lit(1)))
             .withColumn("__graft_rn", row_number().over(w))
             .filter(col("__graft_rn") === 1)
@@ -817,7 +961,9 @@ object IcebergLite {
     val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
-      operation = "overwrite")
+      operation = "overwrite",
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId),
+        kept.map(_.filePath).toSet))
   }
 
   /** Snapshot EXPIRY — the GC that completes the copy-on-write family:
@@ -1025,7 +1171,9 @@ object IcebergLite {
     if (live.isEmpty) return parentId.getOrElse(0L)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     val runDir = s"cluster-$newId-${runTag()}"
-    val base = readFileSet(spark, tablePath, live)
+    // full rewrite: pending MoR deletes materialize (cleared at commit)
+    val base = applyRowDeletes(readFileSet(spark, tablePath, live),
+      tablePath, live, rowDeletes(tablePath, parentId))
     // scoped mode only changes anything on a partitioned table
     val scoped = partitionScoped && partCols.nonEmpty
     val nTuples = if (scoped) live.map(_.partition).distinct.size else 1
@@ -1164,7 +1312,7 @@ object IcebergLite {
           lowerBounds = lo, upperBounds = hi))
       }
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
-      operation = "replace")
+      operation = "replace", pendingRowDeletes = Nil)
   }
 
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
@@ -1201,6 +1349,8 @@ object IcebergLite {
     val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
-      operation = "overwrite")
+      operation = "overwrite",
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId),
+        kept.map(_.filePath).toSet))
   }
 }

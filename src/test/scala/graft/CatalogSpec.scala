@@ -23,12 +23,13 @@ class CatalogSpec extends AnyFunSuite {
     // rewrite, and the text_bm25 keyword-search row; round 7 added the
     // iceberg_orphan audit-GC row, the iceberg_cluster_quantile
     // rank-coded z-order row, the iceberg_rename column-rename row,
-    // and the iceberg_tag_travel ref-through-GC row → 176 non-ref).
+    // the iceberg_tag_travel ref-through-GC row, and the
+    // iceberg_delete_mor merge-on-read delete row → 177 non-ref).
     // The ref_* rows exist only when a reference checkout is mounted
     // (they read its manifest at runtime), so count them conditionally.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 176 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 171 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 177 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 172 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     // the 5 deliberate rows-only entries, each with an exact oracle-checked sibling
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk", "ann_sq8_topk",

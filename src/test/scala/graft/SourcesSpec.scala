@@ -494,6 +494,62 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("numeric"))
   }
 
+  test("merge-on-read delete: zero rewrite, reads anti-apply, rewrites materialize") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("iceberg_mor_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val preSnap = IcebergLite.currentSnapshotId(root).get
+    val filesBefore = IcebergLite.dataFiles(root).map(_.filePath).toSet
+
+    // CoW twin for the equivalence oracle
+    val cowRoot = Files.createTempDirectory("iceberg_mor_cow_twin").toString
+    graft.sources.IcebergDemo.write(spark, cowRoot)
+    val pred = Seq(IcebergLite.Eq("region", "EU"), IcebergLite.Gt("id", "10"))
+    IcebergLite.delete(spark, cowRoot, pred)
+    val cowRows = IcebergLite.read(spark, cowRoot)
+      .select($"id", $"region", $"amount").orderBy($"id").collect().toSeq
+
+    // the MoR delete is METADATA-ONLY: no file rewritten, none added
+    IcebergLite.deleteMergeOnRead(spark, root, pred)
+    val filesAfter = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    assert(filesAfter == filesBefore,
+      "merge-on-read delete must not rewrite or add a single data file")
+    assert(IcebergLite.rowDeletes(root).nonEmpty, "pending delete must be recorded")
+
+    // reads anti-apply the pending delete: row-identical to the CoW twin
+    assert(IcebergLite.read(spark, root)
+      .select($"id", $"region", $"amount").orderBy($"id").collect().toSeq == cowRows,
+      "merge-on-read and copy-on-write must produce identical reads")
+    // time travel BEFORE the delete still sees every row
+    assert(IcebergLite.read(spark, root, snapshotId = Some(preSnap)).count() ==
+      IcebergLite.dataFiles(root, Some(preSnap)).map(_.recordCount).sum)
+
+    // a row appended AFTER the delete matches the predicate but must
+    // NOT be deleted (file-list scoping = sequence-number semantics)
+    IcebergLite.append(spark, root,
+      Seq((11L, 123.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    assert(IcebergLite.read(spark, root).filter($"id" === 11L).count() == 1,
+      "rows appended after a pending delete are out of its scope")
+
+    // compaction MATERIALIZES: pending list clears, content unchanged
+    val preCompact = IcebergLite.read(spark, root)
+      .select($"id", $"region", $"amount").orderBy($"id", $"amount").collect().toSeq
+    IcebergLite.compact(spark, root)
+    assert(IcebergLite.rowDeletes(root).isEmpty,
+      "compaction must clear the pending delete list")
+    assert(IcebergLite.read(spark, root)
+      .select($"id", $"region", $"amount").orderBy($"id", $"amount").collect().toSeq
+      == preCompact, "materialization must not change a row")
+
+    // wholesale partition-scoped MoR delete is pure metadata (no
+    // pending entry needed — files drop from the manifest outright)
+    IcebergLite.deleteMergeOnRead(spark, root, Seq(IcebergLite.Eq("region", "US")))
+    assert(IcebergLite.rowDeletes(root).isEmpty,
+      "a wholesale-covered delete needs no pending predicate")
+    assert(IcebergLite.read(spark, root).filter($"region" === "US").count() == 0)
+  }
+
   test("timestamp travel and refs: TIMESTAMP AS OF resolves, tags survive GC, branches move") {
     import spark.implicits._
     val root = Files.createTempDirectory("iceberg_refs_spec").toString
