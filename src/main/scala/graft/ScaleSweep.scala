@@ -602,6 +602,26 @@ object ScaleSweep {
     val staleRows = cdcFinal.filter(col("amount") === -11.0).count()
     val winRows = cdcFinal.filter(col("amount") === -12.0).count()
 
+    // merge-on-read row delete confined to partition 13: the commit is
+    // metadata-only at ANY table size; the cost moves to reads (the
+    // anti-predicate over exactly p13's files) until compaction
+    // materializes it below. Measures all three sides of the trade:
+    // delete latency, read overhead while pending, and the
+    // materialization being free-riding on the compact pass.
+    val preMorCount = sources.IcebergLite.read(spark, root).count()
+    val preMorFiles = sources.IcebergLite.dataFiles(root).map(_.filePath).toSet
+    val tMor = System.nanoTime()
+    sources.IcebergLite.deleteMergeOnRead(spark, root,
+      Seq(sources.IcebergLite.Eq("part", "p13"),
+        sources.IcebergLite.Lt("amount", "100")))
+    val morWall = (System.nanoTime() - tMor) / 1e9
+    val morZeroRewrite =
+      sources.IcebergLite.dataFiles(root).map(_.filePath).toSet == preMorFiles
+    val tMorRead = System.nanoTime()
+    val postMorCount = sources.IcebergLite.read(spark, root).count()
+    val morReadWall = (System.nanoTime() - tMorRead) / 1e9
+    val morDeleted = preMorCount - postMorCount
+
     // partition-scoped delete: metadata-only, zero files rewritten
     val tDel = System.nanoTime()
     sources.IcebergLite.delete(spark, root,
@@ -653,7 +673,7 @@ object ScaleSweep {
     // end-state invariant: full history applied exactly once
     val fin = sources.IcebergLite.read(spark, root)
       .agg(count(lit(1)), sum(col("k"))).head()
-    val expectRows = nRows + 5000 - perPart // +inserts, -p31
+    val expectRows = nRows + 5000 - perPart - morDeleted // +inserts, -p31, -MoR
     println(
       s"""{"sweep":"iceberg","rows":$nRows,"partitions":$nParts,"files":$nFiles0,""" +
       s""""appendWallSec":${math.round(appendWall * 10) / 10.0},""" +
@@ -664,6 +684,10 @@ object ScaleSweep {
       s""""cdcBatches":[${cdcScope.mkString(",")}],""" +
       s""""cdcStaleRows":$staleRows,"cdcWinRows":$winRows,""" +
       s""""cdcOrderedOk":${staleRows == 0 && winRows == 2000},""" +
+      s""""morDeleteWallSec":${math.round(morWall * 100) / 100.0},""" +
+      s""""morZeroRewrite":$morZeroRewrite,"morDeletedRows":$morDeleted,""" +
+      s""""morPendingReadWallSec":${math.round(morReadWall * 10) / 10.0},""" +
+      s""""morMaterializedClear":${sources.IcebergLite.rowDeletes(root).isEmpty},""" +
       s""""partitionDeleteWallSec":${math.round(delWall * 100) / 100.0},""" +
       s""""partitionDeleteRewroteFiles":$delRewrote,""" +
       s""""compactWallSec":${math.round(compactWall * 10) / 10.0},""" +
