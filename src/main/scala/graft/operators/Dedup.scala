@@ -243,11 +243,17 @@ object Dedup {
     // aggregate gets a map-side partial combine, so the shuffle carries
     // one (cluster_id, partial_count) row per partition per cluster —
     // bounded regardless of cluster size (same shape as dfGuard).
-    val sizes = withCluster.groupBy(col("cluster_id"))
+    // Sizes come from the CHECKPOINTED components side (comps holds one
+    // row per non-singleton-cluster member), not from withCluster —
+    // re-aggregating withCluster would re-execute the full document
+    // scan and the components join a second time. Docs absent from
+    // comps are their own singleton cluster: size 1 via coalesce.
+    val sizes = comps.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     withCluster
-      .join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .withColumn("is_canonical",
         (col("doc_id") === col("cluster_id")).cast("int"))
   }

@@ -158,12 +158,27 @@ object IcebergLite {
     * manifest layer. */
   final case class RowDelete(files: Set[String], filters: Seq[PartitionFilter])
 
+  /** JSON string escape for every value interpolated into metadata
+    * files: a quote/backslash/control char in a delete value, bound,
+    * partition value, column or ref name must never write unparseable
+    * table metadata (which would brick every subsequent read). */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   private def filterJson(f: PartitionFilter): String = f match {
-    case Eq(c, v) => s"""{"column": "$c", "op": "eq", "value": "$v"}"""
-    case Gt(c, v) => s"""{"column": "$c", "op": "gt", "value": "$v"}"""
-    case Lt(c, v) => s"""{"column": "$c", "op": "lt", "value": "$v"}"""
+    case Eq(c, v) => s"""{"column": ${jstr(c)}, "op": "eq", "value": ${jstr(v)}}"""
+    case Gt(c, v) => s"""{"column": ${jstr(c)}, "op": "gt", "value": ${jstr(v)}}"""
+    case Lt(c, v) => s"""{"column": ${jstr(c)}, "op": "lt", "value": ${jstr(v)}}"""
     case In(c, vs) =>
-      s"""{"column": "$c", "op": "in", "values": [${vs.map(v => s""""$v"""").mkString(", ")}]}"""
+      s"""{"column": ${jstr(c)}, "op": "in", "values": [${vs.map(jstr).mkString(", ")}]}"""
   }
 
   private def parseFilter(j: JValue): PartitionFilter = {
@@ -223,8 +238,8 @@ object IcebergLite {
     * copy-on-write commit re-lists untouched files verbatim. */
   private def entryJson(f: DataFile): String = {
     def jmap(m: Map[String, String]) =
-      m.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    s"""{"data_file": {"file_path": "${f.filePath}", "file_format": "${f.fileFormat}",
+      m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+    s"""{"data_file": {"file_path": ${jstr(f.filePath)}, "file_format": ${jstr(f.fileFormat)},
        |  "partition": ${jmap(f.partition)}, "record_count": ${f.recordCount},
        |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}}}""".stripMargin
   }
@@ -298,19 +313,53 @@ object IcebergLite {
     * abandoned by a crashed writer and broken. */
   private def withCommitLock[A](tablePath: String, staleMs: Long = 60000L)(body: => A): A = {
     val lock = Paths.get(s"$tablePath/metadata/.commit.lock")
+    val token = runTag()
     var acquired = false
     while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
-      catch {
+      try {
+        Files.createFile(lock)
+        Files.writeString(lock, token)
+        acquired = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
           catch { case _: java.nio.file.NoSuchFileException => -1L }
-          if (age > staleMs) Files.deleteIfExists(lock)
+          if (age > staleMs) {
+            // break the stale lock by ATOMIC RENAME, never by a bare
+            // delete: with delete, a waiter paused between its age
+            // check and its delete could remove a lock a first breaker
+            // had just re-acquired, admitting two writers. Exactly one
+            // mover wins the rename; losers see an IOException and
+            // re-loop. The stolen file's age is RE-CHECKED after the
+            // move (mtime survives a rename): if this breaker raced a
+            // fresh re-acquisition and stole a LIVE lock, it is moved
+            // straight back — and the token-checked release below
+            // means even the rare-squared restore failure can only
+            // orphan a lock file (broken by age later), never delete
+            // another writer's.
+            val broken = Paths.get(
+              s"$tablePath/metadata/.commit.lock.broken.${runTag()}")
+            try {
+              Files.move(lock, broken, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              val stolenAge = System.currentTimeMillis() -
+                Files.getLastModifiedTime(broken).toMillis
+              if (stolenAge > staleMs) Files.deleteIfExists(broken)
+              else try Files.move(broken, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.io.IOException => Files.deleteIfExists(broken) }
+            } catch { case _: java.io.IOException => /* another breaker won */ }
+          }
           else Thread.sleep(5)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally {
+      // release only a lock this writer still owns: if the lock was
+      // stolen and re-issued to someone else, its content is their
+      // token and it must survive this release
+      val owned = try Files.readString(lock) == token
+      catch { case _: java.io.IOException => false }
+      if (owned) Files.deleteIfExists(lock)
+    }
   }
 
   /** Write the new manifest + manifest list + snapshot JSON, then flip
@@ -372,12 +421,12 @@ object IcebergLite {
       }.mkString("[", ",\n", "]"))
     val renamesJson =
       if (rmap.isEmpty) ""
-      else rmap.map { case (p, l) => s""""$p": "$l"""" }
+      else rmap.map { case (p, l) => s"${jstr(p)}: ${jstr(l)}" }
         .mkString(",\n \"column_renames\": {", ", ", "}")
     val deletesJson =
       if (dels.isEmpty) ""
       else dels.map { d =>
-        s"""{"files": [${d.files.toSeq.sorted.map(f => s""""$f"""").mkString(", ")}],
+        s"""{"files": [${d.files.toSeq.sorted.map(jstr).mkString(", ")}],
            |   "filters": [${d.filters.map(filterJson).mkString(", ")}]}""".stripMargin
       }.mkString(",\n \"row_deletes\": [", ",\n  ", "]")
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
@@ -498,9 +547,15 @@ object IcebergLite {
     * the parent chain, so a concurrently-committed snapshot newer
     * than `tsMillis` is correctly skipped over. */
   def snapshotAsOf(tablePath: String, tsMillis: Long): Option[Long] = {
-    var cursor = currentSnapshotId(tablePath)
+    // an expired (GC'd) ancestor ends the walk as "no snapshot that
+    // old": parent pointers of retained snapshots legitimately dangle
+    // after expireSnapshots, and a missing file means the history past
+    // it is gone, not an error
+    def exists(id: Long): Boolean =
+      Files.exists(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"))
+    var cursor = currentSnapshotId(tablePath).filter(exists)
     while (cursor.nonEmpty && snapshotTimestampMs(tablePath, cursor.get) > tsMillis)
-      cursor = parentSnapshotId(tablePath, cursor.get)
+      cursor = parentSnapshotId(tablePath, cursor.get).filter(exists)
     cursor
   }
 
@@ -526,7 +581,7 @@ object IcebergLite {
   private def writeRefs(tablePath: String,
       tags: Map[String, Long], branches: Map[String, Long]): Unit = {
     def jm(m: Map[String, Long]) =
-      m.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      m.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
     val tmp = Paths.get(s"$tablePath/metadata/.refs.json.tmp")
     Files.writeString(tmp, s"""{"tags": ${jm(tags)}, "branches": ${jm(branches)}}""")
     Files.move(tmp, Paths.get(s"$tablePath/metadata/refs.json"),
@@ -1039,6 +1094,13 @@ object IcebergLite {
     require(logicalNow.contains(oldName) || physCols.isEmpty,
       s"column $oldName does not exist")
     val phys = physicalName(parentMap, oldName)
+    // newName must also avoid every OTHER column's PHYSICAL name: the
+    // logical→physical write-path translation would otherwise rename a
+    // physically-read column onto a live one (duplicate columns in
+    // every subsequent rewrite). Renaming a column back to its own
+    // physical name (phys == newName) is the one legal overlap.
+    require(!(physCols - phys).contains(newName),
+      s"column name $newName shadows another column's physical name")
     val newMap =
       if (phys == newName) parentMap - phys
       else (parentMap - phys) + (phys -> newName)
@@ -1205,6 +1267,28 @@ object IcebergLite {
         // it — the exact failure the quantile mode exists to fix
         def scaled(bucket: org.apache.spark.sql.Column, nB: Int) =
           (bucket * lit(65535) / lit(math.max(1, nB))).cast("int")
+        // ONE combined agg computes every numeric column's boundaries
+        // in a single pass over the rewrite slice (per-column actions
+        // would re-read it k times); string columns each need their
+        // own bounded sample job (there is rarely more than one)
+        val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+        val numericCols = sortCols.filter(c =>
+          base.schema(c).dataType != org.apache.spark.sql.types.StringType)
+        val numericBounds: Map[String, IndexedSeq[Double]] =
+          if (numericCols.isEmpty) Map.empty
+          else {
+            val aggs2 = numericCols.map(c =>
+              org.apache.spark.sql.functions.percentile_approx(
+                col(c).cast("double"),
+                org.apache.spark.sql.functions.lit(pcts.toArray),
+                org.apache.spark.sql.functions.lit(10000)).as(s"__q_$c"))
+            val row = base.agg(aggs2.head, aggs2.tail: _*).collect()(0)
+            numericCols.map { c =>
+              val bs = Option(row.getSeq[Double](row.fieldIndex(s"__q_$c")))
+                .getOrElse(Seq(0.0)).distinct.sorted.toIndexedSeq
+              c -> (if (bs.nonEmpty) bs else IndexedSeq(0.0))
+            }.toMap
+          }
         val codes = sortCols.map { c =>
           base.schema(c).dataType match {
             case org.apache.spark.sql.types.StringType =>
@@ -1220,13 +1304,7 @@ object IcebergLite {
               scaled(toCol(graft.functions.expressions.QuantileBucket(
                 toExpr(col(c)), bsOr)), bsOr.length)
             case _ =>
-              val pcts = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-              val bs = Option(base.agg(org.apache.spark.sql.functions
-                  .percentile_approx(col(c).cast("double"),
-                    org.apache.spark.sql.functions.lit(pcts.toArray),
-                    org.apache.spark.sql.functions.lit(10000)))
-                .collect()(0).getSeq[Double](0)).getOrElse(Seq(0.0))
-                .distinct.sorted.toIndexedSeq
+              val bs = numericBounds(c)
               scaled(toCol(graft.functions.expressions.QuantileBucket(
                 toExpr(col(c).cast("double")), bs)), bs.length)
           }

@@ -548,6 +548,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.rowDeletes(root).isEmpty,
       "a wholesale-covered delete needs no pending predicate")
     assert(IcebergLite.read(spark, root).filter($"region" === "US").count() == 0)
+
+    // metadata stays parseable when delete values carry JSON-hostile
+    // characters (quotes/backslashes must be escaped, or the snapshot
+    // file bricks every later read)
+    val qroot = Files.createTempDirectory("iceberg_mor_quote_spec").toString
+    IcebergLite.createTable(qroot)
+    IcebergLite.append(spark, qroot,
+      Seq((1L, "O\"Brien \\ co"), (2L, "plain")).toDF("id", "v"),
+      partitionColumns = Nil)
+    IcebergLite.deleteMergeOnRead(spark, qroot,
+      Seq(IcebergLite.Eq("v", "O\"Brien \\ co"), IcebergLite.Gt("id", "0")))
+    assert(IcebergLite.read(spark, qroot).select($"v").as[String]
+      .collect().toSeq == Seq("plain"),
+      "quoted delete value must round-trip through snapshot JSON")
   }
 
   test("timestamp travel and refs: TIMESTAMP AS OF resolves, tags survive GC, branches move") {
@@ -610,6 +624,10 @@ class SourcesSpec extends AnyFunSuite {
     IcebergLite.expireSnapshots(root, retainLast = 1)
     assert(!IcebergLite.snapshots(root).contains(snapA),
       "untagged snapshot must be reclaimable")
+    // TIMESTAMP AS OF across the now-expired history answers None,
+    // never an error (retained snapshots' parent pointers dangle)
+    assert(IcebergLite.snapshotAsOf(root, tsA).isEmpty,
+      "asOf older than retained history must resolve to None after GC")
   }
 
   test("optimistic concurrency: appends rebase, copy-on-write conflicts refuse, no lost updates") {
@@ -735,6 +753,15 @@ class SourcesSpec extends AnyFunSuite {
       IcebergLite.renameColumn(root, "id", "region2")
     }
     assert(ex.getMessage.contains("already in use"))
+
+    // shadowing another live column's PHYSICAL name refuses too:
+    // region2 is the logical name of physical `amount`, so `amount`
+    // is not logically visible — but renaming id onto it would make
+    // the write path translate two logical columns to one physical
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergLite.renameColumn(root, "id", "amount")
+    }
+    assert(ex2.getMessage.contains("physical"))
   }
 
   test("quantile-coded z-order: skewed numerics keep pruning, string keys cluster by rank") {
