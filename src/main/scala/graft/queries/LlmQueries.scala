@@ -308,11 +308,49 @@ object LlmQueries extends QueryCatalog {
     })
 
   /** IVF-bucketed ANN (the other scale path: inverted-file cells,
-    * tunable nProbe) — probabilistic: rows-only; recall vs brute force
-    * asserted in the spec. */
+    * tunable nProbe) — the partial-probe path (nProbe=4 of 16) under
+    * the HARD oracle: DuckDB independently re-derives the
+    * deterministic centroid fit (16 lowest-id vectors), the
+    * argmax-cosine cell assignment (tie → lowest cell index), the
+    * 4-nearest-cell probe set per query, and the exact re-rank of the
+    * probed cells' candidates — so cells MISSED by the partial probe
+    * are missed identically on both sides and the output is
+    * hash-exact, not merely recall-spec'd (closes the r7 `no_oracle`
+    * gap). */
   private val annIvf = Q(
     "ann_ivf_topk",
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+      assign AS (
+        SELECT vec_id, v, cidx AS cell
+        FROM (SELECT e.vec_id, e.v, cent.cidx,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cidx) AS rn
+              FROM e CROSS JOIN cent) x
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, cidx AS cell
+        FROM (SELECT q.query_id, cent.cidx,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.cidx) AS rn
+              FROM q CROSS JOIN cent) y
+        WHERE rn <= 4),
+      cands AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, a.v) AS sim
+        FROM probes JOIN q USING (query_id)
+                    JOIN assign a ON a.cell = probes.cell
+        WHERE a.vec_id <> q.query_id)
+      SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+      FROM (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+            FROM cands) z
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -405,11 +443,43 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     })
 
-  /** SQ8 ANN at practical oversample (the scale path) — probabilistic:
-    * rows-only; recall vs brute force asserted in the spec. */
+  /** SQ8 ANN at practical oversample (the scale path) under the HARD
+    * oracle: DuckDB re-derives the per-dimension bounds, the identical
+    * quantize→dequantize round trip, the approximate top-20 candidate
+    * cut (cosine against the dequantized corpus, ties → lowest id),
+    * and the exact re-rank — candidates dropped by the approximate
+    * pass drop identically on both sides, so the partial-probe output
+    * is hash-exact (closes the r7 `no_oracle` gap). */
   private val annSq8 = Q(
     "ann_sq8_topk",
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+      stats AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi FROM e CROSS JOIN dims GROUP BY i),
+      bounds AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM stats),
+      dq AS (SELECT vec_id,
+                    [CASE WHEN his[i] = los[i] THEN los[i]
+                          ELSE los[i] + CAST(round((v[i] - los[i]) * 255.0 / (his[i] - los[i])) AS INT)
+                                        * (his[i] - los[i]) / 255.0 END
+                     FOR i IN generate_series(1, len(v))] AS dqv
+             FROM e CROSS JOIN bounds),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      approx AS (
+        SELECT query_id, qv, dq.vec_id AS c_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, dqv) DESC, dq.vec_id) AS arank
+        FROM q JOIN dq ON dq.vec_id <> q.query_id),
+      cands AS (SELECT query_id, qv, c_id FROM approx WHERE arank <= 20),
+      scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(qv, e.v) AS sim
+                 FROM cands JOIN e ON e.vec_id = cands.c_id)
+      SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+      FROM (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored) z
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.sq8TopK(

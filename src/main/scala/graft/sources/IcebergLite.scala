@@ -244,6 +244,16 @@ object IcebergLite {
        |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}}}""".stripMargin
   }
 
+  /** Hive partition-path unescape: `partitionBy` writes dir segments
+    * through Spark's escapePathName (':' → `%3A` etc.), while the
+    * manifest — like df values, filters, and the bounds map — carries
+    * the LOGICAL value. Parsing a written path without unescaping
+    * would key partition recovery and bounds lookups on the escaped
+    * form: recovery surfaces `a%3Ab` and the per-partition bounds
+    * lookup silently misses (files lose their pruning bounds). */
+  private def unescapeHive(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
   /** Write `df`'s rows as new data files under `data/<runDir>/` (hive
     * layout when `partitionColumns` is set — written in parallel, one
     * file per task, NOT coalesced) and return one manifest-entry JSON
@@ -287,7 +297,8 @@ object IcebergLite {
     def partOf(p: java.nio.file.Path): Map[String, String] =
       root.relativize(p).iterator().asScala.map(_.toString)
         .filter(_.contains("=")).map { seg =>
-          val Array(k, v) = seg.split("=", 2); k -> v
+          val Array(k, v) = seg.split("=", 2)
+          unescapeHive(k) -> unescapeHive(v)
         }.toMap
     files.map { p =>
       val part = partOf(p)
@@ -311,7 +322,34 @@ object IcebergLite {
     * CAS instead, which is exactly what real Iceberg's REST/Hive
     * catalogs provide). A lock older than `staleMs` is presumed
     * abandoned by a crashed writer and broken. */
-  private def withCommitLock[A](tablePath: String, staleMs: Long = 60000L)(body: => A): A = {
+  /** Per-thread (tablePath → lock token) of commit locks currently
+    * held — makes `withCommitLock` reentrant (an op that takes the
+    * lock can call another lock-taking op without deadlocking) and
+    * lets the commit point FENCE: re-verify ownership right before the
+    * pointer flip, so a writer whose lock was broken as stale during a
+    * long pause (GC/NFS stall past `staleMs`) aborts instead of
+    * overwriting a successor's commit last-writer-wins. */
+  private val heldLocks = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  /** Throw unless this thread's lock on `tablePath` is still the one
+    * on disk. Called immediately before the commit-pointer flip; the
+    * unfenced window shrinks from the whole commit body to the
+    * microseconds between this read and the ATOMIC_MOVE. */
+  private[graft] def assertLockOwned(tablePath: String): Unit = {
+    val token = heldLocks.get.getOrElse(tablePath,
+      throw new IllegalStateException(s"commit without holding the lock on $tablePath"))
+    val owned = try Files.readString(
+      Paths.get(s"$tablePath/metadata/.commit.lock")) == token
+    catch { case _: java.io.IOException => false }
+    if (!owned) throw new CommitConflictException(
+      s"commit lock on $tablePath was broken as stale and re-issued while " +
+        "this writer was paused; aborting before the pointer flip (fencing)")
+  }
+
+  private[graft] def withCommitLock[A](tablePath: String, staleMs: Long = 60000L)(body: => A): A = {
+    if (heldLocks.get.contains(tablePath)) return body // re-entrant hold
     val lock = Paths.get(s"$tablePath/metadata/.commit.lock")
     val token = runTag()
     var acquired = false
@@ -352,7 +390,9 @@ object IcebergLite {
           else Thread.sleep(5)
       }
     }
+    heldLocks.set(heldLocks.get + (tablePath -> token))
     try body finally {
+      heldLocks.set(heldLocks.get - tablePath)
       // release only a lock this writer still owns: if the lock was
       // stolen and re-issued to someone else, its content is their
       // token and it must survive this release
@@ -437,6 +477,7 @@ object IcebergLite {
     val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
     Files.writeString(tmp,
       s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $id}""")
+    assertLockOwned(tablePath) // fence: never flip the pointer on a stolen lock
     Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -696,11 +737,35 @@ object IcebergLite {
     }
   }
 
+  /** The decoded absolute filesystem path of the file a row came from —
+    * the ONE file-identity key every per-row comparison (partition
+    * recovery, merge-on-read delete scoping) joins on.
+    * `input_file_name()` reports the Hadoop Path URI: scheme-prefixed
+    * and PERCENT-ENCODED (a space reads as `%20`), symlinks NOT
+    * resolved. Stripping the scheme and url-decoding (after shielding
+    * literal `+`, which form-decoding would corrupt into a space)
+    * yields the plain path — which [[absPath]] computes on the driver
+    * with NO canonicalization, so spaces, %-encodable characters and
+    * symlinked table paths all compare equal on both sides. (The r7
+    * shape compared the still-encoded URI against `getCanonicalPath`:
+    * any encodable character or symlink made delete scoping silently
+    * fail OPEN — deleted rows resurfaced.) */
+  private def inputFileCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_replace, url_decode}
+    url_decode(regexp_replace(
+      regexp_replace(input_file_name(), "^[a-z]+:/+", "/"), "\\+", "%2B"))
+  }
+
+  /** Driver-side twin of [[inputFileCol]]: absolute, `.`-normalized,
+    * symlinks untouched (Spark never resolves them either). */
+  private def absPath(tablePath: String, rel: String): String =
+    Paths.get(tablePath, rel).toAbsolutePath.normalize.toString
+
   /** Read an explicit manifest file list (partition values recovered
     * per-row, as in `read`). */
   private def readFileSet(spark: SparkSession, tablePath: String,
       files: Seq[DataFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_replace}
+    import org.apache.spark.sql.functions.broadcast
     val partCols = files.flatMap(_.partition.keys).distinct.sorted
     val paths = files.map(f => s"$tablePath/${f.filePath}")
     // mergeSchema = add-column schema evolution (by NAME — the
@@ -710,21 +775,33 @@ object IcebergLite {
     // time-travel read of an old snapshot sees only that snapshot's
     // columns. Footer merging is metadata-only and Spark distributes it.
     val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // FAIL CLOSED: every manifest file must resolve to a plan input
+    // file under the same decoded-absolute-path key the row-level
+    // comparisons use. `inputFiles` reports the identical
+    // percent-encoded URI form `input_file_name()` does (verified:
+    // space → %20, literal % → %25 in both), so the driver decodes it
+    // exactly as [[inputFileCol]] decodes at eval. A divergence would
+    // otherwise fail OPEN (deletes silently no-op, partitions NULL).
+    val planFiles = base.inputFiles.map(s => java.net.URLDecoder.decode(
+      s.replaceFirst("^[a-z]+:/+", "/").replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)).toSet
+    val missing = files.map(f => absPath(tablePath, f.filePath)).filterNot(planFiles)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"file-identity check failed: ${missing.size} manifest file(s) not in the " +
+        s"plan's input set under the shared path key, e.g. ${missing.head}")
     if (partCols.isEmpty) base
     else {
-      // canonical scheme-less absolute path on both sides of the join
-      def canon(p: String): String = new java.io.File(p).getCanonicalPath
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("__graft_file", org.apache.spark.sql.types.StringType) +:
           partCols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
       val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
       files.foreach { f =>
         rows.add(org.apache.spark.sql.Row.fromSeq(
-          canon(s"$tablePath/${f.filePath}") +: partCols.map(c => f.partition.getOrElse(c, null))))
+          absPath(tablePath, f.filePath) +: partCols.map(c => f.partition.getOrElse(c, null))))
       }
       val partDf = spark.createDataFrame(rows, schema)
       base
-        .withColumn("__graft_file", regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
+        .withColumn("__graft_file", inputFileCol)
         .join(broadcast(partDf), Seq("__graft_file"))
         .drop("__graft_file")
     }
@@ -746,16 +823,19 @@ object IcebergLite {
     * are ordinary codegen'd predicates. */
   private def applyRowDeletes(df: DataFrame, tablePath: String,
       files: Seq[DataFile], dels: Seq[RowDelete]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not, regexp_replace}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val readPaths = files.map(_.filePath).toSet
     val relevant = dels.map(d => d.copy(files = d.files.intersect(readPaths)))
       .filter(_.files.nonEmpty)
     if (relevant.isEmpty) return df
-    def canon(rel: String): String = new java.io.File(s"$tablePath/$rel").getCanonicalPath
-    val withFile = df.withColumn("__graft_del_file",
-      regexp_replace(input_file_name(), "^[a-z]+:/+", "/"))
+    // both sides of the isin use the decoded-absolute-path key (see
+    // inputFileCol); readFileSet's fail-closed check already proved
+    // every read file — a superset of every delete's files — resolves
+    // under this key, so the scoping can never silently no-op
+    val withFile = df.withColumn("__graft_del_file", inputFileCol)
     val filtered = relevant.foldLeft(withFile) { (d, del) =>
-      val inFiles = col("__graft_del_file").isin(del.files.toSeq.map(canon): _*)
+      val inFiles = col("__graft_del_file").isin(
+        del.files.toSeq.map(absPath(tablePath, _)): _*)
       val pred = del.filters.map(rowPredicate(d, _)).reduce(_ && _)
       d.filter(not(inFiles && coalesce(pred, lit(false))))
     }
@@ -800,15 +880,24 @@ object IcebergLite {
     // touched file, so the residual alone is the row-level predicate
     val residual = filtersP.filterNot(f =>
       partCols.contains(f.column) && touched.forall(_.partition.contains(f.column)))
-    val (entries, newDel) =
+    val (entries, newDel, keptPaths) =
       if (touched.isEmpty || residual.isEmpty)
-        (kept.map(entryJson), None) // wholesale: pure metadata delete
+        // wholesale: pure metadata delete — files drop from the manifest
+        (kept.map(entryJson), None, kept.map(_.filePath).toSet)
       else
         (live.map(entryJson),
-          Some(RowDelete(touched.map(_.filePath).toSet, residual)))
+          Some(RowDelete(touched.map(_.filePath).toSet, residual)),
+          live.map(_.filePath).toSet)
+    // prior pending deletes are pruned against the files that survive
+    // THIS commit (like the CoW delete path): a wholesale delete drops
+    // files, and RowDelete entries referencing only dropped files must
+    // vanish rather than linger in every later snapshot's JSON — reads
+    // stayed correct (applyRowDeletes intersects with live paths), but
+    // rowDeletes() would misreport pending state forever
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
       operation = "delete",
-      pendingRowDeletes = rowDeletes(tablePath, parentId) ++ newDel)
+      pendingRowDeletes =
+        pruneDeletes(rowDeletes(tablePath, parentId), keptPaths) ++ newDel)
   }
 
   private def rowPredicate(df: DataFrame, f: PartitionFilter): org.apache.spark.sql.Column = {
@@ -1038,30 +1127,40 @@ object IcebergLite {
     * (expired snapshot count, deleted data file count). */
   def expireSnapshots(tablePath: String, retainLast: Int = 1): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
-    val all = snapshots(tablePath)
-    // ref'd snapshots are GC-immune: a tag/branch head stays
-    // time-travelable (its manifest list re-lists every file it needs,
-    // so retaining the snapshot retains its data) until the ref is
-    // dropped — real Iceberg's ref-retention contract
-    val (refTags, refBranches) = readRefs(tablePath)
-    val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath) ++
-      refTags.values ++ refBranches.values).distinct.toSet
-    val expired = all.filterNot(retained)
-    if (expired.isEmpty) return (0, 0)
-    def manifestsOf(id: Long): Seq[String] = parentManifests(tablePath, Some(id))
-    val keepManifests = retained.flatMap(manifestsOf)
-    val keepData = retained.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
-    val dropData = expired.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
-      .distinct.filterNot(keepData)
-    val dropManifests = expired.flatMap(manifestsOf).distinct.filterNot(keepManifests)
-    def rm(rel: String): Unit = Files.deleteIfExists(Paths.get(s"$tablePath/$rel"))
-    dropData.foreach(rm)
-    dropManifests.foreach(rm)
-    expired.foreach { id =>
-      rm(s"metadata/manifest-list-$id.json")
-      rm(s"metadata/snap-$id.snapshot.json")
+    // the whole retention computation + deletion runs under the commit
+    // lock: createTag/createBranch validate-then-write refs under it,
+    // so an unlocked expire could read refs.json an instant before a
+    // concurrent tag lands, then delete the snapshot that tag had just
+    // validated — a dangling ref whose readRef throws. Lock-ordering
+    // with commits also means no snapshot can be appended mid-expiry.
+    withCommitLock(tablePath) {
+      val all = snapshots(tablePath)
+      // ref'd snapshots are GC-immune: a tag/branch head stays
+      // time-travelable (its manifest list re-lists every file it needs,
+      // so retaining the snapshot retains its data) until the ref is
+      // dropped — real Iceberg's ref-retention contract
+      val (refTags, refBranches) = readRefs(tablePath)
+      val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath) ++
+        refTags.values ++ refBranches.values).distinct.toSet
+      val expired = all.filterNot(retained)
+      if (expired.isEmpty) (0, 0)
+      else {
+        def manifestsOf(id: Long): Seq[String] = parentManifests(tablePath, Some(id))
+        val keepManifests = retained.flatMap(manifestsOf)
+        val keepData = retained.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
+        val dropData = expired.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
+          .distinct.filterNot(keepData)
+        val dropManifests = expired.flatMap(manifestsOf).distinct.filterNot(keepManifests)
+        def rm(rel: String): Unit = Files.deleteIfExists(Paths.get(s"$tablePath/$rel"))
+        dropData.foreach(rm)
+        dropManifests.foreach(rm)
+        expired.foreach { id =>
+          rm(s"metadata/manifest-list-$id.json")
+          rm(s"metadata/snap-$id.snapshot.json")
+        }
+        (expired.size, dropData.size)
+      }
     }
-    (expired.size, dropData.size)
   }
 
   /** Metadata-only column RENAME as a NEW SNAPSHOT — the second
@@ -1221,6 +1320,32 @@ object IcebergLite {
       sortCols.map(physicalName(renames(tablePath), _)),
       targetFiles, zorder, partitionScoped, quantileCoded)
 
+  /** Equi-depth boundary array for a STRING z-order column: a bounded
+    * distributed sample (takeSample is a reservoir over executors — the
+    * same sketch RangePartitioner draws), thinned to ≤`nBuckets`
+    * boundaries. The sort happens AFTER converting to UTF8String, with
+    * the eval-time comparator: `QuantileBucket` binary-searches via
+    * `UTF8String.compareTo` (UTF-8 byte order), and Java String's
+    * UTF-16 code-unit order diverges from it for supplementary
+    * characters — a boundary array sorted the Java way reads as
+    * UNSORTED at eval, yielding non-monotonic bucket codes and dead
+    * z-order pruning (row values unaffected, clustering silently
+    * degraded). */
+  private[graft] def stringQuantileBoundaries(base: DataFrame, c: String,
+      nBuckets: Int): IndexedSeq[org.apache.spark.unsafe.types.UTF8String] = {
+    import org.apache.spark.sql.functions.col
+    val sampled = base.select(col(c)).na.drop()
+      .rdd.map(_.getString(0))
+      .takeSample(withReplacement = false, num = nBuckets * 64, seed = 42L)
+      .distinct
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .sortWith(_.compareTo(_) < 0)
+    val step = math.max(1, sampled.length / nBuckets)
+    val bs = sampled.indices.by(step).map(sampled(_)).toIndexedSeq
+    if (bs.nonEmpty) bs
+    else IndexedSeq(org.apache.spark.unsafe.types.UTF8String.fromString(""))
+  }
+
   private def clusterImpl(spark: SparkSession, tablePath: String, sortCols: Seq[String],
       targetFiles: Int, zorder: Boolean,
       partitionScoped: Boolean,
@@ -1292,15 +1417,7 @@ object IcebergLite {
         val codes = sortCols.map { c =>
           base.schema(c).dataType match {
             case org.apache.spark.sql.types.StringType =>
-              val sampled = base.select(col(c)).na.drop()
-                .rdd.map(_.getString(0))
-                .takeSample(withReplacement = false, num = nBuckets * 64, seed = 42L)
-                .sorted.distinct
-              val step = math.max(1, sampled.length / nBuckets)
-              val bs = sampled.indices.by(step).map(i =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(sampled(i)))
-              val bsOr = if (bs.nonEmpty) bs.toIndexedSeq
-                else IndexedSeq(org.apache.spark.unsafe.types.UTF8String.fromString(""))
+              val bsOr = stringQuantileBoundaries(base, c, nBuckets)
               scaled(toCol(graft.functions.expressions.QuantileBucket(
                 toExpr(col(c)), bsOr)), bsOr.length)
             case _ =>
@@ -1364,28 +1481,31 @@ object IcebergLite {
     val dataCols = written.schema.fields.map(_.name)
     val aggs = count(lit(1)).as("__n") +: dataCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"__min_$c"), max(col(c)).cast("string").as(s"__max_$c")))
-    def canon(p: String): String =
-      new java.io.File(p.replaceFirst("^[a-z]+:/+", "/")).getCanonicalPath
-    val stats = written.groupBy(input_file_name().as("__f"))
+    // keyed by the shared decoded-absolute-path key (inputFileCol /
+    // absPath) — a raw-URI vs canonical-path mismatch here would fail
+    // open to recordCount 0 and no bounds (skipping silently dies)
+    val stats = written.groupBy(inputFileCol.as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val lo = dataCols.flatMap(c => Option(r.getAs[Any](s"__min_$c")).map(v => c -> v.toString)).toMap
         val hi = dataCols.flatMap(c => Option(r.getAs[Any](s"__max_$c")).map(v => c -> v.toString)).toMap
-        canon(r.getAs[String]("__f")) -> (r.getAs[Long]("__n"), lo, hi)
+        r.getAs[String]("__f") -> (r.getAs[Long]("__n"), lo, hi)
       }.toMap
 
     val root = Paths.get(s"$tablePath/data/$runDir")
     val entries = Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       .map { p =>
+        val rel = s"data/$runDir/${root.relativize(p).toString}"
         val part = root.relativize(p).iterator().asScala.map(_.toString)
           .filter(_.contains("=")).map { seg =>
-            val Array(k, v) = seg.split("=", 2); k -> v
+            val Array(k, v) = seg.split("=", 2)
+            unescapeHive(k) -> unescapeHive(v)
           }.toMap
-        val (n, lo, hi) = stats.getOrElse(canon(p.toString),
+        val (n, lo, hi) = stats.getOrElse(absPath(tablePath, rel),
           (0L, Map.empty[String, String], Map.empty[String, String]))
         entryJson(DataFile(
-          filePath = s"data/$runDir/${root.relativize(p).toString}",
+          filePath = rel,
           fileFormat = "PARQUET", partition = part, recordCount = n,
           lowerBounds = lo, upperBounds = hi))
       }

@@ -1257,6 +1257,121 @@ class SourcesSpec extends AnyFunSuite {
       "restart re-emitted a committed join result")
   }
 
+  test("file identity survives hostile table paths: space, %-encodable chars, symlink") {
+    val s = spark
+    import s.implicits._
+    // a table path input_file_name() must percent-encode (space) plus a
+    // partition VALUE hive-escaping turns into a literal '%' in the dir
+    // name — the r7 encoded-URI-vs-getCanonicalPath comparison failed
+    // OPEN on both (deleted rows resurfaced, silently)
+    val base = Files.createTempDirectory("iceberg hostile path")
+    val root = base.toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(spark, root,
+      Seq((1L, 5.0, "a:b"), (2L, 50.0, "a:b"), (3L, 5.0, "plain")).toDF("id", "amount", "k"),
+      partitionColumns = Seq("k"))
+    // hive escaping writes k=a%3Ab: a literal '%' in the on-disk path
+    assert(Files.walk(Paths.get(s"$root/data")).iterator().asScala
+      .exists(_.getFileName.toString.contains("%")),
+      "precondition: the partition dir must actually contain a literal %")
+    // partition recovery through the hostile path
+    assert(IcebergLite.read(spark, root).filter($"k" === "a:b").count() == 2)
+    // merge-on-read delete with a RESIDUAL predicate: scoping joins on
+    // file identity — a fail-open mismatch would leave all 3 rows
+    IcebergLite.deleteMergeOnRead(spark, root,
+      Seq(IcebergLite.Eq("k", "a:b"), IcebergLite.Gt("amount", "10")))
+    assert(IcebergLite.rowDeletes(root).nonEmpty, "residual delete must be pending")
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L), "MoR delete must apply through a space/%-bearing path")
+
+    // a SYMLINKED table path: reads and delete scoping must agree on
+    // file identity without canonicalization on either side
+    val linkParent = Files.createTempDirectory("iceberg_symlink_parent")
+    val link = linkParent.resolve("link")
+    Files.createSymbolicLink(link, base)
+    assert(IcebergLite.read(spark, link.toString).select($"id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L),
+      "MoR delete must still apply when the table is opened via a symlink")
+    IcebergLite.deleteMergeOnRead(spark, link.toString,
+      Seq(IcebergLite.Eq("k", "plain"), IcebergLite.Gt("amount", "1")))
+    assert(IcebergLite.read(spark, link.toString).select($"id").as[Long]
+      .collect().toSeq == Seq(1L),
+      "a delete issued through the symlink must scope correctly")
+  }
+
+  test("wholesale MoR delete prunes pending deletes of dropped files") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_mor_prune_spec").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(spark, root,
+      Seq((1L, 5.0, "EU"), (2L, 50.0, "EU"), (3L, 5.0, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    // residual delete pending against EU's files only
+    IcebergLite.deleteMergeOnRead(spark, root,
+      Seq(IcebergLite.Eq("region", "EU"), IcebergLite.Gt("amount", "10")))
+    assert(IcebergLite.rowDeletes(root).nonEmpty)
+    // wholesale delete drops ALL of EU's files from the manifest: the
+    // pending entry references only dropped files and must vanish, not
+    // linger in every subsequent snapshot's JSON
+    IcebergLite.deleteMergeOnRead(spark, root, Seq(IcebergLite.Eq("region", "EU")))
+    assert(IcebergLite.rowDeletes(root).isEmpty,
+      "pending deletes referencing only dropped files must be pruned")
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("commit lock: fencing detects a stolen lock, holds are re-entrant") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_fence_spec").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(spark, root, Seq((1L, "a")).toDF("id", "v"), partitionColumns = Nil)
+
+    // normal path: the holder passes its own fence
+    IcebergLite.withCommitLock(root) { IcebergLite.assertLockOwned(root) }
+
+    // a lock broken as stale and re-issued to another writer: the
+    // original holder's fence must throw BEFORE the pointer flip, not
+    // overwrite the successor's commit last-writer-wins
+    intercept[IcebergLite.CommitConflictException] {
+      IcebergLite.withCommitLock(root) {
+        Files.writeString(Paths.get(s"$root/metadata/.commit.lock"), "intruder-token")
+        IcebergLite.assertLockOwned(root)
+      }
+    }
+    // the stolen lock's content must survive this writer's release
+    assert(Files.readString(Paths.get(s"$root/metadata/.commit.lock")) == "intruder-token")
+    Files.delete(Paths.get(s"$root/metadata/.commit.lock"))
+
+    // re-entrancy: a lock-holding op can call another lock-taking op
+    // (expireSnapshots now locks — this must not deadlock)
+    IcebergLite.createTag(root, "keep", None)
+    val (expired, _) = IcebergLite.withCommitLock(root) {
+      IcebergLite.expireSnapshots(root, retainLast = 1)
+    }
+    assert(expired == 0)
+    // and the table still commits normally afterwards
+    IcebergLite.append(spark, root, Seq((2L, "b")).toDF("id", "v"), partitionColumns = Nil)
+    assert(IcebergLite.read(spark, root).count() == 2)
+  }
+
+  test("string quantile boundaries sort under the eval-time UTF8 comparator") {
+    val s = spark
+    import s.implicits._
+    // U+FFFF vs U+10000 (surrogate pair): Java String (UTF-16 code
+    // units) orders them one way, UTF8String (UTF-8 bytes) the other —
+    // boundaries sorted the Java way read as UNSORTED at eval time
+    val divergent = Seq("￿", new String(Character.toChars(0x10000)),
+      "a", "b", "￾", new String(Character.toChars(0x10FFFF)))
+    val df = (divergent ++ ('a' to 'z').map(_.toString)).toDF("v")
+    val bs = IcebergLite.stringQuantileBoundaries(df, "v", nBuckets = 64)
+    bs.sliding(2).foreach {
+      case Seq(x, y) => assert(x.compareTo(y) < 0,
+        s"boundaries must be strictly increasing under UTF8String order: $x !< $y")
+      case _ =>
+    }
+  }
+
   test("streaming: stateful sessionization with mapGroupsWithState") {
     val s = spark
     import s.implicits._
