@@ -104,10 +104,15 @@ case class MinHashSignature(child: Expression, k: Int)
 
 /** HYPERPLANE_LSH(vec, numBits, seed) — random-hyperplane signature for
   * cosine LSH (Charikar SimHash for real vectors): bit i = sign of the
-  * dot product with a pseudo-random Gaussian plane. Planes derive from
-  * (seed, bit, dim) only, so every executor generates identical planes
-  * with zero coordination — the property that lets this scale without
-  * broadcasting a weight matrix. */
+  * dot product with a pseudo-random hyperplane. Planes are RADEMACHER
+  * (±1) weights — sign-random-projection keeps the Charikar collision
+  * guarantee with ±1 entries (Achlioptas-style sign projections) —
+  * derived from MD5 of `(seed, bit, dim)` only, so every executor
+  * generates identical planes with zero coordination (no broadcast
+  * weight matrix), and so an INDEPENDENT engine can re-derive them:
+  * the `ann_lsh_topk` DuckDB oracle rebuilds the exact planes with
+  * SQL `md5()` and reproduces the banded candidate set bit-for-bit
+  * (±1·x products are exact, sums run in the same order). */
 case class HyperplaneLsh(child: Expression, numBits: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -120,9 +125,14 @@ case class HyperplaneLsh(child: Expression, numBits: Int, seed: Long)
 
   private def planeWeights(dim: Int): Array[Array[Double]] = {
     if (planes == null || planes(0).length != dim) {
+      val md = java.security.MessageDigest.getInstance("MD5")
       planes = Array.tabulate(numBits) { b =>
-        val rnd = new java.util.Random(seed * 0x9e3779b97f4a7c15L + b)
-        Array.fill(dim)(rnd.nextGaussian())
+        Array.tabulate(dim) { i =>
+          // +1 when the digest's first byte is even — the same parity
+          // the oracle reads off md5()'s second hex character
+          val d = md.digest(s"graft-lsh:$seed:$b:$i".getBytes("UTF-8"))
+          if ((d(0) & 1) == 0) 1.0 else -1.0
+        }
       }
     }
     planes

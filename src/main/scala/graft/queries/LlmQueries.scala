@@ -291,11 +291,50 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     })
 
-  /** LSH-bucketed ANN (the 100 TB path) — probabilistic: rows-only;
-    * recall vs the brute-force baseline is asserted in the spec. */
+  /** LSH-bucketed ANN (the 100 TB path) under the HARD oracle: the
+    * engine's hyperplanes are MD5-derived Rademacher signs, so DuckDB
+    * re-derives the identical planes with `md5()`, recomputes every
+    * signature bit (±1·x products are exact; same summation order →
+    * bit-identical dots), rebuilds the 16 width-4 band chunks, and
+    * reproduces the banded candidate set exactly — candidates the
+    * partial probe misses are missed identically on both sides, so
+    * the output is hash-exact (closes the r7 `no_oracle` gap). */
   private val annLsh = Q(
     "ann_lsh_topk",
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bi AS (SELECT b.b, i.i
+             FROM (SELECT unnest(generate_series(0, 63)) AS b) b
+             CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+      planes AS (SELECT b,
+                        list(CASE WHEN substr(md5('graft-lsh:42:' || b || ':' || i), 2, 1)
+                                       IN ('0','2','4','6','8','a','c','e')
+                                  THEN 1.0 ELSE -1.0 END ORDER BY i) AS pw
+                 FROM bi GROUP BY b),
+      dots AS (SELECT e.vec_id, p.b,
+                      list_sum([e.v[i] * p.pw[i] FOR i IN generate_series(1, 64)]) AS dot
+               FROM e CROSS JOIN planes p),
+      chunks AS (SELECT vec_id, b // 4 AS chunk,
+                        sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END
+                            * CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS cval
+                 FROM dots GROUP BY vec_id, b // 4),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      cands AS (SELECT DISTINCT qc.query_id, cc.vec_id AS c_id
+                FROM (SELECT q.query_id, ch.chunk, ch.cval
+                      FROM q JOIN chunks ch ON ch.vec_id = q.query_id) qc
+                JOIN chunks cc ON cc.chunk = qc.chunk AND cc.cval = qc.cval
+                WHERE cc.vec_id <> qc.query_id),
+      scored AS (SELECT c.query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.qv, e.v) AS sim
+                 FROM cands c JOIN q ON q.query_id = c.query_id
+                              JOIN e ON e.vec_id = c.c_id)
+      SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+      FROM (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored) z
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -550,12 +589,86 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("query_id"), col("rank"))
     })
 
-  /** PQ ANN at practical oversample (the 32×-compression scale path) —
-    * probabilistic: rows-only; recall vs brute force asserted in the
-    * spec. */
+  /** PQ ANN at practical oversample (the 32×-compression scale path)
+    * under the HARD oracle: DuckDB re-derives the full pipeline — the
+    * deterministic codebook init, ONE unrolled Lloyd round (assign by
+    * argmin-L2 with tie → lowest codeword, re-estimate codeword means,
+    * empty codewords keep their init value), the re-encode against the
+    * refined books, the ADC score (per-subspace dots summed in
+    * subspace order, normalized by sqrt(q_n2·c_dqn2)), the top-20
+    * candidate cut, and the exact re-rank — so candidates the
+    * compressed scan drops are dropped identically on both sides and
+    * the output is hash-exact (closes the r7 `no_oracle` gap). */
   private val annPq = Q(
     "ann_pq_topk",
-    None,
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seeds AS (SELECT row_number() OVER (ORDER BY vec_id) AS w, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+      s8 AS (SELECT unnest(generate_series(0, 7)) AS s),
+      subs AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e CROSS JOIN s8),
+      words0 AS (SELECT w, s, v[s*8+1 : s*8+8] AS wv FROM seeds CROSS JOIN s8),
+      dists0 AS (SELECT vec_id, subs.s AS s, w,
+                        list_sum([(sv[i]-wv[i])*(sv[i]-wv[i])
+                                  FOR i IN generate_series(1, 8)]) AS d
+                 FROM subs JOIN words0 ON subs.s = words0.s),
+      best0 AS (SELECT vec_id, s, w FROM
+                (SELECT vec_id, s, w,
+                        row_number() OVER (PARTITION BY vec_id, s ORDER BY d, w) AS rn
+                 FROM dists0) x0 WHERE rn = 1),
+      means AS (SELECT b.s, b.w, p.p, avg(sub.sv[p.p]) AS mu
+                FROM best0 b
+                JOIN subs sub ON sub.vec_id = b.vec_id AND sub.s = b.s
+                CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS p) p
+                GROUP BY b.s, b.w, p.p),
+      refit AS (SELECT s, w, list(mu ORDER BY p) AS wv FROM means GROUP BY s, w),
+      words1 AS (SELECT w0.s, w0.w, coalesce(r.wv, w0.wv) AS wv
+                 FROM words0 w0 LEFT JOIN refit r ON r.s = w0.s AND r.w = w0.w),
+      dists1 AS (SELECT vec_id, subs.s AS s, w,
+                        list_sum([(sv[i]-wv[i])*(sv[i]-wv[i])
+                                  FOR i IN generate_series(1, 8)]) AS d
+                 FROM subs JOIN words1 ON subs.s = words1.s),
+      best1 AS (SELECT vec_id, s, w FROM
+                (SELECT vec_id, s, w,
+                        row_number() OVER (PARTITION BY vec_id, s ORDER BY d, w) AS rn
+                 FROM dists1) x1 WHERE rn = 1),
+      norms AS (SELECT b.vec_id, b.s,
+                       list_sum([w1.wv[i]*w1.wv[i] FOR i IN generate_series(1, 8)]) AS n2
+                FROM best1 b JOIN words1 w1 ON w1.s = b.s AND w1.w = b.w),
+      dqn2 AS (SELECT vec_id, list_sum(list(n2 ORDER BY s)) AS c_dqn2
+               FROM norms GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, v AS qv,
+                   list_sum([v[i]*v[i] FOR i IN generate_series(1, len(v))]) AS q_n2
+            FROM e WHERE vec_id < 5),
+      pd AS (SELECT q.query_id, b.vec_id AS c_id, b.s,
+                    list_sum([q.qv[b.s*8+i] * w1.wv[i]
+                              FOR i IN generate_series(1, 8)]) AS dot_s
+             FROM q CROSS JOIN best1 b
+             JOIN words1 w1 ON w1.s = b.s AND w1.w = b.w
+             WHERE b.vec_id <> q.query_id),
+      adc AS (SELECT query_id, c_id, list_sum(list(dot_s ORDER BY s)) AS adot
+              FROM pd GROUP BY query_id, c_id),
+      approx AS (SELECT adc.query_id, adc.c_id,
+                        CASE WHEN sqrt(q.q_n2 * d.c_dqn2) = 0 THEN 0.0
+                             ELSE adot / sqrt(q.q_n2 * d.c_dqn2) END AS asim
+                 FROM adc JOIN q ON q.query_id = adc.query_id
+                          JOIN dqn2 d ON d.vec_id = adc.c_id),
+      cands AS (SELECT query_id, c_id FROM
+                (SELECT query_id, c_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY asim DESC, c_id) AS arank
+                 FROM approx) x2 WHERE arank <= 20),
+      scored AS (SELECT c.query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.qv, e.v) AS sim
+                 FROM cands c JOIN q ON q.query_id = c.query_id
+                              JOIN e ON e.vec_id = c.c_id)
+      SELECT query_id, rank, neighbor_id, round(sim, 6) AS cos_sim
+      FROM (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored) z
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(
