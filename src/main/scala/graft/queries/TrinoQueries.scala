@@ -238,12 +238,30 @@ object TrinoQueries extends QueryCatalog {
     * driver, pinned by FunctionSpec RFC/closed-form vectors. */
   private val trinoStatisticalFns = Q(
     "trino_statistical_fns",
-    None,
+    // Closes the r7 `no_oracle` gap with a COMMITTED-CONSTANTS oracle:
+    // DuckDB lacks erf/ibeta/hmac, so the oracle reads
+    // data/stat_cdf_expected.parquet — expected values derived
+    // INDEPENDENTLY of the engine (scripts/gen_stat_expected.py:
+    // Python stdlib NormalDist for the normal CDF/inverse, exact
+    // binomial/even-df closed forms for beta/t cross-checked against a
+    // continued fraction, RFC 2104 stdlib hmac, Porter's published
+    // 1980 example stems) — while the Spark side computes everything
+    // LIVE on doc_id-derived constants. Inputs are constants, not
+    // document text, so the oracle survives testdata regeneration.
+    Some("""
+      SELECT doc_id, stem1, mac, mac_md5, ncdf, incdf, bcdf, tcdf
+      FROM '/root/repo/data/stat_cdf_expected.parquet'
+      ORDER BY doc_id"""),
     (s, dir) => sql(s, dir)("""
       SELECT doc_id,
-             word_stem(split_part(text, ' ', 1)) AS stem1,
-             hmac_sha256(text, 'graft-key') AS mac,
-             hmac_md5(text, 'graft-key') AS mac_md5,
+             word_stem(element_at(array(
+               'caresses','ponies','ties','caress','cats','feed','agreed',
+               'plastered','bled','motoring','sing','conflated','troubled',
+               'sized','hopping','tanned','falling','hissing','fizzed',
+               'failing','filing','happy','sky','relational','conditional'),
+               cast(doc_id as int) + 1)) AS stem1,
+             hmac_sha256(concat('graft-msg-', cast(doc_id as string)), 'graft-key') AS mac,
+             hmac_md5(concat('graft-msg-', cast(doc_id as string)), 'graft-key') AS mac_md5,
              round(normal_cdf(0, 1, doc_id / 100.0), 6) AS ncdf,
              round(inverse_normal_cdf(0, 1, (doc_id % 100) / 100.0 + 0.001), 6) AS incdf,
              round(beta_cdf(2, 5, (doc_id % 100) / 100.0 + 0.001), 6) AS bcdf,
