@@ -32,13 +32,20 @@ import org.json4s.jackson.JsonMethods
   */
 object IcebergLite {
 
+  /** `sequenceNumber` is the Iceberg v2 data-sequence number: the
+    * commit ordinal of the snapshot that ADDED this file. Carried
+    * forward verbatim by every later commit that keeps the file, it is
+    * what scopes merge-on-read deletes ("a delete applies to files
+    * with sequence ≤ its own"). −1 is the writer-side sentinel for
+    * "assigned at commit" (see [[commitSnapshot]]). */
   final case class DataFile(
       filePath: String,
       fileFormat: String,
       partition: Map[String, String],
       recordCount: Long,
       lowerBounds: Map[String, String] = Map.empty,
-      upperBounds: Map[String, String] = Map.empty)
+      upperBounds: Map[String, String] = Map.empty,
+      sequenceNumber: Long = 0L)
 
   /** Numeric-first value compare (long, then double, then string) —
     * bounds and partition values are string-typed in the manifest, like
@@ -120,7 +127,8 @@ object IcebergLite {
               partition = (df \ "partition").extractOrElse[Map[String, String]](Map.empty),
               recordCount = (df \ "record_count").extractOrElse[Long](0L),
               lowerBounds = (df \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
-              upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty))
+              upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty),
+              sequenceNumber = (df \ "sequence_number").extractOrElse[Long](0L))
           }
         }
       case _ => Nil
@@ -137,12 +145,7 @@ object IcebergLite {
       case None => return Nil
       case Some(i) => i
     }
-    val snap = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
-    val manifestList = (snap \ "manifest_list").extract[String]
-    val manifests = readJson(s"$tablePath/$manifestList") match {
-      case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
-      case _ => Nil
-    }
+    val manifests = manifestPathsOf(tablePath, id)
     val files = manifests.flatMap(manifestFiles(tablePath, _))
     val rmap = renames(tablePath, Some(id))
     val physFilters =
@@ -150,13 +153,96 @@ object IcebergLite {
     files.filter(f => physFilters.forall(_.matches(f)))
   }
 
-  /** A pending merge-on-read row delete: rows matching all `filters`
-    * are dead in exactly the listed data files (files appended AFTER
-    * the delete are unaffected — the file list is the sequence-number
-    * scoping of real Iceberg v2 equality deletes, expressed by path).
-    * Filters use PHYSICAL column names, like everything in the
-    * manifest layer. */
-  final case class RowDelete(files: Set[String], filters: Seq[PartitionFilter])
+  /** Manifest paths listed by a snapshot's manifest list (table-
+    * relative). One small JSON read — O(manifests) driver work, never
+    * O(files). */
+  private def manifestPathsOf(tablePath: String, id: Long): Seq[String] = {
+    val snap = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
+    val manifestList = (snap \ "manifest_list").extract[String]
+    readJson(s"$tablePath/$manifestList") match {
+      case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
+      case _ => Nil
+    }
+  }
+
+  /** DISTRIBUTED manifest planning — real Iceberg's
+    * `planFiles(distributed)`: the manifest list is still one small
+    * driver read, but the per-entry work (parse each manifest, apply
+    * partition/bounds pruning) fans out over executors as one Spark
+    * job, and ONLY THE MATCHED entries come back to the driver. On a
+    * ~10⁶-file table the driver-side [[dataFiles]] loop is the
+    * planning bottleneck (it parses and filters every entry in one
+    * thread and materializes the full file list); here driver memory
+    * and collect size are O(matched), and wall time is
+    * O(files / parallelism). Pruning evaluates the exact same
+    * [[PartitionFilter.matches]] code the driver path runs — zero
+    * semantic divergence (the numeric-first `cmp` included), which a
+    * Catalyst re-encoding of the bounds comparison could not
+    * guarantee. Executors read manifests from the same shared storage
+    * that holds the data files (here the local FS; on a cluster,
+    * DFS/object store — the identical contract real Iceberg relies
+    * on). Results are sorted by path so planning is deterministic
+    * regardless of task scheduling. */
+  def planFilesDistributed(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None,
+      filters: Seq[PartitionFilter] = Nil): Seq[DataFile] = {
+    val id = snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => return Nil
+      case Some(i) => i
+    }
+    val manifests = manifestPathsOf(tablePath, id)
+    if (manifests.isEmpty) return Nil
+    val rmap = renames(tablePath, Some(id))
+    val physFilters =
+      if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _))
+    // locals only in the task closure: a String and a Seq of
+    // serializable filter case classes
+    val tp = tablePath
+    implicit val enc: org.apache.spark.sql.Encoder[DataFile] =
+      org.apache.spark.sql.Encoders.product[DataFile]
+    spark.createDataset(manifests)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(manifests.size,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .flatMap(m => manifestFiles(tp, m)
+        .filter(f => physFilters.forall(_.matches(f))))
+      .collect().toSeq.sortBy(_.filePath)
+  }
+
+  /** Planning entry point used by [[read]]: driver-side pruning below
+    * `graft.iceberg.planning.distributedThreshold` manifests (default
+    * 64 — metadata this small plans faster in-process than a job
+    * round-trip), the distributed path at or above it. Both paths
+    * return the identical file set. */
+  def planFiles(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None,
+      filters: Seq[PartitionFilter] = Nil): Seq[DataFile] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) =>
+        val threshold = spark.conf
+          .getOption("graft.iceberg.planning.distributedThreshold")
+          .map(_.toInt).getOrElse(64)
+        if (manifestPathsOf(tablePath, id).size < threshold)
+          dataFiles(tablePath, Some(id), filters)
+        else planFilesDistributed(spark, tablePath, Some(id), filters)
+    }
+
+  /** A pending merge-on-read row delete — Iceberg v2 sequence-number
+    * semantics: rows matching ALL `filters` are dead in every data
+    * file whose data-sequence number is ≤ `sequenceNumber` (the
+    * delete commit's own ordinal). Files appended after the delete
+    * carry a greater sequence and are never affected; files rewritten
+    * after it (compact/merge/CoW delete) get the rewriting commit's
+    * sequence, so a materialized delete stops applying to them
+    * automatically. The delete's metadata is O(filters) — NOT
+    * O(touched files), which is what keeps a predicate delete on a
+    * 100 TB / 10⁶-file table a constant-size snapshot entry (the r7
+    * shape stored the touched-file path list). Filters are the FULL
+    * original conjunct set in PHYSICAL column names: partition
+    * conjuncts included, so the predicate self-scopes to the right
+    * partitions without any path bookkeeping. `sequenceNumber` −1 is
+    * the writer-side "assigned at commit" sentinel. */
+  final case class RowDelete(sequenceNumber: Long, filters: Seq[PartitionFilter])
 
   /** JSON string escape for every value interpolated into metadata
     * files: a quote/backslash/control char in a delete value, bound,
@@ -200,7 +286,7 @@ object IcebergLite {
         (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "row_deletes") match {
           case JArray(ds) => ds.map { d =>
             RowDelete(
-              (d \ "files").extract[Seq[String]].toSet,
+              (d \ "sequence_number").extractOrElse[Long](0L),
               (d \ "filters") match {
                 case JArray(fs) => fs.map(parseFilter)
                 case _ => Nil
@@ -241,6 +327,7 @@ object IcebergLite {
       m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
     s"""{"data_file": {"file_path": ${jstr(f.filePath)}, "file_format": ${jstr(f.fileFormat)},
        |  "partition": ${jmap(f.partition)}, "record_count": ${f.recordCount},
+       |  "sequence_number": ${f.sequenceNumber},
        |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}}}""".stripMargin
   }
 
@@ -306,7 +393,8 @@ object IcebergLite {
       entryJson(DataFile(
         filePath = s"data/$runDir/${root.relativize(p).toString}",
         fileFormat = "PARQUET", partition = part, recordCount = -1L,
-        lowerBounds = lo, upperBounds = hi))
+        lowerBounds = lo, upperBounds = hi,
+        sequenceNumber = -1L)) // resolved to the commit's sequence at commit
     }
   }
 
@@ -450,9 +538,21 @@ object IcebergLite {
     // like renames, pending merge-on-read deletes are carried forward
     // by every commit unless the op explicitly changes them (a rewrite
     // materializes deletes and passes a pruned/empty list)
-    val dels = Option(pendingRowDeletes).getOrElse(rowDeletes(tablePath, parent))
+    val dels0 = Option(pendingRowDeletes).getOrElse(rowDeletes(tablePath, parent))
+    // the commit's SEQUENCE NUMBER: snapshot ids are assigned
+    // max+1 under the commit lock, so the id doubles as the monotone
+    // commit ordinal — still written out as an explicit
+    // `sequence_number` everywhere (snapshot, data files, row deletes)
+    // so the v2 contract lives in the metadata, not in an id
+    // convention. Writer-side −1 sentinels ("this commit") resolve
+    // here, AFTER any rebase has picked the final id.
+    val seq = id
+    val dels = dels0.map(d =>
+      if (d.sequenceNumber < 0) d.copy(sequenceNumber = seq) else d)
+    val seqEntries = entries.map(
+      _.replace("\"sequence_number\": -1,", s""""sequence_number": $seq,"""))
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
-      entries.mkString("{\"entries\": [", ",\n", "]}"))
+      seqEntries.mkString("{\"entries\": [", ",\n", "]}"))
     val allManifests = carried :+ s"metadata/manifest-$id.json"
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$id.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
@@ -466,11 +566,11 @@ object IcebergLite {
     val deletesJson =
       if (dels.isEmpty) ""
       else dels.map { d =>
-        s"""{"files": [${d.files.toSeq.sorted.map(jstr).mkString(", ")}],
+        s"""{"sequence_number": ${d.sequenceNumber},
            |   "filters": [${d.filters.map(filterJson).mkString(", ")}]}""".stripMargin
       }.mkString(",\n \"row_deletes\": [", ",\n  ", "]")
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
-      s"""{"snapshot_id": $id${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
+      s"""{"snapshot_id": $id, "sequence_number": $seq${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
          | "operation": "$operation"$renamesJson$deletesJson,
          | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
@@ -546,7 +646,7 @@ object IcebergLite {
     * need the columns. Spark's pushdown/row-group pruning apply on top. */
   def read(spark: SparkSession, tablePath: String, snapshotId: Option[Long] = None,
       filters: Seq[PartitionFilter] = Nil): DataFrame = {
-    val files = dataFiles(tablePath, snapshotId, filters)
+    val files = planFiles(spark, tablePath, snapshotId, filters)
     if (files.isEmpty) spark.emptyDataFrame
     else {
       // pending merge-on-read deletes anti-apply first (physical
@@ -815,51 +915,59 @@ object IcebergLite {
     * file level by `PartitionFilter.matches`. */
   /** Apply pending merge-on-read deletes to a physical-name DataFrame
     * being read from `files`: each delete kills rows matching its
-    * filters inside ITS OWN file list only, so rows appended after the
-    * delete (new files, not listed) are never affected — the
-    * sequence-number scoping of Iceberg v2 equality deletes, by path.
-    * The file check is an `input_file_name()` projection against a
-    * bounded in-plan list (≤ the delete's touched files); the filters
-    * are ordinary codegen'd predicates. */
+    * filters inside exactly the files whose data-sequence number is ≤
+    * the delete's — Iceberg v2 sequence scoping. Rows appended after
+    * the delete live in higher-sequence files and are never affected;
+    * a file the delete's filters provably cannot touch (partition
+    * value / bounds mismatch) is pruned from the scope entirely, so
+    * the per-row work is a codegen'd predicate over only the files
+    * that need it. The file check is an `input_file_name()` projection
+    * against a bounded in-plan list; readFileSet's fail-closed check
+    * already proved every read file resolves under the shared
+    * decoded-absolute-path key, so the scoping can never silently
+    * no-op. */
   private def applyRowDeletes(df: DataFrame, tablePath: String,
       files: Seq[DataFile], dels: Seq[RowDelete]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val readPaths = files.map(_.filePath).toSet
-    val relevant = dels.map(d => d.copy(files = d.files.intersect(readPaths)))
-      .filter(_.files.nonEmpty)
-    if (relevant.isEmpty) return df
-    // both sides of the isin use the decoded-absolute-path key (see
-    // inputFileCol); readFileSet's fail-closed check already proved
-    // every read file — a superset of every delete's files — resolves
-    // under this key, so the scoping can never silently no-op
+    val scoped = dels.map { d =>
+      d -> files.filter(f =>
+        f.sequenceNumber <= d.sequenceNumber && d.filters.forall(_.matches(f)))
+    }.filter(_._2.nonEmpty)
+    if (scoped.isEmpty) return df
     val withFile = df.withColumn("__graft_del_file", inputFileCol)
-    val filtered = relevant.foldLeft(withFile) { (d, del) =>
+    val filtered = scoped.foldLeft(withFile) { case (d, (del, inScope)) =>
       val inFiles = col("__graft_del_file").isin(
-        del.files.toSeq.map(absPath(tablePath, _)): _*)
+        inScope.map(f => absPath(tablePath, f.filePath)): _*)
       val pred = del.filters.map(rowPredicate(d, _)).reduce(_ && _)
       d.filter(not(inFiles && coalesce(pred, lit(false))))
     }
     filtered.drop("__graft_del_file")
   }
 
-  /** Drop rewritten/removed files from pending deletes; a delete whose
-    * file list empties out has been fully materialized and vanishes. */
+  /** Drop pending deletes that no surviving file can still be subject
+    * to: a delete stays pending only while some kept file has sequence
+    * ≤ the delete's AND could match its filters. Rewritten files got
+    * the rewriting commit's (higher) sequence, so materialized deletes
+    * age out of scope automatically — this prune just keeps the
+    * snapshot JSON from carrying dead entries forever. */
   private def pruneDeletes(dels: Seq[RowDelete],
-      keptPaths: Set[String]): Seq[RowDelete] =
-    dels.map(d => d.copy(files = d.files.intersect(keptPaths)))
-      .filter(_.files.nonEmpty)
+      kept: Seq[DataFile]): Seq[RowDelete] =
+    dels.filter(d => kept.exists(f =>
+      f.sequenceNumber <= d.sequenceNumber && d.filters.forall(_.matches(f))))
 
   /** Merge-on-read row DELETE as a NEW SNAPSHOT — Iceberg v2's delete
     * path, the latency/read-overhead counterpoint to the copy-on-write
     * [[delete]]: ZERO data I/O at delete time. Files the filters cover
     * WHOLESALE are dropped from the manifest (metadata-only, exactly
-    * like the CoW fast path); files only partially covered stay listed
-    * and the residual predicate is recorded against EXACTLY those
-    * files in the snapshot's `row_deletes`. Readers anti-apply pending
-    * deletes (`read`, time travel, refs all honor them); any rewrite
-    * that touches a file (compact / cluster / merge / CoW delete)
-    * MATERIALIZES the deletes for that file and drops it from the
-    * pending list. At 100 TB this is the difference between a delete
+    * like the CoW fast path); a partial cover records ONE
+    * sequence-numbered predicate in the snapshot's `row_deletes` and
+    * carries the parent's manifests verbatim — O(1) metadata however
+    * many files the predicate spans. Readers anti-apply pending
+    * deletes to files with sequence ≤ the delete's (`read`, time
+    * travel, refs all honor them); any rewrite that touches a file
+    * (compact / cluster / merge / CoW delete) MATERIALIZES the deletes
+    * for that file, and the rewritten file's higher sequence takes it
+    * out of scope automatically. At 100 TB this is the difference between a delete
     * that finishes in milliseconds regardless of table size and one
     * that rewrites every touched file inline — with the cost moved to
     * reads until the next maintenance compaction, real Iceberg's
@@ -877,27 +985,27 @@ object IcebergLite {
     val partCols = touched.flatMap(_.partition.keys).distinct.sorted
     // same residual analysis as the CoW path: conjuncts decided
     // file-level by an exact partition value hold for every row of a
-    // touched file, so the residual alone is the row-level predicate
+    // touched file — an empty residual means every touched file dies
+    // WHOLESALE (pure metadata drop, no pending predicate needed)
     val residual = filtersP.filterNot(f =>
       partCols.contains(f.column) && touched.forall(_.partition.contains(f.column)))
-    val (entries, newDel, keptPaths) =
-      if (touched.isEmpty || residual.isEmpty)
-        // wholesale: pure metadata delete — files drop from the manifest
-        (kept.map(entryJson), None, kept.map(_.filePath).toSet)
-      else
-        (live.map(entryJson),
-          Some(RowDelete(touched.map(_.filePath).toSet, residual)),
-          live.map(_.filePath).toSet)
-    // prior pending deletes are pruned against the files that survive
-    // THIS commit (like the CoW delete path): a wholesale delete drops
-    // files, and RowDelete entries referencing only dropped files must
-    // vanish rather than linger in every later snapshot's JSON — reads
-    // stayed correct (applyRowDeletes intersects with live paths), but
-    // rowDeletes() would misreport pending state forever
-    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
-      operation = "delete",
-      pendingRowDeletes =
-        pruneDeletes(rowDeletes(tablePath, parentId), keptPaths) ++ newDel)
+    if (touched.isEmpty || residual.isEmpty)
+      // wholesale: files drop from the manifest outright
+      commitSnapshot(tablePath, newId, parentId, kept.map(entryJson),
+        carriedManifests = Nil, operation = "delete",
+        pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
+    else
+      // residual predicate: ZERO manifest change — the parent's
+      // manifests are carried verbatim (no file list rewrite at all;
+      // the r7 shape re-listed every live file) and the snapshot
+      // records one RowDelete with the FULL conjunct set, scoped at
+      // read time to files with sequence ≤ this commit's. On a 10⁶-
+      // file table this commit writes O(1) metadata.
+      commitSnapshot(tablePath, newId, parentId, entries = Nil,
+        carriedManifests = parentManifests(tablePath, parentId),
+        operation = "delete",
+        pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), live) :+
+          RowDelete(-1L, filtersP))
   }
 
   private def rowPredicate(df: DataFrame, f: PartitionFilter): org.apache.spark.sql.Column = {
@@ -963,8 +1071,7 @@ object IcebergLite {
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
       operation = "delete",
-      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId),
-        kept.map(_.filePath).toSet))
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
@@ -1106,8 +1213,7 @@ object IcebergLite {
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
-      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId),
-        kept.map(_.filePath).toSet))
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
   }
 
   /** Snapshot EXPIRY — the GC that completes the copy-on-write family:
@@ -1507,7 +1613,8 @@ object IcebergLite {
         entryJson(DataFile(
           filePath = rel,
           fileFormat = "PARQUET", partition = part, recordCount = n,
-          lowerBounds = lo, upperBounds = hi))
+          lowerBounds = lo, upperBounds = hi,
+          sequenceNumber = -1L)) // resolved to the commit's sequence at commit
       }
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
       operation = "replace", pendingRowDeletes = Nil)
@@ -1548,7 +1655,6 @@ object IcebergLite {
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
-      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId),
-        kept.map(_.filePath).toSet))
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
   }
 }

@@ -1388,4 +1388,116 @@ class SourcesSpec extends AnyFunSuite {
     assert(updates(2L).nEvents == 1)
     assert(!updates(2L).closed)
   }
+
+  test("v2 sequence numbers: commits stamp files, deletes scope by sequence, pending entries age out") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_seq_spec").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(spark, root,
+      Seq((1L, 5.0, "EU"), (2L, 50.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region")) // commit 1
+    IcebergLite.append(spark, root,
+      Seq((3L, 5.0, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region")) // commit 2
+    val bySeq = IcebergLite.dataFiles(root).groupBy(_.sequenceNumber)
+    assert(bySeq.keySet == Set(1L, 2L),
+      s"each commit must stamp its own sequence on its files, got ${bySeq.keySet}")
+    assert(bySeq(1L).forall(_.partition("region") == "EU") && bySeq(2L).forall(_.partition("region") == "US"))
+
+    // residual MoR delete = commit 3: O(1) metadata — the manifest set
+    // is carried VERBATIM (no file re-listing), and the pending entry
+    // records the delete commit's sequence + the full predicate
+    val manifestsBefore = Files.list(Paths.get(s"$root/metadata")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSet
+    IcebergLite.deleteMergeOnRead(spark, root,
+      Seq(IcebergLite.Eq("region", "EU"), IcebergLite.Gt("amount", "10")))
+    val dels = IcebergLite.rowDeletes(root)
+    assert(dels.map(_.sequenceNumber) == Seq(3L),
+      s"pending delete must carry the delete commit's sequence, got $dels")
+    assert(dels.head.filters.size == 2, "the FULL conjunct set is stored, not a residual")
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+
+    // commit 4 appends a row matching the predicate: its file's
+    // sequence (4) > the delete's (3), so the row survives purely by
+    // sequence scoping — no path bookkeeping anywhere
+    IcebergLite.append(spark, root,
+      Seq((4L, 99.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    assert(IcebergLite.dataFiles(root).map(_.sequenceNumber).max == 4L)
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L), "a higher-sequence file is out of every pending delete's scope")
+    assert(IcebergLite.rowDeletes(root).map(_.sequenceNumber) == Seq(3L),
+      "appends carry pending deletes forward untouched")
+
+    // a rewrite that touches the delete's files materializes it: the
+    // rewritten files get the rewriting commit's sequence, and the
+    // pending entry — now matchable only against higher-sequence files
+    // — is pruned from the snapshot JSON
+    IcebergLite.compact(spark, root)
+    assert(IcebergLite.rowDeletes(root).isEmpty)
+    assert(IcebergLite.dataFiles(root).forall(_.sequenceNumber == 5L),
+      "a full rewrite re-stamps every file with the rewriting commit's sequence")
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L), "materialization must not change a row")
+    assert(manifestsBefore.subsetOf(
+      Files.list(Paths.get(s"$root/metadata")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSet),
+      "the MoR delete must not have rewritten any prior manifest")
+  }
+
+  /** Metadata-only synthetic table: `nManifests` commits, each listing
+    * `filesPer` entries over partition p = commit index mod 10 with
+    * id bounds per entry — no parquet behind the paths, so the test
+    * isolates PLANNING cost/results from data I/O. */
+  private def syntheticManifestTable(nManifests: Int, filesPer: Int): String = {
+    val root = Files.createTempDirectory("iceberg_planning_spec").toString
+    IcebergLite.createTable(root)
+    (1 to nManifests).foreach { i =>
+      val entries = (0 until filesPer).map { j =>
+        s"""{"data_file": {"file_path": "data/f-$i-$j.parquet", "file_format": "PARQUET",
+           |  "partition": {"p": "${i % 10}"}, "record_count": 1, "sequence_number": $i,
+           |  "lower_bounds": {"id": "${j * 10}"}, "upper_bounds": {"id": "${j * 10 + 9}"}}}""".stripMargin
+      }
+      IcebergLite.commitSnapshot(root, i.toLong, IcebergLite.currentSnapshotId(root),
+        entries, carriedManifests = (1 until i).map(k => s"metadata/manifest-$k.json"))
+    }
+    root
+  }
+
+  test("distributed manifest planning: same files as the driver path, pruning runs as a Spark job") {
+    val root = syntheticManifestTable(nManifests = 80, filesPer = 25)
+    val filters = Seq(IcebergLite.Eq("p", "3"), IcebergLite.Gt("id", "178"))
+    val driver = IcebergLite.dataFiles(root, filters = filters)
+    // p=3 → 8 of 80 manifests; id upper bound > 178 → j=17..24, 8 of 25 entries each
+    assert(driver.size == 8 * 8, s"driver pruning sanity, got ${driver.size}")
+
+    spark.sparkContext.setJobGroup("graft-plan-spec", "distributed manifest planning")
+    val dist = try IcebergLite.planFilesDistributed(spark, root, filters = filters)
+    finally spark.sparkContext.clearJobGroup()
+    assert(dist.toSet == driver.toSet,
+      "distributed planning must return exactly the driver path's file set")
+    // the pruning genuinely ran as a Spark job (status store updates
+    // asynchronously — poll briefly)
+    val deadline = System.currentTimeMillis() + 5000
+    var ids = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-plan-spec")
+    while (ids.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ids = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-plan-spec")
+    }
+    assert(ids.nonEmpty, "planFilesDistributed must submit a Spark job")
+
+    // read() routes through the distributed planner past the manifest
+    // threshold: on a REAL table, lowering the threshold to 1 must
+    // change nothing about the rows a read returns
+    val demo = Files.createTempDirectory("iceberg_planning_route").toString
+    graft.sources.IcebergDemo.write(spark, demo)
+    val expected = IcebergLite.read(spark, demo).orderBy(col("id")).collect().toSeq
+    spark.conf.set("graft.iceberg.planning.distributedThreshold", "1")
+    try {
+      assert(IcebergLite.read(spark, demo).orderBy(col("id")).collect().toSeq == expected,
+        "distributed-planned read must be row-identical to driver-planned")
+    } finally spark.conf.unset("graft.iceberg.planning.distributedThreshold")
+  }
 }
