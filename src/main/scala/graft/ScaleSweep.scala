@@ -118,6 +118,7 @@ object ScaleSweep {
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "iceberg") { icebergSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "plan") { planSweep(spark, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -705,6 +706,69 @@ object ScaleSweep {
       s""""kKeptScopedZorder":"$zsKKept/$zsFiles",""" +
       s""""finalRows":${fin.getLong(0)},"expectedRows":$expectRows,""" +
       s""""rowsMatch":${fin.getLong(0) == expectRows}}""")
+  }
+
+  /** Manifest-PLANNING sweep — the many-file anchor for
+    * `IcebergLite.planFilesDistributed`. Builds a METADATA-ONLY table
+    * (manifest entries with partition values + per-file bounds but no
+    * parquet behind the paths — planning never opens data files, so
+    * this isolates exactly the planning cost), then times the
+    * driver-side single-thread prune vs the distributed Spark-job
+    * prune with a selective filter (1 partition in 10 × an id-range
+    * cut). The distributed path's collect is O(matched): the JSON
+    * line reports matched vs total so the ratio is visible. Run with
+    * `runMain graft.ScaleSweep plan 10000` (files; 100 entries per
+    * manifest). */
+  private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long): Unit = {
+    val filesPer = 100
+    val nManifests = math.max(1, (nFiles / filesPer).toInt)
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_sweep").toString
+    sources.IcebergLite.createTable(root)
+    val tBuild = System.nanoTime()
+    val manifestPaths = (1 to nManifests).map { i =>
+      val entries = (0 until filesPer).map { j =>
+        s"""{"data_file": {"file_path": "data/f-$i-$j.parquet", "file_format": "PARQUET",
+           |  "partition": {"p": "${i % 10}"}, "record_count": 1000, "sequence_number": 1,
+           |  "lower_bounds": {"id": "${j * 1000}", "ts": "2024-01-0${j % 9 + 1}"},
+           |  "upper_bounds": {"id": "${j * 1000 + 999}", "ts": "2024-01-0${j % 9 + 1}"}}}""".stripMargin
+      }
+      val rel = s"metadata/manifest-pre-$i.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/$rel"),
+        entries.mkString("{\"entries\": [", ",\n", "]}"))
+      rel
+    }
+    sources.IcebergLite.commitSnapshot(root, 1L, None, entries = Nil,
+      carriedManifests = manifestPaths)
+    val buildWall = (System.nanoTime() - tBuild) / 1e9
+
+    // selective plan: 1-in-10 partitions, upper ~30% of each
+    // manifest's id range → matched ≈ 3% of entries
+    val filters = Seq(sources.IcebergLite.Eq("p", "7"),
+      sources.IcebergLite.Gt("id", (filesPer * 700).toString))
+    val tDriver = System.nanoTime()
+    val driver = sources.IcebergLite.dataFiles(root, filters = filters)
+    val driverWall = (System.nanoTime() - tDriver) / 1e9
+    // warm the distributed path once (first Spark job pays session
+    // warm-up that a long-lived cluster never sees per-plan), then time
+    sources.IcebergLite.planFilesDistributed(spark, root, filters = filters)
+    val tDist = System.nanoTime()
+    val dist = sources.IcebergLite.planFilesDistributed(spark, root, filters = filters)
+    val distWall = (System.nanoTime() - tDist) / 1e9
+    require(dist.toSet == driver.toSet, "distributed plan diverged from driver plan")
+
+    // the unfiltered full listing, driver-side — the O(files) driver
+    // cost a distributed planner avoids holding/parsing in one thread
+    val tFull = System.nanoTime()
+    val total = sources.IcebergLite.dataFiles(root).size
+    val fullWall = (System.nanoTime() - tFull) / 1e9
+    println(
+      s"""{"sweep":"plan","files":$total,"manifests":$nManifests,""" +
+      s""""buildWallSec":${math.round(buildWall * 100) / 100.0},""" +
+      s""""matched":${driver.size},""" +
+      s""""driverPlanSec":${math.round(driverWall * 1000) / 1000.0},""" +
+      s""""distributedPlanSec":${math.round(distWall * 1000) / 1000.0},""" +
+      s""""driverFullListSec":${math.round(fullWall * 1000) / 1000.0},""" +
+      s""""plansAgree":true}""")
   }
 
   private def annSweep(spark: org.apache.spark.sql.SparkSession,
