@@ -513,14 +513,32 @@ object IcebergLite {
     *
     * `carriedManifests` lets append keep the parent's manifests as-is;
     * copy-on-write commits (delete/overwrite) pass none and re-list
-    * surviving files in the new manifest instead. */
+    * surviving files in the new manifest instead.
+    *
+    * `toBranch` redirects the COMMIT TARGET: the parent is validated
+    * against (and conflict-rebased onto) the named branch's head
+    * instead of the main pointer, and the commit point moves the
+    * BRANCH REF — `refs.json` swapped atomically under the same lock
+    * and fence — while `v0.metadata.json` stays untouched, so main
+    * readers never see branch work until [[fastForwardMain]]. Same
+    * optimistic-concurrency rules: a racing branch append rebases, a
+    * stale copy-on-write branch commit throws. This is the
+    * write-audit-publish pattern: land commits on a branch, validate,
+    * then fast-forward main to publish them all at once. */
   private[graft] def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
       entries: Seq[String], carriedManifests: Seq[String],
       operation: String = "append",
       columnRenames: Map[String, String] = null,
       rebaseOnConflict: Boolean = false,
-      pendingRowDeletes: Seq[RowDelete] = null): Long = withCommitLock(tablePath) {
-    val cur = currentSnapshotId(tablePath)
+      pendingRowDeletes: Seq[RowDelete] = null,
+      toBranch: Option[String] = None): Long = withCommitLock(tablePath) {
+    val cur = toBranch match {
+      case Some(name) =>
+        val b = branches(tablePath)
+        require(b.contains(name), s"branch $name does not exist")
+        Some(b(name))
+      case None => currentSnapshotId(tablePath)
+    }
     val conflicted = cur != parentId
     if (conflicted && !rebaseOnConflict)
       throw new CommitConflictException(
@@ -574,13 +592,21 @@ object IcebergLite {
          | "operation": "$operation"$renamesJson$deletesJson,
          | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
-    val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
-    Files.writeString(tmp,
-      s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $id}""")
-    assertLockOwned(tablePath) // fence: never flip the pointer on a stolen lock
-    Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    toBranch match {
+      case Some(name) =>
+        // the commit point is the branch-ref swap, not the pointer
+        val (t, b) = readRefs(tablePath)
+        assertLockOwned(tablePath) // fence: never move a ref on a stolen lock
+        writeRefs(tablePath, t, b + (name -> id))
+      case None =>
+        val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
+        Files.writeString(tmp,
+          s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $id}""")
+        assertLockOwned(tablePath) // fence: never flip the pointer on a stolen lock
+        Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     id
   }
 
@@ -615,16 +641,27 @@ object IcebergLite {
     * one — prior snapshots stay time-travelable. Returns the new
     * snapshot id. */
   def append(spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionColumns: Seq[String] = Nil): Long = {
-    val parentId = currentSnapshotId(tablePath)
+      partitionColumns: Seq[String] = Nil,
+      toBranch: Option[String] = None): Long = {
+    val parentId = toBranch match {
+      case Some(name) => Some(resolveBranchHead(tablePath, name))
+      case None => currentSnapshotId(tablePath)
+    }
     val newId = (snapshots(tablePath) :+ 0L).max + 1
     val entries = writeDataFiles(spark, tablePath, df, partitionColumns,
       s"append-$newId-${runTag()}")
     // an append's files conflict with nothing: on a concurrent commit
-    // it rebases onto the new current snapshot (fast-append retry)
+    // it rebases onto the new current snapshot / branch head
+    // (fast-append retry)
     commitSnapshot(tablePath, newId, parentId, entries,
       carriedManifests = parentManifests(tablePath, parentId),
-      rebaseOnConflict = true)
+      rebaseOnConflict = true, toBranch = toBranch)
+  }
+
+  private def resolveBranchHead(tablePath: String, name: String): Long = {
+    val b = branches(tablePath)
+    require(b.contains(name), s"branch $name does not exist")
+    b(name)
   }
 
   /** Process-unique data-directory suffix so CONCURRENT writers can
@@ -778,6 +815,46 @@ object IcebergLite {
     val (t, b) = readRefs(tablePath)
     writeRefs(tablePath, t, b - name)
   }
+
+  /** FAST-FORWARD main to a branch head — the publish step of
+    * write-audit-publish: commits landed on the branch (via
+    * `append(toBranch)` / `merge(toBranch)`) become visible to main
+    * readers in ONE atomic pointer flip. Requires main's current
+    * snapshot to be an ANCESTOR of the branch head (or the table
+    * empty): a main that advanced independently since the branch was
+    * cut has diverged, and fast-forwarding would silently drop its
+    * commits — that case throws [[CommitConflictException]] and the
+    * caller re-lands the branch work on the new main (real Iceberg's
+    * `fast_forward` procedure refuses the same way). An expired
+    * intermediate snapshot also refuses: the ancestry proof is gone.
+    * Runs under the commit lock so the ancestry check and the flip
+    * are atomic against concurrent commits. Returns the published
+    * snapshot id. */
+  def fastForwardMain(tablePath: String, branch: String): Long =
+    withCommitLock(tablePath) {
+      val head = resolveBranchHead(tablePath, branch)
+      val main = currentSnapshotId(tablePath)
+      val chain = scala.collection.mutable.Set.empty[Long]
+      var cursor: Option[Long] = Some(head)
+      while (cursor.nonEmpty && Files.exists(
+          Paths.get(s"$tablePath/metadata/snap-${cursor.get}.snapshot.json"))) {
+        chain += cursor.get
+        cursor = parentSnapshotId(tablePath, cursor.get)
+      }
+      if (!main.forall(chain.contains))
+        throw new CommitConflictException(
+          s"cannot fast-forward: main is at $main, which is not an ancestor " +
+            s"of branch $branch's head $head (divergent or expired history); " +
+            "re-land the branch commits on the current main")
+      val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
+      Files.writeString(tmp,
+        s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $head}""")
+      assertLockOwned(tablePath)
+      Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      head
+    }
 
   /** Resolve a tag or branch name to its snapshot id. */
   def resolveRef(tablePath: String, name: String): Long = {
@@ -1132,25 +1209,32 @@ object IcebergLite {
     * row). */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String], maxKeyPrune: Int = 10000,
-      precedence: Option[String] = None): Long = {
+      precedence: Option[String] = None,
+      toBranch: Option[String] = None): Long = {
     // source and key/precedence names arrive logical; translate once
     // and run the whole merge in physical names (readFileSet and
-    // writeDataFiles are physical-native)
-    val rmap = renames(tablePath)
+    // writeDataFiles are physical-native). A branch merge plans
+    // against the BRANCH head's snapshot (files, renames, pending
+    // deletes) and commits by moving the branch ref.
+    val parentId = toBranch match {
+      case Some(name) => Some(resolveBranchHead(tablePath, name))
+      case None => currentSnapshotId(tablePath)
+    }
+    val rmap = renames(tablePath, parentId)
     mergeImpl(spark, tablePath,
       if (rmap.isEmpty) source else source.withColumnsRenamed(rmap.map(_.swap)),
       keyCols.map(physicalName(rmap, _)), maxKeyPrune,
-      precedence.map(physicalName(rmap, _)))
+      precedence.map(physicalName(rmap, _)), parentId, toBranch)
   }
 
   private def mergeImpl(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String], maxKeyPrune: Int,
-      precedence: Option[String]): Long = {
+      precedence: Option[String], parentId: Option[Long],
+      toBranch: Option[String]): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
-    val live = dataFiles(tablePath)
+    val live = dataFiles(tablePath, parentId)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     val dup = source.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
@@ -1213,7 +1297,8 @@ object IcebergLite {
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
-      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+      toBranch = toBranch)
   }
 
   /** Snapshot EXPIRY — the GC that completes the copy-on-write family:

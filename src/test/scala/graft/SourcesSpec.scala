@@ -1500,4 +1500,61 @@ class SourcesSpec extends AnyFunSuite {
         "distributed-planned read must be row-identical to driver-planned")
     } finally spark.conf.unset("graft.iceberg.planning.distributedThreshold")
   }
+
+  test("branch writes: commits land on the branch, main is isolated, fast-forward publishes") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_branch_write_spec").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(spark, root,
+      Seq((1L, 10.0, "EU"), (2L, 20.0, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"))
+    val mainSnap = IcebergLite.currentSnapshotId(root).get
+    IcebergLite.createBranch(root, "audit")
+
+    // append + precedence merge land on the BRANCH; main sees neither
+    IcebergLite.append(spark, root,
+      Seq((3L, 30.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"), toBranch = Some("audit"))
+    IcebergLite.merge(spark, root,
+      Seq((2L, 99.0, "US"), (4L, 40.0, "AP")).toDF("id", "amount", "region"),
+      keyCols = Seq("id"), toBranch = Some("audit"))
+    assert(IcebergLite.currentSnapshotId(root).get == mainSnap,
+      "branch commits must not move the main pointer")
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L), "main must not see branch work before fast-forward")
+    val branchRows = IcebergLite.readRef(spark, root, "audit")
+      .select($"id", $"amount").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(branchRows == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)),
+      s"branch must hold the append + the upsert, got $branchRows")
+    // the branch merge planned against the BRANCH head: the appended
+    // id=3 row (branch-only) survived the rewrite, and parentage is a
+    // linear chain from the branch head back through mainSnap
+    var cursor = Option(IcebergLite.branches(root)("audit"))
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (cursor.nonEmpty) { chain += cursor.get; cursor = IcebergLite.parentSnapshotId(root, cursor.get) }
+    assert(chain.contains(mainSnap), "branch history must root at the branch point")
+
+    // publish: one atomic flip, main == branch head
+    val published = IcebergLite.fastForwardMain(root, "audit")
+    assert(IcebergLite.currentSnapshotId(root).contains(published))
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+
+    // divergence refuses: advance main independently, branch again,
+    // land a branch commit, then a second main commit → fast-forward
+    // must throw instead of dropping main's commit
+    IcebergLite.createBranch(root, "audit2")
+    IcebergLite.append(spark, root,
+      Seq((5L, 50.0, "EU")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region"), toBranch = Some("audit2"))
+    IcebergLite.append(spark, root,
+      Seq((6L, 60.0, "US")).toDF("id", "amount", "region"),
+      partitionColumns = Seq("region")) // main moves: diverged
+    intercept[IcebergLite.CommitConflictException] {
+      IcebergLite.fastForwardMain(root, "audit2")
+    }
+    assert(IcebergLite.read(spark, root).filter($"id" === 6L).count() == 1,
+      "a refused fast-forward must leave main intact")
+  }
 }
