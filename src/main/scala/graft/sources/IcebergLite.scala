@@ -612,7 +612,7 @@ object IcebergLite {
 
   /** Manifest paths listed by `parentId`'s manifest list (empty for an
     * empty table). */
-  private def parentManifests(tablePath: String, parentId: Option[Long]): Seq[String] =
+  private[graft] def parentManifests(tablePath: String, parentId: Option[Long]): Seq[String] =
     parentId.map { pid =>
       readJson(s"$tablePath/metadata/snap-$pid.snapshot.json") \ "manifest_list" match {
         case JString(ml) => readJson(s"$tablePath/$ml") match {

@@ -1557,4 +1557,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, root).filter($"id" === 6L).count() == 1,
       "a refused fast-forward must leave main intact")
   }
+
+  test("cross-process commit lock: 3 real JVMs append concurrently, every commit lands on one linear chain") {
+    // the r7 stress shared one JVM; this launches genuinely
+    // independent processes (graft.sources.LockStressMain — the real
+    // commitSnapshot path, metadata-only so no SparkSession) against
+    // one table. All 3×8 commits must land and the parent chain must
+    // cover every snapshot exactly once: a lost update (last-writer-
+    // wins pointer clobber) would orphan a snapshot off the chain.
+    val root = Files.createTempDirectory("iceberg_xproc_lock").toString
+    IcebergLite.createTable(root)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perProc = 8
+    val procs = (1 to 3).map { _ =>
+      new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.sources.LockStressMain", root, perProc.toString)
+        .redirectErrorStream(true).start()
+    }
+    val results = procs.map { p =>
+      val finished = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      val out = new String(p.getInputStream.readAllBytes())
+      (finished, if (finished) p.exitValue() else -1, out)
+    }
+    results.foreach { case (finished, code, out) =>
+      assert(finished && code == 0, s"stress JVM failed (exit $code):\n$out")
+    }
+    val snaps = IcebergLite.snapshots(root)
+    assert(snaps.size == 3 * perProc,
+      s"every commit must land: expected ${3 * perProc} snapshots, got ${snaps.size}")
+    var cursor = IcebergLite.currentSnapshotId(root)
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (cursor.nonEmpty) {
+      chain += cursor.get
+      cursor = IcebergLite.parentSnapshotId(root, cursor.get)
+    }
+    assert(chain.sorted.toSeq == snaps.sorted,
+      "the snapshot chain must be linear and cover every commit (no lost updates)")
+    assert(!java.nio.file.Files.exists(Paths.get(s"$root/metadata/.commit.lock")),
+      "the lock must be released once all writers exit")
+  }
 }
