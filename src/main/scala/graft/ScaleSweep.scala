@@ -119,6 +119,9 @@ object ScaleSweep {
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "iceberg") { icebergSweep(spark, nDocs); spark.stop(); return }
     if (mode == "plan") { planSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "tpchgen") {
+      tpchScaleUp(spark, math.max(2, nDocs.toInt)); spark.stop(); return
+    }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -706,6 +709,53 @@ object ScaleSweep {
       s""""kKeptScopedZorder":"$zsKKept/$zsFiles",""" +
       s""""finalRows":${fin.getLong(0)},"expectedRows":$expectRows,""" +
       s""""rowsMatch":${fin.getLong(0) == expectRows}}""")
+  }
+
+  /** TPC-H SCALE-UP generator (`runMain graft.ScaleSweep tpchgen 10`):
+    * writes an sf≈1 replica of the driver's sf0.1 testdata to
+    * `/tmp/graft_sf1` by unioning each fact/dim table `n` times with
+    * every key column offset by `replica × 10⁸` — joins stay strictly
+    * within a replica, so join selectivities and per-group row counts
+    * scale linearly while group keys (dates, flags, names) keep their
+    * cardinality, the TPC-H scaling contract. region/nation are
+    * scale-invariant and copy through. The output directory is
+    * Bench-compatible (`SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 runMain
+    * graft.Bench`), giving the measured sf1 anchor the sf0.1 bench —
+    * dominated by Spark's fixed per-query job floor — cannot. */
+  private def tpchScaleUp(spark: org.apache.spark.sql.SparkSession, replicas: Int): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_TPCH_SRC", "/root/testdata/sf0.1")
+    val out = "/tmp/graft_sf1"
+    Engine.deleteRecursively(java.nio.file.Paths.get(out))
+    val stride = 100000000L // > any sf0.1 key; replica keys never collide
+    val keyCols: Seq[(String, Seq[String])] = Seq(
+      "region" -> Nil, "nation" -> Nil,
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val t0 = System.nanoTime()
+    val sizes = keyCols.map { case (t, keys) =>
+      val df = Engine.t(spark, src, t)
+      val scaled =
+        if (keys.isEmpty) df.coalesce(1)
+        else {
+          val rep = spark.range(replicas).select(col("id").as("__rep"))
+          keys.foldLeft(df.crossJoin(rep)) { (d, k) =>
+            d.withColumn(k, col(k) + col("__rep") * stride)
+          }.drop("__rep")
+            // many output files → parallel scans downstream, the shape
+            // real tables have (the sf0.1 single-file scan is its own
+            // documented local-vs-cluster delta)
+            .repartition(if (t == "lineitem") 32 else 8)
+        }
+      scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      t -> spark.read.parquet(s"$out/$t.parquet").count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"sweep":"tpchgen","out":"$out","replicas":$replicas,""" +
+      sizes.map { case (t, n) => s""""$t":$n""" }.mkString(",") +
+      s""","genWallSec":${math.round(wall * 10) / 10.0}}""")
   }
 
   /** Manifest-PLANNING sweep — the many-file anchor for
