@@ -49,21 +49,22 @@ object IcebergDemo {
       Files.move(part.toPath, dir.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
 
-    def entry(name: String, region: String, rows: Seq[(Long, Double)]): String = {
+    def entry(name: String, region: String, rows: Seq[(Long, Double)], seq: Long): String = {
       val ids = rows.map(_._1); val amts = rows.map(_._2)
       s"""{"data_file": {"file_path": "${relPath(name, region)}", "file_format": "PARQUET",
          |  "partition": {"region": "$region"}, "record_count": ${rows.size},
+         |  "sequence_number": $seq,
          |  "lower_bounds": {"id": "${ids.min}", "amount": "${amts.min}"},
          |  "upper_bounds": {"id": "${ids.max}", "amount": "${amts.max}"}}}""".stripMargin
     }
-    def manifest(names: Set[String]): String =
+    def manifest(names: Set[String], seq: Long): String =
       fileSpecs.filter(f => names(f._1))
-        .map { case (n, r, rows) => entry(n, r, rows) }.mkString("{\"entries\": [", ",\n", "]}")
+        .map { case (n, r, rows) => entry(n, r, rows, seq) }.mkString("{\"entries\": [", ",\n", "]}")
     def put(path: String, content: String): Unit =
       Files.writeString(Paths.get(s"$root/$path"), content)
 
-    put("metadata/manifest-1.json", manifest(snap1Files))
-    put("metadata/manifest-2.json", manifest(fileSpecs.map(_._1).toSet -- snap1Files))
+    put("metadata/manifest-1.json", manifest(snap1Files, seq = 1))
+    put("metadata/manifest-2.json", manifest(fileSpecs.map(_._1).toSet -- snap1Files, seq = 2))
     put("metadata/manifest-list-1.json",
       """[{"manifest_path": "metadata/manifest-1.json", "manifest_length": 1,
         |  "partition_spec_id": 0, "snapshot_id": 1, "sequence_number": 1}]""".stripMargin)
@@ -73,9 +74,11 @@ object IcebergDemo {
         | {"manifest_path": "metadata/manifest-2.json", "manifest_length": 1,
         |  "partition_spec_id": 0, "snapshot_id": 2, "sequence_number": 2}]""".stripMargin)
     put("metadata/snap-1.snapshot.json",
-      """{"snapshot_id": 1, "manifest_list": "metadata/manifest-list-1.json"}""")
+      """{"snapshot_id": 1, "sequence_number": 1, "operation": "append",
+        | "manifest_list": "metadata/manifest-list-1.json"}""".stripMargin)
     put("metadata/snap-2.snapshot.json",
-      """{"snapshot_id": 2, "parent_snapshot_id": 1,
+      """{"snapshot_id": 2, "sequence_number": 2, "parent_snapshot_id": 1,
+        | "operation": "append",
         | "manifest_list": "metadata/manifest-list-2.json"}""".stripMargin)
     put("metadata/v0.metadata.json",
       """{"format_version": 2, "uuid": "graft-iceberg-demo", "current_snapshot_id": 2}""")

@@ -244,6 +244,19 @@ object IcebergLite {
     * the writer-side "assigned at commit" sentinel. */
   final case class RowDelete(sequenceNumber: Long, filters: Seq[PartitionFilter])
 
+  /** A pending merge-on-read POSITION delete — Iceberg v2's second
+    * delete form: ordinals `positions` (0-based row index within the
+    * parquet file) of exactly `filePath` are dead. Where an equality
+    * delete says "rows LIKE THIS are gone" (predicate, sequence-
+    * scoped), a position delete says "THESE PHYSICAL ROWS are gone" —
+    * the shape a CDC sink or a PII-erasure job emits after locating
+    * offending rows, with zero data I/O at delete time. Scoping is by
+    * file path (the file is NAMED, so no sequence number is needed:
+    * a rewrite that drops/rewrites the file prunes the delete with
+    * it). Metadata is O(positions) — suited to surgical deletes;
+    * large-scale predicates belong to [[deleteMergeOnRead]]. */
+  final case class PosDelete(filePath: String, positions: Seq[Long])
+
   /** JSON string escape for every value interpolated into metadata
     * files: a quote/backslash/control char in a delete value, bound,
     * partition value, column or ref name must never write unparseable
@@ -291,6 +304,21 @@ object IcebergLite {
                 case JArray(fs) => fs.map(parseFilter)
                 case _ => Nil
               })
+          }
+          case _ => Nil
+        }
+    }
+
+  /** Pending merge-on-read position deletes as of a snapshot. */
+  def posDeletes(tablePath: String, snapshotId: Option[Long] = None): Seq[PosDelete] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) =>
+        (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "position_deletes") match {
+          case JArray(ds) => ds.map { d =>
+            PosDelete(
+              (d \ "file").extract[String],
+              (d \ "positions").extract[Seq[Long]])
           }
           case _ => Nil
         }
@@ -531,6 +559,7 @@ object IcebergLite {
       columnRenames: Map[String, String] = null,
       rebaseOnConflict: Boolean = false,
       pendingRowDeletes: Seq[RowDelete] = null,
+      pendingPosDeletes: Seq[PosDelete] = null,
       toBranch: Option[String] = None): Long = withCommitLock(tablePath) {
     val cur = toBranch match {
       case Some(name) =>
@@ -567,6 +596,8 @@ object IcebergLite {
     val seq = id
     val dels = dels0.map(d =>
       if (d.sequenceNumber < 0) d.copy(sequenceNumber = seq) else d)
+    // position deletes carry forward like equality deletes/renames
+    val pdels = Option(pendingPosDeletes).getOrElse(posDeletes(tablePath, parent))
     val seqEntries = entries.map(
       _.replace("\"sequence_number\": -1,", s""""sequence_number": $seq,"""))
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
@@ -587,9 +618,14 @@ object IcebergLite {
         s"""{"sequence_number": ${d.sequenceNumber},
            |   "filters": [${d.filters.map(filterJson).mkString(", ")}]}""".stripMargin
       }.mkString(",\n \"row_deletes\": [", ",\n  ", "]")
+    val posDeletesJson =
+      if (pdels.isEmpty) ""
+      else pdels.map { d =>
+        s"""{"file": ${jstr(d.filePath)}, "positions": [${d.positions.mkString(", ")}]}"""
+      }.mkString(",\n \"position_deletes\": [", ",\n  ", "]")
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
       s"""{"snapshot_id": $id, "sequence_number": $seq${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
-         | "operation": "$operation"$renamesJson$deletesJson,
+         | "operation": "$operation"$renamesJson$deletesJson$posDeletesJson,
          | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
     toBranch match {
@@ -693,8 +729,7 @@ object IcebergLite {
       // files keep their original physical schema — real Iceberg's
       // field-id indirection, done as a name map in this JSON layout
       val rmap = renames(tablePath, snapshotId)
-      val base = applyRowDeletes(readFileSet(spark, tablePath, files),
-        tablePath, files, rowDeletes(tablePath, snapshotId))
+      val base = readWithDeletes(spark, tablePath, files, snapshotId)
       if (rmap.isEmpty) base else base.withColumnsRenamed(rmap)
     }
   }
@@ -710,6 +745,42 @@ object IcebergLite {
   def parentSnapshotId(tablePath: String, snapshotId: Long): Option[Long] =
     (readJson(s"$tablePath/metadata/snap-$snapshotId.snapshot.json") \ "parent_snapshot_id")
       .toOption.collect { case JInt(n) => n.toLong }
+
+  /** Commit sequence number of a snapshot (0 for pre-sequence
+    * metadata). */
+  def snapshotSequenceNumber(tablePath: String, snapshotId: Long): Long =
+    (readJson(s"$tablePath/metadata/snap-$snapshotId.snapshot.json") \ "sequence_number")
+      .toOption.collect { case JInt(n) => n.toLong }.getOrElse(0L)
+
+  /** Table HISTORY as a DataFrame — the observability surface real
+    * Iceberg exposes as its `snapshots`/`history` metadata tables and
+    * Delta as DESCRIBE HISTORY: one row per retained snapshot with
+    * (snapshot_id, sequence_number, parent_id, operation,
+    * timestamp_ms, n_files, n_pending_deletes). Metadata-only — file
+    * counts come from manifests, never a data scan — and bounded by
+    * the retained-snapshot count, so collecting it on the driver is
+    * always cheap regardless of table size. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    snapshots(tablePath).foreach { id =>
+      rows.add(org.apache.spark.sql.Row(
+        id, snapshotSequenceNumber(tablePath, id),
+        parentSnapshotId(tablePath, id).map(java.lang.Long.valueOf).orNull,
+        snapshotOperation(tablePath, id),
+        snapshotTimestampMs(tablePath, id),
+        dataFiles(tablePath, Some(id)).size.toLong,
+        (rowDeletes(tablePath, Some(id)).size + posDeletes(tablePath, Some(id)).size).toLong))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("operation", StringType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_pending_deletes", LongType, nullable = false))))
+  }
 
   /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots
     * written before timestamps existed — they read as "older than any
@@ -941,7 +1012,7 @@ object IcebergLite {
   /** Read an explicit manifest file list (partition values recovered
     * per-row, as in `read`). */
   private def readFileSet(spark: SparkSession, tablePath: String,
-      files: Seq[DataFile]): DataFrame = {
+      files: Seq[DataFile], withRowPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val partCols = files.flatMap(_.partition.keys).distinct.sorted
     val paths = files.map(f => s"$tablePath/${f.filePath}")
@@ -951,7 +1022,17 @@ object IcebergLite {
     // with files that predate a column yielding NULL for it; a
     // time-travel read of an old snapshot sees only that snapshot's
     // columns. Footer merging is metadata-only and Spark distributes it.
-    val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val base0 = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // the file-source `_metadata` hidden column resolves only directly
+    // over the scan — it does NOT survive the partition-recovery join
+    // below — so when position deletes need the within-file ordinal it
+    // is materialized here, at the scan, as `__graft_pos`
+    // (`_metadata.row_index` is the true 0-based ordinal, stable under
+    // split reads). applyPosDeletes consumes and drops it.
+    val base =
+      if (withRowPos) base0.withColumn("__graft_pos",
+        org.apache.spark.sql.functions.col("_metadata.row_index"))
+      else base0
     // FAIL CLOSED: every manifest file must resolve to a plan input
     // file under the same decoded-absolute-path key the row-level
     // comparisons use. `inputFiles` reports the identical
@@ -1032,6 +1113,80 @@ object IcebergLite {
     dels.filter(d => kept.exists(f =>
       f.sequenceNumber <= d.sequenceNumber && d.filters.forall(_.matches(f))))
 
+  /** Position deletes are path-scoped: one that references a file this
+    * rewrite dropped or rewrote has been materialized and vanishes. */
+  private def prunePosDeletes(dels: Seq[PosDelete],
+      kept: Seq[DataFile]): Seq[PosDelete] = {
+    val keptPaths = kept.map(_.filePath).toSet
+    dels.filter(d => keptPaths.contains(d.filePath))
+  }
+
+  /** Anti-apply pending POSITION deletes: rows whose scan-captured
+    * `__graft_pos` ordinal (see [[readFileSet]] `withRowPos`) sits in
+    * a delete's position list for its own file are dropped. Cost: a
+    * codegen'd (file, ordinal) filter over only the files that have
+    * deletes; files without deletes pay nothing. */
+  private def applyPosDeletes(df: DataFrame, tablePath: String,
+      files: Seq[DataFile], dels: Seq[PosDelete]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val readPaths = files.map(_.filePath).toSet
+    val relevant = dels.filter(d => readPaths.contains(d.filePath))
+    if (relevant.isEmpty) return df
+    val withKeys = df.withColumn("__graft_del_file", inputFileCol)
+    val filtered = relevant.foldLeft(withKeys) { (d, del) =>
+      d.filter(not(
+        col("__graft_del_file") === lit(absPath(tablePath, del.filePath)) &&
+          col("__graft_pos").isin(del.positions: _*)))
+    }
+    filtered.drop("__graft_del_file", "__graft_pos")
+  }
+
+  /** Read `files` with BOTH pending merge-on-read delete forms
+    * (equality then position) anti-applied — the one call every
+    * reader and every materializing rewrite goes through. The
+    * within-file ordinal is captured at the scan only when some
+    * pending position delete actually targets a read file. */
+  private def readWithDeletes(spark: SparkSession, tablePath: String,
+      files: Seq[DataFile], snapshotId: Option[Long]): DataFrame = {
+    val pdels = posDeletes(tablePath, snapshotId)
+    val readPaths = files.map(_.filePath).toSet
+    val needPos = pdels.exists(d => readPaths.contains(d.filePath))
+    val base = readFileSet(spark, tablePath, files, withRowPos = needPos)
+    applyPosDeletes(
+      applyRowDeletes(base, tablePath, files, rowDeletes(tablePath, snapshotId)),
+      tablePath, files, pdels)
+  }
+
+  /** Merge-on-read POSITION delete as a NEW SNAPSHOT — zero data I/O:
+    * the parent's manifests are carried verbatim and the snapshot
+    * records (file → ordinals). `deletes` keys are table-relative
+    * file paths as listed by [[dataFiles]]; every key must be a live
+    * file (fail-closed — a typo'd path must not silently delete
+    * nothing). Ordinals are 0-based positions within the parquet
+    * file. Reads, time travel and refs anti-apply pending position
+    * deletes exactly like equality deletes; any rewrite that touches
+    * the file materializes them. Repeated deletes against one file
+    * merge their position sets. */
+  def deletePositions(spark: SparkSession, tablePath: String,
+      deletes: Map[String, Seq[Long]]): Long = {
+    require(deletes.nonEmpty && deletes.forall(_._2.nonEmpty),
+      "position delete needs at least one (file, positions) entry")
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val livePaths = dataFiles(tablePath).map(_.filePath).toSet
+    val unknown = deletes.keys.filterNot(livePaths)
+    require(unknown.isEmpty,
+      s"position delete references files not live in the current snapshot: ${unknown.mkString(", ")}")
+    val merged = (posDeletes(tablePath, parentId) ++
+      deletes.map { case (f, ps) => PosDelete(f, ps) })
+      .groupBy(_.filePath).map { case (f, ds) =>
+        PosDelete(f, ds.flatMap(_.positions).distinct.sorted)
+      }.toSeq.sortBy(_.filePath)
+    commitSnapshot(tablePath, newId, parentId, entries = Nil,
+      carriedManifests = parentManifests(tablePath, parentId),
+      operation = "delete", pendingPosDeletes = merged)
+  }
+
   /** Merge-on-read row DELETE as a NEW SNAPSHOT — Iceberg v2's delete
     * path, the latency/read-overhead counterpoint to the copy-on-write
     * [[delete]]: ZERO data I/O at delete time. Files the filters cover
@@ -1070,7 +1225,8 @@ object IcebergLite {
       // wholesale: files drop from the manifest outright
       commitSnapshot(tablePath, newId, parentId, kept.map(entryJson),
         carriedManifests = Nil, operation = "delete",
-        pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
+        pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+        pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
     else
       // residual predicate: ZERO manifest change — the parent's
       // manifests are carried verbatim (no file list rewrite at all;
@@ -1138,8 +1294,7 @@ object IcebergLite {
         if (residual.isEmpty) Nil // every touched file is deleted wholesale
         else {
           // pending MoR deletes on the touched files materialize here
-          val df = applyRowDeletes(readFileSet(spark, tablePath, touched),
-            tablePath, touched, rowDeletes(tablePath, parentId))
+          val df = readWithDeletes(spark, tablePath, touched, parentId)
           val survivors = df.filter(not(coalesce(
             residual.map(rowPredicate(df, _)).reduce(_ && _), lit(false))))
           writeDataFiles(spark, tablePath, survivors, partCols, s"delete-$newId-${runTag()}")
@@ -1148,7 +1303,8 @@ object IcebergLite {
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
       operation = "delete",
-      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
@@ -1170,16 +1326,16 @@ object IcebergLite {
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
-    // a full rewrite MATERIALIZES every pending merge-on-read delete:
-    // read with deletes applied, commit with the pending list cleared
-    val base = applyRowDeletes(readFileSet(spark, tablePath, live),
-      tablePath, live, rowDeletes(tablePath, parentId))
+    // a full rewrite MATERIALIZES every pending merge-on-read delete
+    // (equality AND position): read with deletes applied, commit with
+    // the pending lists cleared
+    val base = readWithDeletes(spark, tablePath, live, parentId)
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
     val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
-      operation = "replace", pendingRowDeletes = Nil)
+      operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
   }
 
   /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose
@@ -1274,8 +1430,7 @@ object IcebergLite {
     val kept = live.filterNot(touchedSet)
     // touched files read with pending MoR deletes applied — the merge
     // materializes them for the files it rewrites
-    def touchedDf() = applyRowDeletes(readFileSet(spark, tablePath, touched),
-      tablePath, touched, rowDeletes(tablePath, parentId))
+    def touchedDf() = readWithDeletes(spark, tablePath, touched, parentId)
     val newData =
       if (touched.isEmpty) source
       else precedence match {
@@ -1298,6 +1453,7 @@ object IcebergLite {
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
       toBranch = toBranch)
   }
 
@@ -1550,8 +1706,7 @@ object IcebergLite {
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     val runDir = s"cluster-$newId-${runTag()}"
     // full rewrite: pending MoR deletes materialize (cleared at commit)
-    val base = applyRowDeletes(readFileSet(spark, tablePath, live),
-      tablePath, live, rowDeletes(tablePath, parentId))
+    val base = readWithDeletes(spark, tablePath, live, parentId)
     // scoped mode only changes anything on a partitioned table
     val scoped = partitionScoped && partCols.nonEmpty
     val nTuples = if (scoped) live.map(_.partition).distinct.size else 1
@@ -1702,7 +1857,7 @@ object IcebergLite {
           sequenceNumber = -1L)) // resolved to the commit's sequence at commit
       }
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
-      operation = "replace", pendingRowDeletes = Nil)
+      operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
   }
 
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
@@ -1740,6 +1895,7 @@ object IcebergLite {
     commitSnapshot(tablePath, newId, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
-      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept))
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
   }
 }

@@ -32,10 +32,12 @@ class CatalogSpec extends AnyFunSuite {
     // counts vs the exact top-k the oracle recomputes, and
     // trino_statistical_fns reads a committed expected-constants
     // fixture) — EVERY catalog row now has a hard oracle.
-    // round 8 also added the iceberg_branch_write publish row → 178.
+    // round 8 also added the iceberg_branch_write publish row, the
+    // iceberg_delete_positions v2 position-delete row, and the
+    // iceberg_history observability row → 180.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 178 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 178 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 180 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 180 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -1558,6 +1558,64 @@ class SourcesSpec extends AnyFunSuite {
       "a refused fast-forward must leave main intact")
   }
 
+  test("position deletes: metadata-only, ordinal-exact through partition recovery, rewrites materialize") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_posdel_spec").toString
+    graft.sources.IcebergDemo.write(spark, root)
+    val filesBefore = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    // the demo's committed files have known row order:
+    // sales-eu-1 = ids 1,2,3 · sales-us-1 = ids 4,5,6
+    IcebergLite.deletePositions(spark, root, Map(
+      "data/region=EU/sales-eu-1.parquet" -> Seq(0L, 2L),
+      "data/region=US/sales-us-1.parquet" -> Seq(1L)))
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == filesBefore,
+      "a position delete must not rewrite or add a single data file")
+    assert(IcebergLite.posDeletes(root).map(_.filePath).sorted ==
+      Seq("data/region=EU/sales-eu-1.parquet", "data/region=US/sales-us-1.parquet"))
+    val ids = IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 4L, 6L, 7L, 8L, 9L, 10L, 11L, 12L),
+      s"positions 0,2 of eu-1 (ids 1,3) and 1 of us-1 (id 5) must be dead, got $ids")
+
+    // repeated delete on the same file MERGES position sets
+    IcebergLite.deletePositions(spark, root, Map(
+      "data/region=EU/sales-eu-1.parquet" -> Seq(1L)))
+    assert(IcebergLite.posDeletes(root)
+      .find(_.filePath.endsWith("sales-eu-1.parquet")).get.positions == Seq(0L, 1L, 2L))
+    assert(IcebergLite.read(spark, root).filter($"region" === "EU" && $"id" <= 3).count() == 0)
+
+    // unknown path fails CLOSED (a typo must not silently no-op)
+    intercept[IllegalArgumentException] {
+      IcebergLite.deletePositions(spark, root, Map("data/nope.parquet" -> Seq(0L)))
+    }
+
+    // equality + position deletes compose on one snapshot
+    IcebergLite.deleteMergeOnRead(spark, root,
+      Seq(IcebergLite.Eq("region", "AP"), IcebergLite.Gt("amount", "80")))
+    assert(IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(4L, 6L, 7L, 10L, 11L, 12L)) // AP ids 8,9 (88.0, 99.5) dead too; eu-1 fully dead
+
+    // compact materializes BOTH forms and clears both pending lists
+    val pre = IcebergLite.read(spark, root)
+      .select($"id", $"region", $"amount").orderBy($"id").collect().toSeq
+    IcebergLite.compact(spark, root)
+    assert(IcebergLite.posDeletes(root).isEmpty && IcebergLite.rowDeletes(root).isEmpty)
+    assert(IcebergLite.read(spark, root)
+      .select($"id", $"region", $"amount").orderBy($"id").collect().toSeq == pre,
+      "materialization must not change a row")
+
+    // a position delete against a compacted (multi-row, partition-
+    // recovered) file still hits the exact ordinal: delete position 0
+    // of the EU file and verify exactly its first-ordinal row died
+    val euFile = IcebergLite.dataFiles(root)
+      .find(_.partition.get("region").contains("EU")).get.filePath
+    val firstEu = spark.read.parquet(s"$root/$euFile")
+      .limit(1).select($"id").as[Long].collect().head
+    IcebergLite.deletePositions(spark, root, Map(euFile -> Seq(0L)))
+    val after = IcebergLite.read(spark, root).select($"id").as[Long].collect().toSet
+    assert(!after.contains(firstEu) && after.size == pre.size - 1)
+  }
+
   test("cross-process commit lock: 3 real JVMs append concurrently, every commit lands on one linear chain") {
     // the r7 stress shared one JVM; this launches genuinely
     // independent processes (graft.sources.LockStressMain — the real
