@@ -94,6 +94,16 @@ object IcebergLite {
     protected def matchesBounds(lower: Option[String], upper: Option[String]): Boolean =
       values.exists(v => lower.forall(cmp(_, v) <= 0) && upper.forall(cmp(_, v) >= 0))
   }
+  final case class GtEq(column: String, value: String) extends PartitionFilter {
+    protected def matchesValue(v: String): Boolean = cmp(v, value) >= 0
+    protected def matchesBounds(lower: Option[String], upper: Option[String]): Boolean =
+      upper.forall(cmp(_, value) >= 0)
+  }
+  final case class LtEq(column: String, value: String) extends PartitionFilter {
+    protected def matchesValue(v: String): Boolean = cmp(v, value) <= 0
+    protected def matchesBounds(lower: Option[String], upper: Option[String]): Boolean =
+      lower.forall(cmp(_, value) <= 0)
+  }
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -148,9 +158,23 @@ object IcebergLite {
     val manifests = manifestPathsOf(tablePath, id)
     val files = manifests.flatMap(manifestFiles(tablePath, _))
     val rmap = renames(tablePath, Some(id))
+    val projected = withProjectedFilters(tablePath, filters)
     val physFilters =
-      if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _))
+      if (rmap.isEmpty) projected else projected.map(physicalFilter(rmap, _))
     files.filter(f => physFilters.forall(_.matches(f)))
+  }
+
+  /** Augment source-column predicates with their hidden-partitioning
+    * projections (no-op for tables without a transform spec; idempotent
+    * — projecting a projected list adds nothing new). This is how a
+    * filter on `ts` prunes `ts_day=...` partitions the user never
+    * named. */
+  private def withProjectedFilters(tablePath: String,
+      filters: Seq[PartitionFilter]): Seq[PartitionFilter] = {
+    if (filters.isEmpty) return filters
+    val spec = partitionSpec(tablePath)
+    if (spec.isEmpty) filters
+    else (filters ++ IcebergTransforms.projectFilters(spec, filters)).distinct
   }
 
   /** Manifest paths listed by a snapshot's manifest list (table-
@@ -193,8 +217,9 @@ object IcebergLite {
     val manifests = manifestPathsOf(tablePath, id)
     if (manifests.isEmpty) return Nil
     val rmap = renames(tablePath, Some(id))
+    val projected = withProjectedFilters(tablePath, filters)
     val physFilters =
-      if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _))
+      if (rmap.isEmpty) projected else projected.map(physicalFilter(rmap, _))
     // locals only in the task closure: a String and a Seq of
     // serializable filter case classes
     val tp = tablePath
@@ -276,6 +301,8 @@ object IcebergLite {
     case Eq(c, v) => s"""{"column": ${jstr(c)}, "op": "eq", "value": ${jstr(v)}}"""
     case Gt(c, v) => s"""{"column": ${jstr(c)}, "op": "gt", "value": ${jstr(v)}}"""
     case Lt(c, v) => s"""{"column": ${jstr(c)}, "op": "lt", "value": ${jstr(v)}}"""
+    case GtEq(c, v) => s"""{"column": ${jstr(c)}, "op": "ge", "value": ${jstr(v)}}"""
+    case LtEq(c, v) => s"""{"column": ${jstr(c)}, "op": "le", "value": ${jstr(v)}}"""
     case In(c, vs) =>
       s"""{"column": ${jstr(c)}, "op": "in", "values": [${vs.map(jstr).mkString(", ")}]}"""
   }
@@ -286,6 +313,8 @@ object IcebergLite {
       case "eq" => Eq(c, (j \ "value").extract[String])
       case "gt" => Gt(c, (j \ "value").extract[String])
       case "lt" => Lt(c, (j \ "value").extract[String])
+      case "ge" => GtEq(c, (j \ "value").extract[String])
+      case "le" => LtEq(c, (j \ "value").extract[String])
       case "in" => In(c, (j \ "values").extract[Seq[String]])
     }
   }
@@ -344,6 +373,8 @@ object IcebergLite {
     case Eq(c, v) => Eq(physicalName(rmap, c), v)
     case Gt(c, v) => Gt(physicalName(rmap, c), v)
     case Lt(c, v) => Lt(physicalName(rmap, c), v)
+    case GtEq(c, v) => GtEq(physicalName(rmap, c), v)
+    case LtEq(c, v) => LtEq(physicalName(rmap, c), v)
     case In(c, vs) => In(physicalName(rmap, c), vs)
   }
 
@@ -384,8 +415,19 @@ object IcebergLite {
     // translated back (no-op for never-renamed tables or dfs already
     // in physical names — the rename map only matches logical names)
     val rmap = renames(tablePath)
-    val df = if (rmap.isEmpty) df0 else df0.withColumnsRenamed(rmap.map(_.swap))
-    val partitionColumns = partitionColumns0.map(physicalName(rmap, _))
+    val dfR = if (rmap.isEmpty) df0 else df0.withColumnsRenamed(rmap.map(_.swap))
+    // a hidden-partitioning spec overrides the caller's identity
+    // columns: derived values are computed here (the ONE write funnel
+    // every op routes through) and land only in the hive path
+    val spec = partitionSpec(tablePath)
+    val df = if (spec.isEmpty) dfR else withSpecColumns(spec, dfR)
+    val partitionColumns =
+      if (spec.isEmpty) partitionColumns0.map(physicalName(rmap, _))
+      else {
+        require(partitionColumns0.isEmpty || partitionColumns0 == spec.map(_.name),
+          "a spec-partitioned table derives its own partition columns")
+        spec.map(_.name)
+      }
     val writer = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
@@ -669,6 +711,52 @@ object IcebergLite {
       Files.writeString(p,
         """{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": null}""")
   }
+
+  /** Initialize an EMPTY table with a HIDDEN-PARTITIONING spec (see
+    * [[IcebergTransforms]]): every write derives the spec's partition
+    * values, every read prunes from source-column predicates projected
+    * through the transforms. The spec is fixed at creation
+    * (partition-spec EVOLUTION is out of scope — real Iceberg
+    * versions specs per file; this layout pins one per table). */
+  def createTable(tablePath: String,
+      spec: Seq[IcebergTransforms.PartitionField]): Unit = {
+    createTable(tablePath)
+    if (spec.nonEmpty) {
+      require(spec.map(_.name).distinct.size == spec.size,
+        "partition-spec field names collide")
+      val p = Paths.get(s"$tablePath/metadata/partition-spec.json")
+      if (!Files.exists(p)) Files.writeString(p, IcebergTransforms.specJson(spec))
+    }
+  }
+
+  /** The table's partition-transform spec (empty for tables partitioned
+    * by the legacy identity-columns argument, or unpartitioned). */
+  def partitionSpec(tablePath: String): Seq[IcebergTransforms.PartitionField] = {
+    val p = Paths.get(s"$tablePath/metadata/partition-spec.json")
+    if (!Files.exists(p)) Nil
+    else IcebergTransforms.parseSpec(readJson(p.toString))
+  }
+
+  /** Ensure every transform-derived partition column exists on `df`,
+    * derived by the spec's own Catalyst expression (codegen'd per-row
+    * work — scales with the write, no shuffle). Columns already
+    * present (a rewrite that pre-derived them) pass through; declared
+    * source types are enforced loudly — a drifted type would silently
+    * re-hash every bucket. */
+  private def withSpecColumns(spec: Seq[IcebergTransforms.PartitionField],
+      df: DataFrame): DataFrame =
+    spec.filter(_.transform != IcebergTransforms.Identity).foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else {
+        val actual = d.schema(f.source).dataType
+        require(actual == f.sourceType,
+          s"partition source ${f.source} is ${actual.catalogString}; " +
+            s"the spec declares ${f.sourceType.catalogString}")
+        d.withColumn(f.name, org.apache.spark.sql.GraftColumnBridge.toCol(
+          f.transform.expr(
+            org.apache.spark.sql.GraftColumnBridge.toExpr(d(f.source)), f.sourceType)))
+      }
+    }
 
   /** Append `df` as a NEW SNAPSHOT (exceeds the reference, whose
     * Iceberg surface is read-only): data files land under
@@ -1014,7 +1102,13 @@ object IcebergLite {
   private def readFileSet(spark: SparkSession, tablePath: String,
       files: Seq[DataFile], withRowPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val partCols = files.flatMap(_.partition.keys).distinct.sorted
+    // transform-derived partition fields are HIDDEN: the source column
+    // lives in the data files, so only identity partition values (which
+    // hive layout strips from the files) are recovered onto rows
+    val hiddenFields = partitionSpec(tablePath)
+      .filter(_.transform != IcebergTransforms.Identity).map(_.name).toSet
+    val partCols = files.flatMap(_.partition.keys).distinct
+      .filterNot(hiddenFields).sorted
     val paths = files.map(f => s"$tablePath/${f.filePath}")
     // mergeSchema = add-column schema evolution (by NAME — the
     // reference's JSON layout carries no Iceberg field ids): a snapshot
@@ -1087,9 +1181,14 @@ object IcebergLite {
   private def applyRowDeletes(df: DataFrame, tablePath: String,
       files: Seq[DataFile], dels: Seq[RowDelete]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    // file scoping projects through the hidden-partitioning spec (a
+    // delete on a bucketed key touches one bucket's files); the ROW
+    // predicate below stays on the original filters — projected
+    // conjuncts name partition fields that are not data columns
     val scoped = dels.map { d =>
+      val scopeFilters = withProjectedFilters(tablePath, d.filters)
       d -> files.filter(f =>
-        f.sequenceNumber <= d.sequenceNumber && d.filters.forall(_.matches(f)))
+        f.sequenceNumber <= d.sequenceNumber && scopeFilters.forall(_.matches(f)))
     }.filter(_._2.nonEmpty)
     if (scoped.isEmpty) return df
     val withFile = df.withColumn("__graft_del_file", inputFileCol)
@@ -1249,6 +1348,8 @@ object IcebergLite {
       case Eq(c, v) => col(c) === l(v)
       case Gt(c, v) => col(c) > l(v)
       case Lt(c, v) => col(c) < l(v)
+      case GtEq(c, v) => col(c) >= l(v)
+      case LtEq(c, v) => col(c) <= l(v)
       case In(c, vs) => vs.map(v => col(c) === l(v)).reduce(_ || _)
     }
   }
@@ -1272,9 +1373,13 @@ object IcebergLite {
   }
 
   private def deleteImpl(spark: SparkSession, tablePath: String,
-      filters: Seq[PartitionFilter]): Long = {
+      filters0: Seq[PartitionFilter]): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    require(filters.nonEmpty, "delete with no filters would truncate the table; be explicit")
+    require(filters0.nonEmpty, "delete with no filters would truncate the table; be explicit")
+    // hidden-partitioning projection scopes the rewrite the same way it
+    // scopes reads: a point delete on a bucket-partitioned key rewrites
+    // only that bucket's files (bounds alone often straddle the literal)
+    val filters = withProjectedFilters(tablePath, filters0)
     val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
@@ -1328,8 +1433,10 @@ object IcebergLite {
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     // a full rewrite MATERIALIZES every pending merge-on-read delete
     // (equality AND position): read with deletes applied, commit with
-    // the pending lists cleared
-    val base = readWithDeletes(spark, tablePath, live, parentId)
+    // the pending lists cleared. Spec tables re-derive their hidden
+    // partition columns so the repartition keys resolve.
+    val base = withSpecColumns(partitionSpec(tablePath),
+      readWithDeletes(spark, tablePath, live, parentId))
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
@@ -1528,6 +1635,13 @@ object IcebergLite {
   def renameColumn(tablePath: String, oldName: String, newName: String): Long = {
     val parentId = currentSnapshotId(tablePath)
     require(parentId.nonEmpty, "rename on an empty table (no snapshot)")
+    // hidden-partitioning specs bind source columns by PHYSICAL name
+    // (real Iceberg binds by field id, which survives renames; this
+    // JSON layout pins the name instead and refuses the rename)
+    val specNames = partitionSpec(tablePath)
+      .flatMap(f => Seq(f.source, f.name)).toSet
+    require(!specNames.contains(oldName) && !specNames.contains(newName),
+      s"cannot rename $oldName -> $newName: partition-spec source/field names are fixed")
     val parentMap = renames(tablePath, parentId)
     // the current logical column set, recovered from metadata alone
     // (manifest bounds + partition keys name every column data files
@@ -1705,8 +1819,10 @@ object IcebergLite {
     if (live.isEmpty) return parentId.getOrElse(0L)
     val partCols = live.flatMap(_.partition.keys).distinct.sorted
     val runDir = s"cluster-$newId-${runTag()}"
-    // full rewrite: pending MoR deletes materialize (cleared at commit)
-    val base = readWithDeletes(spark, tablePath, live, parentId)
+    // full rewrite: pending MoR deletes materialize (cleared at commit);
+    // spec tables re-derive hidden partition columns for the scoped keys
+    val base = withSpecColumns(partitionSpec(tablePath),
+      readWithDeletes(spark, tablePath, live, parentId))
     // scoped mode only changes anything on a partitioned table
     val scoped = partitionScoped && partCols.nonEmpty
     val nTuples = if (scoped) live.map(_.partition).distinct.size else 1
@@ -1876,8 +1992,15 @@ object IcebergLite {
       partitionColumns.map(physicalName(rmap, _)))
   }
 
-  private def overwriteImpl(spark: SparkSession, tablePath: String, df: DataFrame,
-      partitionColumns: Seq[String]): Long = {
+  private def overwriteImpl(spark: SparkSession, tablePath: String, df0: DataFrame,
+      partitionColumns0: Seq[String]): Long = {
+    // on a spec table the replaced tuples are the HIDDEN ones present
+    // in the new data (dynamic overwrite of e.g. the days the backfill
+    // covers, without the caller ever naming ts_day)
+    val spec = partitionSpec(tablePath)
+    val df = if (spec.isEmpty) df0 else withSpecColumns(spec, df0)
+    val partitionColumns =
+      if (spec.isEmpty) partitionColumns0 else spec.map(_.name)
     require(partitionColumns.nonEmpty,
       "dynamic overwrite needs partition columns; use delete+append for full rewrites")
     val parentId = currentSnapshotId(tablePath)

@@ -1655,4 +1655,176 @@ class SourcesSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(Paths.get(s"$root/metadata/.commit.lock")),
       "the lock must be released once all writers exit")
   }
+
+  // ---- hidden partitioning (partition transforms) ----
+
+  import graft.sources.IcebergTransforms
+  import graft.sources.IcebergTransforms.{Bucket, Day, PartitionField, Truncate}
+  import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+  private def freshSpecTable(spec: Seq[PartitionField]): String = {
+    val root = Files.createTempDirectory("iceberg_hidden").toString
+    IcebergLite.createTable(root, spec)
+    root
+  }
+
+  test("hidden partitioning: bucket[4] point predicates prune to the literal's bucket") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    // three appends covering the SAME id range, so column bounds cannot
+    // prune Eq(id, …) — any file-count drop is the transform's doing
+    (0 until 3).foreach { i =>
+      IcebergLite.append(s, root,
+        (0L until 40L).map(id => (id, s"r$i-$id")).toDF("id", "v").coalesce(1))
+    }
+    val all = IcebergLite.dataFiles(root)
+    assert(all.size == 12, s"3 appends x 4 buckets: ${all.size}")
+    assert(all.forall(_.partition.keySet == Set("id_bucket")))
+
+    val expected = IcebergTransforms.evalValue(
+      PartitionField("id", Bucket(4), LongType), "17").get
+    val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("id", "17")))
+    assert(kept.size == 3, s"one file per append in bucket $expected: ${kept.size}")
+    assert(kept.forall(_.partition("id_bucket") == expected))
+
+    // row correctness through the pruned read
+    val rows = IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("id", "17")))
+      .filter(col("id") === 17L).select("v").as[String].collect().sorted
+    assert(rows.toSeq == Seq("r0-17", "r1-17", "r2-17"))
+
+    // the derived column is HIDDEN: reads surface only source columns
+    assert(IcebergLite.read(s, root).columns.sorted.toSeq == Seq("id", "v"))
+  }
+
+  test("hidden partitioning: day transform prunes ranges via GtEq projection") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("ts", Day, TimestampType)))
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    val df = days.flatMap(d => Seq(s"$d 06:00:00", s"$d 18:00:00"))
+      .zipWithIndex.map { case (t, i) => (java.sql.Timestamp.valueOf(t), i) }
+      .toDF("ts", "n")
+    IcebergLite.append(s, root, df)
+    val all = IcebergLite.dataFiles(root)
+    assert(all.map(_.partition("ts_day")).toSet == days.toSet)
+
+    // Gt on a mid-day instant keeps that day's file (GtEq projection —
+    // rows later the same day must survive) and every later day
+    val kept = IcebergLite.dataFiles(root,
+      filters = Seq(IcebergLite.Gt("ts", "2024-01-02 12:00:00")))
+    assert(kept.map(_.partition("ts_day")).toSet == Set("2024-01-02", "2024-01-03"))
+
+    val got = IcebergLite.read(s, root,
+        filters = Seq(IcebergLite.Gt("ts", "2024-01-02 12:00:00")))
+      .filter(col("ts") > lit("2024-01-02 12:00:00").cast("timestamp"))
+      .select("n").as[Int].collect().sorted
+    assert(got.toSeq == Seq(3, 4, 5))
+  }
+
+  test("hidden partitioning: truncate[2] on strings; compact re-derives and keeps pruning") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("code", Truncate(2), StringType)))
+    IcebergLite.append(s, root,
+      Seq("aa1", "aa2", "ab1", "ba7", "bb9").map(c => (c, c.length)).toDF("code", "n").coalesce(1))
+    IcebergLite.append(s, root,
+      Seq("aa3", "bb1").map(c => (c, c.length)).toDF("code", "n").coalesce(1))
+    val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("code", "aa2")))
+    assert(kept.nonEmpty && kept.forall(_.partition("code_trunc") == "aa"))
+
+    // compact reads rows WITHOUT the hidden column, re-derives it for
+    // the rewrite, and the compacted layout still prunes
+    IcebergLite.compact(s, root)
+    val compacted = IcebergLite.dataFiles(root)
+    assert(compacted.forall(_.filePath.contains("compact-")))
+    val keptAfter = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("code", "aa2")))
+    assert(keptAfter.nonEmpty && keptAfter.forall(_.partition("code_trunc") == "aa"))
+    val rows = IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("code", "aa1")))
+      .filter(col("code") === "aa1").count()
+    assert(rows == 1L)
+  }
+
+  test("hidden partitioning: dynamic overwrite replaces exactly the hidden tuples in the new data") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("ts", Day, TimestampType)))
+    val mk = (d: String, v: String) => (java.sql.Timestamp.valueOf(s"$d 12:00:00"), v)
+    IcebergLite.append(s, root,
+      Seq(mk("2024-01-01", "old1"), mk("2024-01-02", "old2")).toDF("ts", "v"))
+    // backfill covers only Jan 2 — Jan 1 must be carried verbatim
+    val before = IcebergLite.dataFiles(root)
+      .filter(_.partition("ts_day") == "2024-01-01").map(_.filePath).toSet
+    IcebergLite.overwrite(s, root,
+      Seq(mk("2024-01-02", "new2a"), mk("2024-01-02", "new2b")).toDF("ts", "v"),
+      partitionColumns = Nil)
+    val after = IcebergLite.dataFiles(root)
+    assert(after.filter(_.partition("ts_day") == "2024-01-01").map(_.filePath).toSet == before,
+      "untouched day carried path-identical")
+    val vs = IcebergLite.read(s, root).select("v").as[String].collect().sorted
+    assert(vs.toSeq == Seq("new2a", "new2b", "old1"))
+  }
+
+  test("hidden partitioning: delete prunes its rewrite scope by transform; source renames refuse") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    IcebergLite.append(s, root,
+      (0L until 40L).map(id => (id, s"v$id")).toDF("id", "v").coalesce(1))
+    val before = IcebergLite.dataFiles(root)
+    assert(before.size == 4)
+    val bucketOf17 = IcebergTransforms.evalValue(
+      PartitionField("id", Bucket(4), LongType), "17").get
+    IcebergLite.delete(s, root, Seq(IcebergLite.Eq("id", "17")))
+    val after = IcebergLite.dataFiles(root)
+    // only the bucket holding 17 was rewritten; the other 3 files are
+    // path-identical (the transform scoped the copy-on-write)
+    val untouchedBefore = before.filterNot(_.partition("id_bucket") == bucketOf17)
+      .map(_.filePath).toSet
+    val untouchedAfter = after.filterNot(_.partition("id_bucket") == bucketOf17)
+      .map(_.filePath).toSet
+    assert(untouchedBefore == untouchedAfter && untouchedBefore.size == 3)
+    assert(after.filterNot(untouchedAfter contains _.filePath)
+      .forall(f => f.partition("id_bucket") == bucketOf17 && f.filePath.contains("delete-")))
+    assert(IcebergLite.read(s, root).filter(col("id") === 17L).count() == 0L)
+    assert(IcebergLite.read(s, root).count() == 39L)
+
+    intercept[IllegalArgumentException] {
+      IcebergLite.renameColumn(root, "id", "ident")
+    }
+  }
+
+  test("hidden partitioning: projection soundness — pruned read equals full read under the row filter") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(
+      PartitionField("id", Bucket(4), LongType),
+      PartitionField("code", Truncate(1), StringType)))
+    val df = (0L until 60L).map(i => (i, s"${('a' + (i % 5).toInt).toChar}x$i")).toDF("id", "code")
+    IcebergLite.append(s, root, df)
+    IcebergLite.append(s, root, df.withColumn("id", col("id") + 60L))
+    val grids = Seq(
+      Seq(IcebergLite.Eq("id", "33")),
+      Seq(IcebergLite.In("id", Seq("5", "61", "119"))),
+      Seq(IcebergLite.Eq("code", "cx12")),
+      Seq(IcebergLite.Eq("id", "7"), IcebergLite.Eq("code", "cx7")),
+      Seq(IcebergLite.Gt("id", "100")))
+    grids.foreach { fs =>
+      val full = IcebergLite.read(s, root)
+      val pruned = IcebergLite.read(s, root, filters = fs)
+      // apply the same row predicate to both; sets must be identical
+      def rows(d: org.apache.spark.sql.DataFrame) = {
+        val pred = fs.map {
+          case IcebergLite.Eq(c, v) => col(c) === lit(v).cast(d.schema(c).dataType)
+          case IcebergLite.Gt(c, v) => col(c) > lit(v).cast(d.schema(c).dataType)
+          case IcebergLite.In(c, vs) =>
+            vs.map(v => col(c) === lit(v).cast(d.schema(c).dataType)).reduce(_ || _)
+          case other => throw new IllegalArgumentException(other.toString)
+        }.reduce(_ && _)
+        d.filter(pred).select("id", "code").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      }
+      assert(rows(pruned) == rows(full), s"soundness violated for $fs")
+    }
+  }
 }
