@@ -462,10 +462,25 @@ object IcebergLite {
       val (lo, hi) = boundRows.getOrElse(part, (Map.empty[String, String], Map.empty[String, String]))
       entryJson(DataFile(
         filePath = s"data/$runDir/${root.relativize(p).toString}",
-        fileFormat = "PARQUET", partition = part, recordCount = -1L,
+        fileFormat = "PARQUET", partition = part,
+        recordCount = parquetRowCount(p),
         lowerBounds = lo, upperBounds = hi,
         sequenceNumber = -1L)) // resolved to the commit's sequence at commit
     }
+  }
+
+  /** Row count from the parquet FOOTER of a just-written file — one
+    * local metadata read per file, the same stats real Iceberg's
+    * writers report into manifests (a distributed deployment would
+    * collect them from write-task listeners instead of re-opening
+    * footers, but the cost class is identical: O(files) metadata,
+    * never a data scan). */
+  private def parquetRowCount(p: java.nio.file.Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Thrown when a commit finds the table advanced past the snapshot
@@ -868,6 +883,44 @@ object IcebergLite {
       StructField("timestamp_ms", LongType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("n_pending_deletes", LongType, nullable = false))))
+  }
+
+  /** `files` METADATA TABLE — real Iceberg's `db.table.files` /
+    * Delta's `DESCRIBE DETAIL` file inventory: one row per live data
+    * file of a snapshot with its canonical partition tuple
+    * (`k=v/k=v`, key-sorted), manifest record count and data-sequence
+    * number. Metadata-only (manifests, never a data scan), bounded by
+    * the snapshot's file count; at planning scale the same rows are
+    * what [[planFilesDistributed]] fans out over executors. */
+  def filesMetadata(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    dataFiles(tablePath, snapshotId).foreach { f =>
+      rows.add(org.apache.spark.sql.Row(
+        f.filePath, f.fileFormat,
+        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+        f.recordCount, f.sequenceNumber))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("part", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false))))
+  }
+
+  /** `partitions` METADATA TABLE — per-partition file and record
+    * totals (real Iceberg's `db.table.partitions`): the first thing a
+    * 100 TB operator looks at for skew/small-file health before
+    * scheduling a compaction. Derived from [[filesMetadata]] with a
+    * Spark aggregation — stays a plan, composable with SQL. */
+  def partitionsMetadata(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    filesMetadata(spark, tablePath, snapshotId)
+      .groupBy("part")
+      .agg(count(lit(1)).as("file_count"), sum("record_count").as("record_count"))
   }
 
   /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots

@@ -35,10 +35,12 @@ class CatalogSpec extends AnyFunSuite {
     // round 8 also added the iceberg_branch_write publish row, the
     // iceberg_delete_positions v2 position-delete row, the
     // iceberg_history observability row, and the
-    // iceberg_hidden_partition partition-transform row → 181.
+    // iceberg_hidden_partition partition-transform row, plus the
+    // iceberg_files_meta / iceberg_partitions_meta metadata-table
+    // rows → 183.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 181 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 181 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 183 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 183 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -1794,6 +1794,33 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables: footer-true record counts; files/partitions surfaces agree with the data") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("code", Truncate(1), StringType)))
+    IcebergLite.append(s, root,
+      Seq("a1", "a2", "a3", "b1", "b2").map(c => (c, 1)).toDF("code", "n").coalesce(1))
+    IcebergLite.append(s, root,
+      Seq("a4", "b3").map(c => (c, 1)).toDF("code", "n").coalesce(1))
+    val files = IcebergLite.filesMetadata(s, root).collect()
+    assert(files.length == 4) // 2 appends x 2 prefixes
+    // record counts come from parquet footers, not a -1 sentinel
+    val byPart = files.groupBy(_.getAs[String]("part"))
+      .view.mapValues(_.map(_.getAs[Long]("record_count")).sum).toMap
+    assert(byPart == Map("code_trunc=a" -> 4L, "code_trunc=b" -> 3L))
+    assert(files.forall(_.getAs[Long]("sequence_number") > 0L))
+
+    val parts = IcebergLite.partitionsMetadata(s, root)
+      .orderBy(col("part")).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("file_count"),
+        r.getAs[Long]("record_count"))).toSeq
+    assert(parts == Seq(("code_trunc=a", 2L, 4L), ("code_trunc=b", 2L, 3L)))
+
+    // time travel: snapshot 1's inventory excludes the second append
+    val snap1 = IcebergLite.snapshots(root).min
+    assert(IcebergLite.filesMetadata(s, root, Some(snap1)).count() == 2L)
+  }
+
   test("hidden partitioning: projection soundness — pruned read equals full read under the row filter") {
     val s = spark
     import s.implicits._
