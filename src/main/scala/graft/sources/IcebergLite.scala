@@ -1556,35 +1556,32 @@ object IcebergLite {
       .filter(col("count") > 1).limit(1).count()
     require(dup == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
     // file-level pruning against the source's key set (string-cast, the
-    // same encoding the manifest bounds use)
-    def within(f: DataFile, c: String, v: String): Boolean =
-      f.partition.get(c) match {
-        case Some(pv) => pv == v
-        case None =>
-          f.lowerBounds.get(c).forall(cmp(_, v) <= 0) &&
-            f.upperBounds.get(c).forall(cmp(_, v) >= 0)
-      }
+    // same encoding the manifest bounds use), expressed as the SAME
+    // PartitionFilter machinery reads use — so hidden-partitioning
+    // projection applies: a CDC upsert into a bucket-partitioned table
+    // rewrites only the buckets its keys hash into, and a range
+    // fallback on a day-partitioned table only that date range.
+    // Projection is folded once per key, never per (key x file).
+    val spec = partitionSpec(tablePath)
+    def projected(fs: Seq[PartitionFilter]): Seq[PartitionFilter] =
+      if (spec.isEmpty) fs else fs ++ IcebergTransforms.projectFilters(spec, fs)
     val keyRows = source
       .select(keyCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct().limit(maxKeyPrune + 1).collect()
     val touched =
-      if (keyRows.length <= maxKeyPrune)
-        live.filter(f => keyRows.exists(r =>
-          keyCols.indices.forall(i => within(f, keyCols(i), r.getString(i)))))
-      else {
+      if (keyRows.length <= maxKeyPrune) {
+        val keyFilterSets: Seq[Seq[PartitionFilter]] = keyRows.toSeq.map(r =>
+          projected(keyCols.indices.map(i => Eq(keyCols(i), r.getString(i)))))
+        live.filter(f => keyFilterSets.exists(_.forall(_.matches(f))))
+      } else {
         val aggs = keyCols.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"__lo_$c"),
           max(col(c)).cast("string").as(s"__hi_$c")))
         val r = source.agg(aggs.head, aggs.tail: _*).collect()(0)
-        live.filter(f => keyCols.forall { c =>
-          val (lo, hi) = (r.getAs[String](s"__lo_$c"), r.getAs[String](s"__hi_$c"))
-          f.partition.get(c) match {
-            case Some(pv) => cmp(pv, lo) >= 0 && cmp(pv, hi) <= 0
-            case None =>
-              f.lowerBounds.get(c).forall(cmp(_, hi) <= 0) &&
-                f.upperBounds.get(c).forall(cmp(_, lo) >= 0)
-          }
-        })
+        val rangeFilters = projected(keyCols.flatMap(c => Seq(
+          GtEq(c, r.getAs[String](s"__lo_$c")),
+          LtEq(c, r.getAs[String](s"__hi_$c")))))
+        live.filter(f => rangeFilters.forall(_.matches(f)))
       }
     val touchedSet = touched.toSet
     val kept = live.filterNot(touchedSet)

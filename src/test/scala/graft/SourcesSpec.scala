@@ -1794,6 +1794,33 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("hidden partitioning: merge rewrites only the buckets its keys hash into") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    IcebergLite.append(s, root,
+      (0L until 40L).map(id => (id, s"v$id")).toDF("id", "v").coalesce(1))
+    val before = IcebergLite.dataFiles(root)
+    assert(before.size == 4)
+    // upsert touches keys 17 (update) and 1017 (insert) — at most the
+    // two buckets they hash into may be rewritten
+    val touchedBuckets = Seq("17", "1017").map(v => IcebergTransforms.evalValue(
+      PartitionField("id", Bucket(4), LongType), v).get).toSet
+    IcebergLite.merge(s, root,
+      Seq((17L, "updated"), (1017L, "inserted")).toDF("id", "v"), keyCols = Seq("id"))
+    val after = IcebergLite.dataFiles(root)
+    val untouched = before.filterNot(f => touchedBuckets(f.partition("id_bucket")))
+      .map(_.filePath).toSet
+    assert(untouched.subsetOf(after.map(_.filePath).toSet),
+      "files outside the keys' buckets must be carried path-identical")
+    assert(untouched.size >= 2)
+    val got = IcebergLite.read(s, root)
+      .filter(col("id").isin(17L, 1017L)).orderBy(col("id"))
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("updated", "inserted"))
+    assert(IcebergLite.read(s, root).count() == 41L)
+  }
+
   test("metadata tables: footer-true record counts; files/partitions surfaces agree with the data") {
     val s = spark
     import s.implicits._
