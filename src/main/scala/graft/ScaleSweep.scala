@@ -119,6 +119,7 @@ object ScaleSweep {
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "iceberg") { icebergSweep(spark, nDocs); spark.stop(); return }
     if (mode == "plan") { planSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
       tpchScaleUp(spark, math.max(2, nDocs.toInt)); spark.stop(); return
     }
@@ -769,6 +770,70 @@ object ScaleSweep {
     * line reports matched vs total so the ratio is visible. Run with
     * `runMain graft.ScaleSweep plan 10000` (files; 100 entries per
     * manifest). */
+  /** Hidden-partitioning at ingest scale: `nRows` rows land in a
+    * day(ts) + bucket(16, uid) spec table (30 days x 16 buckets = 480
+    * hidden tuples), then point/range/combined queries that name ONLY
+    * source columns are measured for (files planned, scan wall)
+    * against the unpruned full scan. The 100 TB claim under test: a
+    * key lookup reads 1/16 of the table, a 5-day window 5/30, their
+    * conjunction the product — without the query ever mentioning a
+    * partition column. */
+  private def hiddenSweep(spark: org.apache.spark.sql.SparkSession, nRows: Long): Unit = {
+    import sources.{IcebergLite, IcebergTransforms}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hidden_sweep").resolve("t").toString
+    IcebergLite.createTable(root, Seq(
+      IcebergTransforms.PartitionField("ts", IcebergTransforms.Day,
+        org.apache.spark.sql.types.TimestampType),
+      IcebergTransforms.PartitionField("uid", IcebergTransforms.Bucket(16),
+        org.apache.spark.sql.types.LongType)))
+    val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    // pre-shuffle on the SAME derived values the spec computes, so each
+    // hidden tuple is written by one task (the write-distribution mode
+    // real Iceberg calls hash distribution); withSpecColumns sees the
+    // columns already present and skips re-deriving
+    val df = spark.range(nRows)
+      .select(col("id"),
+        // Knuth-stride spread over the full 30-day window at any nRows
+        timestamp_seconds(lit(epoch) +
+          pmod(col("id") * 2654435761L, lit(30L * 86400))).as("ts"),
+        (col("id") % 100000L).as("uid"),
+        (col("id") % 1000 * 1.0).as("amount"))
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("uid_bucket", pmod(hash(col("uid")), lit(16)))
+      .repartition(col("ts_day"), col("uid_bucket"))
+      .drop("id")
+    val tApp = System.nanoTime()
+    IcebergLite.append(spark, root, df)
+    val appendWall = (System.nanoTime() - tApp) / 1e9
+    val total = IcebergLite.dataFiles(root).size
+
+    def measure(name: String, filters: Seq[IcebergLite.PartitionFilter],
+        rowPred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val planned = IcebergLite.dataFiles(root, filters = filters).size
+      val t0 = System.nanoTime()
+      val n = rowPred(IcebergLite.read(spark, root, filters = filters)).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      s""""$name":{"filesPlanned":$planned,"rows":$n,"scanSec":${math.round(wall * 1000) / 1000.0}}"""
+    }
+    val point = measure("pointUid", Seq(IcebergLite.Eq("uid", "4242")),
+      _.filter(col("uid") === 4242L))
+    val range = measure("fiveDays", Seq(IcebergLite.Gt("ts", "2024-01-25 00:00:00")),
+      _.filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp")))
+    val both = measure("pointAndRange",
+      Seq(IcebergLite.Eq("uid", "4242"), IcebergLite.Gt("ts", "2024-01-25 00:00:00")),
+      _.filter(col("uid") === 4242L &&
+        col("ts") > lit("2024-01-25 00:00:00").cast("timestamp")))
+    val tFull = System.nanoTime()
+    val nAll = IcebergLite.read(spark, root).count()
+    val fullWall = (System.nanoTime() - tFull) / 1e9
+    println(
+      s"""{"sweep":"hidden","rows":$nAll,"files":$total,""" +
+      s""""appendWallSec":${math.round(appendWall * 100) / 100.0},""" +
+      s"""$point,$range,$both,""" +
+      s""""fullScanSec":${math.round(fullWall * 1000) / 1000.0}}""")
+  }
+
   private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long): Unit = {
     val filesPer = 100
     val nManifests = math.max(1, (nFiles / filesPer).toInt)
