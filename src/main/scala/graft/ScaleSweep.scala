@@ -800,8 +800,8 @@ object ScaleSweep {
         (col("id") % 100000L).as("uid"),
         (col("id") % 1000 * 1.0).as("amount"))
       .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("uid_bucket", pmod(hash(col("uid")), lit(16)))
-      .repartition(col("ts_day"), col("uid_bucket"))
+      .withColumn("uid_bucket16", pmod(hash(col("uid")), lit(16)))
+      .repartition(col("ts_day"), col("uid_bucket16"))
       .drop("id")
     val tApp = System.nanoTime()
     IcebergLite.append(spark, root, df)

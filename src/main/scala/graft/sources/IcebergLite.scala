@@ -172,9 +172,12 @@ object IcebergLite {
   private def withProjectedFilters(tablePath: String,
       filters: Seq[PartitionFilter]): Seq[PartitionFilter] = {
     if (filters.isEmpty) return filters
-    val spec = partitionSpec(tablePath)
-    if (spec.isEmpty) filters
-    else (filters ++ IcebergTransforms.projectFilters(spec, filters)).distinct
+    // project through EVERY spec version: each projected conjunct names
+    // its own version's field, so it prunes exactly the files written
+    // under that version and is conservatively true for all others
+    val fields = partitionSpecs(tablePath).flatten.distinct
+    if (fields.isEmpty) filters
+    else (filters ++ IcebergTransforms.projectFilters(fields, filters)).distinct
   }
 
   /** Manifest paths listed by a snapshot's manifest list (table-
@@ -744,12 +747,45 @@ object IcebergLite {
     }
   }
 
-  /** The table's partition-transform spec (empty for tables partitioned
-    * by the legacy identity-columns argument, or unpartitioned). */
-  def partitionSpec(tablePath: String): Seq[IcebergTransforms.PartitionField] = {
+  /** Every partition-spec VERSION of the table, oldest first (real
+    * Iceberg's `partition-specs` list). Empty for tables partitioned by
+    * the legacy identity-columns argument, or unpartitioned. */
+  def partitionSpecs(tablePath: String): Seq[Seq[IcebergTransforms.PartitionField]] = {
     val p = Paths.get(s"$tablePath/metadata/partition-spec.json")
     if (!Files.exists(p)) Nil
-    else IcebergTransforms.parseSpec(readJson(p.toString))
+    else IcebergTransforms.parseSpecs(readJson(p.toString))
+  }
+
+  /** The CURRENT spec — what writes derive under. */
+  def partitionSpec(tablePath: String): Seq[IcebergTransforms.PartitionField] =
+    partitionSpecs(tablePath).lastOption.getOrElse(Nil)
+
+  /** PARTITION-SPEC EVOLUTION: append a new spec version (metadata-only,
+    * zero data I/O — real Iceberg's `updateSpec`). Existing files keep
+    * their old layout and stay individually prunable (reads project
+    * source predicates through EVERY version; a projected conjunct on a
+    * field a file does not carry is conservatively true for it); new
+    * writes derive under the new spec; any rewrite (compact/cluster/
+    * merge/delete) migrates the rows it touches to the new layout.
+    * Field names embed transform parameters (`id_bucket4` vs
+    * `id_bucket8`), so versions can never alias one name to different
+    * semantics — the collision check enforces it for belt and braces.
+    * Returns the new spec id. */
+  def evolveSpec(tablePath: String,
+      newSpec: Seq[IcebergTransforms.PartitionField]): Int = withCommitLock(tablePath) {
+    require(newSpec.nonEmpty, "evolveSpec needs a non-empty spec")
+    require(newSpec.map(_.name).distinct.size == newSpec.size,
+      "partition-spec field names collide")
+    val prior = partitionSpecs(tablePath)
+    require(prior.nonEmpty,
+      "evolveSpec on a table without a partition spec; create it with a spec first")
+    for (v <- prior; f <- v; g <- newSpec if g.name == f.name)
+      require(g == f,
+        s"field ${g.name} would change meaning across spec versions")
+    val versions = prior :+ newSpec
+    Files.writeString(Paths.get(s"$tablePath/metadata/partition-spec.json"),
+      IcebergTransforms.specsJson(versions))
+    versions.size - 1
   }
 
   /** Ensure every transform-derived partition column exists on `df`,
@@ -1157,8 +1193,9 @@ object IcebergLite {
     import org.apache.spark.sql.functions.broadcast
     // transform-derived partition fields are HIDDEN: the source column
     // lives in the data files, so only identity partition values (which
-    // hive layout strips from the files) are recovered onto rows
-    val hiddenFields = partitionSpec(tablePath)
+    // hive layout strips from the files) are recovered onto rows.
+    // Union over every spec version — old-layout files hide too.
+    val hiddenFields = partitionSpecs(tablePath).flatten
       .filter(_.transform != IcebergTransforms.Identity).map(_.name).toSet
     val partCols = files.flatMap(_.partition.keys).distinct
       .filterNot(hiddenFields).sorted
@@ -1442,11 +1479,15 @@ object IcebergLite {
       if (touched.isEmpty) Nil
       else {
         val partCols = touched.flatMap(_.partition.keys).distinct.sorted
-        // residual = conjuncts on data columns (partition conjuncts are
-        // uniformly true for every touched file, decided file-level) —
-        // only sound when every touched file carries the partition
-        // value exactly (not the conservative bounds fallback)
-        val residual = filters.filterNot(f =>
+        // residual = ORIGINAL conjuncts on data columns (partition
+        // conjuncts are uniformly true for every touched file, decided
+        // file-level) — only sound when every touched file carries the
+        // partition value exactly (not the conservative bounds
+        // fallback). Projected conjuncts never enter the residual:
+        // they name partition fields that are not data columns, and on
+        // a spec-evolved table not even every touched file carries
+        // them.
+        val residual = filters0.filterNot(f =>
           partCols.contains(f.column) &&
             touched.forall(_.partition.contains(f.column)))
         if (residual.isEmpty) Nil // every touched file is deleted wholesale
@@ -1483,12 +1524,18 @@ object IcebergLite {
     val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
-    val partCols = live.flatMap(_.partition.keys).distinct.sorted
+    val spec = partitionSpec(tablePath)
+    // spec tables compact into the CURRENT spec's layout (old-spec
+    // files migrate here — Iceberg's rewrite-to-latest-spec behavior);
+    // legacy tables keep their manifest-derived partition keys
+    val partCols =
+      if (spec.nonEmpty) spec.map(_.name).sorted
+      else live.flatMap(_.partition.keys).distinct.sorted
     // a full rewrite MATERIALIZES every pending merge-on-read delete
     // (equality AND position): read with deletes applied, commit with
     // the pending lists cleared. Spec tables re-derive their hidden
     // partition columns so the repartition keys resolve.
-    val base = withSpecColumns(partitionSpec(tablePath),
+    val base = withSpecColumns(spec,
       readWithDeletes(spark, tablePath, live, parentId))
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
@@ -1551,7 +1598,12 @@ object IcebergLite {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath, parentId)
-    val partCols = live.flatMap(_.partition.keys).distinct.sorted
+    val spec = partitionSpec(tablePath)
+    // spec tables rewrite under the CURRENT spec (writeDataFiles
+    // derives); legacy tables keep their manifest partition keys
+    val partCols =
+      if (spec.nonEmpty) spec.map(_.name).sorted
+      else live.flatMap(_.partition.keys).distinct.sorted
     val dup = source.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
     require(dup == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
@@ -1561,10 +1613,13 @@ object IcebergLite {
     // projection applies: a CDC upsert into a bucket-partitioned table
     // rewrites only the buckets its keys hash into, and a range
     // fallback on a day-partitioned table only that date range.
-    // Projection is folded once per key, never per (key x file).
-    val spec = partitionSpec(tablePath)
+    // Projection folds once per key through EVERY spec version (an
+    // old-layout file prunes under its own version's field, and a
+    // conjunct on a field a file lacks is conservatively true).
+    val specFields = partitionSpecs(tablePath).flatten.distinct
     def projected(fs: Seq[PartitionFilter]): Seq[PartitionFilter] =
-      if (spec.isEmpty) fs else fs ++ IcebergTransforms.projectFilters(spec, fs)
+      if (specFields.isEmpty) fs
+      else fs ++ IcebergTransforms.projectFilters(specFields, fs)
     val keyRows = source
       .select(keyCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct().limit(maxKeyPrune + 1).collect()
@@ -1688,7 +1743,7 @@ object IcebergLite {
     // hidden-partitioning specs bind source columns by PHYSICAL name
     // (real Iceberg binds by field id, which survives renames; this
     // JSON layout pins the name instead and refuses the rename)
-    val specNames = partitionSpec(tablePath)
+    val specNames = partitionSpecs(tablePath).flatten
       .flatMap(f => Seq(f.source, f.name)).toSet
     require(!specNames.contains(oldName) && !specNames.contains(newName),
       s"cannot rename $oldName -> $newName: partition-spec source/field names are fixed")
@@ -1867,11 +1922,16 @@ object IcebergLite {
     val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
-    val partCols = live.flatMap(_.partition.keys).distinct.sorted
+    val clusterSpec = partitionSpec(tablePath)
+    // spec tables cluster into the CURRENT spec's layout (old-spec
+    // files migrate); legacy tables keep manifest partition keys
+    val partCols =
+      if (clusterSpec.nonEmpty) clusterSpec.map(_.name).sorted
+      else live.flatMap(_.partition.keys).distinct.sorted
     val runDir = s"cluster-$newId-${runTag()}"
     // full rewrite: pending MoR deletes materialize (cleared at commit);
     // spec tables re-derive hidden partition columns for the scoped keys
-    val base = withSpecColumns(partitionSpec(tablePath),
+    val base = withSpecColumns(clusterSpec,
       readWithDeletes(spark, tablePath, live, parentId))
     // scoped mode only changes anything on a partitioned table
     val scoped = partitionScoped && partCols.nonEmpty

@@ -57,7 +57,11 @@ object IcebergTransforms {
     * bucket transform uses, applied to Spark's value encoding). */
   final case class Bucket(n: Int) extends Transform {
     require(n > 0, "bucket needs a positive bucket count")
-    def tag = s"bucket[$n]"; val label = "bucket"; val monotone = false
+    // the parameter is part of the FIELD NAME (`id_bucket4`), so two
+    // spec versions bucketing the same source differently can never
+    // share a partition field name — the collision that would make
+    // cross-version filter projection unsound
+    def tag = s"bucket[$n]"; def label = s"bucket$n"; val monotone = false
     def expr(child: Expression, dt: DataType): Expression =
       Pmod(new Murmur3Hash(Seq(child)), Literal(n))
   }
@@ -67,7 +71,7 @@ object IcebergTransforms {
     * this a true floor for negatives too, the Iceberg contract). */
   final case class Truncate(w: Int) extends Transform {
     require(w > 0, "truncate needs a positive width")
-    def tag = s"truncate[$w]"; val label = "trunc"; val monotone = true
+    def tag = s"truncate[$w]"; def label = s"trunc$w"; val monotone = true
     def expr(child: Expression, dt: DataType): Expression = dt match {
       case StringType  => Substring(child, Literal(1), Literal(w))
       case LongType    => Subtract(child, Pmod(child, Literal(w.toLong)))
@@ -174,12 +178,22 @@ object IcebergTransforms {
   }
 
   // ---- spec persistence (metadata/partition-spec.json) ----
+  // Layout carries every VERSION (real Iceberg's `partition-specs`
+  // list): writes derive under the latest, reads project through all.
 
-  def specJson(spec: Seq[PartitionField]): String =
+  private def fieldsJson(spec: Seq[PartitionField]): String =
     spec.map { f =>
       s"""{"name": "${f.name}", "source": "${f.source}", """ +
         s""""transform": "${f.transform.tag}", "source_type": "${f.sourceType.catalogString}"}"""
-    }.mkString("""{"fields": [""", ", ", "]}")
+    }.mkString("[", ", ", "]")
+
+  def specJson(spec: Seq[PartitionField]): String =
+    specsJson(Seq(spec))
+
+  def specsJson(versions: Seq[Seq[PartitionField]]): String =
+    versions.zipWithIndex.map { case (s, i) =>
+      s"""{"spec_id": $i, "fields": ${fieldsJson(s)}}"""
+    }.mkString("""{"specs": [""", ", ", "]}")
 
   /** `DataType.fromDDL("timestamp")` resolves through the session's
     * `spark.sql.timestampType` (a suite flipping it to NTZ would
@@ -191,17 +205,30 @@ object IcebergTransforms {
     case other => DataType.fromDDL(other)
   }
 
-  def parseSpec(json: org.json4s.JValue): Seq[PartitionField] = {
+  private def parseFields(fs: Seq[org.json4s.JValue]): Seq[PartitionField] = {
     import org.json4s._
     implicit val formats: Formats = DefaultFormats
-    (json \ "fields") match {
-      case JArray(fs) => fs.map { f =>
-        PartitionField(
-          (f \ "source").extract[String],
-          parseTransform((f \ "transform").extract[String]),
-          parseType((f \ "source_type").extract[String]))
+    fs.map { f =>
+      PartitionField(
+        (f \ "source").extract[String],
+        parseTransform((f \ "transform").extract[String]),
+        parseType((f \ "source_type").extract[String]))
+    }
+  }
+
+  /** All spec versions, oldest first. Reads both the versioned layout
+    * and the original single-spec `{"fields": [...]}` form. */
+  def parseSpecs(json: org.json4s.JValue): Seq[Seq[PartitionField]] = {
+    import org.json4s._
+    (json \ "specs") match {
+      case JArray(vs) => vs.map(v => (v \ "fields") match {
+        case JArray(fs) => parseFields(fs)
+        case _ => Nil
+      })
+      case _ => (json \ "fields") match {
+        case JArray(fs) => Seq(parseFields(fs))
+        case _ => Nil
       }
-      case _ => Nil
     }
   }
 }

@@ -37,10 +37,10 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_history observability row, and the
     // iceberg_hidden_partition partition-transform row, plus the
     // iceberg_files_meta / iceberg_partitions_meta metadata-table
-    // rows → 183.
+    // rows and the iceberg_spec_evolution row → 184.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 183 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 183 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 184 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 184 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -1680,13 +1680,13 @@ class SourcesSpec extends AnyFunSuite {
     }
     val all = IcebergLite.dataFiles(root)
     assert(all.size == 12, s"3 appends x 4 buckets: ${all.size}")
-    assert(all.forall(_.partition.keySet == Set("id_bucket")))
+    assert(all.forall(_.partition.keySet == Set("id_bucket4")))
 
     val expected = IcebergTransforms.evalValue(
       PartitionField("id", Bucket(4), LongType), "17").get
     val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("id", "17")))
     assert(kept.size == 3, s"one file per append in bucket $expected: ${kept.size}")
-    assert(kept.forall(_.partition("id_bucket") == expected))
+    assert(kept.forall(_.partition("id_bucket4") == expected))
 
     // row correctness through the pruned read
     val rows = IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("id", "17")))
@@ -1731,7 +1731,7 @@ class SourcesSpec extends AnyFunSuite {
     IcebergLite.append(s, root,
       Seq("aa3", "bb1").map(c => (c, c.length)).toDF("code", "n").coalesce(1))
     val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("code", "aa2")))
-    assert(kept.nonEmpty && kept.forall(_.partition("code_trunc") == "aa"))
+    assert(kept.nonEmpty && kept.forall(_.partition("code_trunc2") == "aa"))
 
     // compact reads rows WITHOUT the hidden column, re-derives it for
     // the rewrite, and the compacted layout still prunes
@@ -1739,7 +1739,7 @@ class SourcesSpec extends AnyFunSuite {
     val compacted = IcebergLite.dataFiles(root)
     assert(compacted.forall(_.filePath.contains("compact-")))
     val keptAfter = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("code", "aa2")))
-    assert(keptAfter.nonEmpty && keptAfter.forall(_.partition("code_trunc") == "aa"))
+    assert(keptAfter.nonEmpty && keptAfter.forall(_.partition("code_trunc2") == "aa"))
     val rows = IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("code", "aa1")))
       .filter(col("code") === "aa1").count()
     assert(rows == 1L)
@@ -1779,18 +1779,75 @@ class SourcesSpec extends AnyFunSuite {
     val after = IcebergLite.dataFiles(root)
     // only the bucket holding 17 was rewritten; the other 3 files are
     // path-identical (the transform scoped the copy-on-write)
-    val untouchedBefore = before.filterNot(_.partition("id_bucket") == bucketOf17)
+    val untouchedBefore = before.filterNot(_.partition("id_bucket4") == bucketOf17)
       .map(_.filePath).toSet
-    val untouchedAfter = after.filterNot(_.partition("id_bucket") == bucketOf17)
+    val untouchedAfter = after.filterNot(_.partition("id_bucket4") == bucketOf17)
       .map(_.filePath).toSet
     assert(untouchedBefore == untouchedAfter && untouchedBefore.size == 3)
     assert(after.filterNot(untouchedAfter contains _.filePath)
-      .forall(f => f.partition("id_bucket") == bucketOf17 && f.filePath.contains("delete-")))
+      .forall(f => f.partition("id_bucket4") == bucketOf17 && f.filePath.contains("delete-")))
     assert(IcebergLite.read(s, root).filter(col("id") === 17L).count() == 0L)
     assert(IcebergLite.read(s, root).count() == 39L)
 
     intercept[IllegalArgumentException] {
       IcebergLite.renameColumn(root, "id", "ident")
+    }
+  }
+
+  test("spec evolution: both layouts prune under their own version; compact migrates to latest") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    IcebergLite.append(s, root,
+      (0L until 40L).map(id => (id, s"a$id")).toDF("id", "v").coalesce(1))
+    val newId = IcebergLite.evolveSpec(root,
+      Seq(PartitionField("id", Bucket(8), LongType)))
+    assert(newId == 1)
+    // the SAME id range again — column bounds cannot tell the two
+    // appends apart, so any pruning asymmetry is per-version projection
+    IcebergLite.append(s, root,
+      (0L until 40L).map(id => (id, s"b$id")).toDF("id", "v").coalesce(1))
+    val all = IcebergLite.dataFiles(root)
+    assert(all.size == 12, s"4 old buckets + 8 new: ${all.size}")
+
+    // a point predicate prunes each file under ITS OWN spec version:
+    // exactly 1 of 4 old files and 1 of 8 new files survive
+    val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("id", "17")))
+    assert(kept.size == 2, s"${kept.map(_.partition)}")
+    assert(kept.exists(_.partition.contains("id_bucket4")) &&
+      kept.exists(_.partition.contains("id_bucket8")))
+
+    // rows stay exact through the mixed layout
+    val got = IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("id", "17")))
+      .filter(col("id") === 17L)
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a17", "b17"))
+
+    // merge on the evolved table: only the two buckets key 17 hashes
+    // into (one per version) may rewrite
+    val before = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    IcebergLite.merge(s, root, Seq((17L, "upd")).toDF("id", "v"), keyCols = Seq("id"))
+    val carried = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    assert((before -- carried).size <= 2, "at most one file per spec version rewritten")
+
+    // compact migrates EVERYTHING to the latest spec's layout
+    IcebergLite.compact(s, root)
+    val compacted = IcebergLite.dataFiles(root)
+    assert(compacted.forall(_.partition.keySet == Set("id_bucket8")))
+    // 80 rows - both id=17 rows replaced by the single merged one
+    assert(IcebergLite.read(s, root).count() == 79L)
+    assert(IcebergLite.read(s, root).filter(col("id") === 17L)
+      .select("v").as[String].head() == "upd")
+    // and post-compact pruning uses the new layout exclusively
+    val keptAfter = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("id", "17")))
+    assert(keptAfter.size == 1 && keptAfter.head.partition.contains("id_bucket8"))
+
+    // evolving a field to different semantics under the same name is
+    // structurally impossible (names embed parameters) — and the
+    // explicit guard refuses a verbatim re-declaration drift
+    intercept[IllegalArgumentException] {
+      IcebergLite.evolveSpec(root,
+        Seq(PartitionField("id", Bucket(8), org.apache.spark.sql.types.IntegerType)))
     }
   }
 
@@ -1809,7 +1866,7 @@ class SourcesSpec extends AnyFunSuite {
     IcebergLite.merge(s, root,
       Seq((17L, "updated"), (1017L, "inserted")).toDF("id", "v"), keyCols = Seq("id"))
     val after = IcebergLite.dataFiles(root)
-    val untouched = before.filterNot(f => touchedBuckets(f.partition("id_bucket")))
+    val untouched = before.filterNot(f => touchedBuckets(f.partition("id_bucket4")))
       .map(_.filePath).toSet
     assert(untouched.subsetOf(after.map(_.filePath).toSet),
       "files outside the keys' buckets must be carried path-identical")
@@ -1834,14 +1891,14 @@ class SourcesSpec extends AnyFunSuite {
     // record counts come from parquet footers, not a -1 sentinel
     val byPart = files.groupBy(_.getAs[String]("part"))
       .view.mapValues(_.map(_.getAs[Long]("record_count")).sum).toMap
-    assert(byPart == Map("code_trunc=a" -> 4L, "code_trunc=b" -> 3L))
+    assert(byPart == Map("code_trunc1=a" -> 4L, "code_trunc1=b" -> 3L))
     assert(files.forall(_.getAs[Long]("sequence_number") > 0L))
 
     val parts = IcebergLite.partitionsMetadata(s, root)
       .orderBy(col("part")).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[Long]("file_count"),
         r.getAs[Long]("record_count"))).toSeq
-    assert(parts == Seq(("code_trunc=a", 2L, 4L), ("code_trunc=b", 2L, 3L)))
+    assert(parts == Seq(("code_trunc1=a", 2L, 4L), ("code_trunc1=b", 2L, 3L)))
 
     // time travel: snapshot 1's inventory excludes the second append
     val snap1 = IcebergLite.snapshots(root).min
