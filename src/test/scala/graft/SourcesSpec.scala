@@ -1878,6 +1878,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.read(s, root).count() == 41L)
   }
 
+  test("streaming CDC upsert into a bucket spec table rewrites only the touched buckets") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    IcebergLite.append(s, root,
+      (0L until 40L).map(id => (id, 0L, s"v$id")).toDF("id", "seq", "v").coalesce(1))
+    val before = IcebergLite.dataFiles(root)
+    assert(before.size == 4)
+    // three update keys that all hash into ONE bucket
+    val bucketOf = (id: Long) => IcebergTransforms.evalValue(
+      PartitionField("id", Bucket(4), LongType), id.toString).get
+    val target = bucketOf(0L)
+    val keys = (0L until 40L).filter(bucketOf(_) == target).take(3)
+    assert(keys.size == 3)
+
+    val stage = Files.createTempDirectory("graft_cdc_spec_stage").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_spec_ckpt").toString
+    keys.map(k => (k, 1L, s"upd$k")).toDF("id", "seq", "v")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val changelog = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    EventStream.upsertStream(changelog, root, ckpt,
+      keyCol = "id", seqCol = "seq", carryCols = Seq("v"))
+
+    val after = IcebergLite.dataFiles(root)
+    val untouched = before.filterNot(_.partition("id_bucket4") == target)
+      .map(_.filePath).toSet
+    assert(untouched.subsetOf(after.map(_.filePath).toSet),
+      "the micro-batch merge must carry every other bucket path-identical")
+    assert(untouched.size == 3)
+    val got = IcebergLite.read(s, root)
+      .filter(col("id").isin(keys: _*)).select("v").as[String].collect().toSet
+    assert(got == keys.map(k => s"upd$k").toSet)
+    assert(IcebergLite.read(s, root).count() == 40L)
+  }
+
   test("metadata tables: footer-true record counts; files/partitions surfaces agree with the data") {
     val s = spark
     import s.implicits._
