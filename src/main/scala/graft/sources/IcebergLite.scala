@@ -431,7 +431,18 @@ object IcebergLite {
           "a spec-partitioned table derives its own partition columns")
         spec.map(_.name)
       }
-    val writer = df.write.mode("overwrite")
+    // declared write order: a LOCAL sort per task (partition dirs
+    // first so each task's rows land contiguously per file, then the
+    // order columns) — tight parquet row-group stats, zero shuffle
+    val order = sortOrder(tablePath)
+    val dfW =
+      if (order.isEmpty) df
+      else {
+        val missing = order.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"sort-order columns absent from write: $missing")
+        df.sortWithinPartitions((partitionColumns ++ order).map(col): _*)
+      }
+    val writer = dfW.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
 
@@ -786,6 +797,34 @@ object IcebergLite {
     Files.writeString(Paths.get(s"$tablePath/metadata/partition-spec.json"),
       IcebergTransforms.specsJson(versions))
     versions.size - 1
+  }
+
+  /** Declare the table's WRITE SORT ORDER (real Iceberg's
+    * `write.sort-order` / `SORTED BY`): every subsequent write —
+    * append, compact, merge, delete-rewrite, overwrite — sorts rows by
+    * these columns WITHIN each write task before the files are cut, so
+    * parquet row-group min/max stats are tight and a selective scan
+    * skips row groups inside files the manifest could not prune. A
+    * local sort only: no shuffle is added to any write (the Iceberg
+    * contract — `SORTED BY` is not `DISTRIBUTED BY`). Columns are
+    * stored under physical names; metadata-only, applies from the next
+    * write. */
+  def setSortOrder(tablePath: String, cols: Seq[String]): Unit = withCommitLock(tablePath) {
+    require(cols.nonEmpty, "sort order needs at least one column")
+    val rmap = renames(tablePath)
+    val phys = cols.map(physicalName(rmap, _))
+    Files.writeString(Paths.get(s"$tablePath/metadata/sort-order.json"),
+      phys.map(jstr).mkString("""{"order": [""", ", ", "]}"))
+  }
+
+  /** The table's write sort order (physical names; empty when unset). */
+  def sortOrder(tablePath: String): Seq[String] = {
+    val p = Paths.get(s"$tablePath/metadata/sort-order.json")
+    if (!Files.exists(p)) Nil
+    else (readJson(p.toString) \ "order") match {
+      case org.json4s.JArray(cs) => cs.collect { case org.json4s.JString(c) => c }
+      case _ => Nil
+    }
   }
 
   /** Ensure every transform-derived partition column exists on `df`,

@@ -1794,6 +1794,34 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("write sort order: every written file is internally sorted; rewrites keep it") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("code", Truncate(1), StringType)))
+    IcebergLite.setSortOrder(root, Seq("id"))
+    // adversarial input order: descending, split over 2 tasks
+    val df = (0L until 200L).reverse.map(i => (i, s"${if (i % 2 == 0) "a" else "b"}x"))
+      .toDF("id", "code").repartition(2)
+    IcebergLite.append(s, root, df)
+    def assertFilesSorted(): Unit =
+      IcebergLite.dataFiles(root).foreach { f =>
+        val ids = s.read.parquet(s"$root/${f.filePath}")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"${f.filePath} not sorted")
+        assert(ids.nonEmpty)
+      }
+    assertFilesSorted()
+    // a rewrite (compact) routes through the same funnel and stays sorted
+    IcebergLite.compact(s, root)
+    assertFilesSorted()
+    assert(IcebergLite.read(s, root).count() == 200L)
+    // and a merge too
+    IcebergLite.merge(s, root,
+      Seq((500L, "ax"), (501L, "bx")).toDF("id", "code"), keyCols = Seq("id"))
+    assertFilesSorted()
+    assert(IcebergLite.read(s, root).count() == 202L)
+  }
+
   test("spec evolution: both layouts prune under their own version; compact migrates to latest") {
     val s = spark
     import s.implicits._
