@@ -110,6 +110,18 @@ object IcebergLite {
   private def readJson(path: String): JValue =
     JsonMethods.parse(Files.readString(Paths.get(path)))
 
+  /** Metadata files readers may open WITHOUT the commit lock are never
+    * written in place: tmp + ATOMIC_MOVE, the same discipline as the
+    * v0.metadata.json pointer flip — no reader can observe a torn or
+    * truncated JSON. */
+  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
+    val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Current snapshot id from table metadata (None = empty table). */
   def currentSnapshotId(tablePath: String): Option[Long] =
     (readJson(s"$tablePath/metadata/v0.metadata.json") \ "current_snapshot_id")
@@ -150,12 +162,15 @@ object IcebergLite {
     * DataFile entries keep physical keys — they round-trip verbatim
     * into copy-on-write commits via `entryJson`. */
   def dataFiles(tablePath: String, snapshotId: Option[Long] = None,
-      filters: Seq[PartitionFilter] = Nil): Seq[DataFile] = {
-    val id = snapshotId.orElse(currentSnapshotId(tablePath)) match {
-      case None => return Nil
-      case Some(i) => i
+      filters: Seq[PartitionFilter] = Nil): Seq[DataFile] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) =>
+        dataFilesFrom(tablePath, id, manifestPathsOf(tablePath, id), filters)
     }
-    val manifests = manifestPathsOf(tablePath, id)
+
+  private def dataFilesFrom(tablePath: String, id: Long, manifests: Seq[String],
+      filters: Seq[PartitionFilter]): Seq[DataFile] = {
     val files = manifests.flatMap(manifestFiles(tablePath, _))
     val rmap = renames(tablePath, Some(id))
     val projected = withProjectedFilters(tablePath, filters)
@@ -212,12 +227,16 @@ object IcebergLite {
     * regardless of task scheduling. */
   def planFilesDistributed(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
-      filters: Seq[PartitionFilter] = Nil): Seq[DataFile] = {
-    val id = snapshotId.orElse(currentSnapshotId(tablePath)) match {
-      case None => return Nil
-      case Some(i) => i
+      filters: Seq[PartitionFilter] = Nil): Seq[DataFile] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) => planFilesDistributedFrom(spark, tablePath, id,
+        manifestPathsOf(tablePath, id), filters)
     }
-    val manifests = manifestPathsOf(tablePath, id)
+
+  private def planFilesDistributedFrom(spark: SparkSession, tablePath: String,
+      id: Long, manifests: Seq[String],
+      filters: Seq[PartitionFilter]): Seq[DataFile] = {
     if (manifests.isEmpty) return Nil
     val rmap = renames(tablePath, Some(id))
     val projected = withProjectedFilters(tablePath, filters)
@@ -250,9 +269,12 @@ object IcebergLite {
         val threshold = spark.conf
           .getOption("graft.iceberg.planning.distributedThreshold")
           .map(_.toInt).getOrElse(64)
-        if (manifestPathsOf(tablePath, id).size < threshold)
-          dataFiles(tablePath, Some(id), filters)
-        else planFilesDistributed(spark, tablePath, Some(id), filters)
+        // manifest list resolved ONCE and handed to whichever planner
+        // wins the threshold — no metadata file is read twice per plan
+        val manifests = manifestPathsOf(tablePath, id)
+        if (manifests.size < threshold)
+          dataFilesFrom(tablePath, id, manifests, filters)
+        else planFilesDistributedFrom(spark, tablePath, id, manifests, filters)
     }
 
   /** A pending merge-on-read row delete — Iceberg v2 sequence-number
@@ -424,13 +446,13 @@ object IcebergLite {
     // every op routes through) and land only in the hive path
     val spec = partitionSpec(tablePath)
     val df = if (spec.isEmpty) dfR else withSpecColumns(spec, dfR)
+    // a spec table ALWAYS derives its own partition columns: internal
+    // rewrite paths pass manifest-derived or sorted name lists (which
+    // on an evolved table may name old-spec fields), and all of them
+    // are simply superseded by the current spec here
     val partitionColumns =
       if (spec.isEmpty) partitionColumns0.map(physicalName(rmap, _))
-      else {
-        require(partitionColumns0.isEmpty || partitionColumns0 == spec.map(_.name),
-          "a spec-partitioned table derives its own partition columns")
-        spec.map(_.name)
-      }
+      else spec.map(_.name)
     // declared write order: a LOCAL sort per task (partition dirs
     // first so each task's rows land contiguously per file, then the
     // order columns) — tight parquet row-group stats, zero shuffle
@@ -633,10 +655,7 @@ object IcebergLite {
       pendingPosDeletes: Seq[PosDelete] = null,
       toBranch: Option[String] = None): Long = withCommitLock(tablePath) {
     val cur = toBranch match {
-      case Some(name) =>
-        val b = branches(tablePath)
-        require(b.contains(name), s"branch $name does not exist")
-        Some(b(name))
+      case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
     }
     val conflicted = cur != parentId
@@ -644,10 +663,18 @@ object IcebergLite {
       throw new CommitConflictException(
         s"concurrent commit: $operation planned against parent $parentId " +
           s"but the table is now at $cur; re-run against the current snapshot")
+    // the snapshot id is ALWAYS re-derived under the lock: the
+    // caller's planned id was computed outside it, and a racing commit
+    // to ANOTHER head (main vs a branch, or two branches) can land the
+    // same id without moving THIS commit's head — reusing the planned
+    // id would silently overwrite that committed snapshot's metadata
+    // (lost update). snapshots() enumerates every committed snapshot
+    // file regardless of which ref points at it, so max+1 here is
+    // collision-free across all heads.
+    val freshId = (snapshots(tablePath) :+ 0L).max + 1
     val (id, parent, carried) =
-      if (!conflicted) (newId, parentId, carriedManifests)
-      else ((snapshots(tablePath) :+ 0L).max + 1, cur,
-        parentManifests(tablePath, cur))
+      if (!conflicted) (freshId, parentId, carriedManifests)
+      else (freshId, cur, parentManifests(tablePath, cur))
     // every commit must carry the (possibly rebased) parent's rename
     // mapping forward (or the successor snapshot would silently revert
     // renamed columns); callers pass an explicit map only when
@@ -744,9 +771,9 @@ object IcebergLite {
   /** Initialize an EMPTY table with a HIDDEN-PARTITIONING spec (see
     * [[IcebergTransforms]]): every write derives the spec's partition
     * values, every read prunes from source-column predicates projected
-    * through the transforms. The spec is fixed at creation
-    * (partition-spec EVOLUTION is out of scope — real Iceberg
-    * versions specs per file; this layout pins one per table). */
+    * through the transforms. The layout can change later with
+    * [[evolveSpec]] — files keep the spec version they were written
+    * under and reads project through every version. */
   def createTable(tablePath: String,
       spec: Seq[IcebergTransforms.PartitionField]): Unit = {
     createTable(tablePath)
@@ -754,7 +781,7 @@ object IcebergLite {
       require(spec.map(_.name).distinct.size == spec.size,
         "partition-spec field names collide")
       val p = Paths.get(s"$tablePath/metadata/partition-spec.json")
-      if (!Files.exists(p)) Files.writeString(p, IcebergTransforms.specJson(spec))
+      if (!Files.exists(p)) atomicWrite(p, IcebergTransforms.specJson(spec))
     }
   }
 
@@ -794,7 +821,7 @@ object IcebergLite {
       require(g == f,
         s"field ${g.name} would change meaning across spec versions")
     val versions = prior :+ newSpec
-    Files.writeString(Paths.get(s"$tablePath/metadata/partition-spec.json"),
+    atomicWrite(Paths.get(s"$tablePath/metadata/partition-spec.json"),
       IcebergTransforms.specsJson(versions))
     versions.size - 1
   }
@@ -813,7 +840,7 @@ object IcebergLite {
     require(cols.nonEmpty, "sort order needs at least one column")
     val rmap = renames(tablePath)
     val phys = cols.map(physicalName(rmap, _))
-    Files.writeString(Paths.get(s"$tablePath/metadata/sort-order.json"),
+    atomicWrite(Paths.get(s"$tablePath/metadata/sort-order.json"),
       phys.map(jstr).mkString("""{"order": [""", ", ", "]}"))
   }
 
@@ -935,19 +962,32 @@ object IcebergLite {
     * Delta as DESCRIBE HISTORY: one row per retained snapshot with
     * (snapshot_id, sequence_number, parent_id, operation,
     * timestamp_ms, n_files, n_pending_deletes). Metadata-only — file
-    * counts come from manifests, never a data scan — and bounded by
-    * the retained-snapshot count, so collecting it on the driver is
-    * always cheap regardless of table size. */
+    * counts come from manifests, never a data scan. Each snapshot JSON
+    * is parsed ONCE (all its fields and pending-delete counts come
+    * from that one parse) and manifest entry counts are memoised
+    * across snapshots — consecutive snapshots share most of their
+    * manifests (appends carry the parent's forward), so the work is
+    * O(distinct manifests + snapshots), not O(snapshots × files). */
   def history(spark: SparkSession, tablePath: String): DataFrame = {
     val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    val manifestCounts = scala.collection.mutable.Map.empty[String, Long]
+    def filesIn(m: String): Long =
+      manifestCounts.getOrElseUpdate(m, manifestFiles(tablePath, m).size.toLong)
+    def arrLen(v: JValue): Long = v match {
+      case JArray(xs) => xs.size.toLong
+      case _ => 0L
+    }
     snapshots(tablePath).foreach { id =>
+      val j = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
       rows.add(org.apache.spark.sql.Row(
-        id, snapshotSequenceNumber(tablePath, id),
-        parentSnapshotId(tablePath, id).map(java.lang.Long.valueOf).orNull,
-        snapshotOperation(tablePath, id),
-        snapshotTimestampMs(tablePath, id),
-        dataFiles(tablePath, Some(id)).size.toLong,
-        (rowDeletes(tablePath, Some(id)).size + posDeletes(tablePath, Some(id)).size).toLong))
+        id,
+        (j \ "sequence_number").toOption.collect { case JInt(n) => n.toLong }.getOrElse(0L),
+        (j \ "parent_snapshot_id").toOption
+          .collect { case JInt(n) => java.lang.Long.valueOf(n.toLong) }.orNull,
+        (j \ "operation").toOption.collect { case JString(op) => op }.getOrElse("append"),
+        (j \ "timestamp_ms").toOption.collect { case JInt(n) => n.toLong }.getOrElse(0L),
+        manifestPathsOf(tablePath, id).map(filesIn).sum,
+        arrLen(j \ "row_deletes") + arrLen(j \ "position_deletes")))
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(rows, StructType(Seq(
@@ -1401,10 +1441,22 @@ object IcebergLite {
       "position delete needs at least one (file, positions) entry")
     val parentId = currentSnapshotId(tablePath)
     val newId = (snapshots(tablePath) :+ 0L).max + 1
-    val livePaths = dataFiles(tablePath).map(_.filePath).toSet
+    val live = dataFiles(tablePath)
+    val livePaths = live.map(_.filePath).toSet
     val unknown = deletes.keys.filterNot(livePaths)
     require(unknown.isEmpty,
       s"position delete references files not live in the current snapshot: ${unknown.mkString(", ")}")
+    // fail CLOSED on ordinals too: a position past the file's
+    // footer-true record count would "succeed" while deleting nothing —
+    // the same silent no-op the path check above exists to prevent.
+    // Pre-footer-count manifests (record_count −1) skip the check.
+    val counts = live.map(f => f.filePath -> f.recordCount).toMap
+    deletes.foreach { case (f, ps) =>
+      require(ps.forall(_ >= 0), s"negative position ordinal for $f")
+      val rc = counts(f)
+      require(rc < 0 || ps.forall(_ < rc),
+        s"position ${ps.max} out of range for $f ($rc rows)")
+    }
     val merged = (posDeletes(tablePath, parentId) ++
       deletes.map { case (f, ps) => PosDelete(f, ps) })
       .groupBy(_.filePath).map { case (f, ds) =>

@@ -28,10 +28,12 @@ class CatalogSpec extends AnyFunSuite {
     // The ref_* rows exist only when a reference checkout is mounted
     // (they read its manifest at runtime), so count them conditionally.
     // round 8 closed the last 5 no_oracle rows (the ann_*_topk
-    // partial-probe quartet now emits deterministic recall-overlap
-    // counts vs the exact top-k the oracle recomputes, and
-    // trino_statistical_fns reads a committed expected-constants
-    // fixture) — EVERY catalog row now has a hard oracle.
+    // partial-probe quartet's DuckDB oracles re-derive the identical
+    // deterministic approximate pipeline — centroid/plane/codebook
+    // construction, cell assignment, probe selection — in SQL, so the
+    // approximate top-k itself is value-checked; trino_statistical_fns
+    // reads a committed expected-constants fixture) — EVERY catalog
+    // row now has a hard oracle.
     // round 8 also added the iceberg_branch_write publish row, the
     // iceberg_delete_positions v2 position-delete row, the
     // iceberg_history observability row, and the

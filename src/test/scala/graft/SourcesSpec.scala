@@ -1794,6 +1794,60 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("spec rewrites survive non-alphabetical field declarations and evolved-table CoW deletes") {
+    val s = spark
+    import s.implicits._
+    // declaration order uid, code — but "code_trunc1" < "uid_bucket2"
+    // alphabetically, so any path comparing sorted names against
+    // declaration order breaks here
+    val root = freshSpecTable(Seq(
+      PartitionField("uid", Bucket(2), LongType),
+      PartitionField("code", Truncate(1), StringType)))
+    IcebergLite.append(s, root,
+      (0L until 20L).map(i => (i, s"${('a' + (i % 3).toInt).toChar}x", i))
+        .toDF("uid", "code", "n").coalesce(1))
+    IcebergLite.compact(s, root)
+    assert(IcebergLite.read(s, root).count() == 20L)
+    IcebergLite.merge(s, root,
+      Seq((3L, "ax", 300L)).toDF("uid", "code", "n"), keyCols = Seq("uid", "code"))
+    assert(IcebergLite.read(s, root).filter(col("n") === 300L).count() == 1L)
+
+    // CoW delete with a residual rewrite on an EVOLVED table: the
+    // touched set spans old-layout files whose manifest keys no longer
+    // match the current spec
+    val root2 = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    IcebergLite.append(s, root2,
+      (0L until 40L).map(id => (id, s"v$id")).toDF("id", "v").coalesce(1))
+    IcebergLite.evolveSpec(root2, Seq(PartitionField("id", Bucket(8), LongType)))
+    IcebergLite.append(s, root2,
+      (0L until 40L).map(id => (id, s"w$id")).toDF("id", "v").coalesce(1))
+    IcebergLite.delete(s, root2, Seq(IcebergLite.Eq("id", "17")))
+    assert(IcebergLite.read(s, root2).filter(col("id") === 17L).count() == 0L)
+    assert(IcebergLite.read(s, root2).count() == 78L)
+  }
+
+  test("commit ids re-derive under the lock: a stale planned id cannot overwrite another head") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Nil)
+    val snapA = IcebergLite.append(s, root, Seq((1L, "a")).toDF("id", "v"))
+    IcebergLite.createBranch(root, "audit", Some(snapA))
+    // a main commit lands and takes the next id...
+    val mainId = IcebergLite.append(s, root, Seq((2L, "b")).toDF("id", "v"))
+    // ...while a branch writer had already PLANNED the same id outside
+    // the lock (its branch head is untouched, so no rebase triggers)
+    val got = IcebergLite.commitSnapshot(root, mainId, Some(snapA),
+      entries = Nil,
+      carriedManifests = IcebergLite.parentManifests(root, Some(snapA)),
+      toBranch = Some("audit"))
+    assert(got != mainId, "the stale planned id must be re-derived under the lock")
+    // main's committed snapshot survives intact
+    assert(IcebergLite.read(s, root).count() == 2L)
+    assert(IcebergLite.snapshotOperation(root, mainId) == "append")
+    assert(IcebergLite.branches(root)("audit") == got)
+    assert(IcebergLite.readRef(s, root, "audit").count() == 1L)
+  }
+
   test("write sort order: every written file is internally sorted; rewrites keep it") {
     val s = spark
     import s.implicits._
