@@ -45,7 +45,8 @@ object IcebergLite {
       recordCount: Long,
       lowerBounds: Map[String, String] = Map.empty,
       upperBounds: Map[String, String] = Map.empty,
-      sequenceNumber: Long = 0L)
+      sequenceNumber: Long = 0L,
+      fileSizeBytes: Long = -1L)
 
   /** Numeric-first value compare (long, then double, then string) —
     * bounds and partition values are string-typed in the manifest, like
@@ -150,7 +151,8 @@ object IcebergLite {
               recordCount = (df \ "record_count").extractOrElse[Long](0L),
               lowerBounds = (df \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
               upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty),
-              sequenceNumber = (df \ "sequence_number").extractOrElse[Long](0L))
+              sequenceNumber = (df \ "sequence_number").extractOrElse[Long](0L),
+              fileSizeBytes = (df \ "file_size_in_bytes").extractOrElse[Long](-1L))
           }
         }
       case _ => Nil
@@ -411,7 +413,7 @@ object IcebergLite {
       m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
     s"""{"data_file": {"file_path": ${jstr(f.filePath)}, "file_format": ${jstr(f.fileFormat)},
        |  "partition": ${jmap(f.partition)}, "record_count": ${f.recordCount},
-       |  "sequence_number": ${f.sequenceNumber},
+       |  "sequence_number": ${f.sequenceNumber}, "file_size_in_bytes": ${f.fileSizeBytes},
        |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}}}""".stripMargin
   }
 
@@ -501,7 +503,8 @@ object IcebergLite {
         fileFormat = "PARQUET", partition = part,
         recordCount = parquetRowCount(p),
         lowerBounds = lo, upperBounds = hi,
-        sequenceNumber = -1L)) // resolved to the commit's sequence at commit
+        sequenceNumber = -1L, // resolved to the commit's sequence at commit
+        fileSizeBytes = Files.size(p)))
     }
   }
 
@@ -1634,6 +1637,54 @@ object IcebergLite {
     val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
       operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
+  }
+
+  /** SIZE-AWARE compaction (real Iceberg's `rewriteDataFiles` /
+    * Delta's `OPTIMIZE` bin-packing contract): only files SMALLER than
+    * `smallBytes` are rewritten — one consolidated file per partition
+    * tuple that has small files — and every adequately-sized file is
+    * carried forward VERBATIM, path-identical and never read. This is
+    * the maintenance shape a 100 TB table needs: a streaming ingest
+    * leaves thousands of KB-sized files beside TB of well-formed ones,
+    * and [[compact]]'s full rewrite would re-shuffle the entire table
+    * to fix a metadata problem. Partition tuples with fewer than 2
+    * small files are skipped outright (rewriting one small file buys
+    * nothing). Pending MoR deletes materialize ONLY for the rewritten
+    * files — carried files keep their pending entries, exactly like
+    * every other partial rewrite. Returns the new snapshot id (or the
+    * current one when nothing qualifies). */
+  def compactSmallFiles(spark: SparkSession, tablePath: String,
+      smallBytes: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    require(smallBytes > 0, "compactSmallFiles needs a positive size threshold")
+    val parentId = currentSnapshotId(tablePath)
+    val newId = (snapshots(tablePath) :+ 0L).max + 1
+    val live = dataFiles(tablePath)
+    if (live.isEmpty) return parentId.getOrElse(0L)
+    // unknown sizes (-1, pre-size metadata) count as small: the
+    // conservative direction is consolidating them, never skipping
+    val small = live.filter(f => f.fileSizeBytes < smallBytes)
+    val byTuple = small.groupBy(_.partition)
+    val touched = byTuple.filter(_._2.size >= 2).values.flatten.toSeq
+    if (touched.isEmpty) return parentId.getOrElse(0L)
+    val touchedSet = touched.toSet
+    val kept = live.filterNot(touchedSet)
+    val spec = partitionSpec(tablePath)
+    val partCols =
+      if (spec.nonEmpty) spec.map(_.name).sorted
+      else touched.flatMap(_.partition.keys).distinct.sorted
+    val base = withSpecColumns(spec,
+      readWithDeletes(spark, tablePath, touched, parentId))
+    val df =
+      if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
+      else base.coalesce(1)
+    val entries = writeDataFiles(spark, tablePath, df, partCols,
+      s"compact-$newId-${runTag()}")
+    commitSnapshot(tablePath, newId, parentId,
+      kept.map(entryJson) ++ entries, carriedManifests = Nil,
+      operation = "replace",
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
   }
 
   /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose

@@ -39,10 +39,11 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_history observability row, and the
     // iceberg_hidden_partition partition-transform row, plus the
     // iceberg_files_meta / iceberg_partitions_meta metadata-table
-    // rows and the iceberg_spec_evolution row → 184.
+    // rows, the iceberg_spec_evolution row, and the
+    // iceberg_compact_small size-aware-compaction row → 185.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 184 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 184 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 185 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 185 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -1826,6 +1826,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.read(s, root2).count() == 78L)
   }
 
+  test("size-aware compaction rewrites only small files; big files carry path-identical") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Nil)
+    // one BIG file (wide payload), then three small appends
+    IcebergLite.append(s, root,
+      (0L until 2000L).map(i => (i, "x" * 200)).toDF("id", "v").coalesce(1))
+    (0 until 3).foreach { b =>
+      IcebergLite.append(s, root,
+        Seq((10000L + b, s"s$b")).toDF("id", "v").coalesce(1))
+    }
+    val before = IcebergLite.dataFiles(root)
+    assert(before.size == 4)
+    assert(before.forall(_.fileSizeBytes > 0), "sizes recorded from the write")
+    val big = before.maxBy(_.fileSizeBytes)
+    val threshold = big.fileSizeBytes // strictly-below comparison keeps the big file
+    val snap = IcebergLite.compactSmallFiles(s, root, threshold)
+    val after = IcebergLite.dataFiles(root)
+    assert(after.size == 2, s"big + 1 consolidated: ${after.size}")
+    assert(after.exists(_.filePath == big.filePath), "big file carried verbatim")
+    assert(after.exists(_.filePath.contains(s"compact-$snap")))
+    assert(IcebergLite.read(s, root).count() == 2003L)
+    assert(IcebergLite.read(s, root).filter(col("id") >= 10000L).count() == 3L)
+
+    // nothing left to do: idempotent no-op (returns the current snapshot)
+    assert(IcebergLite.compactSmallFiles(s, root, threshold) == snap)
+
+    // a partitioned shape: small files consolidate PER TUPLE
+    val root2 = freshSpecTable(Seq(PartitionField("code", Truncate(1), StringType)))
+    (0 until 3).foreach { b =>
+      IcebergLite.append(s, root2,
+        Seq((s"a$b", b), (s"b$b", b)).toDF("code", "n").coalesce(1))
+    }
+    assert(IcebergLite.dataFiles(root2).size == 6)
+    IcebergLite.compactSmallFiles(s, root2, 1L << 20)
+    val files2 = IcebergLite.dataFiles(root2)
+    assert(files2.size == 2, "one consolidated file per partition tuple")
+    assert(IcebergLite.read(s, root2).count() == 6L)
+  }
+
   test("commit ids re-derive under the lock: a stale planned id cannot overwrite another head") {
     val s = spark
     import s.implicits._
