@@ -1017,7 +1017,7 @@ object IcebergLite {
       rows.add(org.apache.spark.sql.Row(
         f.filePath, f.fileFormat,
         f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
-        f.recordCount, f.sequenceNumber))
+        f.recordCount, f.sequenceNumber, f.fileSizeBytes))
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(rows, StructType(Seq(
@@ -1025,7 +1025,8 @@ object IcebergLite {
       StructField("file_format", StringType, nullable = false),
       StructField("part", StringType, nullable = false),
       StructField("record_count", LongType, nullable = false),
-      StructField("sequence_number", LongType, nullable = false))))
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("file_size_bytes", LongType, nullable = false))))
   }
 
   /** `partitions` METADATA TABLE — per-partition file and record
@@ -1038,7 +1039,8 @@ object IcebergLite {
     import org.apache.spark.sql.functions.{count, lit, sum}
     filesMetadata(spark, tablePath, snapshotId)
       .groupBy("part")
-      .agg(count(lit(1)).as("file_count"), sum("record_count").as("record_count"))
+      .agg(count(lit(1)).as("file_count"), sum("record_count").as("record_count"),
+        sum("file_size_bytes").as("size_bytes"))
   }
 
   /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots

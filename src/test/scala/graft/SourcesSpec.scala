@@ -2052,6 +2052,7 @@ class SourcesSpec extends AnyFunSuite {
       .view.mapValues(_.map(_.getAs[Long]("record_count")).sum).toMap
     assert(byPart == Map("code_trunc1=a" -> 4L, "code_trunc1=b" -> 3L))
     assert(files.forall(_.getAs[Long]("sequence_number") > 0L))
+    assert(files.forall(_.getAs[Long]("file_size_bytes") > 0L))
 
     val parts = IcebergLite.partitionsMetadata(s, root)
       .orderBy(col("part")).collect()
