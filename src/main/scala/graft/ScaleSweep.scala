@@ -120,6 +120,7 @@ object ScaleSweep {
     if (mode == "iceberg") { icebergSweep(spark, nDocs); spark.stop(); return }
     if (mode == "plan") { planSweep(spark, nDocs); spark.stop(); return }
     if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "optimize") { optimizeSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
       tpchScaleUp(spark, math.max(2, nDocs.toInt)); spark.stop(); return
     }
@@ -832,6 +833,54 @@ object ScaleSweep {
       s""""appendWallSec":${math.round(appendWall * 100) / 100.0},""" +
       s"""$point,$range,$both,""" +
       s""""fullScanSec":${math.round(fullWall * 1000) / 1000.0}}""")
+  }
+
+  /** Size-aware compaction at the maintenance-window shape: `nRows`
+    * seed rows land as 32 well-formed partition files, then 200
+    * KB-sized ingest stragglers arrive (~6 per partition). The claim
+    * under test for 100 TB: `compactSmallFiles` consolidates ONLY the
+    * stragglers — wall time scales with the straggler bytes, never the
+    * table — and every seed file survives path-identical. */
+  private def optimizeSweep(spark: org.apache.spark.sql.SparkSession, nRows: Long): Unit = {
+    import sources.IcebergLite
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_optimize_sweep").resolve("t").toString
+    IcebergLite.createTable(root)
+    val nParts = 32
+    def partOf(k: org.apache.spark.sql.Column) =
+      format_string("p%02d", pmod(k, lit(nParts)).cast("int"))
+    // seed: one well-formed file per partition
+    IcebergLite.append(spark, root,
+      spark.range(nRows).select(col("id").as("k"), partOf(col("id")).as("part"),
+          (col("id") % 1000 * 1.0).as("amount"))
+        .repartition(col("part")),
+      partitionColumns = Seq("part"))
+    // 200 straggler commits of 50 rows each (the streaming-ingest residue)
+    val tIngest = System.nanoTime()
+    (0 until 200).foreach { b =>
+      IcebergLite.append(spark, root,
+        spark.range(50).select((col("id") * 200 + b + nRows).as("k"))
+          .select(col("k"), partOf(col("k")).as("part"),
+            lit(-1.0).as("amount"))
+          .coalesce(1),
+        partitionColumns = Seq("part"))
+    }
+    val ingestWall = (System.nanoTime() - tIngest) / 1e9
+    val before = IcebergLite.dataFiles(root)
+    val seeds = before.filter(_.filePath.contains("append-1-")).map(_.filePath).toSet
+    val smallCount = before.count(_.fileSizeBytes < 32 * 1024)
+    val tOpt = System.nanoTime()
+    IcebergLite.compactSmallFiles(spark, root, 32 * 1024)
+    val optWall = (System.nanoTime() - tOpt) / 1e9
+    val after = IcebergLite.dataFiles(root)
+    val seedsCarried = after.count(f => seeds.contains(f.filePath))
+    val total = IcebergLite.read(spark, root).count()
+    println(
+      s"""{"sweep":"optimize","rows":$total,"seedFiles":${seeds.size},""" +
+      s""""smallFilesBefore":$smallCount,"filesBefore":${before.size},""" +
+      s""""filesAfter":${after.size},"seedsCarriedVerbatim":$seedsCarried,""" +
+      s""""ingestWallSec":${math.round(ingestWall * 100) / 100.0},""" +
+      s""""optimizeWallSec":${math.round(optWall * 100) / 100.0}}""")
   }
 
   private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long): Unit = {
