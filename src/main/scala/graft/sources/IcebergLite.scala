@@ -1717,12 +1717,23 @@ object IcebergLite {
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String], maxKeyPrune: Int = 10000,
       precedence: Option[String] = None,
-      toBranch: Option[String] = None): Long = {
+      toBranch: Option[String] = None,
+      tombstoneCol: Option[String] = None): Long = {
     // source and key/precedence names arrive logical; translate once
     // and run the whole merge in physical names (readFileSet and
     // writeDataFiles are physical-native). A branch merge plans
     // against the BRANCH head's snapshot (files, renames, pending
     // deletes) and commits by moving the branch ref.
+    // `tombstoneCol` names a BOOLEAN source column marking CDC delete
+    // records (WHEN MATCHED ... THEN DELETE): a tombstone row removes
+    // its matching target row and inserts nothing — the column itself
+    // never lands in the table. Under `precedence` the per-key WINNER
+    // decides within a batch (a stale update in the same batch cannot
+    // resurrect a newer delete, and a newer update beats an older
+    // delete). ACROSS batches a delete leaves no marker, so a stale
+    // upsert REPLAYED in a later batch re-inserts the key — the same
+    // contract as SQL MERGE; retain tombstones in the feed for the
+    // replay window if cross-batch deletion ordering matters.
     val parentId = toBranch match {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
@@ -1731,15 +1742,24 @@ object IcebergLite {
     mergeImpl(spark, tablePath,
       if (rmap.isEmpty) source else source.withColumnsRenamed(rmap.map(_.swap)),
       keyCols.map(physicalName(rmap, _)), maxKeyPrune,
-      precedence.map(physicalName(rmap, _)), parentId, toBranch)
+      precedence.map(physicalName(rmap, _)), parentId, toBranch, tombstoneCol)
   }
 
   private def mergeImpl(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String], maxKeyPrune: Int,
       precedence: Option[String], parentId: Option[Long],
-      toBranch: Option[String]): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
+      toBranch: Option[String],
+      tombstoneCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, row_number}
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    tombstoneCol.foreach { t =>
+      require(source.columns.contains(t), s"tombstone column $t absent from source")
+      require(!keyCols.contains(t), "the tombstone flag cannot be a key column")
+    }
+    // a tombstone row's truth value; false for rows without the flag
+    val tombstoneFlag: org.apache.spark.sql.Column =
+      tombstoneCol.map(t => coalesce(col(t).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
     val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath, parentId)
     val spec = partitionSpec(tablePath)
@@ -1787,22 +1807,46 @@ object IcebergLite {
     // touched files read with pending MoR deletes applied — the merge
     // materializes them for the files it rewrites
     def touchedDf() = readWithDeletes(spark, tablePath, touched, parentId)
+    // CDC tombstones: a flagged source row DELETES its matching target
+    // row and inserts nothing (WHEN MATCHED ... THEN DELETE). The flag
+    // column never lands in the table.
+    val upsertRows = tombstoneCol match {
+      case None => source
+      case Some(t) => source.filter(!tombstoneFlag).drop(t)
+    }
     val newData =
-      if (touched.isEmpty) source
+      if (touched.isEmpty) upsertRows
       else precedence match {
         case None =>
+          // the anti-join keys include tombstoned keys, so their
+          // target rows vanish; only non-tombstone source rows return
           touchedDf()
             .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(source)
+            .unionByName(upsertRows)
         case Some(p) =>
+          // ordered: the per-key winner decides — if the winner is a
+          // tombstone the key disappears (a late stale upsert cannot
+          // resurrect it within this batch)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keyCols.map(col): _*)
             .orderBy(col(p).desc, col("__graft_src").desc)
-          touchedDf().withColumn("__graft_src", lit(0))
-            .unionByName(source.withColumn("__graft_src", lit(1)))
+          val tgt0 = touchedDf().withColumn("__graft_src", lit(0))
+          val (tgt, src) = tombstoneCol match {
+            case None => (tgt0, source.withColumn("__graft_src", lit(1)))
+            case Some(t) =>
+              require(!tgt0.columns.contains(t),
+                s"tombstone column $t collides with a table column")
+              (tgt0.withColumn(t, lit(false)),
+                source.withColumn("__graft_src", lit(1)))
+          }
+          val ranked = tgt.unionByName(src)
             .withColumn("__graft_rn", row_number().over(w))
             .filter(col("__graft_rn") === 1)
-            .drop("__graft_src", "__graft_rn")
+          val alive = tombstoneCol match {
+            case None => ranked
+            case Some(t) => ranked.filter(!tombstoneFlag).drop(t)
+          }
+          alive.drop("__graft_src", "__graft_rn")
       }
     val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId-${runTag()}")
     commitSnapshot(tablePath, newId, parentId,

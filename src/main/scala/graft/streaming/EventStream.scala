@@ -175,15 +175,18 @@ object EventStream {
   def upsertStream(events: DataFrame, tablePath: String,
       checkpointDir: String, keyCol: String = "user_id",
       seqCol: String = "event_id",
-      carryCols: Seq[String] = Seq("ts", "event_type", "value")): Unit = {
+      carryCols: Seq[String] = Seq("ts", "event_type", "value"),
+      tombstoneCol: Option[String] = None): Unit = {
     val q = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+          // the per-key winner may be a DELETE record (CDC tombstone):
+          // it flows through to the merge, which drops the stored row
           val latest = batch
-            .select((keyCol +: seqCol +: carryCols).map(col): _*)
+            .select((keyCol +: seqCol +: (carryCols ++ tombstoneCol)).map(col): _*)
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
           // a merge that loses a commit race re-plans against the new
@@ -194,7 +197,8 @@ object EventStream {
           var committed = false
           while (!committed) try {
             graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
-              latest, Seq(keyCol), precedence = Some(seqCol))
+              latest, Seq(keyCol), precedence = Some(seqCol),
+              tombstoneCol = tombstoneCol)
             committed = true
           } catch {
             case _: graft.sources.IcebergLite.CommitConflictException

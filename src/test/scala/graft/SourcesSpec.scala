@@ -1866,6 +1866,72 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.read(s, root2).count() == 6L)
   }
 
+  test("CDC tombstones: merge deletes flagged keys; ordered precedence decides per key") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    IcebergLite.append(s, root,
+      (0L until 20L).map(id => (id, 0L, s"v$id")).toDF("id", "seq", "v").coalesce(1))
+
+    // unconditional: delete 3, update 5, insert 100
+    IcebergLite.merge(s, root,
+      Seq((3L, 1L, null.asInstanceOf[String], true),
+        (5L, 1L, "upd5", false),
+        (100L, 1L, "new", false)).toDF("id", "seq", "v", "op_del"),
+      keyCols = Seq("id"), tombstoneCol = Some("op_del"))
+    val read1 = IcebergLite.read(s, root)
+    assert(read1.count() == 20L) // 20 - 1 deleted + 1 inserted
+    assert(read1.filter(col("id") === 3L).count() == 0L)
+    assert(read1.filter(col("id") === 5L).select("v").as[String].head() == "upd5")
+    assert(read1.columns.sorted.toSeq == Seq("id", "seq", "v"), "flag never lands")
+
+    // ordered: newer update beats older delete; newer delete beats
+    // older update (both pairs in ONE batch would be dup keys, so two
+    // batches, each mixing a delete and an update of different keys)
+    IcebergLite.merge(s, root,
+      Seq((5L, 9L, null.asInstanceOf[String], true), // delete 5 at seq 9
+        (7L, 9L, "upd7", false)).toDF("id", "seq", "v", "op_del"),
+      keyCols = Seq("id"), precedence = Some("seq"), tombstoneCol = Some("op_del"))
+    // stale delete (seq 0 < stored seq 9) must NOT remove key 7
+    IcebergLite.merge(s, root,
+      Seq((7L, 0L, null.asInstanceOf[String], true)).toDF("id", "seq", "v", "op_del"),
+      keyCols = Seq("id"), precedence = Some("seq"), tombstoneCol = Some("op_del"))
+    val read2 = IcebergLite.read(s, root)
+    assert(read2.filter(col("id") === 5L).count() == 0L, "newer delete wins")
+    assert(read2.filter(col("id") === 7L).select("v").as[String].head() == "upd7",
+      "stale delete cannot remove a newer row")
+  }
+
+  test("streaming CDC upsert honors delete records end-to-end") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Nil)
+    IcebergLite.append(s, root,
+      (0L until 10L).map(id => (id, 0L, s"v$id", false)).toDF("id", "seq", "v", "deleted")
+        .drop("deleted").coalesce(1))
+    val stage = Files.createTempDirectory("graft_cdc_del_stage").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_del_ckpt").toString
+    // one changelog file: update key 1 (seq 2), delete key 2 (seq 2),
+    // and for key 3 a delete at seq 2 FOLLOWED by an update at seq 3 —
+    // the window picks the update, so key 3 survives with the new value
+    Seq((1L, 2L, "u1", false), (2L, 2L, null.asInstanceOf[String], true),
+      (3L, 2L, null.asInstanceOf[String], true), (3L, 3L, "u3", false))
+      .toDF("id", "seq", "v", "deleted")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val changelog = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    EventStream.upsertStream(changelog, root, ckpt,
+      keyCol = "id", seqCol = "seq", carryCols = Seq("v"),
+      tombstoneCol = Some("deleted"))
+    val got = IcebergLite.read(s, root)
+    assert(got.count() == 9L)
+    assert(got.filter(col("id") === 2L).count() == 0L, "delete record applied")
+    assert(got.filter(col("id") === 1L).select("v").as[String].head() == "u1")
+    assert(got.filter(col("id") === 3L).select("v").as[String].head() == "u3",
+      "within-batch: later update outranks the delete")
+  }
+
   test("commit ids re-derive under the lock: a stale planned id cannot overwrite another head") {
     val s = spark
     import s.implicits._
