@@ -849,12 +849,14 @@ object ScaleSweep {
     val nParts = 32
     def partOf(k: org.apache.spark.sql.Column) =
       format_string("p%02d", pmod(k, lit(nParts)).cast("int"))
-    // seed: one well-formed file per partition
+    // seed: one well-formed file per partition (paths captured now —
+    // data-dir names are opaque run tags, not snapshot ids)
     IcebergLite.append(spark, root,
       spark.range(nRows).select(col("id").as("k"), partOf(col("id")).as("part"),
           (col("id") % 1000 * 1.0).as("amount"))
         .repartition(col("part")),
       partitionColumns = Seq("part"))
+    val seeds = IcebergLite.dataFiles(root).map(_.filePath).toSet
     // 200 straggler commits of 50 rows each (the streaming-ingest residue)
     val tIngest = System.nanoTime()
     (0 until 200).foreach { b =>
@@ -867,7 +869,6 @@ object ScaleSweep {
     }
     val ingestWall = (System.nanoTime() - tIngest) / 1e9
     val before = IcebergLite.dataFiles(root)
-    val seeds = before.filter(_.filePath.contains("append-1-")).map(_.filePath).toSet
     val smallCount = before.count(_.fileSizeBytes < 32 * 1024)
     val tOpt = System.nanoTime()
     IcebergLite.compactSmallFiles(spark, root, 32 * 1024)
@@ -901,7 +902,7 @@ object ScaleSweep {
         entries.mkString("{\"entries\": [", ",\n", "]}"))
       rel
     }
-    sources.IcebergLite.commitSnapshot(root, 1L, None, entries = Nil,
+    sources.IcebergLite.commitSnapshot(root, None, entries = Nil,
       carriedManifests = manifestPaths)
     val buildWall = (System.nanoTime() - tBuild) / 1e9
 

@@ -115,9 +115,14 @@ object IcebergLite {
     * written in place: tmp + ATOMIC_MOVE, the same discipline as the
     * v0.metadata.json pointer flip — no reader can observe a torn or
     * truncated JSON. */
-  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
+  /** `beforeMove` runs between the tmp write and the move — commit
+    * points pass their lock-ownership fence here so it sits as close
+    * to the visible flip as possible. */
+  private def atomicWrite(path: java.nio.file.Path, content: String,
+      beforeMove: => Unit = ()): Unit = {
     val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
+    beforeMove
     Files.move(tmp, path,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -649,7 +654,7 @@ object IcebergLite {
     * stale copy-on-write branch commit throws. This is the
     * write-audit-publish pattern: land commits on a branch, validate,
     * then fast-forward main to publish them all at once. */
-  private[graft] def commitSnapshot(tablePath: String, newId: Long, parentId: Option[Long],
+  private[graft] def commitSnapshot(tablePath: String, parentId: Option[Long],
       entries: Seq[String], carriedManifests: Seq[String],
       operation: String = "append",
       columnRenames: Map[String, String] = null,
@@ -666,14 +671,15 @@ object IcebergLite {
       throw new CommitConflictException(
         s"concurrent commit: $operation planned against parent $parentId " +
           s"but the table is now at $cur; re-run against the current snapshot")
-    // the snapshot id is ALWAYS re-derived under the lock: the
-    // caller's planned id was computed outside it, and a racing commit
-    // to ANOTHER head (main vs a branch, or two branches) can land the
-    // same id without moving THIS commit's head — reusing the planned
-    // id would silently overwrite that committed snapshot's metadata
-    // (lost update). snapshots() enumerates every committed snapshot
-    // file regardless of which ref points at it, so max+1 here is
-    // collision-free across all heads.
+    // the snapshot id is derived HERE, under the lock — never by the
+    // caller: an id planned outside the lock can collide with a racing
+    // commit to ANOTHER head (main vs a branch, or two branches) that
+    // lands the same id without moving THIS commit's head, silently
+    // overwriting that committed snapshot's metadata (lost update).
+    // snapshots() enumerates every committed snapshot file regardless
+    // of which ref points at it, so max+1 here is collision-free
+    // across all heads. Data-DIRECTORY names are opaque run tags for
+    // the same reason — a dir name must never claim a snapshot id.
     val freshId = (snapshots(tablePath) :+ 0L).max + 1
     val (id, parent, carried) =
       if (!conflicted) (freshId, parentId, carriedManifests)
@@ -736,13 +742,10 @@ object IcebergLite {
         assertLockOwned(tablePath) // fence: never move a ref on a stolen lock
         writeRefs(tablePath, t, b + (name -> id))
       case None =>
-        val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
-        Files.writeString(tmp,
-          s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $id}""")
-        assertLockOwned(tablePath) // fence: never flip the pointer on a stolen lock
-        Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        atomicWrite(Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+          s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $id}""",
+          // fence: never flip the pointer on a stolen lock
+          beforeMove = assertLockOwned(tablePath))
     }
     id
   }
@@ -887,17 +890,21 @@ object IcebergLite {
   def append(spark: SparkSession, tablePath: String, df: DataFrame,
       partitionColumns: Seq[String] = Nil,
       toBranch: Option[String] = None): Long = {
+    // a caller-supplied layout on a spec table is a contract mistake —
+    // refuse loudly rather than silently superseding the caller's
+    // intent (internal rewrite paths derive through the spec funnel)
+    require(partitionColumns.isEmpty || partitionSpec(tablePath).isEmpty,
+      "a spec-partitioned table derives its own partition columns; pass none")
     val parentId = toBranch match {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
     }
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val entries = writeDataFiles(spark, tablePath, df, partitionColumns,
-      s"append-$newId-${runTag()}")
+      s"append-${runTag()}")
     // an append's files conflict with nothing: on a concurrent commit
     // it rebases onto the new current snapshot / branch head
     // (fast-append retry)
-    commitSnapshot(tablePath, newId, parentId, entries,
+    commitSnapshot(tablePath, parentId, entries,
       carriedManifests = parentManifests(tablePath, parentId),
       rebaseOnConflict = true, toBranch = toBranch)
   }
@@ -1092,11 +1099,8 @@ object IcebergLite {
       tags: Map[String, Long], branches: Map[String, Long]): Unit = {
     def jm(m: Map[String, Long]) =
       m.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
-    val tmp = Paths.get(s"$tablePath/metadata/.refs.json.tmp")
-    Files.writeString(tmp, s"""{"tags": ${jm(tags)}, "branches": ${jm(branches)}}""")
-    Files.move(tmp, Paths.get(s"$tablePath/metadata/refs.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(Paths.get(s"$tablePath/metadata/refs.json"),
+      s"""{"tags": ${jm(tags)}, "branches": ${jm(branches)}}""")
   }
 
   def tags(tablePath: String): Map[String, Long] = readRefs(tablePath)._1
@@ -1178,13 +1182,9 @@ object IcebergLite {
           s"cannot fast-forward: main is at $main, which is not an ancestor " +
             s"of branch $branch's head $head (divergent or expired history); " +
             "re-land the branch commits on the current main")
-      val tmp = Paths.get(s"$tablePath/metadata/.v0.metadata.json.tmp")
-      Files.writeString(tmp,
-        s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $head}""")
-      assertLockOwned(tablePath)
-      Files.move(tmp, Paths.get(s"$tablePath/metadata/v0.metadata.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      atomicWrite(Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+        s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $head}""",
+        beforeMove = assertLockOwned(tablePath))
       head
     }
 
@@ -1445,7 +1445,6 @@ object IcebergLite {
     require(deletes.nonEmpty && deletes.forall(_._2.nonEmpty),
       "position delete needs at least one (file, positions) entry")
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     val livePaths = live.map(_.filePath).toSet
     val unknown = deletes.keys.filterNot(livePaths)
@@ -1454,12 +1453,15 @@ object IcebergLite {
     // fail CLOSED on ordinals too: a position past the file's
     // footer-true record count would "succeed" while deleting nothing —
     // the same silent no-op the path check above exists to prevent.
-    // Pre-footer-count manifests (record_count −1) skip the check.
+    // A non-positive record count means UNKNOWN (pre-footer-count
+    // manifests parse the missing field as 0, and the cluster stats
+    // path documents failing open to 0) — the check applies only to a
+    // count that is actually known.
     val counts = live.map(f => f.filePath -> f.recordCount).toMap
     deletes.foreach { case (f, ps) =>
       require(ps.forall(_ >= 0), s"negative position ordinal for $f")
       val rc = counts(f)
-      require(rc < 0 || ps.forall(_ < rc),
+      require(rc <= 0 || ps.forall(_ < rc),
         s"position ${ps.max} out of range for $f ($rc rows)")
     }
     val merged = (posDeletes(tablePath, parentId) ++
@@ -1467,7 +1469,7 @@ object IcebergLite {
       .groupBy(_.filePath).map { case (f, ds) =>
         PosDelete(f, ds.flatMap(_.positions).distinct.sorted)
       }.toSeq.sortBy(_.filePath)
-    commitSnapshot(tablePath, newId, parentId, entries = Nil,
+    commitSnapshot(tablePath, parentId, entries = Nil,
       carriedManifests = parentManifests(tablePath, parentId),
       operation = "delete", pendingPosDeletes = merged)
   }
@@ -1496,7 +1498,6 @@ object IcebergLite {
     val filtersP =
       if (rmap.isEmpty) filters else filters.map(physicalFilter(rmap, _))
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     val (touched, kept) = live.partition(f => filtersP.forall(_.matches(f)))
     val partCols = touched.flatMap(_.partition.keys).distinct.sorted
@@ -1508,7 +1509,7 @@ object IcebergLite {
       partCols.contains(f.column) && touched.forall(_.partition.contains(f.column)))
     if (touched.isEmpty || residual.isEmpty)
       // wholesale: files drop from the manifest outright
-      commitSnapshot(tablePath, newId, parentId, kept.map(entryJson),
+      commitSnapshot(tablePath, parentId, kept.map(entryJson),
         carriedManifests = Nil, operation = "delete",
         pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
         pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
@@ -1519,7 +1520,7 @@ object IcebergLite {
       // records one RowDelete with the FULL conjunct set, scoped at
       // read time to files with sequence ≤ this commit's. On a 10⁶-
       // file table this commit writes O(1) metadata.
-      commitSnapshot(tablePath, newId, parentId, entries = Nil,
+      commitSnapshot(tablePath, parentId, entries = Nil,
         carriedManifests = parentManifests(tablePath, parentId),
         operation = "delete",
         pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), live) :+
@@ -1567,7 +1568,6 @@ object IcebergLite {
     // only that bucket's files (bounds alone often straddle the literal)
     val filters = withProjectedFilters(tablePath, filters0)
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     // a file needs rewriting only if every conjunct can match it
     val (touched, kept) = live.partition(f => filters.forall(_.matches(f)))
@@ -1592,10 +1592,10 @@ object IcebergLite {
           val df = readWithDeletes(spark, tablePath, touched, parentId)
           val survivors = df.filter(not(coalesce(
             residual.map(rowPredicate(df, _)).reduce(_ && _), lit(false))))
-          writeDataFiles(spark, tablePath, survivors, partCols, s"delete-$newId-${runTag()}")
+          writeDataFiles(spark, tablePath, survivors, partCols, s"delete-${runTag()}")
         }
       }
-    commitSnapshot(tablePath, newId, parentId,
+    commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
       operation = "delete",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
@@ -1617,7 +1617,6 @@ object IcebergLite {
   def compact(spark: SparkSession, tablePath: String): Long = {
     import org.apache.spark.sql.functions.col
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
     val spec = partitionSpec(tablePath)
@@ -1636,8 +1635,8 @@ object IcebergLite {
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
-    val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-$newId-${runTag()}")
-    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
+    val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-${runTag()}")
+    commitSnapshot(tablePath, parentId, entries, carriedManifests = Nil,
       operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
   }
 
@@ -1660,7 +1659,6 @@ object IcebergLite {
     import org.apache.spark.sql.functions.col
     require(smallBytes > 0, "compactSmallFiles needs a positive size threshold")
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
     // unknown sizes (-1, pre-size metadata) count as small: the
@@ -1681,8 +1679,8 @@ object IcebergLite {
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
     val entries = writeDataFiles(spark, tablePath, df, partCols,
-      s"compact-$newId-${runTag()}")
-    commitSnapshot(tablePath, newId, parentId,
+      s"compact-${runTag()}")
+    commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "replace",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
@@ -1760,7 +1758,6 @@ object IcebergLite {
     val tombstoneFlag: org.apache.spark.sql.Column =
       tombstoneCol.map(t => coalesce(col(t).cast("boolean"), lit(false)))
         .getOrElse(lit(false))
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath, parentId)
     val spec = partitionSpec(tablePath)
     // spec tables rewrite under the CURRENT spec (writeDataFiles
@@ -1848,8 +1845,8 @@ object IcebergLite {
           }
           alive.drop("__graft_src", "__graft_rn")
       }
-    val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-$newId-${runTag()}")
-    commitSnapshot(tablePath, newId, parentId,
+    val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-${runTag()}")
+    commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
@@ -1957,8 +1954,7 @@ object IcebergLite {
     val newMap =
       if (phys == newName) parentMap - phys
       else (parentMap - phys) + (phys -> newName)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
-    commitSnapshot(tablePath, newId, parentId, entries = Nil,
+    commitSnapshot(tablePath, parentId, entries = Nil,
       carriedManifests = parentManifests(tablePath, parentId),
       operation = "replace", columnRenames = newMap)
   }
@@ -2107,7 +2103,6 @@ object IcebergLite {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, input_file_name, lit, max, min, when}
     require(sortCols.nonEmpty && targetFiles >= 1, "cluster needs sort columns and a file target")
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     val live = dataFiles(tablePath)
     if (live.isEmpty) return parentId.getOrElse(0L)
     val clusterSpec = partitionSpec(tablePath)
@@ -2116,7 +2111,7 @@ object IcebergLite {
     val partCols =
       if (clusterSpec.nonEmpty) clusterSpec.map(_.name).sorted
       else live.flatMap(_.partition.keys).distinct.sorted
-    val runDir = s"cluster-$newId-${runTag()}"
+    val runDir = s"cluster-${runTag()}"
     // full rewrite: pending MoR deletes materialize (cleared at commit);
     // spec tables re-derive hidden partition columns for the scoped keys
     val base = withSpecColumns(clusterSpec,
@@ -2268,9 +2263,10 @@ object IcebergLite {
           filePath = rel,
           fileFormat = "PARQUET", partition = part, recordCount = n,
           lowerBounds = lo, upperBounds = hi,
-          sequenceNumber = -1L)) // resolved to the commit's sequence at commit
+          sequenceNumber = -1L, // resolved to the commit's sequence at commit
+          fileSizeBytes = Files.size(p)))
       }
-    commitSnapshot(tablePath, newId, parentId, entries, carriedManifests = Nil,
+    commitSnapshot(tablePath, parentId, entries, carriedManifests = Nil,
       operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
   }
 
@@ -2296,13 +2292,14 @@ object IcebergLite {
     // in the new data (dynamic overwrite of e.g. the days the backfill
     // covers, without the caller ever naming ts_day)
     val spec = partitionSpec(tablePath)
+    require(partitionColumns0.isEmpty || spec.isEmpty,
+      "a spec-partitioned table derives its own partition columns; pass none")
     val df = if (spec.isEmpty) df0 else withSpecColumns(spec, df0)
     val partitionColumns =
       if (spec.isEmpty) partitionColumns0 else spec.map(_.name)
     require(partitionColumns.nonEmpty,
       "dynamic overwrite needs partition columns; use delete+append for full rewrites")
     val parentId = currentSnapshotId(tablePath)
-    val newId = (snapshots(tablePath) :+ 0L).max + 1
     // partition tuples present in df — bounded collect (one row per
     // partition, same cardinality writeDataFiles' bounds pass collects)
     val replaced: Set[Map[String, String]] = df
@@ -2312,8 +2309,8 @@ object IcebergLite {
       .toSet
     val kept = dataFiles(tablePath).filterNot(f =>
       replaced.contains(partitionColumns.map(c => c -> f.partition.getOrElse(c, "null")).toMap))
-    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-$newId-${runTag()}")
-    commitSnapshot(tablePath, newId, parentId,
+    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-${runTag()}")
+    commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),

@@ -24,8 +24,7 @@ object LockStressMain {
     var i = 0
     while (i < n) {
       val parent = IcebergLite.currentSnapshotId(tablePath)
-      val newId = (IcebergLite.snapshots(tablePath) :+ 0L).max + 1
-      val id = IcebergLite.commitSnapshot(tablePath, newId, parent,
+      val id = IcebergLite.commitSnapshot(tablePath, parent,
         entries = Nil,
         carriedManifests = IcebergLite.parentManifests(tablePath, parent),
         rebaseOnConflict = true)

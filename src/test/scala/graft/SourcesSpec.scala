@@ -198,8 +198,8 @@ class SourcesSpec extends AnyFunSuite {
     val untouched = before - "data/region=EU/sales-eu-2.parquet"
     assert(untouched.subsetOf(after), "untouched files must keep their original paths")
     assert(!after.contains("data/region=EU/sales-eu-2.parquet"))
-    assert((after -- untouched).forall(_.startsWith(s"data/delete-$delId-")),
-      s"rewritten files must land under data/delete-$delId/, got ${after -- untouched}")
+    assert((after -- untouched).forall(_.startsWith("data/delete-")),
+      s"rewritten files must land under a data/delete- run dir, got ${after -- untouched}")
 
     // rewritten bounds prune: nothing with id>10 remains in any file
     assert(IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Gt("id", "10"))).isEmpty)
@@ -248,7 +248,7 @@ class SourcesSpec extends AnyFunSuite {
     val nonUs = before.filterNot(_.contains("region=US"))
     assert(nonUs.subsetOf(after))
     assert(!after.contains("data/region=US/sales-us-1.parquet"))
-    assert((after -- nonUs).forall(_.startsWith(s"data/overwrite-$owId-")))
+    assert((after -- nonUs).forall(_.startsWith("data/overwrite-")))
 
     // pre-overwrite snapshot still sees the original US rows
     assert(IcebergLite.read(spark, root, snapshotId = Some(2L))
@@ -290,7 +290,7 @@ class SourcesSpec extends AnyFunSuite {
     // that predate it have no bounds and are conservatively kept
     val pruned = IcebergLite.dataFiles(root,
       filters = Seq(IcebergLite.Eq("channel", "online")))
-    assert(pruned.exists(_.filePath.startsWith(s"data/append-$newId-")),
+    assert(pruned.exists(_.filePath.startsWith("data/append-")),
       "the post-evolution file carrying the value must survive pruning")
   }
 
@@ -306,7 +306,7 @@ class SourcesSpec extends AnyFunSuite {
     val files = IcebergLite.dataFiles(root)
     assert(files.size == 3, s"expected 3 compacted files, got ${files.map(_.filePath)}")
     assert(files.map(_.partition("region")).sorted == Seq("AP", "EU", "US"))
-    assert(files.forall(_.filePath.startsWith(s"data/compact-$newId-")))
+    assert(files.forall(_.filePath.startsWith("data/compact-")))
     val after = IcebergLite.read(spark, root).collect().map(_.toString).sorted.toSeq
     assert(after == before, "compaction changed data")
 
@@ -645,7 +645,7 @@ class SourcesSpec extends AnyFunSuite {
     val advanced = IcebergLite.currentSnapshotId(root)
     assert(advanced != stale)
     intercept[IcebergLite.CommitConflictException] {
-      IcebergLite.commitSnapshot(root, newId = 999, parentId = stale,
+      IcebergLite.commitSnapshot(root, parentId = stale,
         entries = Nil, carriedManifests = Nil, operation = "delete")
     }
 
@@ -653,7 +653,7 @@ class SourcesSpec extends AnyFunSuite {
     // the current snapshot and carries ITS manifests, so the rows the
     // competing writer committed survive
     val rowsBefore = IcebergLite.read(spark, root).count()
-    val rebasedId = IcebergLite.commitSnapshot(root, newId = 999, parentId = stale,
+    val rebasedId = IcebergLite.commitSnapshot(root, parentId = stale,
       entries = Nil, carriedManifests = Nil, operation = "append",
       rebaseOnConflict = true)
     assert(rebasedId != 999L, "rebased commit must take a fresh id under the lock")
@@ -899,7 +899,7 @@ class SourcesSpec extends AnyFunSuite {
       "data/region=AP/sales-ap-1.parquet", "data/region=EU/sales-eu-2.parquet",
       "data/region=US/sales-us-1.parquet"), s"carried ${carried.map(_.filePath)}")
     assert(after.filterNot(f => pathsBefore.contains(f.filePath))
-      .forall(_.filePath.startsWith(s"data/merge-$newId-")))
+      .forall(_.filePath.startsWith("data/merge-")))
 
     val rows = IcebergLite.read(spark, root)
       .select(col("id"), col("region"), col("amount"))
@@ -1460,7 +1460,7 @@ class SourcesSpec extends AnyFunSuite {
            |  "partition": {"p": "${i % 10}"}, "record_count": 1, "sequence_number": $i,
            |  "lower_bounds": {"id": "${j * 10}"}, "upper_bounds": {"id": "${j * 10 + 9}"}}}""".stripMargin
       }
-      IcebergLite.commitSnapshot(root, i.toLong, IcebergLite.currentSnapshotId(root),
+      IcebergLite.commitSnapshot(root, IcebergLite.currentSnapshotId(root),
         entries, carriedManifests = (1 until i).map(k => s"metadata/manifest-$k.json"))
     }
     root
@@ -1846,7 +1846,7 @@ class SourcesSpec extends AnyFunSuite {
     val after = IcebergLite.dataFiles(root)
     assert(after.size == 2, s"big + 1 consolidated: ${after.size}")
     assert(after.exists(_.filePath == big.filePath), "big file carried verbatim")
-    assert(after.exists(_.filePath.contains(s"compact-$snap")))
+    assert(after.exists(_.filePath.contains("compact-")))
     assert(IcebergLite.read(s, root).count() == 2003L)
     assert(IcebergLite.read(s, root).filter(col("id") >= 10000L).count() == 3L)
 
@@ -1942,7 +1942,7 @@ class SourcesSpec extends AnyFunSuite {
     val mainId = IcebergLite.append(s, root, Seq((2L, "b")).toDF("id", "v"))
     // ...while a branch writer had already PLANNED the same id outside
     // the lock (its branch head is untouched, so no rebase triggers)
-    val got = IcebergLite.commitSnapshot(root, mainId, Some(snapA),
+    val got = IcebergLite.commitSnapshot(root, Some(snapA),
       entries = Nil,
       carriedManifests = IcebergLite.parentManifests(root, Some(snapA)),
       toBranch = Some("audit"))
