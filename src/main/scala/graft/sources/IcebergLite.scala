@@ -1869,7 +1869,8 @@ object IcebergLite {
     * like real Iceberg: lineage is historical, reads never consult it.
     * Single-writer assumed, like commits. Returns
     * (expired snapshot count, deleted data file count). */
-  def expireSnapshots(tablePath: String, retainLast: Int = 1): (Int, Int) = {
+  def expireSnapshots(tablePath: String, retainLast: Int = 1,
+      olderThanMs: Option[Long] = None): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     // the whole retention computation + deletion runs under the commit
     // lock: createTag/createBranch validate-then-write refs under it,
@@ -1884,8 +1885,17 @@ object IcebergLite {
       // so retaining the snapshot retains its data) until the ref is
       // dropped — real Iceberg's ref-retention contract
       val (refTags, refBranches) = readRefs(tablePath)
+      // `olderThanMs` adds real Iceberg's expire_snapshots(older_than)
+      // age guard ON TOP of retainLast: a snapshot young enough stays
+      // even when the count-based policy would drop it (both policies
+      // retain; neither can force an expiry the other forbids)
+      val youngEnough = olderThanMs match {
+        case None => Set.empty[Long]
+        case Some(cutoff) =>
+          all.filter(snapshotTimestampMs(tablePath, _) >= cutoff).toSet
+      }
       val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath) ++
-        refTags.values ++ refBranches.values).distinct.toSet
+        refTags.values ++ refBranches.values ++ youngEnough).distinct.toSet
       val expired = all.filterNot(retained)
       if (expired.isEmpty) (0, 0)
       else {

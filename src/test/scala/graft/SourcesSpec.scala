@@ -1866,6 +1866,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.read(s, root2).count() == 6L)
   }
 
+  test("age-guarded snapshot expiry keeps young snapshots the count policy would drop") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Nil)
+    (0 until 3).foreach { i =>
+      IcebergLite.append(s, root, Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val snaps = IcebergLite.snapshots(root).sorted
+    assert(snaps.size == 3)
+    // every snapshot in this test is "young" (written just now): with a
+    // cutoff in the past, retainLast=1 must expire NOTHING
+    val cutoff = IcebergLite.snapshotTimestampMs(root, snaps.head) - 1
+    assert(IcebergLite.expireSnapshots(root, retainLast = 1,
+      olderThanMs = Some(cutoff)) == (0, 0))
+    assert(IcebergLite.snapshots(root).size == 3)
+    // a cutoff in the future releases the age guard: count policy rules
+    val (nSnap, _) = IcebergLite.expireSnapshots(root, retainLast = 1,
+      olderThanMs = Some(System.currentTimeMillis() + 3600_000L))
+    assert(nSnap == 2)
+    assert(IcebergLite.read(s, root).count() == 3L)
+  }
+
+  test("incremental changelog read works on a hidden-partitioned table") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    val s1 = IcebergLite.append(s, root,
+      (0L until 10L).map(id => (id, s"a$id")).toDF("id", "v").coalesce(1))
+    val s2 = IcebergLite.append(s, root,
+      (10L until 20L).map(id => (id, s"b$id")).toDF("id", "v").coalesce(1))
+    val delta = IcebergLite.incrementalRead(s, root,
+      fromSnapshotId = s1, toSnapshotId = Some(s2))
+    // only the second append's rows, hidden columns never surface
+    assert(delta.columns.sorted.toSeq == Seq("id", "v"))
+    assert(delta.count() == 10L)
+    assert(delta.agg(org.apache.spark.sql.functions.min(col("id"))).head.getLong(0) == 10L)
+  }
+
   test("CDC tombstones: merge deletes flagged keys; ordered precedence decides per key") {
     val s = spark
     import s.implicits._
