@@ -1010,6 +1010,27 @@ object IcebergLite {
       StructField("n_pending_deletes", LongType, nullable = false))))
   }
 
+  /** `refs` METADATA TABLE — real Iceberg's `db.table.refs`: one row
+    * per named ref (tags + branches) plus the implicit `main` branch,
+    * with the snapshot it pins. The operator view of "what is
+    * reproducible right now": every row here is GC-immune until the
+    * ref is dropped. */
+  def refsMetadata(spark: SparkSession, tablePath: String): DataFrame = {
+    val (tags, branches) = readRefs(tablePath)
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    currentSnapshotId(tablePath).foreach(id =>
+      rows.add(org.apache.spark.sql.Row("main", "branch", id)))
+    branches.toSeq.sortBy(_._1).foreach { case (n, id) =>
+      rows.add(org.apache.spark.sql.Row(n, "branch", id)) }
+    tags.toSeq.sortBy(_._1).foreach { case (n, id) =>
+      rows.add(org.apache.spark.sql.Row(n, "tag", id)) }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false))))
+  }
+
   /** `files` METADATA TABLE — real Iceberg's `db.table.files` /
     * Delta's `DESCRIBE DETAIL` file inventory: one row per live data
     * file of a snapshot with its canonical partition tuple

@@ -40,11 +40,11 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_hidden_partition partition-transform row, plus the
     // iceberg_files_meta / iceberg_partitions_meta metadata-table
     // rows, the iceberg_spec_evolution row, the iceberg_compact_small
-    // size-aware-compaction row, and the iceberg_merge_cdc
-    // tombstone-merge row → 186.
+    // size-aware-compaction row, the iceberg_merge_cdc tombstone-merge
+    // row, and the iceberg_refs_meta metadata-table row → 187.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 186 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 186 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 187 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 187 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }
