@@ -153,7 +153,9 @@ object IcebergLite {
               filePath = (df \ "file_path").extract[String],
               fileFormat = (df \ "file_format").extractOrElse[String]("PARQUET"),
               partition = (df \ "partition").extractOrElse[Map[String, String]](Map.empty),
-              recordCount = (df \ "record_count").extractOrElse[Long](0L),
+              // -1 = UNKNOWN (pre-footer-count metadata): distinct from a
+              // known-0-row file so fail-closed checks can tell them apart
+              recordCount = (df \ "record_count").extractOrElse[Long](-1L),
               lowerBounds = (df \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
               upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty),
               sequenceNumber = (df \ "sequence_number").extractOrElse[Long](0L),
@@ -860,6 +862,15 @@ object IcebergLite {
     }
   }
 
+  /** A caller-supplied partition layout on a spec table is a contract
+    * mistake — refuse loudly rather than silently superseding the
+    * caller's intent (internal rewrite paths derive through the spec
+    * funnel). */
+  private def requireNoCallerLayout(tablePath: String, cols: Seq[String],
+      specOpt: Option[Seq[IcebergTransforms.PartitionField]] = None): Unit =
+    require(cols.isEmpty || specOpt.getOrElse(partitionSpec(tablePath)).isEmpty,
+      "a spec-partitioned table derives its own partition columns; pass none")
+
   /** Ensure every transform-derived partition column exists on `df`,
     * derived by the spec's own Catalyst expression (codegen'd per-row
     * work — scales with the write, no shuffle). Columns already
@@ -883,18 +894,16 @@ object IcebergLite {
 
   /** Append `df` as a NEW SNAPSHOT (exceeds the reference, whose
     * Iceberg surface is read-only): data files land under
-    * `data/append-<snapId>/`, a new manifest lists them, the parent's
+    * an opaque `data/append-<runTag>/` run dir (dir names never claim
+    * snapshot ids — the id is assigned under the commit lock), a new
+    * manifest lists them, the parent's
     * manifests are carried forward, and the snapshot chain grows by
     * one — prior snapshots stay time-travelable. Returns the new
     * snapshot id. */
   def append(spark: SparkSession, tablePath: String, df: DataFrame,
       partitionColumns: Seq[String] = Nil,
       toBranch: Option[String] = None): Long = {
-    // a caller-supplied layout on a spec table is a contract mistake —
-    // refuse loudly rather than silently superseding the caller's
-    // intent (internal rewrite paths derive through the spec funnel)
-    require(partitionColumns.isEmpty || partitionSpec(tablePath).isEmpty,
-      "a spec-partitioned table derives its own partition columns; pass none")
+    requireNoCallerLayout(tablePath, partitionColumns)
     val parentId = toBranch match {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
@@ -1134,6 +1143,7 @@ object IcebergLite {
     val id = snapshotId.orElse(currentSnapshotId(tablePath)).getOrElse(
       throw new IllegalArgumentException("cannot tag an empty table"))
     require(snapshots(tablePath).contains(id), s"snapshot $id does not exist")
+    require(name != "main", "'main' is the reserved implicit branch")
     val (t, b) = readRefs(tablePath)
     require(!t.contains(name) && !b.contains(name), s"ref $name already exists")
     writeRefs(tablePath, t + (name -> id), b)
@@ -1474,15 +1484,14 @@ object IcebergLite {
     // fail CLOSED on ordinals too: a position past the file's
     // footer-true record count would "succeed" while deleting nothing —
     // the same silent no-op the path check above exists to prevent.
-    // A non-positive record count means UNKNOWN (pre-footer-count
-    // manifests parse the missing field as 0, and the cluster stats
-    // path documents failing open to 0) — the check applies only to a
-    // count that is actually known.
+    // record count -1 means UNKNOWN (pre-footer-count metadata) and
+    // skips the check; a KNOWN count — including a genuine 0-row file —
+    // fails closed on any out-of-range ordinal.
     val counts = live.map(f => f.filePath -> f.recordCount).toMap
     deletes.foreach { case (f, ps) =>
       require(ps.forall(_ >= 0), s"negative position ordinal for $f")
       val rc = counts(f)
-      require(rc <= 0 || ps.forall(_ < rc),
+      require(rc < 0 || ps.forall(_ < rc),
         s"position ${ps.max} out of range for $f ($rc rows)")
     }
     val merged = (posDeletes(tablePath, parentId) ++
@@ -1891,7 +1900,7 @@ object IcebergLite {
     * Single-writer assumed, like commits. Returns
     * (expired snapshot count, deleted data file count). */
   def expireSnapshots(tablePath: String, retainLast: Int = 1,
-      olderThanMs: Option[Long] = None): (Int, Int) = {
+      olderThanTsMs: Option[Long] = None): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     // the whole retention computation + deletion runs under the commit
     // lock: createTag/createBranch validate-then-write refs under it,
@@ -1906,11 +1915,15 @@ object IcebergLite {
       // so retaining the snapshot retains its data) until the ref is
       // dropped — real Iceberg's ref-retention contract
       val (refTags, refBranches) = readRefs(tablePath)
-      // `olderThanMs` adds real Iceberg's expire_snapshots(older_than)
-      // age guard ON TOP of retainLast: a snapshot young enough stays
-      // even when the count-based policy would drop it (both policies
-      // retain; neither can force an expiry the other forbids)
-      val youngEnough = olderThanMs match {
+      // `olderThanTsMs` adds real Iceberg's expire_snapshots(older_than)
+      // age guard ON TOP of retainLast: a snapshot committed AT or
+      // AFTER this absolute epoch timestamp stays even when the
+      // count-based policy would drop it (both policies retain;
+      // neither can force an expiry the other forbids). NOTE the
+      // deliberate name difference from removeOrphanFiles'
+      // olderThanMs, which is a RELATIVE age — the suffix marks this
+      // one as a timestamp so the two cannot be confused silently.
+      val youngEnough = olderThanTsMs match {
         case None => Set.empty[Long]
         case Some(cutoff) =>
           all.filter(snapshotTimestampMs(tablePath, _) >= cutoff).toSet
@@ -2289,7 +2302,7 @@ object IcebergLite {
             unescapeHive(k) -> unescapeHive(v)
           }.toMap
         val (n, lo, hi) = stats.getOrElse(absPath(tablePath, rel),
-          (0L, Map.empty[String, String], Map.empty[String, String]))
+          (-1L, Map.empty[String, String], Map.empty[String, String]))
         entryJson(DataFile(
           filePath = rel,
           fileFormat = "PARQUET", partition = part, recordCount = n,
@@ -2323,8 +2336,7 @@ object IcebergLite {
     // in the new data (dynamic overwrite of e.g. the days the backfill
     // covers, without the caller ever naming ts_day)
     val spec = partitionSpec(tablePath)
-    require(partitionColumns0.isEmpty || spec.isEmpty,
-      "a spec-partitioned table derives its own partition columns; pass none")
+    requireNoCallerLayout(tablePath, partitionColumns0, Some(spec))
     val df = if (spec.isEmpty) df0 else withSpecColumns(spec, df0)
     val partitionColumns =
       if (spec.isEmpty) partitionColumns0 else spec.map(_.name)

@@ -1879,11 +1879,11 @@ class SourcesSpec extends AnyFunSuite {
     // cutoff in the past, retainLast=1 must expire NOTHING
     val cutoff = IcebergLite.snapshotTimestampMs(root, snaps.head) - 1
     assert(IcebergLite.expireSnapshots(root, retainLast = 1,
-      olderThanMs = Some(cutoff)) == (0, 0))
+      olderThanTsMs = Some(cutoff)) == (0, 0))
     assert(IcebergLite.snapshots(root).size == 3)
     // a cutoff in the future releases the age guard: count policy rules
     val (nSnap, _) = IcebergLite.expireSnapshots(root, retainLast = 1,
-      olderThanMs = Some(System.currentTimeMillis() + 3600_000L))
+      olderThanTsMs = Some(System.currentTimeMillis() + 3600_000L))
     assert(nSnap == 2)
     assert(IcebergLite.read(s, root).count() == 3L)
   }
