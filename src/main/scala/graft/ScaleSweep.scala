@@ -118,7 +118,14 @@ object ScaleSweep {
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "iceberg") { icebergSweep(spark, nDocs); spark.stop(); return }
-    if (mode == "plan") { planSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "plan") {
+      // optional 2nd numeric arg = files per manifest (default 100):
+      // "plan 1000000 10" builds a 10⁵-MANIFEST table
+      val filesPer = args.filter(_.forall(_.isDigit)).drop(1).headOption
+        .map(_.toInt).getOrElse(100)
+      planSweep(spark, nDocs, filesPer); spark.stop(); return
+    }
+    if (mode == "writemeta") { writeMetaSweep(spark, nDocs); spark.stop(); return }
     if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
     if (mode == "optimize") { optimizeSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
@@ -884,8 +891,8 @@ object ScaleSweep {
       s""""optimizeWallSec":${math.round(optWall * 100) / 100.0}}""")
   }
 
-  private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long): Unit = {
-    val filesPer = 100
+  private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long,
+      filesPer: Int = 100): Unit = {
     val nManifests = math.max(1, (nFiles / filesPer).toInt)
     val root = java.nio.file.Files.createTempDirectory("graft_plan_sweep").toString
     sources.IcebergLite.createTable(root)
@@ -934,6 +941,55 @@ object ScaleSweep {
       s""""distributedPlanSec":${math.round(distWall * 1000) / 1000.0},""" +
       s""""driverFullListSec":${math.round(fullWall * 1000) / 1000.0},""" +
       s""""plansAgree":true}""")
+  }
+
+  /** WRITE-METADATA anchor (r9): a many-file hive write whose per-file
+    * stats (true min/max bounds, footer-exact record counts, sizes)
+    * are collected by `writeDataFiles`' ONE distributed aggregate over
+    * the written files — the r8 shape walked every file and opened
+    * every footer on the driver. Disjoint per-partition key ranges
+    * make the per-file bounds checkable: every file must carry its OWN
+    * range (distinct bounds per file), and a point filter must prune
+    * to exactly one partition's files.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep writemeta [nRows]"
+    */
+  private def writeMetaSweep(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long): Unit = {
+    import sources.IcebergLite
+    val nParts = 2000
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_writemeta_sweep").resolve("t").toString
+    IcebergLite.createTable(root)
+    // key ranges disjoint per partition: part p holds k in [p*R, p*R+R)
+    val rowsPer = math.max(1L, nRows / nParts)
+    val df = spark.range(nRows).select(
+      col("id").as("k"),
+      (col("id") / rowsPer).cast("long").as("part"),
+      (col("id") % 1000 * 1.0).as("amount"))
+      .repartition(col("part"))
+    val t0 = System.nanoTime()
+    IcebergLite.append(spark, root, df, partitionColumns = Seq("part"))
+    val appendWall = (System.nanoTime() - t0) / 1e9
+    val files = IcebergLite.dataFiles(root)
+    // per-FILE bounds, not shared partition bounds: every file's k
+    // range is its own
+    val distinctBounds = files.map(f =>
+      (f.lowerBounds.get("k"), f.upperBounds.get("k"))).distinct.size
+    val withCounts = files.count(_.recordCount > 0)
+    val withSizes = files.count(_.fileSizeBytes > 0)
+    // a point filter on k prunes to exactly the file(s) holding it
+    val probe = (rowsPer * 7 + 1).toString
+    val tPlan = System.nanoTime()
+    val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("k", probe)))
+    val planWall = (System.nanoTime() - tPlan) / 1e9
+    println(
+      s"""{"sweep":"writemeta","rows":$nRows,"files":${files.size},""" +
+      s""""appendWallSec":${math.round(appendWall * 100) / 100.0},""" +
+      s""""filesPerSec":${math.round(files.size / appendWall)},""" +
+      s""""distinctFileBounds":$distinctBounds,"footerTrueCounts":$withCounts,""" +
+      s""""exactSizes":$withSizes,"pointFilterKept":${kept.size},""" +
+      s""""planSec":${math.round(planWall * 1000) / 1000.0}}""")
   }
 
   private def annSweep(spark: org.apache.spark.sql.SparkSession,

@@ -482,9 +482,86 @@ object FunctionQueries extends QueryCatalog {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
 
+  // ------------------------------------------------------ struct / map
+  //
+  // The reference has NO Map or Struct types anywhere (SURVEY §1.2 —
+  // `List` is its only nested value and even array COLUMNS hit the
+  // NotImplemented catch-all); Spark carries both natively, and the
+  // multimodal surface already rides binary+metadata structs. These two
+  // rows pin the nested-type surface under the DuckDB STRUCT/MAP
+  // oracle (➕ parity-plus). Final projections are SCALARS — the
+  // driver's pandas compare can't hash raw struct/map cells, same
+  // last-mile rule as `func_array2`.
+
+  private val funcStruct = Q(
+    "func_struct",
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             struct_pack(k := l_orderkey, q := CAST(l_quantity AS DOUBLE)).k AS sk,
+             struct_pack(k := l_orderkey, q := CAST(l_quantity AS DOUBLE)).q AS sq,
+             struct_pack(inr := struct_pack(k := l_orderkey, q := CAST(l_quantity AS DOUBLE)),
+                         tag := l_returnflag).inr.q AS nested_q,
+             struct_pack(inr := struct_pack(k := l_orderkey, q := CAST(l_quantity AS DOUBLE)),
+                         tag := l_returnflag).tag AS tag,
+             struct_pack(k := l_orderkey, q := CAST(l_quantity AS DOUBLE))
+               = struct_pack(k := l_orderkey, q := CAST(l_quantity AS DOUBLE)) AS rt_eq
+      FROM lineitem WHERE l_orderkey < 10 ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val st = struct(col("l_orderkey").as("k"), col("l_quantity").cast("double").as("q"))
+      val nested = struct(st.as("inr"), col("l_returnflag").as("tag"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          st.getField("k").as("sk"),
+          st.getField("q").as("sq"),
+          nested.getField("inr").getField("q").as("nested_q"),
+          nested.getField("tag").as("tag"),
+          // named_struct round-trip: build twice, compare whole-struct
+          (st === struct(col("l_orderkey").as("k"),
+            col("l_quantity").cast("double").as("q"))).as("rt_eq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
+  private val funcMap = Q(
+    "func_map",
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             array_to_string(map_keys(MAP {'qty': CAST(l_quantity AS DOUBLE),
+                                           'price': CAST(l_extendedprice AS DOUBLE)}), ',') AS ks,
+             (MAP {'qty': CAST(l_quantity AS DOUBLE),
+                   'price': CAST(l_extendedprice AS DOUBLE)})['qty'][1] AS vq,
+             (MAP {'qty': CAST(l_quantity AS DOUBLE),
+                   'price': CAST(l_extendedprice AS DOUBLE)})['price'][1] AS vp,
+             element_at(MAP {'qty': CAST(l_quantity AS DOUBLE),
+                             'price': CAST(l_extendedprice AS DOUBLE)}, 'missing')[1] AS vm,
+             CAST(cardinality(MAP {'qty': CAST(l_quantity AS DOUBLE),
+                                   'price': CAST(l_extendedprice AS DOUBLE)}) AS BIGINT) AS n,
+             map_concat(MAP {'qty': CAST(l_quantity AS DOUBLE),
+                             'price': CAST(l_extendedprice AS DOUBLE)},
+                        MAP {'tax': CAST(l_tax AS DOUBLE)})['tax'][1] AS vt,
+             array_to_string(map_keys(map_concat(
+               MAP {'qty': CAST(l_quantity AS DOUBLE),
+                    'price': CAST(l_extendedprice AS DOUBLE)},
+               MAP {'tax': CAST(l_tax AS DOUBLE)})), ',') AS ks2
+      FROM lineitem WHERE l_orderkey < 10 ORDER BY l_orderkey, l_linenumber"""),
+    (s, dir) => {
+      val m = map(lit("qty"), col("l_quantity").cast("double"),
+        lit("price"), col("l_extendedprice").cast("double"))
+      val m2 = map_concat(m, map(lit("tax"), col("l_tax").cast("double")))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(map_keys(m), ",").as("ks"),
+          element_at(m, "qty").as("vq"),
+          element_at(m, "price").as("vp"),
+          element_at(m, "missing").as("vm"),
+          size(m).cast("long").as("n"),
+          element_at(m2, "tax").as("vt"),
+          array_join(map_keys(m2), ",").as("ks2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+
   override def defs: Seq[Q] = Seq(
     funcString1, funcString2, funcMath, funcTrig,
     funcDtExtract, funcDtArith, funcDtFormat,
     funcConditional, funcRegex, funcJson, funcUrl, funcHash,
-    funcBitwise, funcArray1, funcArray2)
+    funcBitwise, funcArray1, funcArray2, funcStruct, funcMap)
 }

@@ -229,7 +229,56 @@ object StreamingQueries extends QueryCatalog {
         .orderBy(col("user_id"))
     })
 
+  private lazy val upsertBranchRoot = java.nio.file.Files
+    .createTempDirectory("graft_stream_upsert_branch_row")
+
+  /** BRANCH-SCOPED streaming CDC (r9) — write-audit-publish composed
+    * end-to-end: every micro-batch merge commits onto branch `ingest`
+    * while MAIN stays frozen at the seed snapshot (runtime-checked
+    * mid-query, same discipline as `iceberg_branch_write`), an audit
+    * read validates the branch, and ONE `fastForwardMain` flip
+    * publishes the whole ingest atomically. The oracle is the batch
+    * window-rank over events UNION the literal seed row — the
+    * post-publish main read must equal it exactly. Checkpoint
+    * kill-restart on the branch head is proven in SourcesSpec. */
+  private val streamUpsertBranch = Q(
+    "stream_upsert_branch",
+    Some("""
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+      UNION ALL
+      SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 'seed', CAST(0.0 AS DOUBLE)))
+        t(user_id, event_id, event_type, value)
+      ORDER BY user_id"""),
+    (s, dir) => {
+      import s.implicits._
+      Engine.deleteRecursively(upsertBranchRoot)
+      val root = s"$upsertBranchRoot/t"
+      graft.sources.IcebergLite.createTable(root)
+      // a branch needs a snapshot to cut from: seed with a sentinel row
+      // no event ever upserts (ts pinned so the row is deterministic)
+      graft.sources.IcebergLite.append(s, root,
+        Seq((-1L, -1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          "seed", 0.0)).toDF("user_id", "event_id", "ts", "event_type", "value")
+          .withColumn("ts", col("ts").cast("timestamp_ntz")).coalesce(1))
+      graft.sources.IcebergLite.createBranch(root, "ingest")
+      val mainSnap = graft.sources.IcebergLite.currentSnapshotId(root).get
+      upsertStream(eventsStream(s, dir), root, s"$upsertBranchRoot/ckpt",
+        toBranch = Some("ingest"))
+      // audit: main is untouched by the whole ingest until the publish
+      require(graft.sources.IcebergLite.currentSnapshotId(root).contains(mainSnap),
+        "branch CDC must not move main before publish")
+      require(graft.sources.IcebergLite.read(s, root).count() == 1L,
+        "main must still hold only the seed row")
+      graft.sources.IcebergLite.fastForwardMain(root, "ingest")
+      graft.sources.IcebergLite.read(s, root)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    })
+
   def defs: Seq[Q] = Seq(
     streamDedupIds, streamJoinClickView, streamSessionize, streamWindowAgg,
-    streamIngestDedup, streamSessionWindow, streamUpsert)
+    streamIngestDedup, streamSessionWindow, streamUpsert, streamUpsertBranch)
 }

@@ -301,8 +301,44 @@ object TrinoQueries extends QueryCatalog {
              round(wilson_interval_upper(doc_id + 1, 1000, 1.96), 6) AS wiu
       FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
 
+  /** approx_percentile's PRODUCTION sketch path (r9) under the oracle:
+    * the exact nearest-rank default is oracle-pinned elsewhere
+    * (`trino_agg_fns`); this row flips the documented opt-out
+    * (`spark.graft.approxPercentile.exact=false` → Spark's bounded-state
+    * KLL-style sketch, the form a fat group needs at 100 TB) and makes
+    * the approximation HASH-CHECKABLE: the output carries the exact
+    * interpolated median (deterministic, value-matched against DuckDB's
+    * quantile_cont — both R-7) plus a band assertion computed on the
+    * engine side — the sketch estimate must land between the exact 0.45
+    * and 0.55 quantiles (default accuracy 1e-4 rank error; the band
+    * allows 5e-2). The oracle pins that boolean TRUE: a sketch that
+    * drifts out of band flips the cell and breaks the hash. The conf
+    * flip is scoped to ANALYSIS (binding reads it once); it is restored
+    * before returning. */
+  private val trinoApproxPctlSketch = Q(
+    "trino_approx_pctl_sketch",
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS exact_p50,
+             TRUE AS sketch_in_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => {
+      Engine.registerDir(s, dir)
+      s.conf.set("spark.graft.approxPercentile.exact", "false")
+      try s.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(percentile(CAST(l_quantity AS DOUBLE), 0.5), 4) AS exact_p50,
+               (approx_percentile(CAST(l_quantity AS DOUBLE), 0.5)
+                  BETWEEN percentile(CAST(l_quantity AS DOUBLE), 0.45)
+                      AND percentile(CAST(l_quantity AS DOUBLE), 0.55)) AS sketch_in_band
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      finally s.conf.unset("spark.graft.approxPercentile.exact")
+    })
+
   override def defs: Seq[Q] = Seq(
     trinoCosine, trinoDatetime, trinoStrings, trinoEncoding, trinoMath,
     trinoAggFns, trinoChecksum, trinoCustomFns, trinoStatisticalFns,
-    trinoStatsClosedForm)
+    trinoStatsClosedForm, trinoApproxPctlSketch)
 }

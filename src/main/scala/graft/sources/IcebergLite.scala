@@ -316,6 +316,28 @@ object IcebergLite {
     * large-scale predicates belong to [[deleteMergeOnRead]]. */
   final case class PosDelete(filePath: String, positions: Seq[Long])
 
+  /** A pending merge-on-read EQUALITY-DELETE FILE — Iceberg v2's third
+    * delete form, the one built for HIGH-CARDINALITY CDC deletes: the
+    * tombstone keys land as a PARQUET FILE under `data/` (written
+    * distributed, never through driver memory), and the snapshot
+    * records only this bounded entry — file path, key columns,
+    * sequence number, and the key file's own min/max bounds. A
+    * predicate delete ([[RowDelete]]) can't carry 10⁶ individual keys
+    * without exploding snapshot JSON, and copy-on-write merge rewrites
+    * every touched data file per batch; this form is O(1) snapshot
+    * metadata + O(keys) cheap columnar data, zero data-file rewrite at
+    * delete time. Readers anti-join the key file onto data files with
+    * data-sequence ≤ the delete's (same v2 scoping as [[RowDelete]] —
+    * rows appended after the delete survive even under the same key);
+    * the key-file BOUNDS prune the anti-join to data files whose own
+    * bounds overlap the key range, so untouched files pay nothing.
+    * Any rewrite that touches a file materializes the delete for it;
+    * compaction clears the pending list entirely. */
+  final case class EqDelete(filePath: String, keyCols: Seq[String],
+      sequenceNumber: Long, recordCount: Long,
+      lowerBounds: Map[String, String] = Map.empty,
+      upperBounds: Map[String, String] = Map.empty)
+
   /** JSON string escape for every value interpolated into metadata
     * files: a quote/backslash/control char in a delete value, bound,
     * partition value, column or ref name must never write unparseable
@@ -372,6 +394,25 @@ object IcebergLite {
         }
     }
 
+  /** Pending merge-on-read equality-delete files as of a snapshot. */
+  def eqDeletes(tablePath: String, snapshotId: Option[Long] = None): Seq[EqDelete] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) =>
+        (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "equality_deletes") match {
+          case JArray(ds) => ds.map { d =>
+            EqDelete(
+              (d \ "file").extract[String],
+              (d \ "key_columns").extract[Seq[String]],
+              (d \ "sequence_number").extractOrElse[Long](0L),
+              (d \ "record_count").extractOrElse[Long](-1L),
+              (d \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
+              (d \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty))
+          }
+          case _ => Nil
+        }
+    }
+
   /** Pending merge-on-read position deletes as of a snapshot. */
   def posDeletes(tablePath: String, snapshotId: Option[Long] = None): Seq[PosDelete] =
     snapshotId.orElse(currentSnapshotId(tablePath)) match {
@@ -386,6 +427,142 @@ object IcebergLite {
           case _ => Nil
         }
     }
+
+  // ---- per-snapshot DATA SCHEMA (type-widening evolution) -----------
+  //
+  // Each data commit records the table's cumulative DATA-column schema
+  // (physical names, catalogString types) in its snapshot JSON — the
+  // name-keyed analogue of real Iceberg's per-snapshot schema ids.
+  // Reads use the SNAPSHOT's schema as the explicit parquet read
+  // schema, which is what makes TYPE WIDENING work: Spark 4's
+  // vectorized reader decodes an int32 file column as LONG (float as
+  // DOUBLE, decimal at higher precision) when the requested schema
+  // says so, while `mergeSchema` refuses to merge conflicting file
+  // schemas outright. Snapshots written before schema tracking (or by
+  // the demo generator) have no schema field and keep the legacy
+  // mergeSchema read unchanged.
+
+  /** Allowed widening promotions (real Iceberg's type-promotion set,
+    * minus date→timestamp): the integral chain, float→double, and
+    * decimal precision increase at the SAME scale. */
+  private[graft] def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(t) > rank(f)
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        f.scale == t.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Union-merge a write's data schema into the parent snapshot's:
+    * matching columns must be type-equal or widen (either direction —
+    * a stale writer appending the NARROW type is fine, the wide type
+    * wins); columns only ever accumulate. A genuinely incompatible
+    * type (string vs int) fails the commit loudly instead of writing
+    * a file no schema can read back. */
+  private def mergeWiden(parent: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val widened = parent.fields.map { f =>
+      add.fields.find(_.name == f.name) match {
+        case Some(g) if g.dataType == f.dataType =>
+          f.copy(nullable = f.nullable || g.nullable)
+        case Some(g) if isWidening(g.dataType, f.dataType) => f // narrow writer
+        case Some(g) if isWidening(f.dataType, g.dataType) =>
+          f.copy(dataType = g.dataType, nullable = f.nullable || g.nullable)
+        case Some(g) => throw new IllegalArgumentException(
+          s"column ${f.name}: ${g.dataType.catalogString} is incompatible with the " +
+            s"table's ${f.dataType.catalogString} (only widening promotions evolve types)")
+        case None => f.copy(nullable = true) // this write omits the column
+      }
+    }
+    val extra = add.fields.filterNot(g => parent.fieldNames.contains(g.name))
+      .map(_.copy(nullable = true)) // older files lack it → null-fill
+    StructType(widened ++ extra)
+  }
+
+  private def schemaJson(s: org.apache.spark.sql.types.StructType): String =
+    s.fields.map(f =>
+      s"""{"name": ${jstr(f.name)}, "type": ${jstr(f.dataType.catalogString)}, "nullable": ${f.nullable}}""")
+      .mkString("[", ", ", "]")
+
+  /** `DataType.fromDDL("timestamp")` resolves through the session's
+    * `spark.sql.timestampType`; the two timestamp types parse pinned
+    * instead (same discipline as IcebergTransforms.parseType). */
+  private def parseFieldType(ddl: String): org.apache.spark.sql.types.DataType = ddl match {
+    case "timestamp" => org.apache.spark.sql.types.TimestampType
+    case "timestamp_ntz" => org.apache.spark.sql.types.TimestampNTZType
+    case other => org.apache.spark.sql.types.DataType.fromDDL(other)
+  }
+
+  /** The DATA-column schema recorded by a snapshot (physical names;
+    * None for pre-tracking snapshots → readers fall back to
+    * mergeSchema). */
+  def tableSchema(tablePath: String,
+      snapshotId: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
+    snapshotId.orElse(currentSnapshotId(tablePath)).flatMap { id =>
+      (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "schema") match {
+        case JArray(fs) => Some(org.apache.spark.sql.types.StructType(fs.map { f =>
+          org.apache.spark.sql.types.StructField(
+            (f \ "name").extract[String],
+            parseFieldType((f \ "type").extract[String]),
+            (f \ "nullable").extractOrElse[Boolean](true))
+        }))
+        case _ => None
+      }
+    }
+
+  /** TYPE-WIDENING schema evolution as a NEW SNAPSHOT — metadata-only,
+    * zero data I/O (real Iceberg's third evolution form after rename
+    * and add-column): promote a column to a wider type (int→long,
+    * float→double, decimal precision up). Existing files keep their
+    * narrow physical encoding; every subsequent read — current, time
+    * travel at-or-after this commit, rewrites — requests the wide type
+    * and Spark's vectorized reader widens per file; files appended
+    * after the widening write the wide type natively. Narrowing (or
+    * any non-promotion) refuses. Time travel BEFORE this commit still
+    * reads the narrow type — the schema is per-snapshot, like renames.
+    * On a pre-tracking table the current schema is bootstrapped from
+    * the live files' merged footers first. Column name arrives
+    * logical. Returns the new snapshot id. */
+  def widenColumn(spark: SparkSession, tablePath: String, column: String,
+      newType: org.apache.spark.sql.types.DataType): Long = withCommitLock(tablePath) {
+    val parentId = currentSnapshotId(tablePath)
+    require(parentId.nonEmpty, "widen on an empty table (no snapshot)")
+    val rmap = renames(tablePath, parentId)
+    val phys = physicalName(rmap, column)
+    // a partition-spec SOURCE column's type is pinned: bucket hashes
+    // int and long differently, so widening would silently re-bucket
+    val specNames = partitionSpecs(tablePath).flatten
+      .flatMap(f => Seq(f.source, f.name)).toSet
+    require(!specNames.contains(phys),
+      s"cannot widen $column: partition-spec source/field types are fixed")
+    val cur = tableSchema(tablePath, parentId).getOrElse {
+      // bootstrap from the live files' merged footers (no conflict can
+      // exist yet — this is the first widening)
+      val live = dataFiles(tablePath, parentId)
+      require(live.nonEmpty, "widen on a table with no data files")
+      spark.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$tablePath/${f.filePath}"): _*).schema
+    }
+    require(cur.fieldNames.contains(phys), s"column $column does not exist")
+    val from = cur(phys).dataType
+    require(isWidening(from, newType),
+      s"${from.catalogString} -> ${newType.catalogString} is not a widening " +
+        "promotion (int->long, float->double, decimal precision up)")
+    val widened = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == phys) f.copy(dataType = newType) else f))
+    commitSnapshot(tablePath, parentId, entries = Nil,
+      carriedManifests = parentManifests(tablePath, parentId),
+      operation = "replace", schemaSet = widened)
+  }
 
   /** Cumulative physical→logical column-name mapping as of a snapshot
     * (empty when the table has never been renamed). Stored whole in
@@ -434,15 +611,100 @@ object IcebergLite {
   private def unescapeHive(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
+  /** Whether a recorded bound for a column of type `dt` is SOUND under
+    * the manifest's numeric-first comparator ([[cmp]]). For a STRING
+    * column whose min/max happen to parse as numbers, the comparator
+    * goes numeric while Spark's row predicate orders lexicographically
+    * ('9' > '10' as strings, 9 < 10 as numbers) — a range filter could
+    * then prune a file holding a matching row. Such bounds are OMITTED
+    * (a file without bounds for a column is conservatively kept).
+    * Every other type's string-cast ordering agrees with the
+    * comparator: numerics compare numerically, dates/timestamps render
+    * fixed-width non-numeric strings, booleans order
+    * 'false' < 'true' both ways. */
+  private def boundSound(dt: org.apache.spark.sql.types.DataType, v: String): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        v.toLongOption.isEmpty && v.toDoubleOption.isEmpty
+      case _ => true
+    }
+
+  /** Strip the URI scheme and percent-decode a `_metadata.file_path` /
+    * `input_file_name()` value to the plain filesystem path — the same
+    * decoding [[inputFileCol]] applies at eval time (literal `+`
+    * shielded: URL form-decoding would corrupt it into a space). */
+  private def decodeFileUri(s: String): String =
+    java.net.URLDecoder.decode(
+      s.replaceFirst("^[a-z]+:/+", "/").replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Per-FILE manifest entries for the parquet files just written under
+    * `data/<runDir>/` — ONE distributed aggregate over the written
+    * files, grouped on the hidden `_metadata` column (file path and
+    * exact file size come from the scan itself, so no driver walk, no
+    * per-file footer opens: at a 10⁶-file write the driver's only work
+    * is holding the O(files) entry list the manifest needs anyway).
+    * Each file's TRUE min/max column bounds and record count are
+    * aggregated where the file lives — this is what real Iceberg's
+    * write tasks report into manifests, and per-file (not
+    * per-partition-tuple) bounds are what make file-level pruning
+    * selective when a partition holds many files. The read-back is
+    * columnar over freshly-written (page-cached) files with the
+    * writer's OWN schema — no partition-value re-inference, exact
+    * value round-trip, and the bounds use the identical
+    * `cast(col AS string)` encoding filters compare against.
+    * Partition values are parsed from the hive path segments
+    * (URI-decoded, then hive-unescaped). */
+  private def perFileEntries(spark: SparkSession, tablePath: String, runDir: String,
+      dataSchema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val root = s"$tablePath/data/$runDir"
+    val written = spark.read.schema(dataSchema)
+      .option("recursiveFileLookup", "true").parquet(root)
+    val dataCols = dataSchema.fields.map(_.name)
+    val aggs = count(lit(1)).as("__n") +: dataCols.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize
+    val tableAbs = Paths.get(tablePath).toAbsolutePath.normalize
+    written
+      .groupBy(col("_metadata.file_path").as("__f"),
+        col("_metadata.file_size").as("__sz"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val abs = Paths.get(decodeFileUri(r.getAs[String]("__f")))
+        val rel = tableAbs.relativize(abs).toString
+        val part = rootAbs.relativize(abs).iterator().asScala.map(_.toString)
+          .filter(_.contains("=")).map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            unescapeHive(k) -> unescapeHive(v)
+          }.toMap
+        def sideOf(prefix: String) = dataCols.flatMap { c =>
+          Option(r.getAs[Any](s"$prefix$c")).map(_.toString)
+            .filter(boundSound(dataSchema(c).dataType, _)).map(c -> _)
+        }.toMap
+        DataFile(
+          filePath = rel,
+          fileFormat = "PARQUET", partition = part,
+          recordCount = r.getAs[Long]("__n"),
+          lowerBounds = sideOf("__min_"), upperBounds = sideOf("__max_"),
+          sequenceNumber = -1L, // resolved to the commit's sequence at commit
+          fileSizeBytes = r.getAs[Long]("__sz"))
+      }.sortBy(_.filePath)
+  }
+
   /** Write `df`'s rows as new data files under `data/<runDir>/` (hive
     * layout when `partitionColumns` is set — written in parallel, one
     * file per task, NOT coalesced) and return one manifest-entry JSON
-    * per written parquet file, with per-partition column bounds computed
-    * in one aggregate pass (conservative-correct for file-level pruning
-    * since partition bounds ⊇ file bounds). */
+    * per written parquet file, with TRUE per-file column bounds, record
+    * counts and sizes collected by [[perFileEntries]]'s distributed
+    * stats pass — zero driver-side per-file work. Returns the entry
+    * JSONs and the written DATA schema (for the commit's per-snapshot
+    * schema union). */
   private def writeDataFiles(spark: SparkSession, tablePath: String, df0: DataFrame,
-      partitionColumns0: Seq[String], runDir: String): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      partitionColumns0: Seq[String], runDir: String,
+      trustedPreDerived: Boolean = false): (Seq[String], org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.functions.col
     // files are ALWAYS written under physical names, so a table's data
     // files share one schema across renames and mergeSchema reads stay
     // coherent; a df arriving with logical (renamed) columns is
@@ -454,7 +716,8 @@ object IcebergLite {
     // columns: derived values are computed here (the ONE write funnel
     // every op routes through) and land only in the hive path
     val spec = partitionSpec(tablePath)
-    val df = if (spec.isEmpty) dfR else withSpecColumns(spec, dfR)
+    val df = if (spec.isEmpty) dfR
+      else withSpecColumns(spec, dfR, trustedPreDerived)
     // a spec table ALWAYS derives its own partition columns: internal
     // rewrite paths pass manifest-derived or sorted name lists (which
     // on an evolved table may name old-spec fields), and all of them
@@ -477,56 +740,12 @@ object IcebergLite {
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
 
-    // bounds per partition tuple, one aggregate pass over df
-    val dataCols = df.schema.fields.map(_.name).filterNot(partitionColumns.contains)
-    val boundAggs = dataCols.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"__min_$c"), max(col(c)).cast("string").as(s"__max_$c")))
-    val boundRows: Map[Map[String, String], (Map[String, String], Map[String, String])] =
-      (if (partitionColumns.nonEmpty) df.groupBy(partitionColumns.map(col): _*).agg(boundAggs.head, boundAggs.tail: _*)
-       else df.agg(boundAggs.head, boundAggs.tail: _*))
-        .collect().map { r =>
-          val part = partitionColumns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
-          val lo = dataCols.flatMap(c => Option(r.getAs[Any](s"__min_$c")).map(v => c -> v.toString)).toMap
-          val hi = dataCols.flatMap(c => Option(r.getAs[Any](s"__max_$c")).map(v => c -> v.toString)).toMap
-          part -> (lo, hi)
-        }.toMap
-
-    // every written parquet file → one manifest entry; partition values
-    // parsed from the hive path segments
-    val root = Paths.get(s"$tablePath/data/$runDir")
-    val files = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    def partOf(p: java.nio.file.Path): Map[String, String] =
-      root.relativize(p).iterator().asScala.map(_.toString)
-        .filter(_.contains("=")).map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          unescapeHive(k) -> unescapeHive(v)
-        }.toMap
-    files.map { p =>
-      val part = partOf(p)
-      val (lo, hi) = boundRows.getOrElse(part, (Map.empty[String, String], Map.empty[String, String]))
-      entryJson(DataFile(
-        filePath = s"data/$runDir/${root.relativize(p).toString}",
-        fileFormat = "PARQUET", partition = part,
-        recordCount = parquetRowCount(p),
-        lowerBounds = lo, upperBounds = hi,
-        sequenceNumber = -1L, // resolved to the commit's sequence at commit
-        fileSizeBytes = Files.size(p)))
-    }
-  }
-
-  /** Row count from the parquet FOOTER of a just-written file — one
-    * local metadata read per file, the same stats real Iceberg's
-    * writers report into manifests (a distributed deployment would
-    * collect them from write-task listeners instead of re-opening
-    * footers, but the cost class is identical: O(files) metadata,
-    * never a data scan). */
-  private def parquetRowCount(p: java.nio.file.Path): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    // TRUE per-file bounds/counts/sizes: one distributed stats pass
+    // over the written files (the data files carry exactly the
+    // non-partition columns — hive layout strips the partition ones)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      dfW.schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+    (perFileEntries(spark, tablePath, runDir, dataSchema).map(entryJson), dataSchema)
   }
 
   /** Thrown when a commit finds the table advanced past the snapshot
@@ -663,7 +882,10 @@ object IcebergLite {
       rebaseOnConflict: Boolean = false,
       pendingRowDeletes: Seq[RowDelete] = null,
       pendingPosDeletes: Seq[PosDelete] = null,
-      toBranch: Option[String] = None): Long = withCommitLock(tablePath) {
+      pendingEqDeletes: Seq[EqDelete] = null,
+      toBranch: Option[String] = None,
+      schemaUnion: org.apache.spark.sql.types.StructType = null,
+      schemaSet: org.apache.spark.sql.types.StructType = null): Long = withCommitLock(tablePath) {
     val cur = toBranch match {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
@@ -705,8 +927,25 @@ object IcebergLite {
     val seq = id
     val dels = dels0.map(d =>
       if (d.sequenceNumber < 0) d.copy(sequenceNumber = seq) else d)
-    // position deletes carry forward like equality deletes/renames
+    // position and equality-file deletes carry forward like renames
     val pdels = Option(pendingPosDeletes).getOrElse(posDeletes(tablePath, parent))
+    val eqdels0 = Option(pendingEqDeletes).getOrElse(eqDeletes(tablePath, parent))
+    val eqdels = eqdels0.map(d =>
+      if (d.sequenceNumber < 0) d.copy(sequenceNumber = seq) else d)
+    // per-snapshot DATA schema: a data commit UNION-merges its write
+    // schema into the parent's (add-column + stale-narrow-writer
+    // reconciliation); `schemaSet` overrides outright (widenColumn);
+    // metadata-only commits carry the parent's forward. A parent
+    // without tracking stays legacy unless this commit starts it
+    // (first snapshot, or an explicit set).
+    val parentSchema = parent.flatMap(p => tableSchema(tablePath, Some(p)))
+    val schema: Option[org.apache.spark.sql.types.StructType] =
+      (Option(schemaSet), Option(schemaUnion), parentSchema) match {
+        case (Some(set), _, _) => Some(set)
+        case (None, Some(u), Some(ps)) => Some(mergeWiden(ps, u))
+        case (None, Some(u), None) if parent.isEmpty => Some(u)
+        case (None, _, ps) => ps
+      }
     val seqEntries = entries.map(
       _.replace("\"sequence_number\": -1,", s""""sequence_number": $seq,"""))
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
@@ -732,9 +971,19 @@ object IcebergLite {
       else pdels.map { d =>
         s"""{"file": ${jstr(d.filePath)}, "positions": [${d.positions.mkString(", ")}]}"""
       }.mkString(",\n \"position_deletes\": [", ",\n  ", "]")
+    val eqDeletesJson =
+      if (eqdels.isEmpty) ""
+      else eqdels.map { d =>
+        def jm(m: Map[String, String]) =
+          m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+        s"""{"file": ${jstr(d.filePath)}, "key_columns": [${d.keyCols.map(jstr).mkString(", ")}],
+           |   "sequence_number": ${d.sequenceNumber}, "record_count": ${d.recordCount},
+           |   "lower_bounds": ${jm(d.lowerBounds)}, "upper_bounds": ${jm(d.upperBounds)}}""".stripMargin
+      }.mkString(",\n \"equality_deletes\": [", ",\n  ", "]")
+    val schemaJsonField = schema.map(s => s""",\n "schema": ${schemaJson(s)}""").getOrElse("")
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
       s"""{"snapshot_id": $id, "sequence_number": $seq${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
-         | "operation": "$operation"$renamesJson$deletesJson$posDeletesJson,
+         | "operation": "$operation"$renamesJson$deletesJson$posDeletesJson$eqDeletesJson$schemaJsonField,
          | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
     toBranch match {
@@ -789,7 +1038,26 @@ object IcebergLite {
       require(spec.map(_.name).distinct.size == spec.size,
         "partition-spec field names collide")
       val p = Paths.get(s"$tablePath/metadata/partition-spec.json")
-      if (!Files.exists(p)) atomicWrite(p, IcebergTransforms.specJson(spec))
+      if (!Files.exists(p)) {
+        // attaching a spec to a table that already committed data would
+        // change write semantics mid-history — evolution is evolveSpec's
+        // job, and it requires an existing spec lineage
+        require(currentSnapshotId(tablePath).isEmpty,
+          s"table $tablePath already has snapshots and no partition spec; " +
+            "a spec cannot be attached retroactively")
+        atomicWrite(p, IcebergTransforms.specJson(spec))
+      } else {
+        // idempotent re-create must mean the SAME layout: silently
+        // dropping a different requested spec would leave the caller
+        // believing a layout is active that never governs writes or
+        // filter projection
+        val current = partitionSpec(tablePath)
+        require(current == spec,
+          s"table $tablePath already exists with a different partition spec " +
+            s"(current: ${current.map(f => s"${f.transform.tag}(${f.source})").mkString(", ")}; " +
+            s"requested: ${spec.map(f => s"${f.transform.tag}(${f.source})").mkString(", ")}); " +
+            "use evolveSpec to change the layout")
+      }
     }
   }
 
@@ -873,22 +1141,44 @@ object IcebergLite {
 
   /** Ensure every transform-derived partition column exists on `df`,
     * derived by the spec's own Catalyst expression (codegen'd per-row
-    * work — scales with the write, no shuffle). Columns already
-    * present (a rewrite that pre-derived them) pass through; declared
-    * source types are enforced loudly — a drifted type would silently
-    * re-hash every bucket. */
+    * work — scales with the write, no shuffle); declared source types
+    * are enforced loudly — a drifted type would silently re-hash every
+    * bucket.
+    *
+    * A column already present under a derived field's name is a
+    * reserved-name collision on a USER-facing write: it would be
+    * consumed verbatim as the partition value, stripped from the data
+    * files by `partitionBy`, and hidden from reads — silent loss of
+    * that column, plus unsound pruning wherever its values diverge
+    * from the transform. `trustedPreDerived = false` (every external
+    * write) therefore VERIFIES the pre-existing values row-for-row
+    * against the transform's own expression (one null-safe-inequality
+    * `limit(1)` probe — only paid when a collision actually exists,
+    * e.g. a caller pre-deriving to hash-distribute the write) and
+    * rejects on the first divergent row. Internal rewrite paths that
+    * derived the column through this very method pass
+    * `trustedPreDerived = true` and skip the probe. */
   private def withSpecColumns(spec: Seq[IcebergTransforms.PartitionField],
-      df: DataFrame): DataFrame =
+      df: DataFrame, trustedPreDerived: Boolean = true): DataFrame =
     spec.filter(_.transform != IcebergTransforms.Identity).foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f.name)) d
+      val actual = d.schema(f.source).dataType
+      require(actual == f.sourceType,
+        s"partition source ${f.source} is ${actual.catalogString}; " +
+          s"the spec declares ${f.sourceType.catalogString}")
+      lazy val derived = org.apache.spark.sql.GraftColumnBridge.toCol(
+        f.transform.expr(
+          org.apache.spark.sql.GraftColumnBridge.toExpr(d(f.source)), f.sourceType))
+      if (!d.columns.contains(f.name)) d.withColumn(f.name, derived)
       else {
-        val actual = d.schema(f.source).dataType
-        require(actual == f.sourceType,
-          s"partition source ${f.source} is ${actual.catalogString}; " +
-            s"the spec declares ${f.sourceType.catalogString}")
-        d.withColumn(f.name, org.apache.spark.sql.GraftColumnBridge.toCol(
-          f.transform.expr(
-            org.apache.spark.sql.GraftColumnBridge.toExpr(d(f.source)), f.sourceType)))
+        if (!trustedPreDerived) {
+          val divergent = d.filter(!(d(f.name) <=> derived)).limit(1).count()
+          require(divergent == 0L,
+            s"column ${f.name} collides with the derived partition field " +
+              s"${f.transform.tag}(${f.source}) and its values diverge from the " +
+              "transform; drop or rename the column (pre-deriving it is allowed " +
+              "only when the values match the transform exactly)")
+        }
+        d
       }
     }
 
@@ -908,14 +1198,14 @@ object IcebergLite {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
     }
-    val entries = writeDataFiles(spark, tablePath, df, partitionColumns,
+    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partitionColumns,
       s"append-${runTag()}")
     // an append's files conflict with nothing: on a concurrent commit
     // it rebases onto the new current snapshot / branch head
     // (fast-append retry)
     commitSnapshot(tablePath, parentId, entries,
       carriedManifests = parentManifests(tablePath, parentId),
-      rebaseOnConflict = true, toBranch = toBranch)
+      rebaseOnConflict = true, toBranch = toBranch, schemaUnion = wSchema)
   }
 
   private def resolveBranchHead(tablePath: String, name: String): Long = {
@@ -1006,7 +1296,8 @@ object IcebergLite {
         (j \ "operation").toOption.collect { case JString(op) => op }.getOrElse("append"),
         (j \ "timestamp_ms").toOption.collect { case JInt(n) => n.toLong }.getOrElse(0L),
         manifestPathsOf(tablePath, id).map(filesIn).sum,
-        arrLen(j \ "row_deletes") + arrLen(j \ "position_deletes")))
+        arrLen(j \ "row_deletes") + arrLen(j \ "position_deletes") +
+          arrLen(j \ "equality_deletes")))
     }
     import org.apache.spark.sql.types._
     spark.createDataFrame(rows, StructType(Seq(
@@ -1272,7 +1563,7 @@ object IcebergLite {
     if (added.isEmpty) spark.emptyDataFrame
     else {
       val rmap = renames(tablePath, Some(to))
-      val base = readFileSet(spark, tablePath, added.toSeq)
+      val base = readFileSet(spark, tablePath, added.toSeq, snapshotId = Some(to))
       if (rmap.isEmpty) base else base.withColumnsRenamed(rmap)
     }
   }
@@ -1304,7 +1595,8 @@ object IcebergLite {
   /** Read an explicit manifest file list (partition values recovered
     * per-row, as in `read`). */
   private def readFileSet(spark: SparkSession, tablePath: String,
-      files: Seq[DataFile], withRowPos: Boolean = false): DataFrame = {
+      files: Seq[DataFile], withRowPos: Boolean = false,
+      snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     // transform-derived partition fields are HIDDEN: the source column
     // lives in the data files, so only identity partition values (which
@@ -1315,13 +1607,23 @@ object IcebergLite {
     val partCols = files.flatMap(_.partition.keys).distinct
       .filterNot(hiddenFields).sorted
     val paths = files.map(f => s"$tablePath/${f.filePath}")
-    // mergeSchema = add-column schema evolution (by NAME — the
-    // reference's JSON layout carries no Iceberg field ids): a snapshot
-    // mixing pre- and post-evolution files reads as the union schema,
-    // with files that predate a column yielding NULL for it; a
-    // time-travel read of an old snapshot sees only that snapshot's
-    // columns. Footer merging is metadata-only and Spark distributes it.
-    val base0 = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // Schema resolution, by NAME (the reference's JSON layout carries
+    // no Iceberg field ids): a schema-tracking snapshot reads with its
+    // OWN recorded schema as the explicit parquet schema — files that
+    // predate a column null-fill it, and files written before a TYPE
+    // WIDENING decode their narrow physical type as the wide requested
+    // one (Spark 4 vectorized-reader promotion; `mergeSchema` would
+    // refuse that file mix outright). A time-travel read uses that
+    // snapshot's schema, so history sees history's columns and types.
+    // Pre-tracking snapshots keep the legacy mergeSchema union —
+    // footer merging is metadata-only and Spark distributes it.
+    val base0 = tableSchema(tablePath, snapshotId) match {
+      case Some(sch) =>
+        val readSchema = org.apache.spark.sql.types.StructType(
+          sch.fields.filterNot(f => partCols.contains(f.name)))
+        spark.read.schema(readSchema).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
     // the file-source `_metadata` hidden column resolves only directly
     // over the scan — it does NOT survive the partition-recovery join
     // below — so when position deletes need the within-file ordinal it
@@ -1445,19 +1747,22 @@ object IcebergLite {
     filtered.drop("__graft_del_file", "__graft_pos")
   }
 
-  /** Read `files` with BOTH pending merge-on-read delete forms
-    * (equality then position) anti-applied — the one call every
-    * reader and every materializing rewrite goes through. The
-    * within-file ordinal is captured at the scan only when some
+  /** Read `files` with ALL pending merge-on-read delete forms
+    * (predicate, equality-file, then position) anti-applied — the one
+    * call every reader and every materializing rewrite goes through.
+    * The within-file ordinal is captured at the scan only when some
     * pending position delete actually targets a read file. */
   private def readWithDeletes(spark: SparkSession, tablePath: String,
       files: Seq[DataFile], snapshotId: Option[Long]): DataFrame = {
     val pdels = posDeletes(tablePath, snapshotId)
     val readPaths = files.map(_.filePath).toSet
     val needPos = pdels.exists(d => readPaths.contains(d.filePath))
-    val base = readFileSet(spark, tablePath, files, withRowPos = needPos)
+    val base = readFileSet(spark, tablePath, files, withRowPos = needPos,
+      snapshotId = snapshotId)
     applyPosDeletes(
-      applyRowDeletes(base, tablePath, files, rowDeletes(tablePath, snapshotId)),
+      applyEqDeletes(
+        applyRowDeletes(base, tablePath, files, rowDeletes(tablePath, snapshotId)),
+        tablePath, files, eqDeletes(tablePath, snapshotId)),
       tablePath, files, pdels)
   }
 
@@ -1504,6 +1809,93 @@ object IcebergLite {
       operation = "delete", pendingPosDeletes = merged)
   }
 
+  /** Merge-on-read EQUALITY-DELETE FILE as a NEW SNAPSHOT — the
+    * high-cardinality CDC delete form (see [[EqDelete]]): every column
+    * of `keys` is a key column; rows of the table matching ANY key
+    * tuple (SQL equality — null keys never match) are dead in every
+    * data file whose data-sequence is ≤ this commit's. The keys are
+    * written DISTRIBUTED as parquet under `data/eqdel-<tag>/` (they
+    * never pass through the driver), with true per-file bounds from
+    * the same stats pass data writes use — those bounds prune the
+    * read-side anti-join to data files whose own bounds overlap the
+    * key range. Zero data-file I/O at delete time; the parent's
+    * manifests are carried verbatim. Key column names arrive LOGICAL
+    * and are stored physical. Returns the new snapshot id (the
+    * current one when `keys` is empty). */
+  def deleteEquality(spark: SparkSession, tablePath: String,
+      keys: DataFrame): Long = {
+    require(keys.columns.nonEmpty, "equality delete needs at least one key column")
+    val rmap = renames(tablePath)
+    val keysP = if (rmap.isEmpty) keys else keys.withColumnsRenamed(rmap.map(_.swap))
+    val parentId = currentSnapshotId(tablePath)
+    val runDir = s"eqdel-${runTag()}"
+    // distinct: each key file must be duplicate-free or the read-side
+    // outer join would multiply surviving rows
+    keysP.distinct().write.mode("overwrite").parquet(s"$tablePath/data/$runDir")
+    val written = perFileEntries(spark, tablePath, runDir, keysP.schema)
+    if (written.isEmpty) return parentId.getOrElse(0L)
+    val newDels = written.map(f => EqDelete(f.filePath, keysP.columns.toSeq,
+      -1L, f.recordCount, f.lowerBounds, f.upperBounds))
+    commitSnapshot(tablePath, parentId, entries = Nil,
+      carriedManifests = parentManifests(tablePath, parentId),
+      operation = "delete",
+      pendingEqDeletes = eqDeletes(tablePath, parentId) ++ newDels)
+  }
+
+  /** Whether an equality delete can still affect data file `f`:
+    * sequence-scoped (v2 contract), then bounds-pruned — a file whose
+    * bounds (or exact identity-partition value) for every key column
+    * sit outside the key file's recorded range provably holds no
+    * matching row. Missing bounds on either side are conservatively
+    * in-range. */
+  private def eqScopeMatches(d: EqDelete, f: DataFile): Boolean =
+    f.sequenceNumber <= d.sequenceNumber && d.keyCols.forall { c =>
+      f.partition.get(c) match {
+        case Some(pv) =>
+          d.lowerBounds.get(c).forall(cmp(_, pv) <= 0) &&
+            d.upperBounds.get(c).forall(cmp(_, pv) >= 0)
+        case None =>
+          d.upperBounds.get(c).forall(du => f.lowerBounds.get(c).forall(cmp(du, _) >= 0)) &&
+            d.lowerBounds.get(c).forall(dl => f.upperBounds.get(c).forall(cmp(dl, _) <= 0))
+      }
+    }
+
+  /** Anti-apply pending equality-delete FILES: each key file is read
+    * (columnar, distributed) and outer-joined onto the rows of exactly
+    * the data files still in its scope; a key hit inside scope kills
+    * the row. Files outside scope (appended after the delete, or
+    * bounds-disjoint from the key range) pay nothing. The join is a
+    * plain Spark join — broadcast for small key sets, shuffled for
+    * 10⁶-key CDC batches, both correct at scale. */
+  private def applyEqDeletes(df: DataFrame, tablePath: String,
+      files: Seq[DataFile], dels: Seq[EqDelete]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val scoped = dels.map(d => d -> files.filter(eqScopeMatches(d, _)))
+      .filter(_._2.nonEmpty)
+    if (scoped.isEmpty) return df
+    val spark = df.sparkSession
+    val withFile = df.withColumn("__graft_del_file", inputFileCol)
+    val filtered = scoped.foldLeft(withFile) { case (acc, (del, inScope)) =>
+      val keys = spark.read.parquet(s"$tablePath/${del.filePath}")
+        .withColumn("__graft_eqhit", lit(true))
+      val inFiles = col("__graft_del_file").isin(
+        inScope.map(f => absPath(tablePath, f.filePath)): _*)
+      acc.join(keys, del.keyCols, "left_outer")
+        .filter(not(inFiles && coalesce(col("__graft_eqhit"), lit(false))))
+        .drop("__graft_eqhit")
+    }
+    filtered.drop("__graft_del_file")
+  }
+
+  /** An equality delete stays pending only while some kept file is
+    * still in its scope; otherwise it has been materialized (or its
+    * files rewritten past it) and ages out. The key FILE itself stays
+    * on disk until snapshot expiry reclaims it with the snapshots
+    * that reference it. */
+  private def pruneEqDeletes(dels: Seq[EqDelete],
+      kept: Seq[DataFile]): Seq[EqDelete] =
+    dels.filter(d => kept.exists(eqScopeMatches(d, _)))
+
   /** Merge-on-read row DELETE as a NEW SNAPSHOT — Iceberg v2's delete
     * path, the latency/read-overhead counterpoint to the copy-on-write
     * [[delete]]: ZERO data I/O at delete time. Files the filters cover
@@ -1542,7 +1934,8 @@ object IcebergLite {
       commitSnapshot(tablePath, parentId, kept.map(entryJson),
         carriedManifests = Nil, operation = "delete",
         pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
-        pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
+        pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
+        pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept))
     else
       // residual predicate: ZERO manifest change — the parent's
       // manifests are carried verbatim (no file list rewrite at all;
@@ -1601,8 +1994,8 @@ object IcebergLite {
     val live = dataFiles(tablePath)
     // a file needs rewriting only if every conjunct can match it
     val (touched, kept) = live.partition(f => filters.forall(_.matches(f)))
-    val rewritten: Seq[String] =
-      if (touched.isEmpty) Nil
+    val (rewritten, wSchema) =
+      if (touched.isEmpty) (Nil: Seq[String], null: org.apache.spark.sql.types.StructType)
       else {
         val partCols = touched.flatMap(_.partition.keys).distinct.sorted
         // residual = ORIGINAL conjuncts on data columns (partition
@@ -1616,7 +2009,7 @@ object IcebergLite {
         val residual = filters0.filterNot(f =>
           partCols.contains(f.column) &&
             touched.forall(_.partition.contains(f.column)))
-        if (residual.isEmpty) Nil // every touched file is deleted wholesale
+        if (residual.isEmpty) (Nil: Seq[String], null: org.apache.spark.sql.types.StructType) // deleted wholesale
         else {
           // pending MoR deletes on the touched files materialize here
           val df = readWithDeletes(spark, tablePath, touched, parentId)
@@ -1629,7 +2022,9 @@ object IcebergLite {
       kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
       operation = "delete",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
-      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      schemaUnion = wSchema)
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
@@ -1665,9 +2060,11 @@ object IcebergLite {
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
-    val entries = writeDataFiles(spark, tablePath, df, partCols, s"compact-${runTag()}")
+    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partCols, s"compact-${runTag()}",
+      trustedPreDerived = true)
     commitSnapshot(tablePath, parentId, entries, carriedManifests = Nil,
-      operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
+      operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil,
+      pendingEqDeletes = Nil, schemaUnion = wSchema)
   }
 
   /** SIZE-AWARE compaction (real Iceberg's `rewriteDataFiles` /
@@ -1708,13 +2105,15 @@ object IcebergLite {
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
-    val entries = writeDataFiles(spark, tablePath, df, partCols,
-      s"compact-${runTag()}")
+    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partCols,
+      s"compact-${runTag()}", trustedPreDerived = true)
     commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "replace",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
-      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      schemaUnion = wSchema)
   }
 
   /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose
@@ -1875,13 +2274,14 @@ object IcebergLite {
           }
           alive.drop("__graft_src", "__graft_rn")
       }
-    val entries = writeDataFiles(spark, tablePath, newData, partCols, s"merge-${runTag()}")
+    val (entries, wSchema) = writeDataFiles(spark, tablePath, newData, partCols, s"merge-${runTag()}")
     commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-      toBranch = toBranch)
+      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      toBranch = toBranch, schemaUnion = wSchema)
   }
 
   /** Snapshot EXPIRY — the GC that completes the copy-on-write family:
@@ -1934,10 +2334,16 @@ object IcebergLite {
       if (expired.isEmpty) (0, 0)
       else {
         def manifestsOf(id: Long): Seq[String] = parentManifests(tablePath, Some(id))
+        // equality-delete KEY FILES live under data/ and are referenced
+        // from snapshot JSON, not manifests — they join the data
+        // retention set or a retained snapshot's pending deletes would
+        // silently fail open after GC
+        def filesOf(id: Long): Seq[String] =
+          dataFiles(tablePath, Some(id)).map(_.filePath) ++
+            eqDeletes(tablePath, Some(id)).map(_.filePath)
         val keepManifests = retained.flatMap(manifestsOf)
-        val keepData = retained.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
-        val dropData = expired.flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath))
-          .distinct.filterNot(keepData)
+        val keepData = retained.flatMap(filesOf)
+        val dropData = expired.flatMap(filesOf).distinct.filterNot(keepData)
         val dropManifests = expired.flatMap(manifestsOf).distinct.filterNot(keepManifests)
         def rm(rel: String): Unit = Files.deleteIfExists(Paths.get(s"$tablePath/$rel"))
         dropData.foreach(rm)
@@ -2026,7 +2432,8 @@ object IcebergLite {
   def removeOrphanFiles(tablePath: String, olderThanMs: Long = 3L * 24 * 3600 * 1000)
       : Seq[String] = {
     val referenced: Set[String] = snapshots(tablePath)
-      .flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath)).toSet
+      .flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath) ++
+        eqDeletes(tablePath, Some(id)).map(_.filePath)).toSet
     val dataRoot = Paths.get(s"$tablePath/data")
     if (!Files.exists(dataRoot)) return Nil
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -2274,44 +2681,15 @@ object IcebergLite {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
 
-    // per-file bounds + row counts: one aggregate keyed by the file
-    // each row landed in
-    val written = spark.read.parquet(s"$tablePath/data/$runDir")
-    val dataCols = written.schema.fields.map(_.name)
-    val aggs = count(lit(1)).as("__n") +: dataCols.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"__min_$c"), max(col(c)).cast("string").as(s"__max_$c")))
-    // keyed by the shared decoded-absolute-path key (inputFileCol /
-    // absPath) — a raw-URI vs canonical-path mismatch here would fail
-    // open to recordCount 0 and no bounds (skipping silently dies)
-    val stats = written.groupBy(inputFileCol.as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val lo = dataCols.flatMap(c => Option(r.getAs[Any](s"__min_$c")).map(v => c -> v.toString)).toMap
-        val hi = dataCols.flatMap(c => Option(r.getAs[Any](s"__max_$c")).map(v => c -> v.toString)).toMap
-        r.getAs[String]("__f") -> (r.getAs[Long]("__n"), lo, hi)
-      }.toMap
-
-    val root = Paths.get(s"$tablePath/data/$runDir")
-    val entries = Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      .map { p =>
-        val rel = s"data/$runDir/${root.relativize(p).toString}"
-        val part = root.relativize(p).iterator().asScala.map(_.toString)
-          .filter(_.contains("=")).map { seg =>
-            val Array(k, v) = seg.split("=", 2)
-            unescapeHive(k) -> unescapeHive(v)
-          }.toMap
-        val (n, lo, hi) = stats.getOrElse(absPath(tablePath, rel),
-          (-1L, Map.empty[String, String], Map.empty[String, String]))
-        entryJson(DataFile(
-          filePath = rel,
-          fileFormat = "PARQUET", partition = part, recordCount = n,
-          lowerBounds = lo, upperBounds = hi,
-          sequenceNumber = -1L, // resolved to the commit's sequence at commit
-          fileSizeBytes = Files.size(p)))
-      }
+    // TRUE per-file bounds/counts/sizes — the same distributed stats
+    // pass every write funnels through; after clustering, file ranges
+    // on sortCols are disjoint so min/max skipping becomes surgical
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val entries = perFileEntries(spark, tablePath, runDir, dataSchema).map(entryJson)
     commitSnapshot(tablePath, parentId, entries, carriedManifests = Nil,
-      operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil)
+      operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil,
+      pendingEqDeletes = Nil, schemaUnion = dataSchema)
   }
 
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
@@ -2337,7 +2715,9 @@ object IcebergLite {
     // covers, without the caller ever naming ts_day)
     val spec = partitionSpec(tablePath)
     requireNoCallerLayout(tablePath, partitionColumns0, Some(spec))
-    val df = if (spec.isEmpty) df0 else withSpecColumns(spec, df0)
+    // USER df: a reserved-name collision is verified, not trusted
+    val df = if (spec.isEmpty) df0
+      else withSpecColumns(spec, df0, trustedPreDerived = false)
     val partitionColumns =
       if (spec.isEmpty) partitionColumns0 else spec.map(_.name)
     require(partitionColumns.nonEmpty,
@@ -2352,11 +2732,14 @@ object IcebergLite {
       .toSet
     val kept = dataFiles(tablePath).filterNot(f =>
       replaced.contains(partitionColumns.map(c => c -> f.partition.getOrElse(c, "null")).toMap))
-    val entries = writeDataFiles(spark, tablePath, df, partitionColumns, s"overwrite-${runTag()}")
+    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partitionColumns,
+      s"overwrite-${runTag()}", trustedPreDerived = true)
     commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
-      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept))
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      schemaUnion = wSchema)
   }
 }

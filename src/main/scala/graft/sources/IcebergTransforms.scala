@@ -143,6 +143,28 @@ object IcebergTransforms {
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Whether a RANGE projection onto this field's partition values is
+    * safe under the manifest's numeric-first comparator. Truncate over
+    * STRINGS is monotone in LEXICOGRAPHIC order, but the comparator
+    * goes numeric when both sides parse as numbers — prefixes of
+    * different lengths that both parse ('9' vs '10' under truncate[2])
+    * then order numerically while Spark's row predicate on the string
+    * column orders lexicographically, so a projected GtEq/LtEq could
+    * prune a file holding a matching row. The comparator only goes
+    * numeric when BOTH sides parse, so a projected literal that does
+    * NOT parse as a number always compares lexicographically — safe.
+    * Temporal transforms render fixed-width zero-padded digit strings
+    * (equal-length digit strings order identically either way) and
+    * integer truncates are genuinely numeric, so only
+    * Truncate-on-string with a numeric-parsing projected value is
+    * excluded. */
+  private def rangeProjectionSafe(field: PartitionField, pv: String): Boolean =
+    field.transform match {
+      case Truncate(_) if field.sourceType == StringType =>
+        pv.toLongOption.isEmpty && pv.toDoubleOption.isEmpty
+      case _ => true
+    }
+
   /** Project source-column predicates into partition-tuple predicates.
     * Sound by monotonicity (`Gt` relaxes to `GtEq` on the transformed
     * value — a row with `src > v` lives in a partition with
@@ -154,6 +176,8 @@ object IcebergTransforms {
   def projectFilters(spec: Seq[PartitionField],
       filters: Seq[IcebergLite.PartitionFilter]): Seq[IcebergLite.PartitionFilter] = {
     import IcebergLite.{Eq, Gt, GtEq, In, Lt, LtEq}
+    def rangeVal(field: PartitionField, v: String): Option[String] =
+      evalValue(field, v).filter(rangeProjectionSafe(field, _))
     for {
       f <- filters
       field <- spec
@@ -165,13 +189,13 @@ object IcebergTransforms {
           if (pvs.forall(_.isDefined)) Some(In(field.name, pvs.flatten.distinct))
           else None
         case Gt(_, v) if field.transform.monotone =>
-          evalValue(field, v).map(GtEq(field.name, _))
+          rangeVal(field, v).map(GtEq(field.name, _))
         case GtEq(_, v) if field.transform.monotone =>
-          evalValue(field, v).map(GtEq(field.name, _))
+          rangeVal(field, v).map(GtEq(field.name, _))
         case Lt(_, v) if field.transform.monotone =>
-          evalValue(field, v).map(LtEq(field.name, _))
+          rangeVal(field, v).map(LtEq(field.name, _))
         case LtEq(_, v) if field.transform.monotone =>
-          evalValue(field, v).map(LtEq(field.name, _))
+          rangeVal(field, v).map(LtEq(field.name, _))
         case _ => None
       }).toSeq
     } yield projected

@@ -172,11 +172,36 @@ object EventStream {
     * The defaults bind the events-table CDC shape (key = `user_id`,
     * sequence = `event_id`); any keyed changelog works — ScaleSweep's
     * 1M-row anchor drives this same function over a (k, seq) table. */
+  /** `eqDeleteTombstones = true` routes each micro-batch's winning
+    * DELETE records through [[graft.sources.IcebergLite.deleteEquality]]
+    * instead of the copy-on-write merge: the tombstone keys land as a
+    * parquet equality-delete file (bounded snapshot metadata, ZERO
+    * data-file rewrite on the ingest path — the v2 form a CDC feed
+    * deleting 10⁶ keys per batch needs), and only the batch's upserts
+    * go through the merge rewrite. Deletes commit BEFORE the same
+    * batch's upserts, so a key whose batch winner is an upsert is
+    * never touched by that batch's delete file (per-key winners are
+    * disjoint), and sequence scoping spares every later re-insert.
+    * Replay safety matches the foreachBatch contract: a restarted
+    * batch replays in order, so a re-issued delete file can only
+    * re-kill rows the original already killed (later batches have not
+    * run yet); the duplicate pending entry is effect-idempotent and
+    * compaction clears it.
+    *
+    * `toBranch` lands every commit on the named branch instead of
+    * main — the write-audit-publish CDC pattern: stream onto a
+    * branch, audit the result, [[graft.sources.IcebergLite
+    * .fastForwardMain]] to publish (not combinable with
+    * `eqDeleteTombstones`, whose delete commit targets main). */
   def upsertStream(events: DataFrame, tablePath: String,
       checkpointDir: String, keyCol: String = "user_id",
       seqCol: String = "event_id",
       carryCols: Seq[String] = Seq("ts", "event_type", "value"),
-      tombstoneCol: Option[String] = None): Unit = {
+      tombstoneCol: Option[String] = None,
+      eqDeleteTombstones: Boolean = false,
+      toBranch: Option[String] = None): Unit = {
+    require(!(eqDeleteTombstones && toBranch.nonEmpty),
+      "equality-delete routing commits to main; branch CDC uses merge tombstones")
     val q = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -196,9 +221,21 @@ object EventStream {
           var attempts = 0
           var committed = false
           while (!committed) try {
-            graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
-              latest, Seq(keyCol), precedence = Some(seqCol),
-              tombstoneCol = tombstoneCol)
+            if (eqDeleteTombstones && tombstoneCol.nonEmpty) {
+              val t = tombstoneCol.get
+              val flag = coalesce(col(t).cast("boolean"), lit(false))
+              val delKeys = latest.filter(flag).select(col(keyCol))
+              val ups = latest.filter(!flag).drop(t)
+              graft.sources.IcebergLite.deleteEquality(
+                batch.sparkSession, tablePath, delKeys)
+              if (!ups.isEmpty)
+                graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
+                  ups, Seq(keyCol), precedence = Some(seqCol))
+            } else {
+              graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
+                latest, Seq(keyCol), precedence = Some(seqCol),
+                tombstoneCol = tombstoneCol, toBranch = toBranch)
+            }
             committed = true
           } catch {
             case _: graft.sources.IcebergLite.CommitConflictException

@@ -42,9 +42,13 @@ class CatalogSpec extends AnyFunSuite {
     // rows, the iceberg_spec_evolution row, the iceberg_compact_small
     // size-aware-compaction row, the iceberg_merge_cdc tombstone-merge
     // row, and the iceberg_refs_meta metadata-table row → 187.
+    // round 9 added the iceberg_delete_eq equality-delete-file row, the
+    // iceberg_widen type-widening row, the func_struct / func_map
+    // nested-type rows, the trino_approx_pctl_sketch banded-sketch row,
+    // and the stream_upsert_branch write-audit-publish row → 193.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 187 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 187 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 193 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 193 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -366,6 +366,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(state() == Map(1L -> (5L, 50.0), 2L -> (2L, 20.0)))
   }
 
+  test("streaming CDC onto a branch: main frozen until publish; checkpoint restart continues the branch") {
+    val root = Files.createTempDirectory("cdc_branch_spec")
+    val in = root.resolve("in").toString
+    val table = root.resolve("t").toString
+    val ckpt = root.resolve("ckpt").toString
+    IcebergLite.createTable(table)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a branch needs a snapshot to cut from: seed with a sentinel row
+    IcebergLite.append(spark, table,
+      Seq((-1L, -1L, ts("2024-01-01 00:00:00"), "seed", 0.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value").coalesce(1))
+    IcebergLite.createBranch(table, "ingest")
+    val mainSnap = IcebergLite.currentSnapshotId(table).get
+    def feed(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    def stream(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      EventStream.upsertStream(
+        spark.readStream.schema(schema).parquet(in), table, ckpt,
+        toBranch = Some("ingest"))
+    }
+    def stateOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+
+    feed(Seq((1L, 5L, ts("2024-01-01 10:00:00"), "click", 50.0),
+      (2L, 1L, ts("2024-01-01 09:00:00"), "view", 10.0)))
+    stream()
+    // branch carries the merge; MAIN is frozen at the seed snapshot
+    assert(IcebergLite.currentSnapshotId(table).contains(mainSnap))
+    assert(stateOf(IcebergLite.read(spark, table)) == Map(-1L -> (-1L, 0.0)))
+    assert(stateOf(IcebergLite.readRef(spark, table, "ingest")) ==
+      Map(-1L -> (-1L, 0.0), 1L -> (5L, 50.0), 2L -> (1L, 10.0)))
+
+    // RESTART from the same checkpoint: the next micro-batch continues
+    // the branch head (stale seq 3 for user 1 must lose there too)
+    feed(Seq((1L, 3L, ts("2024-01-01 09:30:00"), "click", 30.0),
+      (2L, 2L, ts("2024-01-01 09:45:00"), "purchase", 20.0)))
+    stream()
+    assert(IcebergLite.currentSnapshotId(table).contains(mainSnap),
+      "main must stay frozen across restarts")
+    val branchState = Map(-1L -> (-1L, 0.0), 1L -> (5L, 50.0), 2L -> (2L, 20.0))
+    assert(stateOf(IcebergLite.readRef(spark, table, "ingest")) == branchState)
+
+    // write-audit-publish: one atomic flip makes the audited branch
+    // state the main state
+    IcebergLite.fastForwardMain(table, "ingest")
+    assert(stateOf(IcebergLite.read(spark, table)) == branchState)
+  }
+
   test("incremental read: appends only, replace skipped, refusals on overwrite/expiry") {
     val root = Files.createTempDirectory("iceberg_incr_spec").toString
     import spark.implicits._
@@ -1745,6 +1797,263 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows == 1L)
   }
 
+  test("hidden partitioning: a user column colliding with a derived field name is verified, not trusted") {
+    val s = spark
+    import s.implicits._
+    val root = freshSpecTable(Seq(PartitionField("id", Bucket(4), LongType)))
+    // CORRECT pre-derived values (the hash-distribution pattern a
+    // writer uses to pre-shuffle on the derived tuple) pass the probe
+    val good = (0L until 8L).map(id => (id, s"v$id")).toDF("id", "v")
+      .withColumn("id_bucket4", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("id")), lit(4)))
+    IcebergLite.append(s, root, good)
+    assert(IcebergLite.read(s, root).count() == 8L)
+    // DIVERGENT values would be consumed as the partition value,
+    // stripped from the files, and mis-prune reads — refused loudly
+    val bad = (0L until 8L).map(id => (id, s"w$id")).toDF("id", "v")
+      .withColumn("id_bucket4", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.append(s, root, bad)
+    }
+    assert(e.getMessage.contains("collides with the derived partition field"))
+    // nothing committed by the refused write
+    assert(IcebergLite.read(s, root).count() == 8L)
+  }
+
+  test("per-FILE bounds: a point filter prunes one of two files sharing a partition tuple") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_filebounds").toString
+    IcebergLite.createTable(root)
+    // TWO files in the SAME partition p=a with disjoint id ranges:
+    // under the old per-partition-tuple bounds both files inherited
+    // [1, 110] and Eq(id, 5) kept both; true per-file bounds keep one
+    // RDD-level union of two single-partition RDDs keeps 2 partitions
+    // (a DataFrame union of local relations is collapsed to one by the
+    // optimizer) — one write TASK per range, so ONE append commits 2
+    // files into p=a
+    val twoTask = s.sparkContext.parallelize((1L to 10L).map(("a", _)), 1)
+      .union(s.sparkContext.parallelize((101L to 110L).map(("a", _)), 1))
+      .toDF("p", "id")
+    IcebergLite.append(s, root, twoTask, partitionColumns = Seq("p"))
+    val all = IcebergLite.dataFiles(root)
+    assert(all.size == 2 && all.forall(_.partition == Map("p" -> "a")),
+      s"expected 2 files in p=a: $all")
+    // per-file bounds are TRUE bounds, not the partition tuple's
+    assert(all.map(f => (f.lowerBounds("id"), f.upperBounds("id"))).toSet ==
+      Set(("1", "10"), ("101", "110")))
+    // record counts and sizes are exact per file
+    assert(all.map(_.recordCount).sorted == Seq(10L, 10L))
+    assert(all.forall(_.fileSizeBytes > 0))
+    val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("id", "5")))
+    assert(kept.size == 1 && kept.head.upperBounds("id") == "10",
+      s"point filter must prune the [101,110] file: $kept")
+    // ...and the read through the pruned plan stays row-correct
+    assert(IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("id", "5")))
+      .filter(col("id") === 5L).count() == 1L)
+  }
+
+  test("string columns with numeric-parsing values record no bounds (comparator soundness)") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_strbounds").toString
+    IcebergLite.createTable(root)
+    // '9' and '10': lexicographically '9' > '10', numerically 9 < 10 —
+    // recording these as bounds under the numeric-first comparator
+    // would let GtEq("code", "10") prune the file though '9' matches
+    IcebergLite.append(s, root, Seq(("9", 1L), ("10", 2L)).toDF("code", "n").coalesce(1))
+    val f = IcebergLite.dataFiles(root).head
+    assert(!f.lowerBounds.contains("code") && !f.upperBounds.contains("code"),
+      s"numeric-parsing string bounds must be omitted: $f")
+    assert(f.lowerBounds("n") == "1" && f.upperBounds("n") == "2",
+      "numeric columns keep their bounds")
+    // the file survives the range filter and the read is correct
+    val kept = IcebergLite.dataFiles(root, filters = Seq(IcebergLite.GtEq("code", "10")))
+    assert(kept.size == 1)
+    assert(IcebergLite.read(s, root).filter(col("code") >= "10").count() == 2L)
+    // non-numeric string values still get (sound, lexicographic) bounds
+    val root2 = Files.createTempDirectory("iceberg_strbounds2").toString
+    IcebergLite.createTable(root2)
+    IcebergLite.append(s, root2, Seq(("aa", 1L), ("zz", 2L)).toDF("code", "n").coalesce(1))
+    val f2 = IcebergLite.dataFiles(root2).head
+    assert(f2.lowerBounds("code") == "aa" && f2.upperBounds("code") == "zz")
+  }
+
+  test("equality-delete file: keys die, later appends of the same keys survive (sequence scoping)") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_eqdel").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root,
+      (1L to 10L).map(id => (id, s"old$id")).toDF("id", "v").coalesce(1))
+    // high-cardinality-shaped delete: keys land as a parquet file, the
+    // snapshot carries one bounded entry, no data file is rewritten
+    val before = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    IcebergLite.deleteEquality(s, root, Seq(3L, 5L, 7L).toDF("id"))
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == before,
+      "delete must not rewrite any data file")
+    val dels = IcebergLite.eqDeletes(root)
+    assert(dels.size == 1 && dels.head.keyCols == Seq("id") &&
+      dels.head.recordCount == 3L && dels.head.filePath.startsWith("data/eqdel-"))
+    assert(IcebergLite.read(s, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 6L, 8L, 9L, 10L))
+    // an append AFTER the delete re-inserts key 5: its file carries a
+    // higher data-sequence, so the pending delete never touches it
+    IcebergLite.append(s, root, Seq((5L, "new5")).toDF("id", "v").coalesce(1))
+    val vs = IcebergLite.read(s, root).select("v").as[String].collect().sorted
+    assert(vs.contains("new5") && !vs.contains("old5"),
+      s"resurrected key must survive, original must stay dead: ${vs.toSeq}")
+    // time travel BEFORE the delete still sees everything
+    assert(IcebergLite.read(s, root, snapshotId = Some(1L)).count() == 10L)
+  }
+
+  test("equality-delete file: bounds prune the anti-join scope; compaction materializes") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_eqdel2").toString
+    IcebergLite.createTable(root)
+    // two files with disjoint id ranges (two write tasks)
+    val twoTask = s.sparkContext.parallelize((1L to 10L).map(id => (id, s"a$id")), 1)
+      .union(s.sparkContext.parallelize((101L to 110L).map(id => (id, s"b$id")), 1))
+      .toDF("id", "v")
+    IcebergLite.append(s, root, twoTask)
+    // keys 101..103: the [1,10] file is bounds-disjoint from the key
+    // range, so eqScopeMatches excludes it from the anti-join scope
+    IcebergLite.deleteEquality(s, root, (101L to 103L).toDF("id"))
+    assert(IcebergLite.read(s, root).count() == 17L)
+    // compaction materializes the delete and clears the pending list
+    IcebergLite.compact(s, root)
+    assert(IcebergLite.eqDeletes(root).isEmpty, "compaction must clear pending eq deletes")
+    assert(IcebergLite.read(s, root).count() == 17L)
+    assert(IcebergLite.read(s, root).filter(col("id") === 102L).count() == 0L)
+    // snapshot expiry keeps the ref'd key file only while its snapshots live
+    val eqFile = IcebergLite.eqDeletes(root, snapshotId = Some(2L)).head.filePath
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/$eqFile")))
+    IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/$eqFile")),
+      "expiry reclaims the key file with the snapshots that referenced it")
+  }
+
+  test("equality-delete file: multi-column keys and null keys never match") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_eqdel3").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root, Seq(
+      (Some("eu"), 1L, "x"), (Some("eu"), 2L, "y"),
+      (Some("us"), 1L, "z"), (None: Option[String], 1L, "n")
+    ).toDF("region", "uid", "v").coalesce(1))
+    // composite key (region, uid): exactly one row dies; the null-region
+    // row survives even though uid matches (SQL equality semantics)
+    IcebergLite.deleteEquality(s, root,
+      Seq((Some("eu"), 1L), (None: Option[String], 1L)).toDF("region", "uid"))
+    val vs = IcebergLite.read(s, root).select("v").as[String].collect().sorted
+    assert(vs.toSeq == Seq("n", "y", "z"), s"got ${vs.toSeq}")
+  }
+
+  test("type widening: int files read as long after widenColumn; narrowing refuses") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType, StringType => StrType}
+    val root = Files.createTempDirectory("iceberg_widen").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root, Seq((1, "a"), (2, "b")).toDF("x", "v").coalesce(1))
+    assert(IcebergLite.read(s, root).schema("x").dataType == IntegerType)
+    val preWiden = IcebergLite.currentSnapshotId(root).get
+    // metadata-only promotion: zero data I/O, files untouched
+    val filesBefore = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    IcebergLite.widenColumn(s, root, "x", LongType)
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == filesBefore)
+    // the narrow files decode as LONG under the widened schema
+    val wide = IcebergLite.read(s, root)
+    assert(wide.schema("x").dataType == LongType)
+    assert(wide.select("x").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a post-widening append writes long natively; the mixed
+    // generations read unified (mergeSchema would refuse this file mix)
+    IcebergLite.append(s, root, Seq((3000000000L, "c")).toDF("x", "v").coalesce(1))
+    assert(IcebergLite.read(s, root).select("x").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3000000000L))
+    // time travel BEFORE the widening still reads the narrow type
+    assert(IcebergLite.read(s, root, snapshotId = Some(preWiden))
+      .schema("x").dataType == IntegerType)
+    // narrowing (and sideways moves) refuse
+    intercept[IllegalArgumentException] {
+      IcebergLite.widenColumn(s, root, "x", ShortType)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.widenColumn(s, root, "x", DoubleType)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.widenColumn(s, root, "v", LongType) // string never widens
+    }
+    // a rewrite migrates the narrow files to the wide physical type
+    IcebergLite.compact(s, root)
+    assert(IcebergLite.read(s, root).select("x").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3000000000L))
+  }
+
+  test("type widening: float->double; an incompatible append fails loudly at commit") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val root = Files.createTempDirectory("iceberg_widen2").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root, Seq((1L, 1.5f), (2L, 2.25f)).toDF("id", "w").coalesce(1))
+    IcebergLite.widenColumn(s, root, "w", DoubleType)
+    assert(IcebergLite.read(s, root).schema("w").dataType == DoubleType)
+    assert(IcebergLite.read(s, root).select("w").as[Double].collect().sorted.toSeq ==
+      Seq(1.5, 2.25))
+    // a STALE writer appending the old narrow type is reconciled (the
+    // wide type wins); a genuinely incompatible type refuses
+    IcebergLite.append(s, root, Seq((3L, 3.5f)).toDF("id", "w").coalesce(1))
+    assert(IcebergLite.read(s, root).select("w").as[Double].collect().sorted.toSeq ==
+      Seq(1.5, 2.25, 3.5))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.append(s, root, Seq((4L, "oops")).toDF("id", "w").coalesce(1))
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
+  test("createTable with a spec refuses a mismatch against an existing table") {
+    val s = spark
+    import s.implicits._
+    val specA = Seq(PartitionField("id", Bucket(4), LongType))
+    val root = freshSpecTable(specA)
+    // idempotent same-spec re-create is fine
+    IcebergLite.createTable(root, specA)
+    // a DIFFERENT spec must not be silently dropped
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.createTable(root, Seq(PartitionField("id", Bucket(8), LongType)))
+    }
+    assert(e.getMessage.contains("different partition spec"))
+    // attaching a spec retroactively to a snapshotted spec-less table refuses
+    val plain = Files.createTempDirectory("iceberg_plain").toString
+    IcebergLite.createTable(plain)
+    IcebergLite.append(s, plain, Seq((1L, "a")).toDF("id", "v"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLite.createTable(plain, specA)
+    }
+    assert(e2.getMessage.contains("retroactively"))
+  }
+
+  test("truncate-on-string skips range projection for numeric-parsing literals") {
+    val field = PartitionField("code", Truncate(2), StringType)
+    // '10' parses as a number: under the numeric-first manifest
+    // comparator a projected GtEq could prune a partition holding '9'
+    // (9 < 10 numerically, '9' >= '10' lexicographically) — projection
+    // must be skipped
+    assert(IcebergTransforms.projectFilters(Seq(field),
+      Seq(IcebergLite.GtEq("code", "10"))).isEmpty)
+    assert(IcebergTransforms.projectFilters(Seq(field),
+      Seq(IcebergLite.Lt("code", "42xyz"))).isEmpty)
+    // non-numeric prefixes compare lexicographically on both sides — safe
+    assert(IcebergTransforms.projectFilters(Seq(field),
+      Seq(IcebergLite.GtEq("code", "ba7"))) == Seq(IcebergLite.GtEq("code_trunc2", "ba")))
+    // point predicates use exact string equality on the partition value — always safe
+    assert(IcebergTransforms.projectFilters(Seq(field),
+      Seq(IcebergLite.Eq("code", "10x"))) == Seq(IcebergLite.Eq("code_trunc2", "10")))
+  }
+
   test("hidden partitioning: dynamic overwrite replaces exactly the hidden tuples in the new data") {
     val s = spark
     import s.implicits._
@@ -2139,6 +2448,51 @@ class SourcesSpec extends AnyFunSuite {
       .filter(col("id").isin(keys: _*)).select("v").as[String].collect().toSet
     assert(got == keys.map(k => s"upd$k").toSet)
     assert(IcebergLite.read(s, root).count() == 40L)
+  }
+
+  test("streaming CDC with equality-delete routing: tombstones land as delete files, upserts merge") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_cdc_eqdel").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root,
+      (0L until 10L).map(id => (id, 0L, s"v$id", false)).toDF("id", "seq", "v", "op_del")
+        .drop("op_del").coalesce(1))
+    val stage = Files.createTempDirectory("graft_cdc_eqdel_stage").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_eqdel_ckpt").toString
+    // batch 1: pure tombstones (the high-cardinality CDC shape) —
+    // routed to an equality-delete FILE, zero data rewrite
+    Seq((2L, 1L, null: String, true), (5L, 1L, null: String, true))
+      .toDF("id", "seq", "v", "op_del")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val changelog1 = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val filesBefore = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    EventStream.upsertStream(changelog1, root, ckpt,
+      keyCol = "id", seqCol = "seq", carryCols = Seq("v"),
+      tombstoneCol = Some("op_del"), eqDeleteTombstones = true)
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == filesBefore,
+      "a tombstone-only batch must not rewrite any data file")
+    assert(IcebergLite.eqDeletes(root).size == 1)
+    assert(IcebergLite.read(s, root).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    // batch 2: an update + a re-insert of deleted key 5 — merge path;
+    // the rewrite materializes the pending delete for the touched file
+    Seq((7L, 2L, "upd7", false), (5L, 2L, "back5", false))
+      .toDF("id", "seq", "v", "op_del")
+      .coalesce(1).write.mode("append").parquet(stage)
+    val changelog2 = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    EventStream.upsertStream(changelog2, root, ckpt,
+      keyCol = "id", seqCol = "seq", carryCols = Seq("v"),
+      tombstoneCol = Some("op_del"), eqDeleteTombstones = true)
+    val vs = IcebergLite.read(s, root).orderBy(col("id"))
+      .select("v").as[String].collect().toSeq
+    assert(vs == Seq("v0", "v1", "v3", "v4", "back5", "v6", "upd7", "v8", "v9"), vs)
+    assert(IcebergLite.eqDeletes(root).isEmpty,
+      "the merge rewrite materialized the pending delete for the only data file")
   }
 
   test("metadata tables: footer-true record counts; files/partitions surfaces agree with the data") {
