@@ -126,6 +126,7 @@ object ScaleSweep {
       planSweep(spark, nDocs, filesPer); spark.stop(); return
     }
     if (mode == "writemeta") { writeMetaSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "eqdel") { eqDeleteSweep(spark, nDocs); spark.stop(); return }
     if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
     if (mode == "optimize") { optimizeSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
@@ -941,6 +942,77 @@ object ScaleSweep {
       s""""distributedPlanSec":${math.round(distWall * 1000) / 1000.0},""" +
       s""""driverFullListSec":${math.round(fullWall * 1000) / 1000.0},""" +
       s""""plansAgree":true}""")
+  }
+
+  /** EQUALITY-DELETE anchor (r9): the ingest-latency contrast the v2
+    * delete-file form exists for. One table, many files, a
+    * high-cardinality key delete done both ways:
+    *  - `deleteEquality`: keys land as a parquet delete file — commit
+    *    wall must be independent of how many data files the keys
+    *    touch (ZERO rewritten);
+    *  - copy-on-write merge tombstones: every touched file rewrites
+    *    inline.
+    * Then the read-side price of the pending delete (anti-join wall)
+    * and the compaction that retires it.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep eqdel [nRows]"
+    */
+  private def eqDeleteSweep(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long): Unit = {
+    import sources.IcebergLite
+    def freshTable(): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_eqdel_sweep").resolve("t").toString
+      IcebergLite.createTable(root)
+      IcebergLite.append(spark, root,
+        spark.range(nRows).select(col("id").as("k"),
+          (col("id") % 1000 * 1.0).as("amount"),
+          concat(lit("v"), col("id")).as("v")).repartition(64))
+      root
+    }
+    // every 10th key: touches EVERY file (ids hash-scattered by the
+    // repartition) — the worst case for copy-on-write
+    def keysDf = spark.range(nRows / 10).select((col("id") * 10).as("k"))
+
+    val rootEq = freshTable()
+    val filesBefore = IcebergLite.dataFiles(rootEq).map(_.filePath).toSet
+    val t0 = System.nanoTime()
+    IcebergLite.deleteEquality(spark, rootEq, keysDf)
+    val eqWall = (System.nanoTime() - t0) / 1e9
+    val rewrittenEq = IcebergLite.dataFiles(rootEq)
+      .count(f => !filesBefore.contains(f.filePath))
+    val t1 = System.nanoTime()
+    val nAfter = IcebergLite.read(spark, rootEq).count()
+    val readWall = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    IcebergLite.compact(spark, rootEq)
+    val compactWall = (System.nanoTime() - t2) / 1e9
+    val pendingAfterCompact = IcebergLite.eqDeletes(rootEq).size
+    val nCompacted = IcebergLite.read(spark, rootEq).count()
+
+    // copy-on-write contrast: merge with tombstone rows for the keys
+    val rootCow = freshTable()
+    val cowBefore = IcebergLite.dataFiles(rootCow).map(_.filePath).toSet
+    val tombstones = keysDf.select(col("k"), lit(null).cast("double").as("amount"),
+      lit(null).cast("string").as("v"), lit(true).as("op_del"))
+    val t3 = System.nanoTime()
+    IcebergLite.merge(spark, rootCow, tombstones, keyCols = Seq("k"),
+      maxKeyPrune = 100, tombstoneCol = Some("op_del"))
+    val cowWall = (System.nanoTime() - t3) / 1e9
+    val rewrittenCow = IcebergLite.dataFiles(rootCow)
+      .count(f => !cowBefore.contains(f.filePath))
+    val nCow = IcebergLite.read(spark, rootCow).count()
+    val expect = nRows - nRows / 10
+    require(nAfter == expect && nCompacted == expect && nCow == expect,
+      s"survivor counts diverged: $nAfter / $nCompacted / $nCow vs $expect")
+    println(
+      s"""{"sweep":"eqdel","rows":$nRows,"keys":${nRows / 10},""" +
+      s""""eqDeleteWallSec":${math.round(eqWall * 100) / 100.0},"filesRewrittenEq":$rewrittenEq,""" +
+      s""""readWithPendingWallSec":${math.round(readWall * 100) / 100.0},""" +
+      s""""compactWallSec":${math.round(compactWall * 100) / 100.0},""" +
+      s""""pendingAfterCompact":$pendingAfterCompact,""" +
+      s""""cowMergeWallSec":${math.round(cowWall * 100) / 100.0},"filesRewrittenCow":$rewrittenCow,""" +
+      s""""survivors":$nAfter}""")
   }
 
   /** WRITE-METADATA anchor (r9): a many-file hive write whose per-file

@@ -1248,6 +1248,83 @@ object IcebergLite {
     }
   }
 
+  /** Read a snapshot WITH Iceberg's metadata columns: every surviving
+    * row carries `_file` (table-relative data-file path) and `_pos`
+    * (0-based ordinal within that file, from the scan's stable
+    * `_metadata.row_index`) — real Iceberg's `_file`/`_pos` virtual
+    * columns. This is the producer side of [[deletePositions]]: locate
+    * offending rows by predicate, collect their (_file, _pos), issue a
+    * position delete with zero data I/O — the PII-erasure workflow.
+    * Pending merge-on-read deletes anti-apply exactly as in [[read]],
+    * so the ordinals reported are live-row ordinals of the ORIGINAL
+    * files (a row's `_pos` stays valid as a delete target until a
+    * rewrite replaces its file). */
+  def readWithMetadataColumns(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None,
+      filters: Seq[PartitionFilter] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, replace}
+    val files = planFiles(spark, tablePath, snapshotId, filters)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val base = readFileSet(spark, tablePath, files, withRowPos = true,
+      snapshotId = snapshotId)
+    val tableAbs = Paths.get(tablePath).toAbsolutePath.normalize.toString + "/"
+    val withMeta = base
+      .withColumn("_pos", col("__graft_pos"))
+      .withColumn("_file", replace(inputFileCol, lit(tableAbs), lit("")))
+    val survivors = applyPosDeletes(
+      applyEqDeletes(
+        applyRowDeletes(withMeta, tablePath, files, rowDeletes(tablePath, snapshotId)),
+        tablePath, files, eqDeletes(tablePath, snapshotId)),
+      tablePath, files, posDeletes(tablePath, snapshotId))
+    // applyPosDeletes consumes __graft_pos only when a pending position
+    // delete targets a read file; drop the scratch column either way
+    val cleaned =
+      if (survivors.columns.contains("__graft_pos")) survivors.drop("__graft_pos")
+      else survivors
+    val rmap = renames(tablePath, snapshotId)
+    if (rmap.isEmpty) cleaned else cleaned.withColumnsRenamed(rmap)
+  }
+
+  /** MANIFEST REWRITE — real Iceberg's `rewrite_manifests` maintenance
+    * op, the metadata twin of small-file compaction: the live file set
+    * is re-listed into `targetManifests` fresh manifests (entries
+    * verbatim — partition tuples, bounds, record counts and SEQUENCE
+    * NUMBERS all carried, so merge-on-read delete scoping is
+    * unchanged) and committed as a `replace` snapshot with zero data
+    * I/O. A streaming ingest leaves one manifest per commit; the
+    * planning crossover (SCALE.md) prices what that costs — at 10⁴
+    * stale manifests, driver planning pays ~1 ms each — and this op
+    * retires it. Incremental reads skip the rewrite (no logical
+    * change), pending deletes carry forward, prior snapshots keep
+    * their old manifest lists. Returns the new snapshot id (current
+    * when the table is empty or already at the target). */
+  def rewriteManifests(tablePath: String, targetManifests: Int = 1): Long = {
+    require(targetManifests >= 1, "need at least one target manifest")
+    val parentId = currentSnapshotId(tablePath)
+    val current = parentId.map(id => manifestPathsOf(tablePath, id)).getOrElse(Nil)
+    if (current.size <= targetManifests) return parentId.getOrElse(0L)
+    val files = dataFiles(tablePath)
+    val groups =
+      if (files.isEmpty) Seq(Seq.empty[DataFile])
+      else {
+        val per = math.max(1, math.ceil(files.size.toDouble / targetManifests).toInt)
+        files.grouped(per).toSeq
+      }
+    // all but the last group are pre-written under fresh opaque names
+    // and passed as carried manifests; the last group rides the
+    // commit's own manifest. Entries re-list verbatim (entryJson
+    // preserves assigned sequence numbers — only -1 sentinels are
+    // rewritten at commit, and none exist here).
+    val carried = groups.dropRight(1).zipWithIndex.map { case (g, i) =>
+      val rel = s"metadata/manifest-rw-${runTag()}-$i.json"
+      atomicWrite(Paths.get(s"$tablePath/$rel"),
+        g.map(entryJson).mkString("{\"entries\": [", ",\n", "]}"))
+      rel
+    }
+    commitSnapshot(tablePath, parentId, entries = groups.last.map(entryJson),
+      carriedManifests = carried, operation = "replace")
+  }
+
   /** The operation that produced a snapshot (`append` / `delete` /
     * `overwrite` / `replace`). Tables written before the field existed
     * were append-built, so a missing field reads as `append`. */
@@ -1369,6 +1446,43 @@ object IcebergLite {
       .groupBy("part")
       .agg(count(lit(1)).as("file_count"), sum("record_count").as("record_count"),
         sum("file_size_bytes").as("size_bytes"))
+  }
+
+  /** `delete_files` METADATA TABLE — real Iceberg's
+    * `db.table.delete_files`, widened to every pending merge-on-read
+    * delete form: one row per pending delete as of a snapshot, with
+    * its kind (`equality_predicate` — a RowDelete's O(filters)
+    * predicate; `position` — ordinals of one named file;
+    * `equality_file` — a parquet key file), the sequence number that
+    * scopes it, its record count (predicate rows read −1: a predicate
+    * has no key cardinality), and a deterministic human-readable
+    * detail (filter columns / target file / key columns). The
+    * operator view of read-side delete debt: when this table grows,
+    * schedule a compaction. Metadata-only, bounded by the pending
+    * delete count. */
+  def deleteFilesMetadata(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    rowDeletes(tablePath, snapshotId).foreach { d =>
+      rows.add(org.apache.spark.sql.Row("equality_predicate", d.sequenceNumber,
+        -1L, d.filters.map(_.column).mkString(",")))
+    }
+    posDeletes(tablePath, snapshotId).foreach { d =>
+      // position deletes are path-scoped, not sequence-scoped (the
+      // file is NAMED): sequence reads 0
+      rows.add(org.apache.spark.sql.Row("position", 0L,
+        d.positions.size.toLong, d.filePath))
+    }
+    eqDeletes(tablePath, snapshotId).foreach { d =>
+      rows.add(org.apache.spark.sql.Row("equality_file", d.sequenceNumber,
+        d.recordCount, s"keys:${d.keyCols.mkString(",")}"))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("content", StringType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("detail", StringType, nullable = false))))
   }
 
   /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots
@@ -1843,22 +1957,23 @@ object IcebergLite {
   }
 
   /** Whether an equality delete can still affect data file `f`:
-    * sequence-scoped (v2 contract), then bounds-pruned — a file whose
-    * bounds (or exact identity-partition value) for every key column
-    * sit outside the key file's recorded range provably holds no
-    * matching row. Missing bounds on either side are conservatively
-    * in-range. */
-  private def eqScopeMatches(d: EqDelete, f: DataFile): Boolean =
-    f.sequenceNumber <= d.sequenceNumber && d.keyCols.forall { c =>
-      f.partition.get(c) match {
-        case Some(pv) =>
-          d.lowerBounds.get(c).forall(cmp(_, pv) <= 0) &&
-            d.upperBounds.get(c).forall(cmp(_, pv) >= 0)
-        case None =>
-          d.upperBounds.get(c).forall(du => f.lowerBounds.get(c).forall(cmp(du, _) >= 0)) &&
-            d.lowerBounds.get(c).forall(dl => f.upperBounds.get(c).forall(cmp(dl, _) <= 0))
-      }
-    }
+    * sequence-scoped (v2 contract), then bounds-pruned through the
+    * SAME filter machinery reads use — the key file's recorded
+    * [min,max] per key column becomes a GtEq/LtEq conjunct pair, which
+    * `PartitionFilter.matches` evaluates against the data file's
+    * bounds or exact identity-partition value, and
+    * `withProjectedFilters` projects through hidden-partitioning
+    * transforms (a key range on `ts` prunes `ts_day` partitions the
+    * delete never named). Missing bounds on either side are
+    * conservatively in-range. */
+  private def eqScopeFilters(tablePath: String, d: EqDelete): Seq[PartitionFilter] =
+    withProjectedFilters(tablePath, d.keyCols.flatMap(c =>
+      d.lowerBounds.get(c).map(GtEq(c, _)).toSeq ++
+        d.upperBounds.get(c).map(LtEq(c, _)).toSeq))
+
+  private def eqScopeMatches(tablePath: String, d: EqDelete, f: DataFile): Boolean =
+    f.sequenceNumber <= d.sequenceNumber &&
+      eqScopeFilters(tablePath, d).forall(_.matches(f))
 
   /** Anti-apply pending equality-delete FILES: each key file is read
     * (columnar, distributed) and outer-joined onto the rows of exactly
@@ -1870,7 +1985,7 @@ object IcebergLite {
   private def applyEqDeletes(df: DataFrame, tablePath: String,
       files: Seq[DataFile], dels: Seq[EqDelete]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val scoped = dels.map(d => d -> files.filter(eqScopeMatches(d, _)))
+    val scoped = dels.map(d => d -> files.filter(eqScopeMatches(tablePath, d, _)))
       .filter(_._2.nonEmpty)
     if (scoped.isEmpty) return df
     val spark = df.sparkSession
@@ -1892,9 +2007,9 @@ object IcebergLite {
     * files rewritten past it) and ages out. The key FILE itself stays
     * on disk until snapshot expiry reclaims it with the snapshots
     * that reference it. */
-  private def pruneEqDeletes(dels: Seq[EqDelete],
+  private def pruneEqDeletes(tablePath: String, dels: Seq[EqDelete],
       kept: Seq[DataFile]): Seq[EqDelete] =
-    dels.filter(d => kept.exists(eqScopeMatches(d, _)))
+    dels.filter(d => kept.exists(eqScopeMatches(tablePath, d, _)))
 
   /** Merge-on-read row DELETE as a NEW SNAPSHOT — Iceberg v2's delete
     * path, the latency/read-overhead counterpoint to the copy-on-write
@@ -1935,7 +2050,7 @@ object IcebergLite {
         carriedManifests = Nil, operation = "delete",
         pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
         pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-        pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept))
+        pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept))
     else
       // residual predicate: ZERO manifest change — the parent's
       // manifests are carried verbatim (no file list rewrite at all;
@@ -2023,7 +2138,7 @@ object IcebergLite {
       operation = "delete",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
       schemaUnion = wSchema)
   }
 
@@ -2112,7 +2227,7 @@ object IcebergLite {
       operation = "replace",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
       schemaUnion = wSchema)
   }
 
@@ -2280,7 +2395,7 @@ object IcebergLite {
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
       toBranch = toBranch, schemaUnion = wSchema)
   }
 
@@ -2739,7 +2854,7 @@ object IcebergLite {
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-      pendingEqDeletes = pruneEqDeletes(eqDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
       schemaUnion = wSchema)
   }
 }

@@ -45,10 +45,13 @@ class CatalogSpec extends AnyFunSuite {
     // round 9 added the iceberg_delete_eq equality-delete-file row, the
     // iceberg_widen type-widening row, the func_struct / func_map
     // nested-type rows, the trino_approx_pctl_sketch banded-sketch row,
-    // and the stream_upsert_branch write-audit-publish row → 193.
+    // and the stream_upsert_branch write-audit-publish row, plus the
+    // iceberg_delete_files_meta delete-debt metadata-table row, the
+    // iceberg_meta_columns _file/_pos row, and the
+    // iceberg_rewrite_manifests metadata-maintenance row → 196.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 193 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 193 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 196 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 196 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -2014,6 +2014,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("incompatible"))
   }
 
+  test("metadata columns power the position-delete workflow; manifest rewrite preserves everything") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_metacols").toString
+    IcebergLite.createTable(root)
+    // 3 appends → 3 manifests, 3 files
+    (0 until 3).foreach { i =>
+      IcebergLite.append(s, root,
+        (0L until 5L).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v").coalesce(1))
+    }
+    // PII-erasure workflow: locate rows by predicate, collect their
+    // (_file, _pos), issue a position delete with zero data I/O
+    val hits = IcebergLite.readWithMetadataColumns(s, root)
+      .filter(col("v").isin("v0-2", "v2-4"))
+      .select("_file", "_pos").collect()
+      .groupBy(_.getAs[String]("_file"))
+      .map { case (f, rs) => f -> rs.map(_.getAs[Long]("_pos")).toSeq }
+    assert(hits.values.flatten.size == 2)
+    val before = IcebergLite.dataFiles(root).map(_.filePath).toSet
+    IcebergLite.deletePositions(s, root, hits)
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == before)
+    val vs = IcebergLite.read(s, root).select("v").as[String].collect().toSet
+    assert(!vs.contains("v0-2") && !vs.contains("v2-4") && vs.size == 13)
+    // surviving rows' metadata columns reflect live rows of original files
+    assert(IcebergLite.readWithMetadataColumns(s, root).count() == 13L)
+
+    // manifest rewrite: 3+ manifests consolidate to 1, file set / rows /
+    // pending deletes / time travel all preserved, zero data I/O
+    val rows0 = IcebergLite.read(s, root).collect().map(_.toString).sorted.toSeq
+    val snapBefore = IcebergLite.currentSnapshotId(root).get
+    IcebergLite.rewriteManifests(root, targetManifests = 1)
+    assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == before)
+    assert(IcebergLite.posDeletes(root).nonEmpty, "pending deletes carry through the rewrite")
+    assert(IcebergLite.read(s, root).collect().map(_.toString).sorted.toSeq == rows0)
+    assert(IcebergLite.snapshotOperation(root,
+      IcebergLite.currentSnapshotId(root).get) == "replace")
+    // time travel to the pre-rewrite snapshot still resolves
+    assert(IcebergLite.read(s, root, snapshotId = Some(snapBefore)).count() == 13L)
+    // idempotent: already at the target → no new snapshot
+    val cur = IcebergLite.currentSnapshotId(root).get
+    assert(IcebergLite.rewriteManifests(root, targetManifests = 1) == cur)
+  }
+
   test("createTable with a spec refuses a mismatch against an existing table") {
     val s = spark
     import s.implicits._
