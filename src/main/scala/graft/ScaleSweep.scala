@@ -934,6 +934,19 @@ object ScaleSweep {
     val tFull = System.nanoTime()
     val total = sources.IcebergLite.dataFiles(root).size
     val fullWall = (System.nanoTime() - tFull) / 1e9
+
+    // the maintenance answer to manifest sprawl: rewriteManifests
+    // consolidates (here 100× fewer), and the SAME driver plan must
+    // return the identical file set at a fraction of the parse cost
+    val targetM = math.max(1, nManifests / 100)
+    val tRw = System.nanoTime()
+    sources.IcebergLite.rewriteManifests(root, targetManifests = targetM)
+    val rwWall = (System.nanoTime() - tRw) / 1e9
+    val tDriver2 = System.nanoTime()
+    val driver2 = sources.IcebergLite.dataFiles(root, filters = filters)
+    val driver2Wall = (System.nanoTime() - tDriver2) / 1e9
+    require(driver2.toSet == driver.toSet,
+      "post-rewrite plan diverged from the pre-rewrite plan")
     println(
       s"""{"sweep":"plan","files":$total,"manifests":$nManifests,""" +
       s""""buildWallSec":${math.round(buildWall * 100) / 100.0},""" +
@@ -941,6 +954,9 @@ object ScaleSweep {
       s""""driverPlanSec":${math.round(driverWall * 1000) / 1000.0},""" +
       s""""distributedPlanSec":${math.round(distWall * 1000) / 1000.0},""" +
       s""""driverFullListSec":${math.round(fullWall * 1000) / 1000.0},""" +
+      s""""rewriteManifestsSec":${math.round(rwWall * 100) / 100.0},""" +
+      s""""manifestsAfter":$targetM,""" +
+      s""""postRewriteDriverPlanSec":${math.round(driver2Wall * 1000) / 1000.0},""" +
       s""""plansAgree":true}""")
   }
 

@@ -175,16 +175,19 @@ object IcebergLite {
     snapshotId.orElse(currentSnapshotId(tablePath)) match {
       case None => Nil
       case Some(id) =>
-        dataFilesFrom(tablePath, id, manifestPathsOf(tablePath, id), filters)
+        dataFilesFrom(tablePath, id, parseManifestList(tablePath, id), filters)
     }
 
-  private def dataFilesFrom(tablePath: String, id: Long, manifests: Seq[String],
+  private def dataFilesFrom(tablePath: String, id: Long, manifests: Seq[ManifestRef],
       filters: Seq[PartitionFilter]): Seq[DataFile] = {
-    val files = manifests.flatMap(manifestFiles(tablePath, _))
     val rmap = renames(tablePath, Some(id))
     val projected = withProjectedFilters(tablePath, filters)
     val physFilters =
       if (rmap.isEmpty) projected else projected.map(physicalFilter(rmap, _))
+    // manifest-level skip FIRST: a summarized manifest whose partition
+    // ranges reject the filters is never opened or parsed
+    val surviving = manifests.filter(manifestMayMatch(_, physFilters))
+    val files = surviving.flatMap(m => manifestFiles(tablePath, m.path))
     files.filter(f => physFilters.forall(_.matches(f)))
   }
 
@@ -204,16 +207,85 @@ object IcebergLite {
     else (filters ++ IcebergTransforms.projectFilters(fields, filters)).distinct
   }
 
-  /** Manifest paths listed by a snapshot's manifest list (table-
-    * relative). One small JSON read — O(manifests) driver work, never
-    * O(files). */
-  private def manifestPathsOf(tablePath: String, id: Long): Seq[String] = {
+  /** One manifest as listed by a manifest list: its path plus the
+    * optional PARTITION SUMMARY — per partition column, the [min,max]
+    * range of the partition values of every entry inside (real
+    * Iceberg's `manifest_file.partitions` field). `None` = no summary
+    * recorded (legacy list): the manifest must be parsed. */
+  private final case class ManifestRef(path: String,
+      summaries: Option[Map[String, (String, String)]])
+
+  private def parseManifestList(tablePath: String, id: Long): Seq[ManifestRef] = {
     val snap = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
     val manifestList = (snap \ "manifest_list").extract[String]
     readJson(s"$tablePath/$manifestList") match {
-      case JArray(ms) => ms.map(m => (m \ "manifest_path").extract[String])
+      case JArray(ms) => ms.map { m =>
+        val sums = (m \ "partition_summaries") match {
+          case JObject(fields) => Some(fields.map { case (c, v) =>
+            c -> ((v \ "lower").extract[String], (v \ "upper").extract[String])
+          }.toMap)
+          case _ => None
+        }
+        ManifestRef((m \ "manifest_path").extract[String], sums)
+      }
       case _ => Nil
     }
+  }
+
+  /** Manifest paths listed by a snapshot's manifest list (table-
+    * relative). One small JSON read — O(manifests) driver work, never
+    * O(files). */
+  private def manifestPathsOf(tablePath: String, id: Long): Seq[String] =
+    parseManifestList(tablePath, id).map(_.path)
+
+  /** The partition summary of a manifest's entries: per partition
+    * column, the [min,max] of the entries' partition values under the
+    * manifest comparator ([[cmp]] — the SAME ordering
+    * `matchesBounds` compares with, or the summary could prune a
+    * manifest whose entry matches). A column is summarized ONLY when
+    * every entry carries it: a range computed over a subset would
+    * wrongly prune entries lacking the column (mixed-spec manifests).
+    * Empty entries → empty summary (always parsed, and empty). */
+  private def partitionSummary(files: Seq[DataFile]): Map[String, (String, String)] = {
+    val ord: Ordering[String] = (a, b) => cmp(a, b)
+    files.flatMap(_.partition.keys).distinct.flatMap { c =>
+      val vs = files.flatMap(_.partition.get(c))
+      if (vs.size != files.size || vs.isEmpty) None
+      else Some(c -> (vs.min(ord), vs.max(ord)))
+    }.toMap
+  }
+
+  /** Whether a manifest can hold ANY matching entry, judged from its
+    * partition summary alone — the skip that makes planning on a
+    * consolidated table O(matching manifests), not O(total entries):
+    * the summary ranges become synthetic column bounds and the SAME
+    * `PartitionFilter.matches` decides (columns without a summary are
+    * conservatively in-range; a missing summary parses the manifest).
+    * Sound because the summary covers every entry's partition values,
+    * and `matchesBounds` over a covering range keeps any filter some
+    * entry could match. */
+  private def manifestMayMatch(m: ManifestRef,
+      physFilters: Seq[PartitionFilter]): Boolean = m.summaries match {
+    case None => true
+    case Some(s) =>
+      val synth = DataFile(filePath = m.path, fileFormat = "PARQUET",
+        partition = Map.empty, recordCount = -1L,
+        lowerBounds = s.map { case (c, lu) => c -> lu._1 },
+        upperBounds = s.map { case (c, lu) => c -> lu._2 })
+      physFilters.forall(_.matches(synth))
+  }
+
+  /** Manifests of snapshot `id` surviving summary pruning under
+    * `filters` (logical names; rename + transform projection applied
+    * exactly as entry-level pruning does). Exposed for tests. */
+  private[graft] def manifestsMatching(tablePath: String, id: Long,
+      filters: Seq[PartitionFilter]): Seq[String] = {
+    val rmap = renames(tablePath, Some(id))
+    val projected = withProjectedFilters(tablePath, filters)
+    val physFilters =
+      if (rmap.isEmpty) projected else projected.map(physicalFilter(rmap, _))
+    parseManifestList(tablePath, id)
+      .filter(manifestMayMatch(_, physFilters)).map(_.path)
   }
 
   /** DISTRIBUTED manifest planning — real Iceberg's
@@ -240,24 +312,29 @@ object IcebergLite {
     snapshotId.orElse(currentSnapshotId(tablePath)) match {
       case None => Nil
       case Some(id) => planFilesDistributedFrom(spark, tablePath, id,
-        manifestPathsOf(tablePath, id), filters)
+        parseManifestList(tablePath, id), filters)
     }
 
   private def planFilesDistributedFrom(spark: SparkSession, tablePath: String,
-      id: Long, manifests: Seq[String],
+      id: Long, manifests: Seq[ManifestRef],
       filters: Seq[PartitionFilter]): Seq[DataFile] = {
     if (manifests.isEmpty) return Nil
     val rmap = renames(tablePath, Some(id))
     val projected = withProjectedFilters(tablePath, filters)
     val physFilters =
       if (rmap.isEmpty) projected else projected.map(physicalFilter(rmap, _))
+    // manifest-level summary skip happens on the DRIVER (the summaries
+    // live in the one small manifest-list read); only surviving
+    // manifests fan out to executors for entry-level pruning
+    val surviving = manifests.filter(manifestMayMatch(_, physFilters)).map(_.path)
+    if (surviving.isEmpty) return Nil
     // locals only in the task closure: a String and a Seq of
     // serializable filter case classes
     val tp = tablePath
     implicit val enc: org.apache.spark.sql.Encoder[DataFile] =
       org.apache.spark.sql.Encoders.product[DataFile]
-    spark.createDataset(manifests)(org.apache.spark.sql.Encoders.STRING)
-      .repartition(math.min(manifests.size,
+    spark.createDataset(surviving)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(surviving.size,
         math.max(1, spark.sparkContext.defaultParallelism)))
       .flatMap(m => manifestFiles(tp, m)
         .filter(f => physFilters.forall(_.matches(f))))
@@ -280,7 +357,7 @@ object IcebergLite {
           .map(_.toInt).getOrElse(64)
         // manifest list resolved ONCE and handed to whichever planner
         // wins the threshold — no metadata file is read twice per plan
-        val manifests = manifestPathsOf(tablePath, id)
+        val manifests = parseManifestList(tablePath, id)
         if (manifests.size < threshold)
           dataFilesFrom(tablePath, id, manifests, filters)
         else planFilesDistributedFrom(spark, tablePath, id, manifests, filters)
@@ -725,16 +802,27 @@ object IcebergLite {
     val partitionColumns =
       if (spec.isEmpty) partitionColumns0.map(physicalName(rmap, _))
       else spec.map(_.name)
+    // declared write DISTRIBUTION: shuffle rows across write tasks so
+    // the partitionBy below cuts a bounded file count (hash: one task
+    // per tuple; range: contiguous (tuple, sort-key) ranges); `none`
+    // writes the arriving partitioning shuffle-free
+    val order = sortOrder(tablePath)
+    val dfD = writeDistribution(tablePath) match {
+      case "hash" if partitionColumns.nonEmpty =>
+        df.repartition(partitionColumns.map(col): _*)
+      case "range" if partitionColumns.nonEmpty =>
+        df.repartitionByRange((partitionColumns ++ order).map(col): _*)
+      case _ => df
+    }
     // declared write order: a LOCAL sort per task (partition dirs
     // first so each task's rows land contiguously per file, then the
-    // order columns) — tight parquet row-group stats, zero shuffle
-    val order = sortOrder(tablePath)
+    // order columns) — tight parquet row-group stats, zero added shuffle
     val dfW =
-      if (order.isEmpty) df
+      if (order.isEmpty) dfD
       else {
         val missing = order.filterNot(df.columns.contains)
         require(missing.isEmpty, s"sort-order columns absent from write: $missing")
-        df.sortWithinPartitions((partitionColumns ++ order).map(col): _*)
+        dfD.sortWithinPartitions((partitionColumns ++ order).map(col): _*)
       }
     val writer = dfW.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
@@ -951,10 +1039,31 @@ object IcebergLite {
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
       seqEntries.mkString("{\"entries\": [", ",\n", "]}"))
     val allManifests = carried :+ s"metadata/manifest-$id.json"
+    // PARTITION SUMMARIES per manifest (real Iceberg's
+    // `manifest_file.partitions`): carried manifests keep the parent
+    // list's summaries verbatim (a parent entry WITHOUT one stays
+    // legacy — never re-parsed on the append path); a carried path the
+    // parent does not list (rewriteManifests' fresh consolidations) and
+    // the commit's own new manifest are parsed once — O(their entries),
+    // the same cost class as writing them
+    val parentSums: Map[String, Option[Map[String, (String, String)]]] =
+      parent.map(p => parseManifestList(tablePath, p)
+        .map(r => r.path -> r.summaries).toMap).getOrElse(Map.empty)
+    def summaryOf(path: String): Option[Map[String, (String, String)]] =
+      parentSums.getOrElse(path,
+        Some(partitionSummary(manifestFiles(tablePath, path))))
+    def summaryField(s: Option[Map[String, (String, String)]]): String = s match {
+      case None => ""
+      case Some(m) =>
+        val body = m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"${jstr(c)}: {\"lower\": ${jstr(lo)}, \"upper\": ${jstr(hi)}}"
+        }.mkString("{", ", ", "}")
+        s""",\n  "partition_summaries": $body"""
+    }
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$id.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
-           |  "snapshot_id": $id, "sequence_number": ${i + 1}}""".stripMargin
+           |  "snapshot_id": $id, "sequence_number": ${i + 1}${summaryField(summaryOf(m))}}""".stripMargin
       }.mkString("[", ",\n", "]"))
     val renamesJson =
       if (rmap.isEmpty) ""
@@ -1118,6 +1227,33 @@ object IcebergLite {
     val phys = cols.map(physicalName(rmap, _))
     atomicWrite(Paths.get(s"$tablePath/metadata/sort-order.json"),
       phys.map(jstr).mkString("""{"order": [""", ", ", "]}"))
+  }
+
+  /** Declare the table's WRITE DISTRIBUTION MODE (real Iceberg's
+    * `write.distribution-mode`): how rows are shuffled across write
+    * tasks before files are cut on a partitioned write.
+    *  - `none` (default): write the arriving partitioning — zero
+    *    shuffle, but a write whose tasks all touch every partition
+    *    tuple cuts tasks × tuples files;
+    *  - `hash`: repartition on the partition columns — ONE task per
+    *    tuple, so one file per tuple (the streaming-ingest setting
+    *    that keeps small-file debt from accruing);
+    *  - `range`: range-repartition on (partition columns, sort
+    *    order) — hash's file-count bound plus globally contiguous
+    *    sort ranges for tight parquet stats.
+    * Metadata-only; applies from the next write. */
+  def setWriteDistribution(tablePath: String, mode: String): Unit = withCommitLock(tablePath) {
+    require(Set("none", "hash", "range").contains(mode),
+      s"unknown write distribution mode: $mode (none|hash|range)")
+    atomicWrite(Paths.get(s"$tablePath/metadata/write-distribution.json"),
+      s"""{"mode": ${jstr(mode)}}""")
+  }
+
+  /** The table's write distribution mode (`none` when unset). */
+  def writeDistribution(tablePath: String): String = {
+    val p = Paths.get(s"$tablePath/metadata/write-distribution.json")
+    if (!Files.exists(p)) "none"
+    else (readJson(p.toString) \ "mode").extractOrElse[String]("none")
   }
 
   /** The table's write sort order (physical names; empty when unset). */
@@ -1303,7 +1439,12 @@ object IcebergLite {
     val parentId = currentSnapshotId(tablePath)
     val current = parentId.map(id => manifestPathsOf(tablePath, id)).getOrElse(Nil)
     if (current.size <= targetManifests) return parentId.getOrElse(0L)
-    val files = dataFiles(tablePath)
+    // CLUSTER entries by partition tuple before grouping: each target
+    // manifest then covers a narrow partition range, which is what
+    // makes the manifest-list partition summaries selective — a
+    // filtered plan skips whole manifests without parsing them
+    val files = dataFiles(tablePath).sortBy(f =>
+      f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"))
     val groups =
       if (files.isEmpty) Seq(Seq.empty[DataFile])
       else {

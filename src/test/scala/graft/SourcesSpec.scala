@@ -2057,6 +2057,106 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.rewriteManifests(root, targetManifests = 1) == cur)
   }
 
+  test("write distribution modes: hash bounds files to one per partition tuple") {
+    val s = spark
+    import s.implicits._
+    def writeScattered(root: String): Unit = {
+      // 4 write tasks each touching BOTH tuples: `none` cuts up to
+      // tasks x tuples files, `hash` exactly one per tuple
+      IcebergLite.append(s, root,
+        (0L until 40L).map(id => (id, (id % 2).toString, s"v$id"))
+          .toDF("id", "p", "v").repartition(4, col("id")),
+        partitionColumns = Seq("p"))
+    }
+    val rootNone = Files.createTempDirectory("iceberg_dist_none").toString
+    IcebergLite.createTable(rootNone)
+    writeScattered(rootNone)
+    assert(IcebergLite.dataFiles(rootNone).size > 2,
+      "scattered tasks under mode none must cut multiple files per tuple")
+
+    val rootHash = Files.createTempDirectory("iceberg_dist_hash").toString
+    IcebergLite.createTable(rootHash)
+    IcebergLite.setWriteDistribution(rootHash, "hash")
+    writeScattered(rootHash)
+    val files = IcebergLite.dataFiles(rootHash)
+    assert(files.size == 2, s"hash distribution: one file per tuple, got ${files.size}")
+    assert(files.map(_.partition("p")).sorted == Seq("0", "1"))
+    assert(IcebergLite.read(s, rootHash).count() == 40L)
+
+    // range mode with a declared sort order: bounded files AND
+    // globally contiguous id ranges within each tuple
+    val rootRange = Files.createTempDirectory("iceberg_dist_range").toString
+    IcebergLite.createTable(rootRange)
+    IcebergLite.setWriteDistribution(rootRange, "range")
+    IcebergLite.setSortOrder(rootRange, Seq("id"))
+    writeScattered(rootRange)
+    assert(IcebergLite.read(s, rootRange).count() == 40L)
+    intercept[IllegalArgumentException] {
+      IcebergLite.setWriteDistribution(rootRange, "zorder")
+    }
+  }
+
+  test("manifest-list partition summaries skip whole manifests; rewrite makes them selective") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_msummary").toString
+    IcebergLite.createTable(root)
+    // one manifest per append, disjoint identity partitions
+    IcebergLite.append(s, root,
+      Seq((1L, "a", "x1"), (2L, "a", "x2")).toDF("id", "p", "v").coalesce(1),
+      partitionColumns = Seq("p"))
+    IcebergLite.append(s, root,
+      Seq((3L, "b", "y1")).toDF("id", "p", "v").coalesce(1),
+      partitionColumns = Seq("p"))
+    val snap = IcebergLite.currentSnapshotId(root).get
+    val all = IcebergLite.manifestsMatching(root, snap, Nil)
+    assert(all.size == 2)
+    // a filter on the partition column skips the other append's
+    // manifest entirely — it is never opened
+    val onlyA = IcebergLite.manifestsMatching(root, snap,
+      Seq(IcebergLite.Eq("p", "a")))
+    assert(onlyA.size == 1, s"summary skip must drop the p=b manifest: $onlyA")
+    // entry-level results are unchanged by the summary layer
+    assert(IcebergLite.dataFiles(root, filters = Seq(IcebergLite.Eq("p", "a")))
+      .map(_.partition("p")).forall(_ == "a"))
+    assert(IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("p", "a")))
+      .count() == 2L)
+
+    // a REWRITTEN (clustered) manifest set gets computed summaries for
+    // its fresh paths — filters keep skipping after consolidation
+    val root2 = Files.createTempDirectory("iceberg_msummary2").toString
+    IcebergLite.createTable(root2)
+    (0 until 4).foreach { i =>
+      IcebergLite.append(s, root2,
+        (0 until 2).map(j => (i * 10L + j, (i % 2).toString, s"v$i$j"))
+          .toDF("id", "p", "v").coalesce(1),
+        partitionColumns = Seq("p"))
+    }
+    IcebergLite.rewriteManifests(root2, targetManifests = 2)
+    val snap2 = IcebergLite.currentSnapshotId(root2).get
+    assert(IcebergLite.manifestsMatching(root2, snap2, Nil).size == 2)
+    // clustering by partition makes each target manifest single-valued
+    // on p, so Eq(p) keeps exactly one of the two
+    assert(IcebergLite.manifestsMatching(root2, snap2,
+      Seq(IcebergLite.Eq("p", "1"))).size == 1)
+    assert(IcebergLite.read(s, root2, filters = Seq(IcebergLite.Eq("p", "1")))
+      .count() == 4L)
+
+    // hidden partitioning: the summary skip composes with transform
+    // projection — a source-column filter prunes manifests it never
+    // named a partition field of
+    import graft.sources.IcebergTransforms.{Day, PartitionField}
+    val root3 = freshSpecTable(Seq(PartitionField("ts", Day,
+      org.apache.spark.sql.types.TimestampType)))
+    def tsDf(d: String) = Seq((java.sql.Timestamp.valueOf(s"$d 10:00:00"), d))
+      .toDF("ts", "tag").coalesce(1)
+    IcebergLite.append(s, root3, tsDf("2024-01-01"))
+    IcebergLite.append(s, root3, tsDf("2024-03-01"))
+    val snap3 = IcebergLite.currentSnapshotId(root3).get
+    assert(IcebergLite.manifestsMatching(root3, snap3,
+      Seq(IcebergLite.Gt("ts", "2024-02-01 00:00:00"))).size == 1)
+  }
+
   test("createTable with a spec refuses a mismatch against an existing table") {
     val s = spark
     import s.implicits._
