@@ -207,13 +207,29 @@ object IcebergLite {
     else (filters ++ IcebergTransforms.projectFilters(fields, filters)).distinct
   }
 
+  /** One partition column's summary range in a manifest list, under
+    * BOTH total orders a filter compare can take: `lower`/`upper` are
+    * the entries' min/max under the manifest comparator [[cmp]]
+    * (numeric when the column's values all parse), `lowerS`/`upperS`
+    * under plain string order. Two ranges because [[cmp]] is only a
+    * total order on values of ONE kind: a filter VALUE that parses
+    * numerically compares numerically against all-numeric partition
+    * values, but a NON-numeric filter value string-compares against
+    * those same values ({"2","10"} vs Gt("10x"): "2" matches
+    * string-wise while the numeric max "10" does not) — so the
+    * summary must cover the entries under whichever order the filter
+    * value will trigger. For all-non-numeric value sets the two
+    * ranges coincide. */
+  private final case class ColSummary(lower: String, upper: String,
+      lowerS: String, upperS: String)
+
   /** One manifest as listed by a manifest list: its path plus the
     * optional PARTITION SUMMARY — per partition column, the [min,max]
     * range of the partition values of every entry inside (real
     * Iceberg's `manifest_file.partitions` field). `None` = no summary
     * recorded (legacy list): the manifest must be parsed. */
   private final case class ManifestRef(path: String,
-      summaries: Option[Map[String, (String, String)]])
+      summaries: Option[Map[String, ColSummary]])
 
   private def parseManifestList(tablePath: String, id: Long): Seq[ManifestRef] = {
     val snap = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
@@ -222,7 +238,11 @@ object IcebergLite {
       case JArray(ms) => ms.map { m =>
         val sums = (m \ "partition_summaries") match {
           case JObject(fields) => Some(fields.map { case (c, v) =>
-            c -> ((v \ "lower").extract[String], (v \ "upper").extract[String])
+            val lo = (v \ "lower").extract[String]
+            val hi = (v \ "upper").extract[String]
+            c -> ColSummary(lo, hi,
+              (v \ "lower_s").extractOrElse[String](lo),
+              (v \ "upper_s").extractOrElse[String](hi))
           }.toMap)
           case _ => None
         }
@@ -239,19 +259,30 @@ object IcebergLite {
     parseManifestList(tablePath, id).map(_.path)
 
   /** The partition summary of a manifest's entries: per partition
-    * column, the [min,max] of the entries' partition values under the
-    * manifest comparator ([[cmp]] — the SAME ordering
-    * `matchesBounds` compares with, or the summary could prune a
-    * manifest whose entry matches). A column is summarized ONLY when
-    * every entry carries it: a range computed over a subset would
-    * wrongly prune entries lacking the column (mixed-spec manifests).
+    * column, the [min,max] of the entries' partition values under
+    * BOTH orders a later filter compare can take (see [[ColSummary]]).
+    * A column is summarized ONLY when every entry carries it (a range
+    * over a subset would wrongly prune entries lacking the column —
+    * mixed-spec manifests) AND its values are uniformly
+    * numeric-parsing or uniformly not: over a MIXED set ({"2","10",
+    * "1x"}) the pairwise comparator [[cmp]] is not transitive, no
+    * single min/max covers every entry under every filter value, and
+    * a summary could prune a manifest holding an exact match — such
+    * columns are omitted (the manifest is conservatively parsed), the
+    * same guard [[boundSound]] applies to file column bounds. Within
+    * a uniform set every (entry, filter-value) compare runs under ONE
+    * total order — numeric when both sides parse, string otherwise —
+    * and the matching range is recorded for each.
     * Empty entries → empty summary (always parsed, and empty). */
-  private def partitionSummary(files: Seq[DataFile]): Map[String, (String, String)] = {
+  private def partitionSummary(files: Seq[DataFile]): Map[String, ColSummary] = {
     val ord: Ordering[String] = (a, b) => cmp(a, b)
+    def numericish(v: String) = v.toLongOption.nonEmpty || v.toDoubleOption.nonEmpty
     files.flatMap(_.partition.keys).distinct.flatMap { c =>
       val vs = files.flatMap(_.partition.get(c))
+      val nNum = vs.count(numericish)
       if (vs.size != files.size || vs.isEmpty) None
-      else Some(c -> (vs.min(ord), vs.max(ord)))
+      else if (nNum != 0 && nNum != vs.size) None // mixed: no sound total order
+      else Some(c -> ColSummary(vs.min(ord), vs.max(ord), vs.min, vs.max))
     }.toMap
   }
 
@@ -268,11 +299,24 @@ object IcebergLite {
       physFilters: Seq[PartitionFilter]): Boolean = m.summaries match {
     case None => true
     case Some(s) =>
-      val synth = DataFile(filePath = m.path, fileFormat = "PARQUET",
-        partition = Map.empty, recordCount = -1L,
-        lowerBounds = s.map { case (c, lu) => c -> lu._1 },
-        upperBounds = s.map { case (c, lu) => c -> lu._2 })
-      physFilters.forall(_.matches(synth))
+      // TWO synthetic bound files, one per recorded order (see
+      // [[ColSummary]]): a filter whose value compares numerically
+      // is covered by the cmp-order range, one whose value string-
+      // compares by the string-order range — `matchesBounds`' own
+      // [[cmp]] picks the right comparison per (bound, value) pair,
+      // so "matches either synth" keeps every manifest some entry
+      // could match, under either comparison the filter can take.
+      // Each filter passes independently: a single matching entry
+      // satisfies all filters, hence each filter on at least one
+      // synth.
+      def synth(lo: ColSummary => String, hi: ColSummary => String) =
+        DataFile(filePath = m.path, fileFormat = "PARQUET",
+          partition = Map.empty, recordCount = -1L,
+          lowerBounds = s.map { case (c, cs) => c -> lo(cs) },
+          upperBounds = s.map { case (c, cs) => c -> hi(cs) })
+      val (synthCmp, synthStr) =
+        (synth(_.lower, _.upper), synth(_.lowerS, _.upperS))
+      physFilters.forall(f => f.matches(synthCmp) || f.matches(synthStr))
   }
 
   /** Manifests of snapshot `id` surviving summary pruning under
@@ -380,18 +424,26 @@ object IcebergLite {
     * the writer-side "assigned at commit" sentinel. */
   final case class RowDelete(sequenceNumber: Long, filters: Seq[PartitionFilter])
 
-  /** A pending merge-on-read POSITION delete — Iceberg v2's second
-    * delete form: ordinals `positions` (0-based row index within the
-    * parquet file) of exactly `filePath` are dead. Where an equality
-    * delete says "rows LIKE THIS are gone" (predicate, sequence-
-    * scoped), a position delete says "THESE PHYSICAL ROWS are gone" —
-    * the shape a CDC sink or a PII-erasure job emits after locating
-    * offending rows, with zero data I/O at delete time. Scoping is by
-    * file path (the file is NAMED, so no sequence number is needed:
-    * a rewrite that drops/rewrites the file prunes the delete with
-    * it). Metadata is O(positions) — suited to surgical deletes;
-    * large-scale predicates belong to [[deleteMergeOnRead]]. */
-  final case class PosDelete(filePath: String, positions: Seq[Long])
+  /** A pending merge-on-read POSITION-DELETE FILE — Iceberg v2's
+    * second delete form, in real Iceberg's shape: `filePath` is a
+    * PARQUET FILE of (file_path, pos) rows under `data/` naming the
+    * dead ordinals (0-based row index within each named data file).
+    * Where an equality delete says "rows LIKE THIS are gone"
+    * (predicate, sequence-scoped), a position delete says "THESE
+    * PHYSICAL ROWS are gone" — the shape a CDC sink or a PII-erasure
+    * job emits after locating offending rows, with zero data I/O at
+    * delete time. Scoping is by NAMED file path (no sequence number:
+    * a rewrite that drops/rewrites a target file materializes its
+    * positions with it), and `targetLower`/`targetUpper` — the key
+    * file's own min/max on its `file_path` column, from the same
+    * distributed stats pass data writes use — prune the read-side
+    * anti-join to reads that actually touch a named file. Snapshot
+    * metadata is O(1) per delete file however many positions it
+    * carries (a 10⁵-row erasure batch is one bounded entry, not a
+    * 10⁵-long ordinal list in JSON); readers anti-join on
+    * (file_path, pos). */
+  final case class PosDelete(filePath: String, recordCount: Long = -1L,
+      targetLower: Option[String] = None, targetUpper: Option[String] = None)
 
   /** A pending merge-on-read EQUALITY-DELETE FILE — Iceberg v2's third
     * delete form, the one built for HIGH-CARDINALITY CDC deletes: the
@@ -490,7 +542,7 @@ object IcebergLite {
         }
     }
 
-  /** Pending merge-on-read position deletes as of a snapshot. */
+  /** Pending merge-on-read position-delete files as of a snapshot. */
   def posDeletes(tablePath: String, snapshotId: Option[Long] = None): Seq[PosDelete] =
     snapshotId.orElse(currentSnapshotId(tablePath)) match {
       case None => Nil
@@ -499,7 +551,9 @@ object IcebergLite {
           case JArray(ds) => ds.map { d =>
             PosDelete(
               (d \ "file").extract[String],
-              (d \ "positions").extract[Seq[Long]])
+              (d \ "record_count").extractOrElse[Long](-1L),
+              (d \ "target_lower").toOption.collect { case JString(v) => v },
+              (d \ "target_upper").toOption.collect { case JString(v) => v })
           }
           case _ => Nil
         }
@@ -551,7 +605,12 @@ object IcebergLite {
       add.fields.find(_.name == f.name) match {
         case Some(g) if g.dataType == f.dataType =>
           f.copy(nullable = f.nullable || g.nullable)
-        case Some(g) if isWidening(g.dataType, f.dataType) => f // narrow writer
+        case Some(g) if isWidening(g.dataType, f.dataType) =>
+          // narrow writer: the wide type stays, but the write's
+          // nullability must still merge — a stale writer appending
+          // nulls into a non-nullable column otherwise leaves the
+          // recorded schema claiming non-null
+          f.copy(nullable = f.nullable || g.nullable)
         case Some(g) if isWidening(f.dataType, g.dataType) =>
           f.copy(dataType = g.dataType, nullable = f.nullable || g.nullable)
         case Some(g) => throw new IllegalArgumentException(
@@ -1046,17 +1105,23 @@ object IcebergLite {
     // parent does not list (rewriteManifests' fresh consolidations) and
     // the commit's own new manifest are parsed once — O(their entries),
     // the same cost class as writing them
-    val parentSums: Map[String, Option[Map[String, (String, String)]]] =
+    val parentSums: Map[String, Option[Map[String, ColSummary]]] =
       parent.map(p => parseManifestList(tablePath, p)
         .map(r => r.path -> r.summaries).toMap).getOrElse(Map.empty)
-    def summaryOf(path: String): Option[Map[String, (String, String)]] =
+    def summaryOf(path: String): Option[Map[String, ColSummary]] =
       parentSums.getOrElse(path,
         Some(partitionSummary(manifestFiles(tablePath, path))))
-    def summaryField(s: Option[Map[String, (String, String)]]): String = s match {
+    def summaryField(s: Option[Map[String, ColSummary]]): String = s match {
       case None => ""
       case Some(m) =>
-        val body = m.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-          s"${jstr(c)}: {\"lower\": ${jstr(lo)}, \"upper\": ${jstr(hi)}}"
+        val body = m.toSeq.sortBy(_._1).map { case (c, cs) =>
+          // the string-order range is written only when it differs
+          // (all-numeric value sets); parse defaults lower_s/upper_s
+          // to lower/upper, so the common case stays two fields
+          val extra =
+            if (cs.lowerS == cs.lower && cs.upperS == cs.upper) ""
+            else s""", "lower_s": ${jstr(cs.lowerS)}, "upper_s": ${jstr(cs.upperS)}"""
+          s"${jstr(c)}: {\"lower\": ${jstr(cs.lower)}, \"upper\": ${jstr(cs.upper)}$extra}"
         }.mkString("{", ", ", "}")
         s""",\n  "partition_summaries": $body"""
     }
@@ -1078,7 +1143,9 @@ object IcebergLite {
     val posDeletesJson =
       if (pdels.isEmpty) ""
       else pdels.map { d =>
-        s"""{"file": ${jstr(d.filePath)}, "positions": [${d.positions.mkString(", ")}]}"""
+        val bounds = (d.targetLower.map(v => s""", "target_lower": ${jstr(v)}""") ++
+          d.targetUpper.map(v => s""", "target_upper": ${jstr(v)}""")).mkString
+        s"""{"file": ${jstr(d.filePath)}, "record_count": ${d.recordCount}$bounds}"""
       }.mkString(",\n \"position_deletes\": [", ",\n  ", "]")
     val eqDeletesJson =
       if (eqdels.isEmpty) ""
@@ -1400,7 +1467,27 @@ object IcebergLite {
       filters: Seq[PartitionFilter] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, replace}
     val files = planFiles(spark, tablePath, snapshotId, filters)
-    if (files.isEmpty) return spark.emptyDataFrame
+    if (files.isEmpty) {
+      // zero files (empty table or fully-pruned filter) still returns
+      // the documented shape: the snapshot's logical columns plus
+      // `_file`/`_pos`, so selecting them yields zero rows instead of
+      // AnalysisException. Identity partition columns (not in the
+      // data schema — hive layout strips them) are appended as the
+      // strings the non-empty read recovers them as.
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val rmap = renames(tablePath, snapshotId)
+      val dataCols = tableSchema(tablePath, snapshotId)
+        .getOrElse(new StructType()).fields
+        .map(f => f.copy(name = rmap.getOrElse(f.name, f.name)))
+      val identCols = partitionSpec(tablePath)
+        .filter(_.transform == IcebergTransforms.Identity).map(_.name)
+        .filterNot(n => dataCols.exists(_.name == n))
+        .map(n => org.apache.spark.sql.types.StructField(n, StringType))
+      val shape = StructType(dataCols ++ identCols)
+        .add("_pos", LongType).add("_file", StringType)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+    }
     val base = readFileSet(spark, tablePath, files, withRowPos = true,
       snapshotId = snapshotId)
     val tableAbs = Paths.get(tablePath).toAbsolutePath.normalize.toString + "/"
@@ -1610,9 +1697,14 @@ object IcebergLite {
     }
     posDeletes(tablePath, snapshotId).foreach { d =>
       // position deletes are path-scoped, not sequence-scoped (the
-      // file is NAMED): sequence reads 0
-      rows.add(org.apache.spark.sql.Row("position", 0L,
-        d.positions.size.toLong, d.filePath))
+      // target file is NAMED): sequence reads 0. Detail reports the
+      // TARGET path range (the delete file's own path carries an
+      // opaque run tag and would be nondeterministic)
+      val detail = (d.targetLower, d.targetUpper) match {
+        case (Some(a), Some(b)) if a == b => a
+        case (a, b) => s"${a.getOrElse("")}..${b.getOrElse("")}"
+      }
+      rows.add(org.apache.spark.sql.Row("position", 0L, d.recordCount, detail))
     }
     eqDeletes(tablePath, snapshotId).foreach { d =>
       rows.add(org.apache.spark.sql.Row("equality_file", d.sequenceNumber,
@@ -1974,32 +2066,57 @@ object IcebergLite {
     dels.filter(d => kept.exists(f =>
       f.sequenceNumber <= d.sequenceNumber && d.filters.forall(_.matches(f))))
 
-  /** Position deletes are path-scoped: one that references a file this
-    * rewrite dropped or rewrote has been materialized and vanishes. */
+  /** Whether a position-delete file could name any of `paths`: its
+    * recorded [targetLower, targetUpper] range on the key file's
+    * `file_path` column must cover some path. Plain string order —
+    * paths are never numeric-parsing strings, so this is the exact
+    * order the stats pass min/max'd under; missing bounds are
+    * conservatively in-range. */
+  private def posDelMayTarget(d: PosDelete, paths: Seq[String]): Boolean =
+    paths.exists(p => d.targetLower.forall(_.compareTo(p) <= 0) &&
+      d.targetUpper.forall(_.compareTo(p) >= 0))
+
+  /** Position deletes are path-scoped: one whose target range covers
+    * no kept file has been materialized (its targets dropped or
+    * rewritten under new paths) and vanishes. Range coverage is
+    * conservative — a delete whose range straddles kept files it
+    * never named stays pending harmlessly (the anti-join has no key
+    * for them) until compaction clears it, real Iceberg's exact
+    * behavior for delete-file bounds. */
   private def prunePosDeletes(dels: Seq[PosDelete],
       kept: Seq[DataFile]): Seq[PosDelete] = {
-    val keptPaths = kept.map(_.filePath).toSet
-    dels.filter(d => keptPaths.contains(d.filePath))
+    val keptPaths = kept.map(_.filePath)
+    dels.filter(posDelMayTarget(_, keptPaths))
   }
 
-  /** Anti-apply pending POSITION deletes: rows whose scan-captured
-    * `__graft_pos` ordinal (see [[readFileSet]] `withRowPos`) sits in
-    * a delete's position list for its own file are dropped. Cost: a
-    * codegen'd (file, ordinal) filter over only the files that have
-    * deletes; files without deletes pay nothing. */
+  /** Anti-apply pending POSITION-DELETE files: every pending key file
+    * whose target range covers a read file is read (columnar,
+    * distributed), the key sets union into ONE (file_path, pos)
+    * anti-join against the rows' scan-captured (file, `__graft_pos`)
+    * identity — however many delete files are pending, reads pay one
+    * join (the same single-join collapse [[applyEqDeletes]] applies).
+    * Rows of files no delete names have no join key and pass through;
+    * duplicate positions across delete files are harmless (anti-join
+    * semantics, no row multiplication). */
   private def applyPosDeletes(df: DataFrame, tablePath: String,
       files: Seq[DataFile], dels: Seq[PosDelete]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, not}
-    val readPaths = files.map(_.filePath).toSet
-    val relevant = dels.filter(d => readPaths.contains(d.filePath))
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val readPaths = files.map(_.filePath)
+    val relevant = dels.filter(posDelMayTarget(_, readPaths))
     if (relevant.isEmpty) return df
+    val spark = df.sparkSession
+    val prefix = Paths.get(tablePath).toAbsolutePath.normalize.toString + "/"
+    val keys = relevant
+      .map(d => spark.read.parquet(s"$tablePath/${d.filePath}"))
+      .reduce(_ unionByName _)
+      .select(concat(lit(prefix), col("file_path")).as("__graft_pd_file"),
+        col("pos").as("__graft_pd_pos"))
     val withKeys = df.withColumn("__graft_del_file", inputFileCol)
-    val filtered = relevant.foldLeft(withKeys) { (d, del) =>
-      d.filter(not(
-        col("__graft_del_file") === lit(absPath(tablePath, del.filePath)) &&
-          col("__graft_pos").isin(del.positions: _*)))
-    }
-    filtered.drop("__graft_del_file", "__graft_pos")
+    withKeys.join(keys,
+        withKeys("__graft_del_file") === keys("__graft_pd_file") &&
+          withKeys("__graft_pos") === keys("__graft_pd_pos"),
+        "left_anti")
+      .drop("__graft_del_file", "__graft_pos")
   }
 
   /** Read `files` with ALL pending merge-on-read delete forms
@@ -2010,8 +2127,8 @@ object IcebergLite {
   private def readWithDeletes(spark: SparkSession, tablePath: String,
       files: Seq[DataFile], snapshotId: Option[Long]): DataFrame = {
     val pdels = posDeletes(tablePath, snapshotId)
-    val readPaths = files.map(_.filePath).toSet
-    val needPos = pdels.exists(d => readPaths.contains(d.filePath))
+    val readPaths = files.map(_.filePath)
+    val needPos = pdels.exists(posDelMayTarget(_, readPaths))
     val base = readFileSet(spark, tablePath, files, withRowPos = needPos,
       snapshotId = snapshotId)
     applyPosDeletes(
@@ -2021,16 +2138,22 @@ object IcebergLite {
       tablePath, files, pdels)
   }
 
-  /** Merge-on-read POSITION delete as a NEW SNAPSHOT — zero data I/O:
-    * the parent's manifests are carried verbatim and the snapshot
-    * records (file → ordinals). `deletes` keys are table-relative
-    * file paths as listed by [[dataFiles]]; every key must be a live
-    * file (fail-closed — a typo'd path must not silently delete
-    * nothing). Ordinals are 0-based positions within the parquet
-    * file. Reads, time travel and refs anti-apply pending position
-    * deletes exactly like equality deletes; any rewrite that touches
-    * the file materializes them. Repeated deletes against one file
-    * merge their position sets. */
+  /** Merge-on-read POSITION delete as a NEW SNAPSHOT — zero data-file
+    * I/O: the (file_path, pos) pairs land as a PARQUET DELETE FILE
+    * under `data/posdel-<tag>/` (real Iceberg's position-delete file
+    * form), the parent's manifests are carried verbatim, and the
+    * snapshot records one bounded entry per written delete file —
+    * path, row count, and the min/max of the named target paths from
+    * the same distributed stats pass data writes use. A 10⁵-position
+    * erasure batch costs O(1) snapshot JSON, not a 10⁵-long ordinal
+    * list in metadata. `deletes` keys are table-relative file paths
+    * as listed by [[dataFiles]]; every key must be a live file
+    * (fail-closed — a typo'd path must not silently delete nothing).
+    * Ordinals are 0-based positions within the parquet file. Reads,
+    * time travel and refs anti-apply pending position deletes exactly
+    * like equality deletes; any rewrite that touches a target file
+    * materializes its positions. Repeated deletes add pending files;
+    * the union'd read-side anti-join dedupes overlaps. */
   def deletePositions(spark: SparkSession, tablePath: String,
       deletes: Map[String, Seq[Long]]): Long = {
     require(deletes.nonEmpty && deletes.forall(_._2.nonEmpty),
@@ -2054,14 +2177,24 @@ object IcebergLite {
       require(rc < 0 || ps.forall(_ < rc),
         s"position ${ps.max} out of range for $f ($rc rows)")
     }
-    val merged = (posDeletes(tablePath, parentId) ++
-      deletes.map { case (f, ps) => PosDelete(f, ps) })
-      .groupBy(_.filePath).map { case (f, ds) =>
-        PosDelete(f, ds.flatMap(_.positions).distinct.sorted)
-      }.toSeq.sortBy(_.filePath)
+    val runDir = s"posdel-${runTag()}"
+    val pairs = deletes.toSeq.sortBy(_._1)
+      .flatMap { case (f, ps) => ps.distinct.sorted.map(p => (f, p)) }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val posSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    pairs.foreach { case (f, p) => rows.add(org.apache.spark.sql.Row(f, p)) }
+    spark.createDataFrame(rows, posSchema)
+      .write.mode("overwrite").parquet(s"$tablePath/data/$runDir")
+    val written = perFileEntries(spark, tablePath, runDir, posSchema)
+    val newDels = written.map(f => PosDelete(f.filePath, f.recordCount,
+      f.lowerBounds.get("file_path"), f.upperBounds.get("file_path")))
     commitSnapshot(tablePath, parentId, entries = Nil,
       carriedManifests = parentManifests(tablePath, parentId),
-      operation = "delete", pendingPosDeletes = merged)
+      operation = "delete",
+      pendingPosDeletes = posDeletes(tablePath, parentId) ++ newDels)
   }
 
   /** Merge-on-read EQUALITY-DELETE FILE as a NEW SNAPSHOT — the
@@ -2116,31 +2249,63 @@ object IcebergLite {
     f.sequenceNumber <= d.sequenceNumber &&
       eqScopeFilters(tablePath, d).forall(_.matches(f))
 
-  /** Anti-apply pending equality-delete FILES: each key file is read
-    * (columnar, distributed) and outer-joined onto the rows of exactly
-    * the data files still in its scope; a key hit inside scope kills
-    * the row. Files outside scope (appended after the delete, or
-    * bounds-disjoint from the key range) pay nothing. The join is a
-    * plain Spark join — broadcast for small key sets, shuffled for
-    * 10⁶-key CDC batches, both correct at scale. */
+  /** Anti-apply pending equality-delete FILES: the key files are read
+    * (columnar, distributed), UNIONED per key-column signature, and
+    * each signature pays exactly ONE outer join however many delete
+    * files are pending — a CDC table committing every few minutes
+    * between hourly compactions carries dozens of pending files, and
+    * a join per file would chain dozens of shuffles onto every read.
+    * Each key row is tagged with its delete's sequence number
+    * (max-reduced per key tuple: any delete at-or-after a row's data
+    * sequence kills it, so the max tag decides), and the row side
+    * carries its file's data-sequence via the same broadcast
+    * (path → value) join partition recovery uses — O(read files)
+    * rows, never a per-delete `isin` literal list in the plan. The
+    * kill condition `data_seq ≤ key_seq` IS the v2 contract; the
+    * per-delete bounds scope remains what prunes deletes that can
+    * touch nothing (a file whose bounds exclude every key never has a
+    * matching key tuple, so dropping the per-file scope check from
+    * the row predicate changes no survivor). The join is a plain
+    * Spark join — broadcast for small key sets, shuffled for 10⁶-key
+    * CDC batches, both correct at scale. */
   private def applyEqDeletes(df: DataFrame, tablePath: String,
       files: Seq[DataFile], dels: Seq[EqDelete]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, not}
     val scoped = dels.map(d => d -> files.filter(eqScopeMatches(tablePath, d, _)))
       .filter(_._2.nonEmpty)
     if (scoped.isEmpty) return df
     val spark = df.sparkSession
-    val withFile = df.withColumn("__graft_del_file", inputFileCol)
-    val filtered = scoped.foldLeft(withFile) { case (acc, (del, inScope)) =>
-      val keys = spark.read.parquet(s"$tablePath/${del.filePath}")
-        .withColumn("__graft_eqhit", lit(true))
-      val inFiles = col("__graft_del_file").isin(
-        inScope.map(f => absPath(tablePath, f.filePath)): _*)
-      acc.join(keys, del.keyCols, "left_outer")
-        .filter(not(inFiles && coalesce(col("__graft_eqhit"), lit(false))))
-        .drop("__graft_eqhit")
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val seqRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    files.foreach(f => seqRows.add(org.apache.spark.sql.Row(
+      absPath(tablePath, f.filePath), f.sequenceNumber)))
+    val seqDf = spark.createDataFrame(seqRows, StructType(Seq(
+      StructField("__graft_del_file", StringType, nullable = false),
+      StructField("__graft_data_seq", LongType, nullable = false))))
+    val withSeq = df.withColumn("__graft_del_file", inputFileCol)
+      .join(broadcast(seqDf), Seq("__graft_del_file"), "left_outer")
+    val bySignature = scoped.map(_._1).groupBy(_.keyCols).toSeq
+      .sortBy(_._1.mkString(","))
+    val filtered = bySignature.foldLeft(withSeq) { case (acc, (keyCols, group)) =>
+      val tagged = group.map { d =>
+        spark.read.parquet(s"$tablePath/${d.filePath}")
+          .select(keyCols.map(col): _*)
+          .withColumn("__graft_key_seq", lit(d.sequenceNumber))
+      }
+      // a single pending file is already distinct (enforced at write);
+      // multiple files can repeat a key and must re-distinct or the
+      // outer join would multiply surviving rows
+      val keys =
+        if (tagged.size == 1) tagged.head
+        else tagged.reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col("__graft_key_seq")).as("__graft_key_seq"))
+      acc.join(keys, keyCols, "left_outer")
+        .filter(not(coalesce(
+          col("__graft_data_seq") <= col("__graft_key_seq"), lit(false))))
+        .drop("__graft_key_seq")
     }
-    filtered.drop("__graft_del_file")
+    filtered.drop("__graft_del_file", "__graft_data_seq")
   }
 
   /** An equality delete stays pending only while some kept file is
@@ -2590,13 +2755,14 @@ object IcebergLite {
       if (expired.isEmpty) (0, 0)
       else {
         def manifestsOf(id: Long): Seq[String] = parentManifests(tablePath, Some(id))
-        // equality-delete KEY FILES live under data/ and are referenced
-        // from snapshot JSON, not manifests — they join the data
-        // retention set or a retained snapshot's pending deletes would
-        // silently fail open after GC
+        // equality- and position-delete KEY FILES live under data/ and
+        // are referenced from snapshot JSON, not manifests — they join
+        // the data retention set or a retained snapshot's pending
+        // deletes would silently fail open after GC
         def filesOf(id: Long): Seq[String] =
           dataFiles(tablePath, Some(id)).map(_.filePath) ++
-            eqDeletes(tablePath, Some(id)).map(_.filePath)
+            eqDeletes(tablePath, Some(id)).map(_.filePath) ++
+            posDeletes(tablePath, Some(id)).map(_.filePath)
         val keepManifests = retained.flatMap(manifestsOf)
         val keepData = retained.flatMap(filesOf)
         val dropData = expired.flatMap(filesOf).distinct.filterNot(keepData)
@@ -2689,7 +2855,8 @@ object IcebergLite {
       : Seq[String] = {
     val referenced: Set[String] = snapshots(tablePath)
       .flatMap(id => dataFiles(tablePath, Some(id)).map(_.filePath) ++
-        eqDeletes(tablePath, Some(id)).map(_.filePath)).toSet
+        eqDeletes(tablePath, Some(id)).map(_.filePath) ++
+        posDeletes(tablePath, Some(id)).map(_.filePath)).toSet
     val dataRoot = Paths.get(s"$tablePath/data")
     if (!Files.exists(dataRoot)) return Nil
     val cutoff = System.currentTimeMillis() - olderThanMs

@@ -220,14 +220,24 @@ object EventStream {
           // the ordered precedence makes re-application idempotent
           var attempts = 0
           var committed = false
+          // the delete-file commit is latched OUT of the retry: only
+          // the merge validates against a planned parent and can
+          // conflict, and re-running deleteEquality on a merge retry
+          // would write a fresh key file + duplicate pending entry per
+          // attempt (effect-idempotent but unbounded metadata growth
+          // under contention)
+          var deletesDone = false
           while (!committed) try {
             if (eqDeleteTombstones && tombstoneCol.nonEmpty) {
               val t = tombstoneCol.get
               val flag = coalesce(col(t).cast("boolean"), lit(false))
               val delKeys = latest.filter(flag).select(col(keyCol))
               val ups = latest.filter(!flag).drop(t)
-              graft.sources.IcebergLite.deleteEquality(
-                batch.sparkSession, tablePath, delKeys)
+              if (!deletesDone) {
+                graft.sources.IcebergLite.deleteEquality(
+                  batch.sparkSession, tablePath, delKeys)
+                deletesDone = true
+              }
               if (!ups.isEmpty)
                 graft.sources.IcebergLite.merge(batch.sparkSession, tablePath,
                   ups, Seq(keyCol), precedence = Some(seqCol))

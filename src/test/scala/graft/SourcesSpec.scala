@@ -1623,17 +1623,33 @@ class SourcesSpec extends AnyFunSuite {
       "data/region=US/sales-us-1.parquet" -> Seq(1L)))
     assert(IcebergLite.dataFiles(root).map(_.filePath).toSet == filesBefore,
       "a position delete must not rewrite or add a single data file")
-    assert(IcebergLite.posDeletes(root).map(_.filePath).sorted ==
-      Seq("data/region=EU/sales-eu-1.parquet", "data/region=US/sales-us-1.parquet"))
+    // the positions landed as a parquet DELETE FILE (real Iceberg's
+    // position-delete file form), not as an ordinal list in metadata:
+    // the pending entry names the key file under data/posdel-*, carries
+    // the row count and the target-path range, and the snapshot JSON
+    // holds NO "positions" array however many ordinals were deleted
+    val pending0 = IcebergLite.posDeletes(root)
+    assert(pending0.nonEmpty && pending0.forall(_.filePath.startsWith("data/posdel-")))
+    assert(pending0.map(_.recordCount).sum == 3L)
+    assert(pending0.forall(d =>
+      d.targetLower.exists(_.startsWith("data/region=")) &&
+        d.targetUpper.exists(_.startsWith("data/region="))))
+    val snapJson = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/metadata/snap-${IcebergLite.currentSnapshotId(root).get}.snapshot.json"))
+    assert(!snapJson.contains("\"positions\""),
+      "snapshot metadata must carry no ordinal list — positions live in the delete file")
+    val keyRows = spark.read.parquet(
+      pending0.map(d => s"$root/${d.filePath}"): _*)
+    assert(keyRows.columns.sorted.toSeq == Seq("file_path", "pos") && keyRows.count() == 3L)
     val ids = IcebergLite.read(spark, root).select($"id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(2L, 4L, 6L, 7L, 8L, 9L, 10L, 11L, 12L),
       s"positions 0,2 of eu-1 (ids 1,3) and 1 of us-1 (id 5) must be dead, got $ids")
 
-    // repeated delete on the same file MERGES position sets
+    // repeated delete on the same file adds a pending delete file; the
+    // union'd anti-join composes them (and dedupes any overlap)
     IcebergLite.deletePositions(spark, root, Map(
       "data/region=EU/sales-eu-1.parquet" -> Seq(1L)))
-    assert(IcebergLite.posDeletes(root)
-      .find(_.filePath.endsWith("sales-eu-1.parquet")).get.positions == Seq(0L, 1L, 2L))
+    assert(IcebergLite.posDeletes(root).size > pending0.size)
     assert(IcebergLite.read(spark, root).filter($"region" === "EU" && $"id" <= 3).count() == 0)
 
     // unknown path fails CLOSED (a typo must not silently no-op)
@@ -1949,6 +1965,46 @@ class SourcesSpec extends AnyFunSuite {
       Seq((Some("eu"), 1L), (None: Option[String], 1L)).toDF("region", "uid"))
     val vs = IcebergLite.read(s, root).select("v").as[String].collect().sorted
     assert(vs.toSeq == Seq("n", "y", "z"), s"got ${vs.toSeq}")
+  }
+
+  test("K pending eq-deletes collapse to ONE key join per signature; survivors match fold semantics") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_eqdel_union").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root,
+      (1L to 20L).map(id => (id, s"old$id")).toDF("id", "v").coalesce(1))
+    // a high-cadence CDC table between compactions: FOUR pending
+    // same-signature delete files, with an append interleaved so
+    // sequence scoping is load-bearing (key 2 is deleted, then
+    // re-inserted — the union'd join must keep the re-insert while the
+    // original stays dead, i.e. per-key max delete sequence vs the
+    // row's file sequence, not a blanket key match)
+    IcebergLite.deleteEquality(s, root, Seq(1L).toDF("id"))
+    IcebergLite.deleteEquality(s, root, Seq(2L).toDF("id"))
+    IcebergLite.append(s, root, Seq((2L, "re2")).toDF("id", "v").coalesce(1))
+    IcebergLite.deleteEquality(s, root, Seq(3L, 4L).toDF("id"))
+    IcebergLite.deleteEquality(s, root, Seq(18L).toDF("id"))
+    assert(IcebergLite.eqDeletes(root).size == 4)
+    val df = IcebergLite.read(s, root)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2,
+      s"4 pending deletes of one signature must cost 1 sequence-map join + 1 key join, got ${joins.size}")
+    val vs = df.select("v").as[String].collect().sorted.toSeq
+    assert(!vs.contains("old1") && !vs.contains("old2") && !vs.contains("old3") &&
+      !vs.contains("old4") && !vs.contains("old18") && vs.contains("re2") &&
+      vs.size == 16, s"got $vs")
+    // a second key signature pays exactly one more join, not one per file
+    IcebergLite.deleteEquality(s, root, Seq("old7").toDF("v"))
+    IcebergLite.deleteEquality(s, root, Seq("old9").toDF("v"))
+    val df2 = IcebergLite.read(s, root)
+    val joins2 = df2.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins2.size == 3, s"two signatures → two key joins, got ${joins2.size}")
+    assert(df2.count() == 14L)
   }
 
   test("type widening: int files read as long after widenColumn; narrowing refuses") {
