@@ -286,6 +286,19 @@ object IcebergLite {
     }.toMap
   }
 
+  /** The serialized JSON body of a partition summary — the shape
+    * `parseManifestList` reads back. The string-order range is
+    * written only when it differs (all-numeric value sets); parse
+    * defaults lower_s/upper_s to lower/upper, so the common case
+    * stays two fields. */
+  private def summaryBody(m: Map[String, ColSummary]): String =
+    m.toSeq.sortBy(_._1).map { case (c, cs) =>
+      val extra =
+        if (cs.lowerS == cs.lower && cs.upperS == cs.upper) ""
+        else s""", "lower_s": ${jstr(cs.lowerS)}, "upper_s": ${jstr(cs.upperS)}"""
+      s"${jstr(c)}: {\"lower\": ${jstr(cs.lower)}, \"upper\": ${jstr(cs.upper)}$extra}"
+    }.mkString("{", ", ", "}")
+
   /** Whether a manifest can hold ANY matching entry, judged from its
     * partition summary alone — the skip that makes planning on a
     * consolidated table O(matching manifests), not O(total entries):
@@ -1032,7 +1045,11 @@ object IcebergLite {
       pendingEqDeletes: Seq[EqDelete] = null,
       toBranch: Option[String] = None,
       schemaUnion: org.apache.spark.sql.types.StructType = null,
-      schemaSet: org.apache.spark.sql.types.StructType = null): Long = withCommitLock(tablePath) {
+      schemaSet: org.apache.spark.sql.types.StructType = null,
+      knownSummaryJson: Map[String, String] = Map.empty,
+      writeOwnManifest: Boolean = true): Long = withCommitLock(tablePath) {
+    require(writeOwnManifest || entries.isEmpty,
+      "a commit that skips its own manifest cannot carry entries")
     val cur = toBranch match {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
@@ -1095,9 +1112,11 @@ object IcebergLite {
       }
     val seqEntries = entries.map(
       _.replace("\"sequence_number\": -1,", s""""sequence_number": $seq,"""))
-    Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
-      seqEntries.mkString("{\"entries\": [", ",\n", "]}"))
-    val allManifests = carried :+ s"metadata/manifest-$id.json"
+    if (writeOwnManifest)
+      Files.writeString(Paths.get(s"$tablePath/metadata/manifest-$id.json"),
+        seqEntries.mkString("{\"entries\": [", ",\n", "]}"))
+    val allManifests =
+      if (writeOwnManifest) carried :+ s"metadata/manifest-$id.json" else carried
     // PARTITION SUMMARIES per manifest (real Iceberg's
     // `manifest_file.partitions`): carried manifests keep the parent
     // list's summaries verbatim (a parent entry WITHOUT one stays
@@ -1111,24 +1130,21 @@ object IcebergLite {
     def summaryOf(path: String): Option[Map[String, ColSummary]] =
       parentSums.getOrElse(path,
         Some(partitionSummary(manifestFiles(tablePath, path))))
-    def summaryField(s: Option[Map[String, ColSummary]]): String = s match {
-      case None => ""
-      case Some(m) =>
-        val body = m.toSeq.sortBy(_._1).map { case (c, cs) =>
-          // the string-order range is written only when it differs
-          // (all-numeric value sets); parse defaults lower_s/upper_s
-          // to lower/upper, so the common case stays two fields
-          val extra =
-            if (cs.lowerS == cs.lower && cs.upperS == cs.upper) ""
-            else s""", "lower_s": ${jstr(cs.lowerS)}, "upper_s": ${jstr(cs.upperS)}"""
-          s"${jstr(c)}: {\"lower\": ${jstr(cs.lower)}, \"upper\": ${jstr(cs.upper)}$extra}"
-        }.mkString("{", ", ", "}")
-        s""",\n  "partition_summaries": $body"""
+    // a caller that already computed a manifest's summary WHERE THE
+    // MANIFEST WAS WRITTEN (the distributed rewrite) hands the exact
+    // serialized body in — the commit must not re-parse 10⁶ entries
+    // on the driver just to re-derive it
+    def summaryField(path: String): String = knownSummaryJson.get(path) match {
+      case Some(body) => s""",\n  "partition_summaries": $body"""
+      case None => summaryOf(path) match {
+        case None => ""
+        case Some(m) => s""",\n  "partition_summaries": ${summaryBody(m)}"""
+      }
     }
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$id.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
-           |  "snapshot_id": $id, "sequence_number": ${i + 1}${summaryField(summaryOf(m))}}""".stripMargin
+           |  "snapshot_id": $id, "sequence_number": ${i + 1}${summaryField(m)}}""".stripMargin
       }.mkString("[", ",\n", "]"))
     val renamesJson =
       if (rmap.isEmpty) ""
@@ -1553,6 +1569,65 @@ object IcebergLite {
       carriedManifests = carried, operation = "replace")
   }
 
+  /** DISTRIBUTED manifest rewrite — the maintenance twin of
+    * [[planFilesDistributed]], for when the metadata itself is big:
+    * the driver-side [[rewriteManifests]] re-lists every entry in one
+    * thread (parse 10⁶ entry JSONs, sort, re-serialize — measured
+    * 37–47 s at 10⁶ entries, SCALE.md), while here the per-entry work
+    * runs as ONE Spark job: manifests parse in parallel, entries
+    * range-shuffle on their partition-tuple key (the same clustering
+    * key the driver path sorts by, so target manifests cover narrow
+    * partition ranges and the list-level summaries stay selective),
+    * and each output task writes its manifest — WITH its partition
+    * summary, computed where the entries are — directly to shared
+    * storage. The driver touches only O(target) (path, summary)
+    * pairs; the commit re-parses nothing. Below the planning
+    * threshold the driver path is simply faster (no job round-trip)
+    * and runs instead; both paths preserve entry sequence numbers
+    * verbatim. */
+  def rewriteManifests(spark: SparkSession, tablePath: String,
+      targetManifests: Int): Long = {
+    require(targetManifests >= 1, "need at least one target manifest")
+    val parentId = currentSnapshotId(tablePath)
+    val current = parentId.map(id => manifestPathsOf(tablePath, id)).getOrElse(Nil)
+    if (current.size <= targetManifests) return parentId.getOrElse(0L)
+    val threshold = spark.conf
+      .getOption("graft.iceberg.planning.distributedThreshold")
+      .map(_.toInt).getOrElse(64)
+    if (current.size < threshold) return rewriteManifests(tablePath, targetManifests)
+    val tp = tablePath
+    val tag = runTag()
+    import org.apache.spark.sql.functions.col
+    implicit val pairEnc: org.apache.spark.sql.Encoder[(String, DataFile)] =
+      org.apache.spark.sql.Encoders.product[(String, DataFile)]
+    val keyed = spark.createDataset(current)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(current.size,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .flatMap(m => manifestFiles(tp, m).map(f =>
+        (f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString("/") + "\u0000" + f.filePath, f)))
+    val written = keyed
+      .repartitionByRange(targetManifests, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val files = it.map(_._2).toSeq
+          val rel = s"metadata/manifest-rw-$tag-$pid.json"
+          atomicWrite(Paths.get(s"$tp/$rel"),
+            files.map(entryJson).mkString("{\"entries\": [", ",\n", "]}"))
+          Iterator.single((rel, summaryBody(partitionSummary(files))))
+        }
+      }(org.apache.spark.sql.Encoders.product[(String, String)])
+      .collect().sortBy { case (rel, _) =>
+        rel.substring(rel.lastIndexOf('-') + 1).stripSuffix(".json").toInt
+      }
+    commitSnapshot(tablePath, parentId, entries = Nil,
+      carriedManifests = written.map(_._1).toSeq, operation = "replace",
+      knownSummaryJson = written.toMap, writeOwnManifest = false)
+  }
+
   /** The operation that produced a snapshot (`append` / `delete` /
     * `overwrite` / `replace`). Tables written before the field existed
     * were append-built, so a missing field reads as `append`. */
@@ -1764,11 +1839,59 @@ object IcebergLite {
   }
 
   private def writeRefs(tablePath: String,
-      tags: Map[String, Long], branches: Map[String, Long]): Unit = {
+      tags: Map[String, Long], branches: Map[String, Long],
+      retention0: Map[String, RefRetention] = null): Unit = {
     def jm(m: Map[String, Long]) =
       m.map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
+    // retention policies are carried forward by every ref write unless
+    // the caller changes them, and a dropped ref sheds its policy
+    val retention = Option(retention0).getOrElse(refRetentions(tablePath))
+      .filter { case (n, _) => tags.contains(n) || branches.contains(n) }
+    val rj =
+      if (retention.isEmpty) ""
+      else retention.toSeq.sortBy(_._1).map { case (n, r) =>
+        val fields = (r.maxSnapshotAgeMs.map(v => s""""max_snapshot_age_ms": $v""") ++
+          r.minSnapshotsToKeep.map(v => s""""min_snapshots_to_keep": $v""")).mkString(", ")
+        s"${jstr(n)}: {$fields}"
+      }.mkString(""", "retention": {""", ", ", "}")
     atomicWrite(Paths.get(s"$tablePath/metadata/refs.json"),
-      s"""{"tags": ${jm(tags)}, "branches": ${jm(branches)}}""")
+      s"""{"tags": ${jm(tags)}, "branches": ${jm(branches)}$rj}""")
+  }
+
+  /** Per-ref snapshot-retention policy (real Iceberg's
+    * `max-snapshot-age-ms` / `min-snapshots-to-keep` ref properties):
+    * with a policy set, [[expireSnapshots]] protects not just the
+    * ref's HEAD but its ancestor chain — the newest
+    * `minSnapshotsToKeep` ancestors, plus every ancestor younger than
+    * `maxSnapshotAgeMs` — so a long-lived audit branch keeps its own
+    * history through main's aggressive expiry. */
+  final case class RefRetention(maxSnapshotAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None)
+
+  def refRetentions(tablePath: String): Map[String, RefRetention] = {
+    val p = Paths.get(s"$tablePath/metadata/refs.json")
+    if (!Files.exists(p)) return Map.empty
+    (readJson(p.toString) \ "retention") match {
+      case JObject(fields) => fields.map { case (name, v) =>
+        name -> RefRetention(
+          (v \ "max_snapshot_age_ms").toOption.collect { case JInt(n) => n.toLong },
+          (v \ "min_snapshots_to_keep").toOption.collect { case JInt(n) => n.toInt })
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Attach (or replace) the retention policy of an existing tag or
+    * branch. Policies ride refs.json, survive every ref write, and
+    * vanish with the ref. */
+  def setRefRetention(tablePath: String, refName: String,
+      maxSnapshotAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None): Unit = withCommitLock(tablePath) {
+    val (t, b) = readRefs(tablePath)
+    require(t.contains(refName) || b.contains(refName),
+      s"ref $refName does not exist")
+    writeRefs(tablePath, t, b, refRetentions(tablePath) +
+      (refName -> RefRetention(maxSnapshotAgeMs, minSnapshotsToKeep)))
   }
 
   def tags(tablePath: String): Map[String, Long] = readRefs(tablePath)._1
@@ -2749,8 +2872,28 @@ object IcebergLite {
         case Some(cutoff) =>
           all.filter(snapshotTimestampMs(tablePath, _) >= cutoff).toSet
       }
+      // a ref WITH a retention policy ([[setRefRetention]]) protects
+      // its ancestor CHAIN, not just its head: the newest
+      // min_snapshots_to_keep ancestors plus every ancestor younger
+      // than max_snapshot_age_ms — real Iceberg's per-ref retention,
+      // which is what lets an audit branch keep history main expires
+      val retentions = refRetentions(tablePath)
+      val now = System.currentTimeMillis()
+      def ancestorChain(head: Long): Seq[Long] =
+        Iterator.iterate(Option(head))(_.flatMap(parentSnapshotId(tablePath, _)))
+          .takeWhile(_.nonEmpty).map(_.get).toSeq
+      val refProtected = (refTags.toSeq ++ refBranches.toSeq).flatMap {
+        case (name, head) => retentions.get(name) match {
+          case None => Seq(head)
+          case Some(r) =>
+            val chain = ancestorChain(head)
+            chain.take(math.max(1, r.minSnapshotsToKeep.getOrElse(1))) ++
+              r.maxSnapshotAgeMs.map(age => chain.filter(
+                snapshotTimestampMs(tablePath, _) >= now - age)).getOrElse(Nil)
+        }
+      }
       val retained = (all.takeRight(retainLast) ++ currentSnapshotId(tablePath) ++
-        refTags.values ++ refBranches.values ++ youngEnough).distinct.toSet
+        refProtected ++ youngEnough).distinct.toSet
       val expired = all.filterNot(retained)
       if (expired.isEmpty) (0, 0)
       else {

@@ -2213,6 +2213,79 @@ class SourcesSpec extends AnyFunSuite {
       Seq(IcebergLite.Gt("ts", "2024-02-01 00:00:00"))).size == 1)
   }
 
+  test("distributed manifest rewrite: one Spark job, identical file set, sequences and summaries preserved") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_rw_dist").toString
+    IcebergLite.createTable(root)
+    // 8 single-file appends across 4 partitions + a pending MoR delete:
+    // everything a rewrite must carry
+    (0 until 8).foreach { i =>
+      IcebergLite.append(s, root,
+        Seq((i.toLong, (i % 4).toString, s"v$i")).toDF("id", "p", "v").coalesce(1),
+        partitionColumns = Seq("p"))
+    }
+    IcebergLite.deleteMergeOnRead(s, root,
+      Seq(IcebergLite.Eq("p", "1"), IcebergLite.Gt("id", "4")))
+    val before = IcebergLite.dataFiles(root)
+    val seqBefore = before.map(f => f.filePath -> f.sequenceNumber).toMap
+    val rows0 = IcebergLite.read(s, root).collect().map(_.toString).sorted.toSeq
+    // force the distributed path at this tiny manifest count
+    s.conf.set("graft.iceberg.planning.distributedThreshold", "4")
+    try {
+      IcebergLite.rewriteManifests(s, root, targetManifests = 2)
+      val snap = IcebergLite.currentSnapshotId(root).get
+      assert(IcebergLite.snapshotOperation(root, snap) == "replace")
+      val after = IcebergLite.dataFiles(root)
+      assert(after.map(_.filePath).toSet == before.map(_.filePath).toSet)
+      assert(after.forall(f => f.sequenceNumber == seqBefore(f.filePath)),
+        "entry sequence numbers must survive the rewrite verbatim")
+      val manifests = IcebergLite.manifestsMatching(root, snap, Nil)
+      assert(manifests.size <= 2 &&
+        manifests.forall(_.contains("manifest-rw-")),
+        s"consolidated to executor-written manifests, got $manifests")
+      // summaries were computed WHERE the manifests were written and
+      // must still skip: entries cluster by partition, so an Eq(p)
+      // filter drops at least one target manifest
+      assert(IcebergLite.manifestsMatching(root, snap,
+        Seq(IcebergLite.Eq("p", "0"))).size < manifests.size)
+      assert(IcebergLite.read(s, root).collect().map(_.toString).sorted.toSeq == rows0,
+        "rows (incl. the still-pending MoR delete) must be unchanged")
+      assert(IcebergLite.rowDeletes(root).nonEmpty,
+        "pending predicate delete carries through")
+    } finally s.conf.unset("graft.iceberg.planning.distributedThreshold")
+  }
+
+  test("per-ref retention: an audit branch keeps its ancestor chain through aggressive expiry") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_ref_retention").toString
+    IcebergLite.createTable(root)
+    def add(i: Long): Long = IcebergLite.append(s, root,
+      Seq((i, s"v$i")).toDF("id", "v").coalesce(1))
+    add(1); add(2)
+    val branchBase = add(3) // snapshots 1,2,3 are the branch's chain
+    IcebergLite.createBranch(root, "audit", Some(branchBase))
+    IcebergLite.setRefRetention(root, "audit", minSnapshotsToKeep = Some(3))
+    assert(IcebergLite.refRetentions(root)("audit").minSnapshotsToKeep.contains(3))
+    add(4); add(5); add(6)
+    // aggressive main expiry: retainLast=1 would keep only snapshot 6
+    // and the branch HEAD — the policy must keep the head's 3-deep
+    // ancestor chain (3,2,1) so branch time travel stays whole
+    IcebergLite.expireSnapshots(root, retainLast = 1)
+    val left = IcebergLite.snapshots(root).toSet
+    assert(Set(1L, 2L, 3L, 6L).subsetOf(left), s"got $left")
+    assert(!left.contains(4L) && !left.contains(5L),
+      "main-only history must still expire")
+    assert(IcebergLite.readRef(s, root, "audit").count() == 3L)
+    assert(IcebergLite.read(s, root, snapshotId = Some(2L)).count() == 2L)
+    // dropping the ref sheds the policy; the next expiry reclaims
+    IcebergLite.dropBranch(root, "audit")
+    assert(!IcebergLite.refRetentions(root).contains("audit"))
+    IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert(IcebergLite.snapshots(root) == Seq(6L))
+  }
+
   test("createTable with a spec refuses a mismatch against an existing table") {
     val s = spark
     import s.implicits._
