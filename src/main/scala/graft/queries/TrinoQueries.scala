@@ -337,8 +337,30 @@ object TrinoQueries extends QueryCatalog {
       finally s.conf.unset("spark.graft.approxPercentile.exact")
     })
 
+  /** approx_count_distinct's HLL sketch path (r10) under the banded
+    * oracle — the companion row to `trino_approx_pctl_sketch`, so BOTH
+    * production sketch paths are oracle-guarded: the output carries
+    * the exact distinct count (hash-pinned against DuckDB) plus an
+    * engine-side band assertion — the HLL++ estimate (default
+    * rsd=0.05) must land within ±15% (3σ) of the exact count. DuckDB
+    * pins the boolean TRUE; a drifting sketch breaks the hash. */
+  private val trinoApproxNdvSketch = Q(
+    "trino_approx_ndv_sketch",
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_ndv,
+             TRUE AS sketch_in_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_ndv,
+             (approx_count_distinct(l_partkey)
+                BETWEEN count(DISTINCT l_partkey) * 0.85
+                    AND count(DISTINCT l_partkey) * 1.15) AS sketch_in_band
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override def defs: Seq[Q] = Seq(
     trinoCosine, trinoDatetime, trinoStrings, trinoEncoding, trinoMath,
     trinoAggFns, trinoChecksum, trinoCustomFns, trinoStatisticalFns,
-    trinoStatsClosedForm, trinoApproxPctlSketch)
+    trinoStatsClosedForm, trinoApproxPctlSketch, trinoApproxNdvSketch)
 }

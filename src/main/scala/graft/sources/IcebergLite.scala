@@ -46,7 +46,8 @@ object IcebergLite {
       lowerBounds: Map[String, String] = Map.empty,
       upperBounds: Map[String, String] = Map.empty,
       sequenceNumber: Long = 0L,
-      fileSizeBytes: Long = -1L)
+      fileSizeBytes: Long = -1L,
+      ndv: Map[String, Long] = Map.empty)
 
   /** Numeric-first value compare (long, then double, then string) —
     * bounds and partition values are string-typed in the manifest, like
@@ -159,7 +160,8 @@ object IcebergLite {
               lowerBounds = (df \ "lower_bounds").extractOrElse[Map[String, String]](Map.empty),
               upperBounds = (df \ "upper_bounds").extractOrElse[Map[String, String]](Map.empty),
               sequenceNumber = (df \ "sequence_number").extractOrElse[Long](0L),
-              fileSizeBytes = (df \ "file_size_in_bytes").extractOrElse[Long](-1L))
+              fileSizeBytes = (df \ "file_size_in_bytes").extractOrElse[Long](-1L),
+              ndv = (df \ "ndv").extractOrElse[Map[String, Long]](Map.empty))
           }
         }
       case _ => Nil
@@ -608,27 +610,36 @@ object IcebergLite {
   /** Union-merge a write's data schema into the parent snapshot's:
     * matching columns must be type-equal or widen (either direction —
     * a stale writer appending the NARROW type is fine, the wide type
-    * wins); columns only ever accumulate. A genuinely incompatible
-    * type (string vs int) fails the commit loudly instead of writing
-    * a file no schema can read back. */
+    * wins); columns only ever accumulate. STRUCT columns merge
+    * RECURSIVELY — real Iceberg's nested evolution: fields added
+    * inside a struct accumulate (older files null-fill them under the
+    * requested read schema) and nested leaf types widen by the same
+    * promotion rules as top-level columns. A genuinely incompatible
+    * type (string vs int, struct vs scalar) fails the commit loudly
+    * instead of writing a file no schema can read back. */
   private def mergeWiden(parent: org.apache.spark.sql.types.StructType,
       add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val widened = parent.fields.map { f =>
       add.fields.find(_.name == f.name) match {
-        case Some(g) if g.dataType == f.dataType =>
-          f.copy(nullable = f.nullable || g.nullable)
-        case Some(g) if isWidening(g.dataType, f.dataType) =>
-          // narrow writer: the wide type stays, but the write's
-          // nullability must still merge — a stale writer appending
-          // nulls into a non-nullable column otherwise leaves the
-          // recorded schema claiming non-null
-          f.copy(nullable = f.nullable || g.nullable)
-        case Some(g) if isWidening(f.dataType, g.dataType) =>
-          f.copy(dataType = g.dataType, nullable = f.nullable || g.nullable)
-        case Some(g) => throw new IllegalArgumentException(
-          s"column ${f.name}: ${g.dataType.catalogString} is incompatible with the " +
-            s"table's ${f.dataType.catalogString} (only widening promotions evolve types)")
+        case Some(g) => (f.dataType, g.dataType) match {
+          case (fs: StructType, gs: StructType) =>
+            f.copy(dataType = mergeWiden(fs, gs),
+              nullable = f.nullable || g.nullable)
+          case (fd, gd) if gd == fd =>
+            f.copy(nullable = f.nullable || g.nullable)
+          case (fd, gd) if isWidening(gd, fd) =>
+            // narrow writer: the wide type stays, but the write's
+            // nullability must still merge — a stale writer appending
+            // nulls into a non-nullable column otherwise leaves the
+            // recorded schema claiming non-null
+            f.copy(nullable = f.nullable || g.nullable)
+          case (fd, gd) if isWidening(fd, gd) =>
+            f.copy(dataType = gd, nullable = f.nullable || g.nullable)
+          case (fd, gd) => throw new IllegalArgumentException(
+            s"column ${f.name}: ${gd.catalogString} is incompatible with the " +
+              s"table's ${fd.catalogString} (only widening promotions evolve types)")
+        }
         case None => f.copy(nullable = true) // this write omits the column
       }
     }
@@ -744,10 +755,14 @@ object IcebergLite {
   private def entryJson(f: DataFile): String = {
     def jmap(m: Map[String, String]) =
       m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+    val ndvField =
+      if (f.ndv.isEmpty) ""
+      else ",\n  \"ndv\": " + f.ndv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
     s"""{"data_file": {"file_path": ${jstr(f.filePath)}, "file_format": ${jstr(f.fileFormat)},
        |  "partition": ${jmap(f.partition)}, "record_count": ${f.recordCount},
        |  "sequence_number": ${f.sequenceNumber}, "file_size_in_bytes": ${f.fileSizeBytes},
-       |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}}}""".stripMargin
+       |  "lower_bounds": ${jmap(f.lowerBounds)}, "upper_bounds": ${jmap(f.upperBounds)}$ndvField}}""".stripMargin
   }
 
   /** Hive partition-path unescape: `partitionBy` writes dir segments
@@ -806,14 +821,18 @@ object IcebergLite {
     * (URI-decoded, then hive-unescaped). */
   private def perFileEntries(spark: SparkSession, tablePath: String, runDir: String,
       dataSchema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min}
     val root = s"$tablePath/data/$runDir"
     val written = spark.read.schema(dataSchema)
       .option("recursiveFileLookup", "true").parquet(root)
     val dataCols = dataSchema.fields.map(_.name)
     val aggs = count(lit(1)).as("__n") +: dataCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
+        max(col(c)).cast("string").as(s"__max_$c"),
+        // per-file approx NDV (HLL++, one long per column in the
+        // manifest entry) — the per-file CBO signal; the MERGEABLE
+        // cross-file form is the sketch sidecar (writeStatsSidecar)
+        approx_count_distinct(col(c)).as(s"__ndv_$c")))
     val rootAbs = Paths.get(root).toAbsolutePath.normalize
     val tableAbs = Paths.get(tablePath).toAbsolutePath.normalize
     written
@@ -838,9 +857,68 @@ object IcebergLite {
           recordCount = r.getAs[Long]("__n"),
           lowerBounds = sideOf("__min_"), upperBounds = sideOf("__max_"),
           sequenceNumber = -1L, // resolved to the commit's sequence at commit
-          fileSizeBytes = r.getAs[Long]("__sz"))
+          fileSizeBytes = r.getAs[Long]("__sz"),
+          ndv = dataCols.map(c => c -> r.getAs[Long](s"__ndv_$c")).toMap)
       }.sortBy(_.filePath)
   }
+
+  /** Per-file MERGEABLE NDV sketches as a STATS SIDECAR — the Puffin
+    * analogue: one more distributed aggregate over the just-written
+    * (page-cached) files computes an HLL sketch (Apache DataSketches,
+    * Spark's `hll_sketch_agg`) per (file, column) and writes the rows
+    * straight to `metadata/stats-<runDir>.parquet` — they never pass
+    * through the driver, unlike the O(files) entry list. Per-file
+    * approx NDV longs (in the manifest) cannot be merged into a
+    * table-level distinct count — overlapping value sets make the sum
+    * an overcount and the max an undercount — but HLL sketches union
+    * EXACTLY, which is why real Iceberg stores theta sketches in
+    * Puffin files rather than merged numbers. [[columnStatsMetadata]]
+    * unions exactly the LIVE files' sketches, so compaction/delete
+    * simply orphan dead rows (their paths stop matching) instead of
+    * corrupting the table-level estimate. Types outside the sketch's
+    * domain (int/long/string/binary) sketch their string cast —
+    * deterministic, and NDV-preserving for the types written here.
+    * Returns the sidecar's table-relative path. */
+  private def writeStatsSidecar(spark: SparkSession, tablePath: String,
+      runDir: String, dataSchema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, lit, regexp_replace, replace, url_decode}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+    val root = s"$tablePath/data/$runDir"
+    val written = spark.read.schema(dataSchema)
+      .option("recursiveFileLookup", "true").parquet(root)
+    val dataCols = dataSchema.fields.map(_.name)
+    val tableAbs = Paths.get(tablePath).toAbsolutePath.normalize.toString + "/"
+    val relPath = replace(url_decode(regexp_replace(regexp_replace(
+      col("_metadata.file_path"), "^[a-z]+:/+", "/"), "\\+", "%2B")),
+      lit(tableAbs), lit(""))
+    val aggs = dataCols.map { c =>
+      val in = dataSchema(c).dataType match {
+        case IntegerType | LongType | StringType | BinaryType => col(c)
+        case _ => col(c).cast("string")
+      }
+      hll_sketch_agg(in).as(s"__hll_$c")
+    }
+    val perFile = written.groupBy(relPath.as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+    val melted = dataCols.map(c => perFile.select(col("file_path"),
+        lit(c).as("column"), col(s"__hll_$c").as("sketch")))
+      .reduce(_ unionByName _)
+    val rel = s"metadata/stats-$runDir.parquet"
+    melted.write.mode("overwrite").parquet(s"$tablePath/$rel")
+    rel
+  }
+
+  /** Stats sidecars referenced by a snapshot (carried forward by every
+    * commit; full rewrites reset the list to their own sidecar). */
+  def statsFiles(tablePath: String, snapshotId: Option[Long] = None): Seq[String] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Nil
+      case Some(id) =>
+        (readJson(s"$tablePath/metadata/snap-$id.snapshot.json") \ "stats_files") match {
+          case JArray(fs) => fs.collect { case JString(p) => p }
+          case _ => Nil
+        }
+    }
 
   /** Write `df`'s rows as new data files under `data/<runDir>/` (hive
     * layout when `partitionColumns` is set — written in parallel, one
@@ -852,7 +930,8 @@ object IcebergLite {
     * schema union). */
   private def writeDataFiles(spark: SparkSession, tablePath: String, df0: DataFrame,
       partitionColumns0: Seq[String], runDir: String,
-      trustedPreDerived: Boolean = false): (Seq[String], org.apache.spark.sql.types.StructType) = {
+      trustedPreDerived: Boolean = false)
+      : (Seq[String], org.apache.spark.sql.types.StructType, Seq[String]) = {
     import org.apache.spark.sql.functions.col
     // files are ALWAYS written under physical names, so a table's data
     // files share one schema across renames and mergeSchema reads stay
@@ -905,7 +984,13 @@ object IcebergLite {
     // non-partition columns — hive layout strips the partition ones)
     val dataSchema = org.apache.spark.sql.types.StructType(
       dfW.schema.fields.filterNot(f => partitionColumns.contains(f.name)))
-    (perFileEntries(spark, tablePath, runDir, dataSchema).map(entryJson), dataSchema)
+    val entries = perFileEntries(spark, tablePath, runDir, dataSchema).map(entryJson)
+    // NDV sketch sidecar (one more distributed agg over the fresh,
+    // page-cached files) — opt-out for stats-insensitive bulk loads
+    val sidecars =
+      if (spark.conf.getOption("graft.iceberg.stats.sketches").contains("false")) Nil
+      else Seq(writeStatsSidecar(spark, tablePath, runDir, dataSchema))
+    (entries, dataSchema, sidecars)
   }
 
   /** Thrown when a commit finds the table advanced past the snapshot
@@ -1047,7 +1132,9 @@ object IcebergLite {
       schemaUnion: org.apache.spark.sql.types.StructType = null,
       schemaSet: org.apache.spark.sql.types.StructType = null,
       knownSummaryJson: Map[String, String] = Map.empty,
-      writeOwnManifest: Boolean = true): Long = withCommitLock(tablePath) {
+      writeOwnManifest: Boolean = true,
+      addStatsFiles: Seq[String] = Nil,
+      statsFilesSet: Seq[String] = null): Long = withCommitLock(tablePath) {
     require(writeOwnManifest || entries.isEmpty,
       "a commit that skips its own manifest cannot carry entries")
     val cur = toBranch match {
@@ -1173,9 +1260,18 @@ object IcebergLite {
            |   "lower_bounds": ${jm(d.lowerBounds)}, "upper_bounds": ${jm(d.upperBounds)}}""".stripMargin
       }.mkString(",\n \"equality_deletes\": [", ",\n  ", "]")
     val schemaJsonField = schema.map(s => s""",\n "schema": ${schemaJson(s)}""").getOrElse("")
+    // NDV-sketch sidecars carry forward like renames/deletes; a full
+    // rewrite RESETS the list to its own sidecar (statsFilesSet) so it
+    // stays bounded by live writes instead of accreting forever
+    val stats = Option(statsFilesSet).getOrElse(
+      (parent.map(p => statsFiles(tablePath, Some(p))).getOrElse(Nil) ++
+        addStatsFiles).distinct)
+    val statsJsonField =
+      if (stats.isEmpty) ""
+      else s""",\n "stats_files": [${stats.map(jstr).mkString(", ")}]"""
     Files.writeString(Paths.get(s"$tablePath/metadata/snap-$id.snapshot.json"),
       s"""{"snapshot_id": $id, "sequence_number": $seq${parent.map(p => s""", "parent_snapshot_id": $p""").getOrElse("")},
-         | "operation": "$operation"$renamesJson$deletesJson$posDeletesJson$eqDeletesJson$schemaJsonField,
+         | "operation": "$operation"$renamesJson$deletesJson$posDeletesJson$eqDeletesJson$schemaJsonField$statsJsonField,
          | "timestamp_ms": ${System.currentTimeMillis()},
          | "manifest_list": "metadata/manifest-list-$id.json"}""".stripMargin)
     toBranch match {
@@ -1417,14 +1513,15 @@ object IcebergLite {
       case Some(name) => Some(resolveBranchHead(tablePath, name))
       case None => currentSnapshotId(tablePath)
     }
-    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partitionColumns,
+    val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath, df, partitionColumns,
       s"append-${runTag()}")
     // an append's files conflict with nothing: on a concurrent commit
     // it rebases onto the new current snapshot / branch head
     // (fast-append retry)
     commitSnapshot(tablePath, parentId, entries,
       carriedManifests = parentManifests(tablePath, parentId),
-      rebaseOnConflict = true, toBranch = toBranch, schemaUnion = wSchema)
+      rebaseOnConflict = true, toBranch = toBranch, schemaUnion = wSchema,
+      addStatsFiles = statsAdds)
   }
 
   private def resolveBranchHead(tablePath: String, name: String): Long = {
@@ -1791,6 +1888,52 @@ object IcebergLite {
       StructField("sequence_number", LongType, nullable = false),
       StructField("record_count", LongType, nullable = false),
       StructField("detail", StringType, nullable = false))))
+  }
+
+  /** `column_stats` METADATA TABLE — the read side of the Puffin-
+    * analogue NDV sidecars ([[writeStatsSidecar]]): one row per data
+    * column with the table-level distinct-count estimate, computed by
+    * UNIONING exactly the LIVE files' HLL sketches (`hll_union_agg` →
+    * `hll_sketch_estimate`) — sketch union is the only correct merge
+    * (per-file counts overlap), and filtering to live paths is what
+    * keeps compacted/deleted files out of the estimate while their
+    * sidecars await expiry. `file_count` says how many live files
+    * contributed (a file written with sketches disabled, or before
+    * they existed, is simply absent — the estimate covers `file_count`
+    * of the live files). Driver cost: O(stats paths); the sketch scan,
+    * semi-join and union run distributed. Column names surface
+    * logical. */
+  def columnStatsMetadata(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, hll_sketch_estimate, hll_union_agg, lit}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val shape = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = true),
+      StructField("file_count", LongType, nullable = false)))
+    val stats = statsFiles(tablePath, snapshotId)
+    if (stats.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+    val live = dataFiles(tablePath, snapshotId).map(_.filePath)
+    val liveRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    live.foreach(p => liveRows.add(org.apache.spark.sql.Row(p)))
+    val liveDf = spark.createDataFrame(liveRows,
+      StructType(Seq(StructField("file_path", StringType, nullable = false))))
+    val rmap = renames(tablePath, snapshotId)
+    val sdf = spark.read.parquet(stats.map(s => s"$tablePath/$s"): _*)
+      .join(broadcast(liveDf), Seq("file_path"), "left_semi")
+    val agged = sdf.groupBy(col("column"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("ndv"),
+        count(lit(1)).as("file_count"))
+    if (rmap.isEmpty) agged
+    else {
+      // surface LOGICAL column names (sketches are keyed physical)
+      val mapped = rmap.foldLeft(col("column")) { case (c, (phys, logical)) =>
+        org.apache.spark.sql.functions.when(c === lit(phys), lit(logical)).otherwise(c)
+      }
+      agged.withColumn("column", mapped)
+    }
   }
 
   /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots
@@ -2538,8 +2681,9 @@ object IcebergLite {
     val live = dataFiles(tablePath)
     // a file needs rewriting only if every conjunct can match it
     val (touched, kept) = live.partition(f => filters.forall(_.matches(f)))
-    val (rewritten, wSchema) =
-      if (touched.isEmpty) (Nil: Seq[String], null: org.apache.spark.sql.types.StructType)
+    val (rewritten, wSchema, statsAdds) =
+      if (touched.isEmpty)
+        (Nil: Seq[String], null: org.apache.spark.sql.types.StructType, Nil: Seq[String])
       else {
         val partCols = touched.flatMap(_.partition.keys).distinct.sorted
         // residual = ORIGINAL conjuncts on data columns (partition
@@ -2553,7 +2697,8 @@ object IcebergLite {
         val residual = filters0.filterNot(f =>
           partCols.contains(f.column) &&
             touched.forall(_.partition.contains(f.column)))
-        if (residual.isEmpty) (Nil: Seq[String], null: org.apache.spark.sql.types.StructType) // deleted wholesale
+        if (residual.isEmpty) // deleted wholesale
+          (Nil: Seq[String], null: org.apache.spark.sql.types.StructType, Nil: Seq[String])
         else {
           // pending MoR deletes on the touched files materialize here
           val df = readWithDeletes(spark, tablePath, touched, parentId)
@@ -2568,7 +2713,7 @@ object IcebergLite {
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
       pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
-      schemaUnion = wSchema)
+      schemaUnion = wSchema, addStatsFiles = statsAdds)
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is
@@ -2604,11 +2749,14 @@ object IcebergLite {
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
-    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partCols, s"compact-${runTag()}",
-      trustedPreDerived = true)
+    val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath, df, partCols,
+      s"compact-${runTag()}", trustedPreDerived = true)
     commitSnapshot(tablePath, parentId, entries, carriedManifests = Nil,
       operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil,
-      pendingEqDeletes = Nil, schemaUnion = wSchema)
+      pendingEqDeletes = Nil, schemaUnion = wSchema,
+      // full rewrite: every live file is fresh, so the sidecar list
+      // RESETS to this write's — old sidecars die with old snapshots
+      statsFilesSet = statsAdds)
   }
 
   /** SIZE-AWARE compaction (real Iceberg's `rewriteDataFiles` /
@@ -2649,7 +2797,7 @@ object IcebergLite {
     val df =
       if (partCols.nonEmpty) base.repartition(partCols.map(col): _*)
       else base.coalesce(1)
-    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partCols,
+    val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath, df, partCols,
       s"compact-${runTag()}", trustedPreDerived = true)
     commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
@@ -2657,7 +2805,7 @@ object IcebergLite {
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
       pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
-      schemaUnion = wSchema)
+      schemaUnion = wSchema, addStatsFiles = statsAdds)
   }
 
   /** Copy-on-write MERGE (upsert) as a NEW SNAPSHOT: source rows whose
@@ -2818,14 +2966,15 @@ object IcebergLite {
           }
           alive.drop("__graft_src", "__graft_rn")
       }
-    val (entries, wSchema) = writeDataFiles(spark, tablePath, newData, partCols, s"merge-${runTag()}")
+    val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath, newData, partCols,
+      s"merge-${runTag()}")
     commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
       operation = "overwrite",
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
       pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
-      toBranch = toBranch, schemaUnion = wSchema)
+      toBranch = toBranch, schemaUnion = wSchema, addStatsFiles = statsAdds)
   }
 
   /** Snapshot EXPIRY — the GC that completes the copy-on-write family:
@@ -2910,9 +3059,21 @@ object IcebergLite {
         val keepData = retained.flatMap(filesOf)
         val dropData = expired.flatMap(filesOf).distinct.filterNot(keepData)
         val dropManifests = expired.flatMap(manifestsOf).distinct.filterNot(keepManifests)
+        // NDV-sketch sidecars (parquet DIRECTORIES under metadata/)
+        // referenced only by expired snapshots go too
+        def statsOf(id: Long): Seq[String] = statsFiles(tablePath, Some(id))
+        val keepStats = retained.flatMap(statsOf)
+        val dropStats = expired.flatMap(statsOf).distinct.filterNot(keepStats)
         def rm(rel: String): Unit = Files.deleteIfExists(Paths.get(s"$tablePath/$rel"))
+        def rmTree(rel: String): Unit = {
+          val p = Paths.get(s"$tablePath/$rel")
+          if (Files.exists(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+        }
         dropData.foreach(rm)
         dropManifests.foreach(rm)
+        dropStats.foreach(rmTree)
         expired.foreach { id =>
           rm(s"metadata/manifest-list-$id.json")
           rm(s"metadata/snap-$id.snapshot.json")
@@ -3253,9 +3414,13 @@ object IcebergLite {
     val dataSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filterNot(f => partCols.contains(f.name)))
     val entries = perFileEntries(spark, tablePath, runDir, dataSchema).map(entryJson)
+    val statsAdds =
+      if (spark.conf.getOption("graft.iceberg.stats.sketches").contains("false")) Nil
+      else Seq(writeStatsSidecar(spark, tablePath, runDir, dataSchema))
     commitSnapshot(tablePath, parentId, entries, carriedManifests = Nil,
       operation = "replace", pendingRowDeletes = Nil, pendingPosDeletes = Nil,
-      pendingEqDeletes = Nil, schemaUnion = dataSchema)
+      pendingEqDeletes = Nil, schemaUnion = dataSchema,
+      statsFilesSet = statsAdds) // full rewrite resets the sidecar list
   }
 
   /** Dynamic-partition OVERWRITE as a NEW SNAPSHOT: partitions present
@@ -3298,7 +3463,7 @@ object IcebergLite {
       .toSet
     val kept = dataFiles(tablePath).filterNot(f =>
       replaced.contains(partitionColumns.map(c => c -> f.partition.getOrElse(c, "null")).toMap))
-    val (entries, wSchema) = writeDataFiles(spark, tablePath, df, partitionColumns,
+    val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath, df, partitionColumns,
       s"overwrite-${runTag()}", trustedPreDerived = true)
     commitSnapshot(tablePath, parentId,
       kept.map(entryJson) ++ entries, carriedManifests = Nil,
@@ -3306,6 +3471,6 @@ object IcebergLite {
       pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
       pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
-      schemaUnion = wSchema)
+      schemaUnion = wSchema, addStatsFiles = statsAdds)
   }
 }

@@ -49,9 +49,12 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_delete_files_meta delete-debt metadata-table row, the
     // iceberg_meta_columns _file/_pos row, and the
     // iceberg_rewrite_manifests metadata-maintenance row → 196.
+    // round 10 added the iceberg_struct_evolution nested-evolution
+    // row, the iceberg_column_stats NDV-sketch metadata-table row, and
+    // the trino_approx_ndv_sketch HLL-banded row → 199.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 196 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 196 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 199 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 199 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

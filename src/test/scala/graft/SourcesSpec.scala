@@ -2286,6 +2286,89 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root) == Seq(6L))
   }
 
+  test("nested struct evolution: add-field and widen inside a struct across file generations") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lit, struct}
+    import org.apache.spark.sql.types.{LongType, StringType => StrType, StructType}
+    val root = Files.createTempDirectory("iceberg_struct_evo").toString
+    IcebergLite.createTable(root)
+    // generation 1: s = struct<a:int>
+    IcebergLite.append(s, root, Seq(1L, 2L).toDF("id")
+      .withColumn("s", struct((col("id") * 10).cast("int").as("a"))).coalesce(1))
+    // generation 2: a widened to long IN-STRUCT, b added IN-STRUCT
+    IcebergLite.append(s, root, Seq(3L).toDF("id")
+      .withColumn("s", struct(lit(30000000000L).as("a"), lit("x").as("b")))
+      .coalesce(1))
+    val df = IcebergLite.read(s, root)
+    val st = df.schema("s").dataType.asInstanceOf[StructType]
+    assert(st("a").dataType == LongType && st("b").dataType == StrType,
+      s"snapshot schema must merge nested fields, got ${st.catalogString}")
+    val rows = df.selectExpr("id", "s.a", "s.b").orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq((1L, 10L, None), (2L, 20L, None),
+      (3L, 30000000000L, Some("x"))),
+      s"gen-1 int a must decode as long, gen-1 b must null-fill: ${rows.toSeq}")
+    // time travel BEFORE the evolution sees the narrow nested schema
+    val old = IcebergLite.read(s, root, snapshotId = Some(1L))
+    assert(old.schema("s").dataType.asInstanceOf[StructType]("a").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // incompatible nested change still refuses loudly
+    intercept[IllegalArgumentException] {
+      IcebergLite.append(s, root, Seq(4L).toDF("id")
+        .withColumn("s", struct(lit("nope").as("a"))).coalesce(1))
+    }
+  }
+
+  test("NDV stats: per-file approx counts in manifests; column_stats unions live-file sketches") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_ndv").toString
+    IcebergLite.createTable(root)
+    // two files with OVERLAPPING id sets: true distinct = 150, so a
+    // per-file-count sum (200) overcounts and a max (100) undercounts —
+    // only the sketch union can land near truth
+    IcebergLite.append(s, root,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    IcebergLite.append(s, root,
+      (51L to 150L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val files = IcebergLite.dataFiles(root)
+    assert(files.size == 2)
+    assert(files.forall(f => f.ndv.get("id").exists(n => n >= 90 && n <= 110)),
+      s"per-file approx NDV must ride the manifest entry: ${files.map(_.ndv)}")
+    val sidecars = IcebergLite.statsFiles(root)
+    assert(sidecars.size == 2 && sidecars.forall(_.startsWith("metadata/stats-")))
+    val cs = IcebergLite.columnStatsMetadata(s, root).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("ndv"), r.getAs[Long]("file_count"))).toMap
+    val (idNdv, idFiles) = cs("id")
+    assert(idFiles == 2L && idNdv >= 140 && idNdv <= 160,
+      s"union'd sketch estimate must land near the true 150 distinct, got $idNdv")
+
+    // compaction resets the sidecar list to its own; the estimate
+    // covers the same rows from the single consolidated file
+    IcebergLite.compact(s, root)
+    assert(IcebergLite.statsFiles(root).size == 1)
+    val cs2 = IcebergLite.columnStatsMetadata(s, root).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("ndv"), r.getAs[Long]("file_count"))).toMap
+    assert(cs2("id")._2 == 1L && cs2("id")._1 >= 140 && cs2("id")._1 <= 160)
+
+    // renamed columns surface logical in column_stats
+    IcebergLite.renameColumn(root, "id", "uid")
+    assert(IcebergLite.columnStatsMetadata(s, root).collect()
+      .map(_.getAs[String]("column")).toSet == Set("uid", "v"))
+
+    // expiry reclaims sidecars with the snapshots that referenced them
+    val oldSidecar = sidecars.head
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/$oldSidecar")))
+    IcebergLite.expireSnapshots(root, retainLast = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/$oldSidecar")),
+      "expired snapshots' stats sidecars must be reclaimed")
+    assert(IcebergLite.columnStatsMetadata(s, root).count() == 2L,
+      "the live sidecar survives expiry")
+  }
+
   test("createTable with a spec refuses a mismatch against an existing table") {
     val s = spark
     import s.implicits._
