@@ -127,6 +127,8 @@ object ScaleSweep {
     }
     if (mode == "writemeta") { writeMetaSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdel") { eqDeleteSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "eqdelk") { eqdelKSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "lakehouse") { lakehouseSweep(spark); spark.stop(); return }
     if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
     if (mode == "optimize") { optimizeSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
@@ -1043,6 +1045,146 @@ object ScaleSweep {
       s""""pendingAfterCompact":$pendingAfterCompact,""" +
       s""""cowMergeWallSec":${math.round(cowWall * 100) / 100.0},"filesRewrittenCow":$rewrittenCow,""" +
       s""""survivors":$nAfter}""")
+  }
+
+  /** K-PENDING equality-delete anchor (r10): a CDC table committing
+    * delete files every few minutes between hourly compactions carries
+    * MANY pending deletes; with one join per pending file (the r9
+    * shape) read cost grows linearly in K. The union-per-signature
+    * application must hold the read's JOIN COUNT at 2 (sequence map +
+    * one key join) and the read wall ~flat as K grows 1 → 16.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep eqdelk [nRows]"
+    */
+  private def eqdelKSweep(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long): Unit = {
+    import sources.IcebergLite
+    def freshTable(): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_eqdelk_sweep").resolve("t").toString
+      IcebergLite.createTable(root)
+      IcebergLite.append(spark, root,
+        spark.range(nRows).select(col("id").as("k"),
+          (col("id") % 1000 * 1.0).as("amount"),
+          concat(lit("v"), col("id")).as("v")).repartition(64))
+      root
+    }
+    val batch = nRows / 100
+    val results = Seq(1, 4, 16).map { k =>
+      val root = freshTable()
+      (0 until k).foreach { i =>
+        IcebergLite.deleteEquality(spark, root,
+          spark.range(i * batch, (i + 1) * batch).select(col("id").as("k")))
+      }
+      val df = IcebergLite.read(spark, root)
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+      IcebergLite.read(spark, root).count() // warm (page cache, codegen)
+      val t = System.nanoTime()
+      val n = IcebergLite.read(spark, root).count()
+      val wall = (System.nanoTime() - t) / 1e9
+      require(n == nRows - k * batch, s"survivors $n at K=$k")
+      require(joins <= 3, s"K=$k pending deletes must cost ≤3 joins, got $joins")
+      (k, joins, math.round(wall * 100) / 100.0)
+    }
+    println(
+      s"""{"sweep":"eqdelk","rows":$nRows,"keysPerDelete":$batch,""" +
+      results.map { case (k, j, w) =>
+        s""""k$k":{"pendingFiles":$k,"planJoins":$j,"readWallSec":$w}"""
+      }.mkString(",") + "}")
+  }
+
+  /** sf0.1 LAKEHOUSE anchor (r10): the eq-delete, position-delete and
+    * type-widening lifecycles against a real sf0.1 lineitem table
+    * (~600k rows) — the same scale point the TPC-H bench prices — so
+    * the merge-on-read evidence extends beyond row-scale fixtures.
+    *
+    *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    *     sbt -batch "runMain graft.ScaleSweep lakehouse"
+    */
+  private def lakehouseSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import sources.IcebergLite
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lakehouse_sweep").resolve("t").toString
+    IcebergLite.createTable(root)
+    val li = Engine.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"))
+    val nRows = li.count()
+    val tW = System.nanoTime()
+    IcebergLite.append(spark, root, li.repartition(32))
+    val writeWall = (System.nanoTime() - tW) / 1e9
+
+    // EQ-DELETE lifecycle: every orderkey ≡ 0 (mod 10) — high-
+    // cardinality keys scattered over every file
+    val delKeys = li.select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") % 10 === 0)
+    val nDelKeys = delKeys.count()
+    val expectAfter = IcebergLite.read(spark, root)
+      .filter(col("l_orderkey") % 10 =!= 0).count()
+    val t0 = System.nanoTime()
+    IcebergLite.deleteEquality(spark, root, delKeys)
+    val eqWall = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nAfterEq = IcebergLite.read(spark, root).count()
+    val eqReadWall = (System.nanoTime() - t1) / 1e9
+    require(nAfterEq == expectAfter, s"$nAfterEq vs $expectAfter")
+
+    // POSITION-DELETE lifecycle: locate ~10^5 rows by predicate via
+    // (_file,_pos), delete with zero data I/O, snapshot JSON bounded
+    val hits = IcebergLite.readWithMetadataColumns(spark, root)
+      .filter(col("l_quantity") <= 8.0)
+      .select(col("_file"), col("_pos")).collect()
+      .groupBy(_.getAs[String]("_file"))
+      .map { case (f, rs) => f -> rs.map(_.getAs[Long]("_pos")).toSeq }
+    val nPos = hits.values.map(_.size).sum
+    val t2 = System.nanoTime()
+    IcebergLite.deletePositions(spark, root, hits)
+    val posWall = (System.nanoTime() - t2) / 1e9
+    val snapJsonBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
+      s"$root/metadata/snap-${IcebergLite.currentSnapshotId(root).get}.snapshot.json"))
+    val t3 = System.nanoTime()
+    val nAfterPos = IcebergLite.read(spark, root).count()
+    val posReadWall = (System.nanoTime() - t3) / 1e9
+    require(nAfterPos == nAfterEq - nPos, s"$nAfterPos vs ${nAfterEq - nPos}")
+
+    // TYPE-WIDENING lifecycle: metadata-only promote, then a wide
+    // append, unified read across both physical generations
+    val t4 = System.nanoTime()
+    IcebergLite.widenColumn(spark, root, "l_linenumber",
+      org.apache.spark.sql.types.LongType)
+    val widenWall = (System.nanoTime() - t4) / 1e9
+    IcebergLite.append(spark, root,
+      spark.range(1).select(lit(900000001L).as("l_orderkey"),
+        lit(1L).as("l_partkey"), lit(3000000000L).as("l_linenumber"),
+        lit(1.0).as("l_quantity"), lit(1.0).as("l_extendedprice")))
+    val t5 = System.nanoTime()
+    val maxLine = IcebergLite.read(spark, root)
+      .agg(max(col("l_linenumber"))).collect()(0).getLong(0)
+    val widenReadWall = (System.nanoTime() - t5) / 1e9
+    require(maxLine == 3000000000L, s"widened read lost the long gen: $maxLine")
+
+    // compaction retires all pending delete forms at this scale
+    val t6 = System.nanoTime()
+    IcebergLite.compact(spark, root)
+    val compactWall = (System.nanoTime() - t6) / 1e9
+    require(IcebergLite.eqDeletes(root).isEmpty &&
+      IcebergLite.posDeletes(root).isEmpty)
+    require(IcebergLite.read(spark, root).count() == nAfterPos + 1)
+    println(
+      s"""{"sweep":"lakehouse","sf":"${sfDir.split('/').last}","rows":$nRows,""" +
+      s""""writeWallSec":${math.round(writeWall * 100) / 100.0},""" +
+      s""""eqDeleteKeys":$nDelKeys,"eqDeleteWallSec":${math.round(eqWall * 100) / 100.0},""" +
+      s""""eqReadWallSec":${math.round(eqReadWall * 100) / 100.0},""" +
+      s""""posDeletePositions":$nPos,"posDeleteWallSec":${math.round(posWall * 100) / 100.0},""" +
+      s""""snapshotJsonBytes":$snapJsonBytes,""" +
+      s""""posReadWallSec":${math.round(posReadWall * 100) / 100.0},""" +
+      s""""widenWallSec":${math.round(widenWall * 100) / 100.0},""" +
+      s""""widenReadWallSec":${math.round(widenReadWall * 100) / 100.0},""" +
+      s""""compactWallSec":${math.round(compactWall * 100) / 100.0}}""")
   }
 
   /** WRITE-METADATA anchor (r9): a many-file hive write whose per-file

@@ -1607,11 +1607,16 @@ object IcebergLite {
     val withMeta = base
       .withColumn("_pos", col("__graft_pos"))
       .withColumn("_file", replace(inputFileCol, lit(tableAbs), lit("")))
+      // scan-captured file identity for the delete appliers (see
+      // [[fileIdCol]] — input_file_name() cannot resolve above the
+      // delete-file joins)
+      .withColumn("__graft_scan_file", inputFileCol)
     val survivors = applyPosDeletes(
       applyEqDeletes(
         applyRowDeletes(withMeta, tablePath, files, rowDeletes(tablePath, snapshotId)),
         tablePath, files, eqDeletes(tablePath, snapshotId)),
       tablePath, files, posDeletes(tablePath, snapshotId))
+      .drop("__graft_scan_file")
     // applyPosDeletes consumes __graft_pos only when a pending position
     // delete targets a read file; drop the scratch column either way
     val cleaned =
@@ -2200,6 +2205,19 @@ object IcebergLite {
       regexp_replace(input_file_name(), "^[a-z]+:/+", "/"), "\\+", "%2B"))
   }
 
+  /** The row's decoded data-file identity for delete scoping.
+    * `input_file_name()` refuses to resolve above a join of TWO file
+    * sources, and a delete-applying plan has exactly that shape (the
+    * data scan joined against a delete-file scan) — so the identity
+    * is captured ONCE at the scan as `__graft_scan_file` (see
+    * [[readWithDeletes]] / [[readWithMetadataColumns]]) and every
+    * applier after the first join reads the captured column. The
+    * eval-time fallback keeps single-source callers working. */
+  private def fileIdCol(df: DataFrame): org.apache.spark.sql.Column =
+    if (df.columns.contains("__graft_scan_file"))
+      org.apache.spark.sql.functions.col("__graft_scan_file")
+    else inputFileCol
+
   /** Driver-side twin of [[inputFileCol]]: absolute, `.`-normalized,
     * symlinks untouched (Spark never resolves them either). */
   private def absPath(tablePath: String, rel: String): String =
@@ -2311,7 +2329,7 @@ object IcebergLite {
         f.sequenceNumber <= d.sequenceNumber && scopeFilters.forall(_.matches(f)))
     }.filter(_._2.nonEmpty)
     if (scoped.isEmpty) return df
-    val withFile = df.withColumn("__graft_del_file", inputFileCol)
+    val withFile = df.withColumn("__graft_del_file", fileIdCol(df))
     val filtered = scoped.foldLeft(withFile) { case (d, (del, inScope)) =>
       val inFiles = col("__graft_del_file").isin(
         inScope.map(f => absPath(tablePath, f.filePath)): _*)
@@ -2372,12 +2390,13 @@ object IcebergLite {
     if (relevant.isEmpty) return df
     val spark = df.sparkSession
     val prefix = Paths.get(tablePath).toAbsolutePath.normalize.toString + "/"
-    val keys = relevant
-      .map(d => spark.read.parquet(s"$tablePath/${d.filePath}"))
-      .reduce(_ unionByName _)
+    // one multi-path scan over every relevant delete file (they share
+    // the (file_path, pos) schema) — never a per-file union
+    val keys = spark.read
+      .parquet(relevant.map(d => s"$tablePath/${d.filePath}"): _*)
       .select(concat(lit(prefix), col("file_path")).as("__graft_pd_file"),
         col("pos").as("__graft_pd_pos"))
-    val withKeys = df.withColumn("__graft_del_file", inputFileCol)
+    val withKeys = df.withColumn("__graft_del_file", fileIdCol(df))
     withKeys.join(keys,
         withKeys("__graft_del_file") === keys("__graft_pd_file") &&
           withKeys("__graft_pos") === keys("__graft_pd_pos"),
@@ -2395,13 +2414,19 @@ object IcebergLite {
     val pdels = posDeletes(tablePath, snapshotId)
     val readPaths = files.map(_.filePath)
     val needPos = pdels.exists(posDelMayTarget(_, readPaths))
-    val base = readFileSet(spark, tablePath, files, withRowPos = needPos,
+    val base0 = readFileSet(spark, tablePath, files, withRowPos = needPos,
       snapshotId = snapshotId)
+    // file identity captured ONCE, at the scan (single file source in
+    // the plan here) — appliers after the first delete-file join read
+    // the captured column, where input_file_name() can no longer
+    // resolve (see [[fileIdCol]])
+    val base = base0.withColumn("__graft_scan_file", inputFileCol)
     applyPosDeletes(
       applyEqDeletes(
         applyRowDeletes(base, tablePath, files, rowDeletes(tablePath, snapshotId)),
         tablePath, files, eqDeletes(tablePath, snapshotId)),
       tablePath, files, pdels)
+      .drop("__graft_scan_file")
   }
 
   /** Merge-on-read POSITION delete as a NEW SNAPSHOT — zero data-file
@@ -2548,23 +2573,48 @@ object IcebergLite {
     val seqDf = spark.createDataFrame(seqRows, StructType(Seq(
       StructField("__graft_del_file", StringType, nullable = false),
       StructField("__graft_data_seq", LongType, nullable = false))))
-    val withSeq = df.withColumn("__graft_del_file", inputFileCol)
+    val withSeq = df.withColumn("__graft_del_file", fileIdCol(df))
       .join(broadcast(seqDf), Seq("__graft_del_file"), "left_outer")
     val bySignature = scoped.map(_._1).groupBy(_.keyCols).toSeq
       .sortBy(_._1.mkString(","))
     val filtered = bySignature.foldLeft(withSeq) { case (acc, (keyCols, group)) =>
-      val tagged = group.map { d =>
-        spark.read.parquet(s"$tablePath/${d.filePath}")
-          .select(keyCols.map(col): _*)
-          .withColumn("__graft_key_seq", lit(d.sequenceNumber))
-      }
-      // a single pending file is already distinct (enforced at write);
-      // multiple files can repeat a key and must re-distinct or the
-      // outer join would multiply surviving rows
+      // ONE multi-path scan for the signature's key files — a union of
+      // per-file reads would grow the plan (and codegen) linearly with
+      // pending-file count, which a parallel-writer CDC delete makes
+      // large (each deleteEquality cuts one key file per write task)
+      val scan = spark.read
+        .parquet(group.map(d => s"$tablePath/${d.filePath}"): _*)
+      val seqs = group.map(_.sequenceNumber).distinct
+      val keysRaw =
+        if (seqs.size == 1)
+          // all files from one commit: one shared sequence literal,
+          // and the commit's distinct() write guarantees unique keys
+          scan.select(keyCols.map(col): _*)
+            .withColumn("__graft_key_seq", lit(seqs.head))
+        else {
+          // per-row sequence recovered via a broadcast (key-file →
+          // commit sequence) map — the same O(pending files) shape the
+          // data side uses, keeping ONE scan node however many delete
+          // commits are pending
+          import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+          val kfRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+          group.foreach(d => kfRows.add(org.apache.spark.sql.Row(
+            absPath(tablePath, d.filePath), d.sequenceNumber)))
+          val kfDf = spark.createDataFrame(kfRows, StructType(Seq(
+            StructField("__graft_kf", StringType, nullable = false),
+            StructField("__graft_key_seq", LongType, nullable = false))))
+          val decoded = url_decode(regexp_replace(regexp_replace(
+            col("_metadata.file_path"), "^[a-z]+:/+", "/"), "\\+", "%2B"))
+          scan.select(keyCols.map(col) :+ decoded.as("__graft_kf"): _*)
+            .join(broadcast(kfDf), Seq("__graft_kf"))
+            .drop("__graft_kf")
+        }
+      // keys across commits can repeat → re-distinct keeping the max
+      // sequence (any delete at-or-after a row's data sequence kills
+      // it, so the max tag decides)
       val keys =
-        if (tagged.size == 1) tagged.head
-        else tagged.reduce(_ unionByName _)
-          .groupBy(keyCols.map(col): _*)
+        if (seqs.size == 1) keysRaw
+        else keysRaw.groupBy(keyCols.map(col): _*)
           .agg(max(col("__graft_key_seq")).as("__graft_key_seq"))
       acc.join(keys, keyCols, "left_outer")
         .filter(not(coalesce(

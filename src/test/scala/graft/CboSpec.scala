@@ -106,4 +106,48 @@ class CboSpec extends AnyFunSuite {
       assert(withCbo == noCbo, "CBO reorder changed the result")
     } finally spark.conf.set("spark.sql.cbo.enabled", "true")
   }
+
+  test("Iceberg column_stats NDV + rowcounts drive the broadcast-side choice from metadata alone") {
+    // the lakehouse CBO loop: table-level NDV (union'd HLL sidecars)
+    // and manifest rowcounts answer "which join side broadcasts" and
+    // "is the key selective" WITHOUT scanning data — what real engines
+    // read out of Puffin/ANALYZE before planning a join
+    import graft.sources.IcebergLite
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val s = spark
+    import s.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("cbo_dim").toString
+    val fact = java.nio.file.Files.createTempDirectory("cbo_fact").toString
+    IcebergLite.createTable(dim)
+    IcebergLite.createTable(fact)
+    IcebergLite.append(s, dim,
+      (0L until 500L).map(i => (i, s"d$i")).toDF("id", "name").coalesce(1))
+    IcebergLite.append(s, fact,
+      s.range(50000).select(col("id").as("row_id"), (col("id") % 500).as("fk"))
+        .repartition(8))
+    // metadata-only inputs: rowcounts from manifest entries, NDV from
+    // the sketch sidecars
+    def rowsOf(t: String) = IcebergLite.dataFiles(t).map(_.recordCount).sum
+    def ndvOf(t: String, c: String) = IcebergLite.columnStatsMetadata(s, t)
+      .filter(col("column") === c).collect()(0).getAs[Long]("ndv")
+    val (dimRows, factRows) = (rowsOf(dim), rowsOf(fact))
+    assert(dimRows == 500L && factRows == 50000L,
+      "manifest rowcounts must be exact without a scan")
+    val dimNdv = ndvOf(dim, "id")
+    val factNdv = ndvOf(fact, "fk")
+    // key selectivity estimate: distinct fk ≈ distinct dim id → a
+    // fk→id join is ~key-preserving, and the 100× smaller side
+    // broadcasts
+    assert(math.abs(dimNdv - 500L) <= 15 && math.abs(factNdv - 500L) <= 15,
+      s"NDV estimates off: dim=$dimNdv fact=$factNdv")
+    val buildSide = if (dimRows <= factRows) dim else fact
+    assert(buildSide == dim)
+    val joined = IcebergLite.read(s, fact)
+      .join(broadcast(IcebergLite.read(s, buildSide)),
+        col("fk") === col("id"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"metadata-chosen build side must broadcast:\n$phys")
+    assert(joined.count() == 50000L)
+  }
 }

@@ -1990,21 +1990,33 @@ class SourcesSpec extends AnyFunSuite {
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.size == 2,
-      s"4 pending deletes of one signature must cost 1 sequence-map join + 1 key join, got ${joins.size}")
+    // one data-side sequence-map join + one key-file-map broadcast +
+    // ONE key join for the whole signature — and the count must stay
+    // FLAT as more deletes pile up (the r9 shape paid one join per
+    // pending file)
+    assert(joins.size == 3,
+      s"4 pending deletes of one signature must cost 3 joins total, got ${joins.size}")
     val vs = df.select("v").as[String].collect().sorted.toSeq
     assert(!vs.contains("old1") && !vs.contains("old2") && !vs.contains("old3") &&
       !vs.contains("old4") && !vs.contains("old18") && vs.contains("re2") &&
       vs.size == 16, s"got $vs")
-    // a second key signature pays exactly one more join, not one per file
+    IcebergLite.deleteEquality(s, root, Seq(19L).toDF("id"))
+    IcebergLite.deleteEquality(s, root, Seq(20L).toDF("id"))
+    val joinsMore = IcebergLite.read(s, root).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinsMore.size == joins.size,
+      s"6 pending deletes must cost the same joins as 4, got ${joinsMore.size}")
+    // a second key signature pays its own (bounded) joins, not one per file
     IcebergLite.deleteEquality(s, root, Seq("old7").toDF("v"))
     IcebergLite.deleteEquality(s, root, Seq("old9").toDF("v"))
     val df2 = IcebergLite.read(s, root)
     val joins2 = df2.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins2.size == 3, s"two signatures → two key joins, got ${joins2.size}")
-    assert(df2.count() == 14L)
+    assert(joins2.size == joins.size + 2,
+      s"second signature adds exactly its map+key joins, got ${joins2.size}")
+    assert(df2.count() == 12L)
   }
 
   test("type widening: int files read as long after widenColumn; narrowing refuses") {
