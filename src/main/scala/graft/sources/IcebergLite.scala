@@ -2468,18 +2468,58 @@ object IcebergLite {
       require(rc < 0 || ps.forall(_ < rc),
         s"position ${ps.max} out of range for $f ($rc rows)")
     }
-    val runDir = s"posdel-${runTag()}"
     val pairs = deletes.toSeq.sortBy(_._1)
       .flatMap { case (f, ps) => ps.distinct.sorted.map(p => (f, p)) }
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val posSchema = StructType(Seq(
-      StructField("file_path", StringType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
     val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
     pairs.foreach { case (f, p) => rows.add(org.apache.spark.sql.Row(f, p)) }
-    spark.createDataFrame(rows, posSchema)
-      .write.mode("overwrite").parquet(s"$tablePath/data/$runDir")
-    val written = perFileEntries(spark, tablePath, runDir, posSchema)
+    commitPosDeleteFiles(spark, tablePath, parentId,
+      spark.createDataFrame(rows, posPairSchema))
+  }
+
+  private val posPairSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** DataFrame-native position delete for CDC-SCALE feeds: `pairs`
+    * carries (file_path, pos) rows — typically the renamed output of a
+    * [[readWithMetadataColumns]] predicate scan — and never passes
+    * through driver memory: validation is one bounded distributed
+    * probe, the delete-file write is distributed, and the commit
+    * records the same bounded entries as the Map form. Fail-closed
+    * like the Map form: a pair naming a non-live path, a negative
+    * ordinal, or an ordinal at-or-past its file's known record count
+    * refuses the whole delete. */
+  def deletePositions(spark: SparkSession, tablePath: String,
+      pairs: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(pairs.columns.sorted.toSeq == Seq("file_path", "pos"),
+      s"position-delete pairs need exactly (file_path, pos), got ${pairs.columns.toSeq}")
+    val parentId = currentSnapshotId(tablePath)
+    val live = dataFiles(tablePath)
+    val liveRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    live.foreach(f => liveRows.add(org.apache.spark.sql.Row(f.filePath, f.recordCount)))
+    val liveDf = spark.createDataFrame(liveRows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__graft_rc",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    val bad = pairs.join(broadcast(liveDf), Seq("file_path"), "left_outer")
+      .filter(col("__graft_rc").isNull || col("pos") < 0 ||
+        (col("__graft_rc") >= 0 && col("pos") >= col("__graft_rc")))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"position delete refers to a non-live file or out-of-range ordinal: ${bad.headOption}")
+    commitPosDeleteFiles(spark, tablePath, parentId,
+      pairs.select(col("file_path"), col("pos").cast("long").as("pos")))
+  }
+
+  private def commitPosDeleteFiles(spark: SparkSession, tablePath: String,
+      parentId: Option[Long], pairs: DataFrame): Long = {
+    val runDir = s"posdel-${runTag()}"
+    pairs.distinct().write.mode("overwrite").parquet(s"$tablePath/data/$runDir")
+    val written = perFileEntries(spark, tablePath, runDir, posPairSchema)
     val newDels = written.map(f => PosDelete(f.filePath, f.recordCount,
       f.lowerBounds.get("file_path"), f.upperBounds.get("file_path")))
     commitSnapshot(tablePath, parentId, entries = Nil,

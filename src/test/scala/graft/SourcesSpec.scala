@@ -2298,6 +2298,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root) == Seq(6L))
   }
 
+  test("DataFrame-native position delete: distributed pairs feed, fail-closed validation") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_posdel_df").toString
+    IcebergLite.createTable(root)
+    (0 until 3).foreach { i =>
+      IcebergLite.append(s, root,
+        (0L until 5L).map(j => (i * 10L + j, s"w$i-$j")).toDF("id", "v").coalesce(1))
+    }
+    // the CDC shape: a predicate scan's (_file,_pos) output IS the
+    // delete feed — renamed, never collected to the driver
+    val pairs = IcebergLite.readWithMetadataColumns(s, root)
+      .filter(col("v").isin("w0-1", "w2-3"))
+      .select(col("_file").as("file_path"), col("_pos").as("pos"))
+    IcebergLite.deletePositions(s, root, pairs)
+    val vs = IcebergLite.read(s, root).select("v").as[String].collect().toSet
+    assert(!vs.contains("w0-1") && !vs.contains("w2-3") && vs.size == 13)
+    assert(IcebergLite.posDeletes(root).nonEmpty)
+    // fail-closed: a dead path refuses the whole delete
+    intercept[IllegalArgumentException] {
+      IcebergLite.deletePositions(s, root,
+        Seq(("data/nope.parquet", 0L)).toDF("file_path", "pos"))
+    }
+    // fail-closed: an out-of-range ordinal refuses too
+    val liveFile = IcebergLite.dataFiles(root).head.filePath
+    intercept[IllegalArgumentException] {
+      IcebergLite.deletePositions(s, root,
+        Seq((liveFile, 99L)).toDF("file_path", "pos"))
+    }
+  }
+
   test("nested struct evolution: add-field and widen inside a struct across file generations") {
     val s = spark
     import s.implicits._
