@@ -2298,6 +2298,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root) == Seq(6L))
   }
 
+  test("changelog read: every commit kind emits its row-level changes; compaction is invisible") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_changelog").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)) // s1
+    IcebergLite.append(s, root, Seq((3L, "c")).toDF("id", "v").coalesce(1))            // s2
+    IcebergLite.merge(s, root, Seq((2L, "B2"), (4L, "d")).toDF("id", "v"),
+      keyCols = Seq("id"))                                                             // s3: update+insert
+    IcebergLite.deleteMergeOnRead(s, root, Seq(IcebergLite.Eq("v", "c")))              // s4: MoR predicate
+    IcebergLite.deleteEquality(s, root, Seq(1L).toDF("id"))                            // s5: MoR eq-file
+    IcebergLite.compact(s, root)                                                       // s6: invisible
+    IcebergLite.append(s, root, Seq((5L, "e")).toDF("id", "v").coalesce(1))            // s7
+    val log = IcebergLite.changelogRead(s, root, fromSnapshotId = 1L)
+      .select($"id", $"v", $"_change_type", $"_commit_snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(log == Set(
+      (3L, "c", "insert", 2L),
+      (2L, "b", "delete", 3L), (2L, "B2", "insert", 3L), (4L, "d", "insert", 3L),
+      (3L, "c", "delete", 4L),
+      (1L, "a", "delete", 5L),
+      (5L, "e", "insert", 7L)), s"got $log")
+    // subrange: only the commits inside (s4, s7]
+    val sub = IcebergLite.changelogRead(s, root, fromSnapshotId = 4L)
+      .select($"_commit_snapshot_id").as[Long].collect().toSet
+    assert(sub == Set(5L, 7L))
+    // net state check: replaying the changelog over the from-snapshot
+    // reproduces the to-snapshot (inserts minus deletes)
+    val replayed = IcebergLite.read(s, root, snapshotId = Some(1L))
+      .select($"id", $"v").collect().map(r => (r.getLong(0), r.getString(1))).toSet ++
+      log.filter(_._3 == "insert").map(t => (t._1, t._2)) --
+      log.filter(_._3 == "delete").map(t => (t._1, t._2))
+    val now = IcebergLite.read(s, root).select($"id", $"v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == now, s"$replayed vs $now")
+  }
+
   test("DataFrame-native position delete: distributed pairs feed, fail-closed validation") {
     val s = spark
     import s.implicits._
