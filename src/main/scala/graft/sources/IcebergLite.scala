@@ -1941,6 +1941,56 @@ object IcebergLite {
     }
   }
 
+  /** ROLLBACK — real Iceberg's `rollback_to_snapshot`: move the
+    * current-table pointer back to an ANCESTOR snapshot, metadata-only
+    * (one pointer swap; nothing is deleted — the abandoned successor
+    * commits stay time-travelable until snapshot expiry reclaims
+    * them). The ancestry requirement is real Iceberg's: rolling "back"
+    * to an unrelated snapshot would silently splice histories.
+    * Subsequent commits chain off the restored head; snapshot ids stay
+    * collision-free because they are assigned max+1 over EVERY
+    * committed snapshot file, abandoned ones included. */
+  def rollbackTo(tablePath: String, snapshotId: Long): Long =
+    withCommitLock(tablePath) {
+      val cur = currentSnapshotId(tablePath).getOrElse(
+        throw new IllegalArgumentException("empty table has no snapshots"))
+      val ancestors = Iterator.iterate(Option(cur))(
+          _.flatMap(parentSnapshotId(tablePath, _)))
+        .takeWhile(_.nonEmpty).map(_.get).toSeq
+      require(ancestors.contains(snapshotId),
+        s"snapshot $snapshotId is not an ancestor of the current $cur")
+      atomicWrite(Paths.get(s"$tablePath/metadata/v0.metadata.json"),
+        s"""{"format_version": 2, "uuid": "graft-iceberg", "current_snapshot_id": $snapshotId}""",
+        beforeMove = assertLockOwned(tablePath))
+      snapshotId
+    }
+
+  /** CHERRY-PICK — real Iceberg's `cherrypick_snapshot`: re-apply an
+    * APPEND snapshot's added files onto the CURRENT head as a fresh
+    * commit — the write-audit-publish move for picking ONE audited
+    * batch off a branch without fast-forwarding the whole branch.
+    * Metadata-only: the picked snapshot's data files are referenced,
+    * never copied, and they re-enter under the NEW commit's sequence
+    * number (the rows are new as of now, so merge-on-read deletes
+    * pending on main never touch them — the same semantics a fresh
+    * append would get). Only append snapshots cherry-pick (real
+    * Iceberg's restriction: a delete/overwrite depends on the state
+    * it was computed against). */
+  def cherryPick(tablePath: String, snapshotId: Long): Long = {
+    val op = snapshotOperation(tablePath, snapshotId)
+    require(op == "append", s"only append snapshots cherry-pick (got '$op')")
+    val parentId = currentSnapshotId(tablePath)
+    val picked = manifestFiles(tablePath, s"metadata/manifest-$snapshotId.json")
+    require(picked.nonEmpty, s"snapshot $snapshotId added no files")
+    val livePaths = dataFiles(tablePath, parentId).map(_.filePath).toSet
+    val dup = picked.map(_.filePath).filter(livePaths)
+    require(dup.isEmpty,
+      s"cherry-pick would double-commit files already live: ${dup.take(3).mkString(", ")}")
+    commitSnapshot(tablePath, parentId,
+      entries = picked.map(f => entryJson(f.copy(sequenceNumber = -1L))),
+      carriedManifests = parentManifests(tablePath, parentId))
+  }
+
   /** Commit wall-clock of a snapshot (ms epoch; 0 for snapshots
     * written before timestamps existed — they read as "older than any
     * requested time", the conservative direction). */

@@ -2298,6 +2298,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root) == Seq(6L))
   }
 
+  test("rollback and cherry-pick: metadata-only history surgery") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_rollback").toString
+    IcebergLite.createTable(root)
+    def add(i: Long): Long = IcebergLite.append(s, root,
+      Seq((i, s"v$i")).toDF("id", "v").coalesce(1))
+    add(1); add(2); add(3)
+    // rollback: pointer swap only — nothing deleted
+    IcebergLite.rollbackTo(root, 2L)
+    assert(IcebergLite.currentSnapshotId(root).contains(2L))
+    assert(IcebergLite.read(s, root).count() == 2L)
+    // the abandoned successor stays time-travelable until expiry
+    assert(IcebergLite.read(s, root, snapshotId = Some(3L)).count() == 3L)
+    // a non-ancestor (the abandoned head) refuses
+    intercept[IllegalArgumentException] { IcebergLite.rollbackTo(root, 3L) }
+    // new commits chain off the restored head with a fresh id
+    val s4 = add(4)
+    assert(s4 == 4L && IcebergLite.parentSnapshotId(root, s4).contains(2L))
+    assert(IcebergLite.read(s, root).select($"id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 4L))
+
+    // cherry-pick: ONE audited branch append lands on main without
+    // fast-forwarding the branch
+    IcebergLite.createBranch(root, "audit")
+    val s5 = IcebergLite.append(s, root, Seq((50L, "picked")).toDF("id", "v").coalesce(1),
+      toBranch = Some("audit"))
+    assert(IcebergLite.read(s, root).count() == 3L, "branch write must not touch main")
+    IcebergLite.cherryPick(root, s5)
+    assert(IcebergLite.read(s, root).filter($"v" === "picked").count() == 1L)
+    // double-pick refuses (files already live on main)
+    intercept[IllegalArgumentException] { IcebergLite.cherryPick(root, s5) }
+    // non-append snapshots refuse
+    val sDel = IcebergLite.deleteMergeOnRead(s, root, Seq(IcebergLite.Eq("v", "v4")))
+    intercept[IllegalArgumentException] { IcebergLite.cherryPick(root, sDel) }
+    // sequence semantics: a cherry-picked row is NEW as of the pick —
+    // an eq-delete pending from BEFORE the pick must not kill it
+    val root2 = Files.createTempDirectory("iceberg_cherry_seq").toString
+    IcebergLite.createTable(root2)
+    IcebergLite.append(s, root2, Seq((10L, "old")).toDF("id", "v").coalesce(1))
+    IcebergLite.createBranch(root2, "b")
+    val picked = IcebergLite.append(s, root2,
+      Seq((10L, "resurrected")).toDF("id", "v").coalesce(1), toBranch = Some("b"))
+    IcebergLite.deleteEquality(s, root2, Seq(10L).toDF("id"))
+    IcebergLite.cherryPick(root2, picked)
+    val vs = IcebergLite.read(s, root2).select($"v").as[String].collect().toSeq
+    assert(vs == Seq("resurrected"),
+      s"pending delete must kill the old row, never the picked one: $vs")
+  }
+
   test("changelog read: every commit kind emits its row-level changes; compaction is invisible") {
     val s = spark
     import s.implicits._
