@@ -278,7 +278,64 @@ object StreamingQueries extends QueryCatalog {
         .orderBy(col("user_id"))
     })
 
+  private lazy val cdcOutRoot = java.nio.file.Files
+    .createTempDirectory("graft_stream_cdc_out_row")
+
+  /** CDC-OUT (r10) — the checkpointed changelog CONSUMER under a
+    * VALUES oracle: a table lifecycle (seed, append, merge-update,
+    * eq-delete) is tailed in micro-batch ticks; the first tick
+    * initializes at-latest and emits NOTHING, each later tick delivers
+    * exactly the commits since the checkpoint as tagged
+    * inserts/deletes, and a caught-up tick delivers nothing. The
+    * collected batch rows (with their tick ordinal) must match the
+    * pinned per-commit change set — the consumer-side contract
+    * ([[graft.streaming.EventStream.changelogTick]]'s at-least-once
+    * crash replay is proven in SourcesSpec). */
+  private val streamChangelogTail = Q(
+    "stream_changelog_tail",
+    Some("""
+      SELECT * FROM (VALUES
+        (1, CAST(2 AS BIGINT), 'b', 'insert'),
+        (2, CAST(1 AS BIGINT), 'a', 'delete'),
+        (2, CAST(1 AS BIGINT), 'A2', 'insert'),
+        (2, CAST(3 AS BIGINT), 'c', 'insert'),
+        (3, CAST(2 AS BIGINT), 'b', 'delete'))
+        t(tick, id, v, _change_type)
+      ORDER BY tick, _change_type, id"""),
+    (s, _) => {
+      import s.implicits._
+      Engine.deleteRecursively(cdcOutRoot)
+      val root = s"$cdcOutRoot/t"
+      val ckpt = s"$cdcOutRoot/ckpt"
+      graft.sources.IcebergLite.createTable(root)
+      graft.sources.IcebergLite.append(s, root,
+        Seq((1L, "a")).toDF("id", "v").coalesce(1))
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String, String)]
+      var tick = 0
+      def drain(): Unit = {
+        tick += 1
+        graft.streaming.EventStream.changelogTick(s, root, ckpt) { df =>
+          got ++= df.select(col("id"), col("v"), col("_change_type")).collect()
+            .map(r => (tick, r.getLong(0), r.getString(1), r.getString(2)))
+        }
+        ()
+      }
+      graft.streaming.EventStream.changelogTick(s, root, ckpt)(_ => ()) // init at latest
+      graft.sources.IcebergLite.append(s, root,
+        Seq((2L, "b")).toDF("id", "v").coalesce(1))
+      drain() // tick 1: the append
+      graft.sources.IcebergLite.merge(s, root,
+        Seq((1L, "A2"), (3L, "c")).toDF("id", "v"), keyCols = Seq("id"))
+      drain() // tick 2: update (delete+insert) + insert
+      graft.sources.IcebergLite.deleteEquality(s, root, Seq(2L).toDF("id"))
+      drain() // tick 3: the MoR delete
+      drain() // tick 4: caught up — contributes nothing
+      got.toSeq.toDF("tick", "id", "v", "_change_type")
+        .orderBy(col("tick"), col("_change_type"), col("id"))
+    })
+
   def defs: Seq[Q] = Seq(
     streamDedupIds, streamJoinClickView, streamSessionize, streamWindowAgg,
-    streamIngestDedup, streamSessionWindow, streamUpsert, streamUpsertBranch)
+    streamIngestDedup, streamSessionWindow, streamUpsert, streamUpsertBranch,
+    streamChangelogTail)
 }

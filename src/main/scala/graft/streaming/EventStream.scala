@@ -377,4 +377,47 @@ object EventStream {
     * in-memory table; returns the completed batch result. */
   def runFileStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame =
     runToMemory(windowedCounts(eventsStream(spark, sfDir)), queryName)
+
+  /** CHECKPOINTED CHANGELOG CONSUMER — the CDC-OUT half of the
+    * lakehouse streaming story ([[upsertStream]] is CDC-in): each tick
+    * turns every commit since the checkpointed snapshot into ONE
+    * changelog micro-batch ([[graft.sources.IcebergLite.changelogRead]]
+    * — per-row `_change_type` + `_commit_snapshot_id`), hands it to
+    * the caller, and advances the checkpoint ONLY AFTER the handler
+    * returns — the foreachBatch contract: a crash mid-handler replays
+    * the same batch on restart (at-least-once; handlers idempotent by
+    * key+snapshot get exactly-once effects). A missing checkpoint
+    * initializes AT the current snapshot and emits nothing — the
+    * stream starts "now", like a latest-offset subscription; pass
+    * `startFromSnapshot` to begin from table history instead. Returns
+    * the processed (from, to] range, or None when caught up. A
+    * rollback of the table below the checkpoint breaks ancestry and
+    * throws — the consumer must be re-seeded, the same contract a
+    * Kafka consumer has after a topic recreation. */
+  def changelogTick(spark: SparkSession, tablePath: String,
+      checkpointDir: String,
+      startFromSnapshot: Option[Long] = None)
+      (handler: DataFrame => Unit): Option[(Long, Long)] = {
+    import java.nio.file.{Files, Paths}
+    val ckpt = Paths.get(checkpointDir, "changelog-offset")
+    Files.createDirectories(ckpt.getParent)
+    val cur = graft.sources.IcebergLite.currentSnapshotId(tablePath)
+      .getOrElse(return None)
+    if (!Files.exists(ckpt)) {
+      val init = startFromSnapshot.getOrElse(cur)
+      Files.writeString(ckpt, init.toString)
+      if (init == cur) return None
+    }
+    val last = Files.readString(ckpt).trim.toLong
+    if (last == cur) return None
+    val batch = graft.sources.IcebergLite
+      .changelogRead(spark, tablePath, last, Some(cur))
+    handler(batch)
+    // advance AFTER the handler — the at-least-once commit point
+    val tmp = Paths.get(checkpointDir, s".changelog-offset.tmp")
+    Files.writeString(tmp, cur.toString)
+    Files.move(tmp, ckpt, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Some((last, cur))
+  }
 }

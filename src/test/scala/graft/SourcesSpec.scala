@@ -2298,6 +2298,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root) == Seq(6L))
   }
 
+  test("changelog consumer: checkpointed micro-batches, at-least-once replay on crash") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStream
+    val root = Files.createTempDirectory("iceberg_cdc_out").toString
+    val ckpt = Files.createTempDirectory("iceberg_cdc_out_ckpt").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root, Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def collectBatch(df: org.apache.spark.sql.DataFrame): Unit =
+      got ++= df.select($"id", $"v", $"_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // first tick initializes AT current — a latest-offset subscription
+    assert(EventStream.changelogTick(s, root, ckpt)(collectBatch).isEmpty)
+    assert(got.isEmpty)
+    // two commits → one catch-up batch covering both
+    IcebergLite.append(s, root, Seq((2L, "b")).toDF("id", "v").coalesce(1))
+    IcebergLite.deleteEquality(s, root, Seq(1L).toDF("id"))
+    assert(EventStream.changelogTick(s, root, ckpt)(collectBatch).contains((1L, 3L)))
+    assert(got.toSet == Set((2L, "b", "insert"), (1L, "a", "delete")), s"got $got")
+    // caught up → no batch
+    assert(EventStream.changelogTick(s, root, ckpt)(collectBatch).isEmpty)
+    // crash MID-HANDLER: the offset must not advance; the next tick
+    // re-delivers the same batch (at-least-once)
+    IcebergLite.append(s, root, Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    intercept[RuntimeException] {
+      EventStream.changelogTick(s, root, ckpt) { _ =>
+        throw new RuntimeException("handler crash")
+      }
+    }
+    got.clear()
+    assert(EventStream.changelogTick(s, root, ckpt)(collectBatch).contains((3L, 4L)))
+    assert(got.toSeq == Seq((3L, "c", "insert")))
+    // startFromSnapshot seeds a fresh consumer from table history
+    val ckpt2 = Files.createTempDirectory("iceberg_cdc_out_ckpt2").toString
+    got.clear()
+    EventStream.changelogTick(s, root, ckpt2,
+      startFromSnapshot = Some(1L))(collectBatch)
+    assert(got.toSet == Set((2L, "b", "insert"), (1L, "a", "delete"),
+      (3L, "c", "insert")), s"got $got")
+  }
+
   test("rollback and cherry-pick: metadata-only history surgery") {
     val s = spark
     import s.implicits._
@@ -2375,12 +2417,28 @@ class SourcesSpec extends AnyFunSuite {
     val sub = IcebergLite.changelogRead(s, root, fromSnapshotId = 4L)
       .select($"_commit_snapshot_id").as[Long].collect().toSet
     assert(sub == Set(5L, 7L))
+    // position-delete commits emit their newly-dead rows too
+    IcebergLite.append(s, root, Seq((6L, "f"), (7L, "g")).toDF("id", "v").coalesce(1)) // s8
+    val newFile = IcebergLite.dataFiles(root)
+      .find(f => f.lowerBounds.get("id").contains("6")).get.filePath
+    IcebergLite.deletePositions(s, root, Map(newFile -> Seq(0L)))                      // s9
+    val tail = IcebergLite.changelogRead(s, root, fromSnapshotId = 7L)
+      .select($"id", $"v", $"_change_type", $"_commit_snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(tail == Set(
+      (6L, "f", "insert", 8L), (7L, "g", "insert", 8L),
+      (6L, "f", "delete", 9L)), s"got $tail")
+
     // net state check: replaying the changelog over the from-snapshot
     // reproduces the to-snapshot (inserts minus deletes)
+    val fullLog = IcebergLite.changelogRead(s, root, fromSnapshotId = 1L)
+      .select($"id", $"v", $"_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     val replayed = IcebergLite.read(s, root, snapshotId = Some(1L))
       .select($"id", $"v").collect().map(r => (r.getLong(0), r.getString(1))).toSet ++
-      log.filter(_._3 == "insert").map(t => (t._1, t._2)) --
-      log.filter(_._3 == "delete").map(t => (t._1, t._2))
+      fullLog.filter(_._3 == "insert").map(t => (t._1, t._2)) --
+      fullLog.filter(_._3 == "delete").map(t => (t._1, t._2))
     val now = IcebergLite.read(s, root).select($"id", $"v")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(replayed == now, s"$replayed vs $now")
