@@ -1895,6 +1895,34 @@ object IcebergLite {
       StructField("detail", StringType, nullable = false))))
   }
 
+  /** `manifests` METADATA TABLE — real Iceberg's `db.table.manifests`:
+    * one row per manifest in the snapshot's manifest list with its
+    * entry count, row count, and the RECORDED partition summary (the
+    * planner's manifest-skip input, rendered `col:[lo,hi]`; null for
+    * pre-summary legacy lists). The summary column is what an operator
+    * reads to judge whether `rewriteManifests` clustering would make
+    * filtered plans cheaper — wide overlapping ranges mean manifests
+    * stopped being selective. */
+  def manifestsMetadata(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+    snapshotId.orElse(currentSnapshotId(tablePath)).foreach { id =>
+      parseManifestList(tablePath, id).foreach { m =>
+        val fs = manifestFiles(tablePath, m.path)
+        val summary = m.summaries.map(s => s.toSeq.sortBy(_._1)
+          .map { case (c, cs) => s"$c:[${cs.lower},${cs.upper}]" }.mkString(";"))
+        rows.add(org.apache.spark.sql.Row(m.path, fs.size.toLong,
+          fs.map(_.recordCount).sum, summary.orNull))
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("n_entries", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("partition_summary", StringType, nullable = true))))
+  }
+
   /** `column_stats` METADATA TABLE — the read side of the Puffin-
     * analogue NDV sidecars ([[writeStatsSidecar]]): one row per data
     * column with the table-level distinct-count estimate, computed by
