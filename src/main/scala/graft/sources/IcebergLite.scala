@@ -975,7 +975,13 @@ object IcebergLite {
         require(missing.isEmpty, s"sort-order columns absent from write: $missing")
         dfD.sortWithinPartitions((partitionColumns ++ order).map(col): _*)
       }
-    val writer = dfW.write.mode("overwrite")
+    // declared per-file row bound: Spark's writer rolls files at the
+    // bound natively — a fat tuple under hash distribution stays one
+    // TASK but cuts several bounded files, each with its own stats
+    val rowBound = maxRecordsPerFile(tablePath)
+    val writer0 = dfW.write.mode("overwrite")
+    val writer =
+      if (rowBound > 0) writer0.option("maxRecordsPerFile", rowBound) else writer0
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
 
@@ -1433,6 +1439,29 @@ object IcebergLite {
     val p = Paths.get(s"$tablePath/metadata/write-distribution.json")
     if (!Files.exists(p)) "none"
     else (readJson(p.toString) \ "mode").extractOrElse[String]("none")
+  }
+
+  /** Declare the table's per-file ROW BOUND (real Iceberg's
+    * `write.target-file-size-bytes`, expressed in rows — the exact
+    * knob Spark's writer enforces natively via `maxRecordsPerFile`):
+    * a fat partition tuple lands on one write task under `hash`
+    * distribution, and without a bound that task cuts ONE arbitrarily
+    * large file — unsplittable by row-group pruning granularity,
+    * unbalanced for later compaction. Metadata-only; every write path
+    * (append, compact, merge, overwrite, cluster) honors it from the
+    * next write. 0 clears the bound. */
+  def setMaxRecordsPerFile(tablePath: String, n: Long): Unit =
+    withCommitLock(tablePath) {
+      require(n >= 0, "row bound must be >= 0 (0 clears)")
+      atomicWrite(Paths.get(s"$tablePath/metadata/write-max-records.json"),
+        s"""{"max_records_per_file": $n}""")
+    }
+
+  /** The table's per-file row bound (0 = unbounded). */
+  def maxRecordsPerFile(tablePath: String): Long = {
+    val p = Paths.get(s"$tablePath/metadata/write-max-records.json")
+    if (!Files.exists(p)) 0L
+    else (readJson(p.toString) \ "max_records_per_file").extractOrElse[Long](0L)
   }
 
   /** The table's write sort order (physical names; empty when unset). */
@@ -3680,7 +3709,10 @@ object IcebergLite {
           .sortWithinPartitions(keys: _*)
           .drop("__z")
       }
-    val writer = df.write.mode("overwrite")
+    val rowBound = maxRecordsPerFile(tablePath)
+    val writer0 = df.write.mode("overwrite")
+    val writer =
+      if (rowBound > 0) writer0.option("maxRecordsPerFile", rowBound) else writer0
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(s"$tablePath/data/$runDir")
 

@@ -2164,6 +2164,39 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("max-records-per-file bounds fat-partition files; bounds stay per-file exact") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_rowbound").toString
+    IcebergLite.createTable(root)
+    IcebergLite.setWriteDistribution(root, "hash")
+    IcebergLite.setMaxRecordsPerFile(root, 30L)
+    assert(IcebergLite.maxRecordsPerFile(root) == 30L)
+    // one fat partition tuple: hash distribution puts all 100 rows on
+    // ONE task; the row bound must still cut >= 4 files, each with its
+    // own exact bounds and <= 30 rows
+    IcebergLite.append(s, root,
+      (0L until 100L).map(i => (i, "hot")).toDF("id", "p").repartition(4),
+      partitionColumns = Seq("p"))
+    val files = IcebergLite.dataFiles(root)
+    assert(files.size >= 4 && files.forall(_.recordCount <= 30L),
+      s"got ${files.map(_.recordCount)}")
+    assert(files.map(_.recordCount).sum == 100L)
+    // per-file bounds are disjoint-exact (each file knows its own ids)
+    assert(files.map(f => (f.lowerBounds("id"), f.upperBounds("id"))).distinct.size
+      == files.size)
+    assert(IcebergLite.read(s, root).count() == 100L)
+    // compaction honors the bound too (no giant consolidated file)
+    IcebergLite.compact(s, root)
+    val after = IcebergLite.dataFiles(root)
+    assert(after.forall(_.recordCount <= 30L) &&
+      after.map(_.recordCount).sum == 100L)
+    // clearing restores single-file consolidation
+    IcebergLite.setMaxRecordsPerFile(root, 0L)
+    IcebergLite.compact(s, root)
+    assert(IcebergLite.dataFiles(root).size == 1)
+  }
+
   test("manifest-list partition summaries skip whole manifests; rewrite makes them selective") {
     val s = spark
     import s.implicits._
