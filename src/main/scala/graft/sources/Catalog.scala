@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+
+/** File-backed table CATALOG — the deployment analogue of the
+  * reference's metastore client (`/root/reference/src/metastore/
+  * mod.rs:16-86`): that client asks an HTTP service for
+  * list_databases / list_tables / get_table (schema included), scoped
+  * to a branch id. Here the same surface is ONE JSON document on the
+  * shared storage the tables already live on, mutated under the same
+  * cross-process lock machinery every table commit uses — an
+  * object-store deployment swaps this file for a REST/Hive catalog
+  * CAS, exactly the substitution real Iceberg makes, with no caller
+  * change (names in, table roots out). The reference's per-branch
+  * scoping maps to [[IcebergLite]]'s ref layer: a catalog entry names
+  * the table; branches/tags live inside the table's own metadata.
+  *
+  * Layout: `<root>/catalog.json` = `{"databases": {db: {table:
+  * path}}}`; paths are absolute or root-relative. Registered tables
+  * are ordinary [[IcebergLite]] roots — every table op (append, read,
+  * time travel, branching, changelog) works on the resolved path.
+  */
+object Catalog {
+  private implicit val formats: Formats = DefaultFormats
+
+  private def catalogFile(root: String) = Paths.get(root, "catalog.json")
+
+  /** Initialize an empty catalog (idempotent). The `metadata/` dir
+    * exists only to host the shared commit-lock file. */
+  def init(root: String): Unit = {
+    Files.createDirectories(Paths.get(root, "metadata"))
+    if (!Files.exists(catalogFile(root)))
+      Files.writeString(catalogFile(root), """{"databases": {}}""")
+  }
+
+  private def readAll(root: String): Map[String, Map[String, String]] = {
+    if (!Files.exists(catalogFile(root))) return Map.empty
+    org.json4s.jackson.JsonMethods.parse(
+      Files.readString(catalogFile(root))) \ "databases" match {
+      case JObject(dbs) => dbs.map { case (db, ts) =>
+        db -> (ts match {
+          case JObject(fields) => fields.collect {
+            case (t, JString(p)) => t -> p
+          }.toMap
+          case _ => Map.empty[String, String]
+        })
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def writeAll(root: String,
+      dbs: Map[String, Map[String, String]]): Unit = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val body = dbs.toSeq.sortBy(_._1).map { case (db, ts) =>
+      s"${jstr(db)}: " + ts.toSeq.sortBy(_._1)
+        .map { case (t, p) => s"${jstr(t)}: ${jstr(p)}" }
+        .mkString("{", ", ", "}")
+    }.mkString("{", ", ", "}")
+    Files.writeString(catalogFile(root), s"""{"databases": $body}""")
+  }
+
+  def listDatabases(root: String): Seq[String] =
+    readAll(root).keys.toSeq.sorted
+
+  def createDatabase(root: String, db: String): Unit =
+    IcebergLite.withCommitLock(root) {
+      val all = readAll(root)
+      require(!all.contains(db), s"database $db already exists")
+      writeAll(root, all + (db -> Map.empty))
+    }
+
+  def listTables(root: String, db: String): Seq[String] = {
+    val all = readAll(root)
+    require(all.contains(db), s"database $db does not exist")
+    all(db).keys.toSeq.sorted
+  }
+
+  /** Register (and physically initialize) a table. Default location
+    * `<root>/<db>/<name>`; `location` overrides — registering an
+    * EXISTING table root adopts it, the external-table pattern. */
+  def createTable(root: String, db: String, name: String,
+      location: Option[String] = None): String =
+    IcebergLite.withCommitLock(root) {
+      val all = readAll(root)
+      require(all.contains(db), s"database $db does not exist")
+      require(!all(db).contains(name), s"table $db.$name already exists")
+      val path = location.getOrElse(Paths.get(root, db, name).toString)
+      IcebergLite.createTable(path)
+      writeAll(root, all + (db -> (all(db) + (name -> path))))
+      path
+    }
+
+  /** Resolve a table name to its root — the `get_table` lookup every
+    * engine call starts from. */
+  def tablePath(root: String, db: String, name: String): String = {
+    val all = readAll(root)
+    require(all.contains(db) && all(db).contains(name),
+      s"table $db.$name does not exist")
+    all(db)(name)
+  }
+
+  /** The table's current LOGICAL schema (the reference's
+    * get_table/table_to_arrow_schema): the snapshot's recorded data
+    * schema with renames applied; None for an empty or pre-tracking
+    * table. */
+  def tableSchema(root: String, db: String,
+      name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val path = tablePath(root, db, name)
+    IcebergLite.tableSchema(path).map { s =>
+      val rmap = IcebergLite.renames(path)
+      org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(name = rmap.getOrElse(f.name, f.name))))
+    }
+  }
+
+  /** Read a table by NAME — sugar over resolve + [[IcebergLite.read]]. */
+  def readTable(spark: SparkSession, root: String, db: String,
+      name: String): DataFrame =
+    IcebergLite.read(spark, tablePath(root, db, name))
+
+  def renameTable(root: String, db: String, from: String, to: String): Unit =
+    IcebergLite.withCommitLock(root) {
+      val all = readAll(root)
+      require(all.contains(db) && all(db).contains(from),
+        s"table $db.$from does not exist")
+      require(!all(db).contains(to), s"table $db.$to already exists")
+      // a rename moves the NAME only — the table root is immutable
+      // identity (real catalogs behave the same; data never moves)
+      writeAll(root, all + (db -> (all(db) - from + (to -> all(db)(from)))))
+    }
+
+  /** Deregister; `purge = true` also deletes the table tree (refuses
+    * for external tables registered OUTSIDE the catalog root — the
+    * catalog never owns data it did not place). */
+  def dropTable(root: String, db: String, name: String,
+      purge: Boolean = false): Unit =
+    IcebergLite.withCommitLock(root) {
+      val all = readAll(root)
+      require(all.contains(db) && all(db).contains(name),
+        s"table $db.$name does not exist")
+      val path = all(db)(name)
+      if (purge) {
+        val rootAbs = Paths.get(root).toAbsolutePath.normalize
+        val pathAbs = Paths.get(path).toAbsolutePath.normalize
+        require(pathAbs.startsWith(rootAbs),
+          s"refusing to purge external table at $path (outside $root)")
+        if (Files.exists(pathAbs))
+          Files.walk(pathAbs).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+      }
+      writeAll(root, all + (db -> (all(db) - name)))
+    }
+}

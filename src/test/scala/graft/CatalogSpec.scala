@@ -55,10 +55,11 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_changelog CDC-out row and the
     // iceberg_rollback_cherrypick history-surgery row, and the
     // stream_changelog_tail CDC-out consumer row and the
-    // iceberg_manifests_meta metadata-table row → 203.
+    // iceberg_manifests_meta metadata-table row, and the
+    // iceberg_catalog metastore-surface row → 204.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 203 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 203 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 204 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 204 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

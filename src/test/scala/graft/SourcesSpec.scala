@@ -2331,6 +2331,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root) == Seq(6L))
   }
 
+  test("catalog: databases, name resolution, schema lookup, rename, external-table purge refusal") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Catalog
+    val root = Files.createTempDirectory("graft_catalog").toString
+    Catalog.init(root)
+    Catalog.init(root) // idempotent
+    Catalog.createDatabase(root, "analytics")
+    Catalog.createDatabase(root, "raw")
+    assert(Catalog.listDatabases(root) == Seq("analytics", "raw"))
+    intercept[IllegalArgumentException] { Catalog.createDatabase(root, "raw") }
+    val t1 = Catalog.createTable(root, "analytics", "events")
+    Catalog.createTable(root, "analytics", "users")
+    assert(Catalog.listTables(root, "analytics") == Seq("events", "users"))
+    intercept[IllegalArgumentException] {
+      Catalog.createTable(root, "analytics", "events")
+    }
+    // the resolved path is an ordinary IcebergLite root: every table
+    // op (here append + schema tracking + read-by-name) just works
+    IcebergLite.append(s, t1, Seq((1L, "click")).toDF("id", "kind").coalesce(1))
+    assert(Catalog.tablePath(root, "analytics", "events") == t1)
+    assert(Catalog.tableSchema(root, "analytics", "events").get.fieldNames.toSeq
+      == Seq("id", "kind"))
+    assert(Catalog.readTable(s, root, "analytics", "events").count() == 1L)
+    // schema lookup follows column renames (the get_table contract)
+    IcebergLite.renameColumn(t1, "kind", "event_type")
+    assert(Catalog.tableSchema(root, "analytics", "events").get.fieldNames.toSeq
+      == Seq("id", "event_type"))
+    // rename moves the NAME only; the root is identity
+    Catalog.renameTable(root, "analytics", "events", "events_v2")
+    assert(Catalog.tablePath(root, "analytics", "events_v2") == t1)
+    intercept[IllegalArgumentException] {
+      Catalog.tablePath(root, "analytics", "events")
+    }
+    // external table: adopted, never purged
+    val ext = Files.createTempDirectory("graft_catalog_ext").toString + "/t"
+    IcebergLite.createTable(ext)
+    Catalog.createTable(root, "raw", "adopted", location = Some(ext))
+    intercept[IllegalArgumentException] {
+      Catalog.dropTable(root, "raw", "adopted", purge = true)
+    }
+    Catalog.dropTable(root, "raw", "adopted")
+    assert(Files.exists(java.nio.file.Paths.get(s"$ext/metadata")),
+      "dropping an external table must leave its data")
+    // managed purge removes the tree
+    Catalog.dropTable(root, "analytics", "users", purge = true)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/analytics/users")))
+    assert(Catalog.listTables(root, "analytics") == Seq("events_v2"))
+  }
+
   test("changelog consumer: checkpointed micro-batches, at-least-once replay on crash") {
     val s = spark
     import s.implicits._
