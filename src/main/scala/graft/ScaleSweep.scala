@@ -1167,6 +1167,18 @@ object ScaleSweep {
     val widenReadWall = (System.nanoTime() - t5) / 1e9
     require(maxLine == 3000000000L, s"widened read lost the long gen: $maxLine")
 
+    // CDC-OUT at this scale: the changelog of the WHOLE lifecycle
+    // (eq-delete, pos-delete, widen, append) — per-commit cost bounded
+    // by touched files, so the wall prices the delete diffs, not a
+    // table-sized compare
+    val t5b = System.nanoTime()
+    val changes = IcebergLite.changelogRead(spark, root, fromSnapshotId = 1L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val changelogWall = (System.nanoTime() - t5b) / 1e9
+    require(changes.getOrElse("delete", 0L) == (nRows - nAfterEq) + nPos,
+      s"changelog deletes ${changes}")
+
     // compaction retires all pending delete forms at this scale
     val t6 = System.nanoTime()
     IcebergLite.compact(spark, root)
@@ -1184,6 +1196,9 @@ object ScaleSweep {
       s""""posReadWallSec":${math.round(posReadWall * 100) / 100.0},""" +
       s""""widenWallSec":${math.round(widenWall * 100) / 100.0},""" +
       s""""widenReadWallSec":${math.round(widenReadWall * 100) / 100.0},""" +
+      s""""changelogWallSec":${math.round(changelogWall * 100) / 100.0},""" +
+      s""""changelogDeletes":${changes.getOrElse("delete", 0L)},""" +
+      s""""changelogInserts":${changes.getOrElse("insert", 0L)},""" +
       s""""compactWallSec":${math.round(compactWall * 100) / 100.0}}""")
   }
 

@@ -2164,6 +2164,49 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("partition summaries: mixed and cross-kind string values never mis-prune a manifest") {
+    val s = spark
+    import s.implicits._
+    // MIXED numeric/non-numeric partition values in one manifest: the
+    // pairwise comparator is non-transitive over {"2","10","1x"}, so no
+    // single min/max covers every entry — the column must be left
+    // unsummarized and the manifest conservatively parsed. Before the
+    // r10 guard, the fold-computed range could exclude the exact-match
+    // entry (silent missing rows).
+    val root = Files.createTempDirectory("iceberg_summary_mixed").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root,
+      Seq((1L, "2"), (2L, "10"), (3L, "1x")).toDF("id", "p").coalesce(1),
+      partitionColumns = Seq("p"))
+    val snap = IcebergLite.currentSnapshotId(root).get
+    assert(IcebergLite.manifestsMatching(root, snap,
+      Seq(IcebergLite.Eq("p", "2"))).size == 1,
+      "a mixed-value manifest must never be summary-pruned")
+    assert(IcebergLite.read(s, root, filters = Seq(IcebergLite.Eq("p", "2")))
+      .select($"id").as[Long].collect().toSeq == Seq(1L))
+
+    // ALL-NUMERIC partition values with a NON-numeric filter value:
+    // the compare runs under STRING order ("2" > "10x" > "10"), so the
+    // numeric-order range alone would prune a manifest whose entry
+    // matches — the string-order range must keep it.
+    val root2 = Files.createTempDirectory("iceberg_summary_crosskind").toString
+    IcebergLite.createTable(root2)
+    IcebergLite.append(s, root2,
+      Seq((1L, "2"), (2L, "10")).toDF("id", "p").coalesce(1),
+      partitionColumns = Seq("p"))
+    val snap2 = IcebergLite.currentSnapshotId(root2).get
+    assert(IcebergLite.manifestsMatching(root2, snap2,
+      Seq(IcebergLite.Gt("p", "10x"))).size == 1,
+      "the string-order summary range must keep the manifest for a non-numeric filter value")
+    assert(IcebergLite.read(s, root2, filters = Seq(IcebergLite.Gt("p", "10x")))
+      .select($"id").as[Long].collect().toSeq == Seq(1L),
+      "entry p=2 matches Gt('10x') under string order and must survive")
+    // numeric filter values still prune numerically (2 < 5 < 10 keeps;
+    // nothing above 10 exists)
+    assert(IcebergLite.manifestsMatching(root2, snap2,
+      Seq(IcebergLite.Gt("p", "10"))).isEmpty)
+  }
+
   test("max-records-per-file bounds fat-partition files; bounds stay per-file exact") {
     val s = spark
     import s.implicits._
