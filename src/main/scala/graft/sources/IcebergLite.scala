@@ -1593,6 +1593,106 @@ object IcebergLite {
     }
   }
 
+  /** Read with a Column PREDICATE driving metadata pruning — the
+    * SQL-user bridge to [[planFiles]]: a plain
+    * `read(...).filter(cond)` prunes only at parquet row-group level
+    * (the file list was already planned unfiltered), while the
+    * [[PartitionFilter]] API asks callers to hand-build conjuncts.
+    * Here the condition's expression tree is walked and every
+    * SUPPORTED top-level conjunct (=, <, >, <=, >=, IN over one
+    * column and literals — the same set the reference's pruner
+    * handles) becomes a metadata filter for partition/manifest/file-
+    * bounds skipping; everything else (ORs, functions, UDF-ish
+    * conjuncts) is conservatively ignored for pruning. The FULL
+    * condition is then applied row-level, so the translation can only
+    * skip work, never change results. Literals render through a
+    * Catalyst string cast — the identical encoding manifest bounds
+    * were written with, so a date/timestamp/decimal literal compares
+    * exactly. */
+  def readWhere(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column,
+      snapshotId: Option[Long] = None): DataFrame = {
+    // the condition is RESOLVED against an empty probe frame carrying
+    // the snapshot's logical schema (+ identity partition columns):
+    // Spark 4 Columns wrap lazy ColumnNodes, and resolution is also
+    // what types the literals, so date/decimal comparisons render
+    // through the exact bounds encoding. Pre-tracking tables skip
+    // translation (no schema to resolve against) and stay row-level.
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val rmap = renames(tablePath, snapshotId)
+    val dataCols = tableSchema(tablePath, snapshotId)
+      .getOrElse(new StructType()).fields
+      .map(f => f.copy(name = rmap.getOrElse(f.name, f.name)))
+    val identCols = partitionSpec(tablePath)
+      .filter(_.transform == IcebergTransforms.Identity).map(_.name)
+      .filterNot(n => dataCols.exists(_.name == n))
+      .map(n => org.apache.spark.sql.types.StructField(n, StringType))
+    val legacyPartCols = dataFiles(tablePath, snapshotId)
+      .flatMap(_.partition.keys).distinct
+      .map(p => rmap.getOrElse(p, p))
+      .filterNot(n => dataCols.exists(_.name == n) || identCols.exists(_.name == n))
+      .map(n => org.apache.spark.sql.types.StructField(n, StringType))
+    val shape = StructType(dataCols ++ identCols ++ legacyPartCols)
+    val filters =
+      if (shape.isEmpty) Nil
+      else try {
+        val probe = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+          .filter(condition)
+        probe.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            filtersFromExpression(f.condition)
+        }.getOrElse(Nil)
+      } catch {
+        // a column the metadata-derived probe shape lacks (legacy
+        // bounds-less tables): pruning is best-effort, the row-level
+        // filter below is the semantics
+        case _: org.apache.spark.sql.AnalysisException => Nil
+      }
+    read(spark, tablePath, snapshotId, filters).filter(condition)
+  }
+
+  private def filtersFromExpression(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[PartitionFilter] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // catalyst's In is renamed away so the unqualified In below is
+    // THIS object's PartitionFilter
+    import org.apache.spark.sql.catalyst.expressions.{In => CatalystIn, _}
+    def nameOf(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    // the string form BOUNDS carry: a typed literal cast to string by
+    // Catalyst itself (dates render "2024-01-01", not day ordinals)
+    def litOf(x: Expression): Option[String] = x match {
+      case l: Literal if l.value != null =>
+        Option(Cast(l, org.apache.spark.sql.types.StringType,
+          Some("UTC")).eval(null)).map(_.toString)
+      case _ => None
+    }
+    def cmpFilter(l: Expression, r: Expression,
+        straight: (String, String) => PartitionFilter,
+        flipped: (String, String) => PartitionFilter): Seq[PartitionFilter] =
+      (nameOf(l), litOf(r), nameOf(r), litOf(l)) match {
+        case (Some(c), Some(v), _, _) => Seq(straight(c, v))
+        case (_, _, Some(c), Some(v)) => Seq(flipped(c, v))
+        case _ => Nil
+      }
+    e match {
+      case And(l, r) => filtersFromExpression(l) ++ filtersFromExpression(r)
+      case EqualTo(l, r) => cmpFilter(l, r, Eq.apply, Eq.apply)
+      case GreaterThan(l, r) => cmpFilter(l, r, Gt.apply, Lt.apply)
+      case LessThan(l, r) => cmpFilter(l, r, Lt.apply, Gt.apply)
+      case GreaterThanOrEqual(l, r) => cmpFilter(l, r, GtEq.apply, LtEq.apply)
+      case LessThanOrEqual(l, r) => cmpFilter(l, r, LtEq.apply, GtEq.apply)
+      case CatalystIn(v, list) if nameOf(v).nonEmpty &&
+          list.nonEmpty && list.forall(x => litOf(x).nonEmpty) =>
+        Seq(In(nameOf(v).get, list.flatMap(litOf)))
+      case _ => Nil // unsupported conjunct: row-level only, never prunes
+    }
+  }
+
   /** Read a snapshot WITH Iceberg's metadata columns: every surviving
     * row carries `_file` (table-relative data-file path) and `_pos`
     * (0-based ordinal within that file, from the scan's stable

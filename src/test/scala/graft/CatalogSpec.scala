@@ -56,10 +56,11 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_rollback_cherrypick history-surgery row, and the
     // stream_changelog_tail CDC-out consumer row and the
     // iceberg_manifests_meta metadata-table row, and the
-    // iceberg_catalog metastore-surface row → 204.
+    // iceberg_catalog metastore-surface row, and the
+    // iceberg_predicate_pushdown readWhere row → 205.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 204 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 204 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 205 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 205 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -2164,6 +2164,40 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("readWhere: Column predicates drive metadata pruning; unsupported conjuncts stay row-level") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_readwhere").toString
+    IcebergLite.createTable(root)
+    // two partitions × disjoint id ranges per file (two write tasks)
+    IcebergLite.append(s, root,
+      s.sparkContext.parallelize((1L to 10L).map(i => (i, "a", s"x$i")), 1)
+        .union(s.sparkContext.parallelize((11L to 20L).map(i => (i, "b", s"x$i")), 1))
+        .toDF("id", "p", "v"),
+      partitionColumns = Seq("p"))
+    assert(IcebergLite.dataFiles(root).size == 2)
+    // =, >, IN and a flipped literal all translate to metadata filters:
+    // the scan must touch ONE file, and results stay exact
+    val df = IcebergLite.readWhere(s, root,
+      col("p") === "a" && col("id") > 3L && lit(9L) >= col("id") &&
+        col("v").isin("x4", "x5", "x6", "nope") &&
+        length(col("v")) === 2) // unsupported conjunct: row-level only
+    assert(df.select($"id").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+    val scanned = df.queryExecution.analyzed.collectLeaves()
+      .flatMap(_.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }).flatten.filter(_.contains("/data/"))
+    assert(scanned.size == 1 && scanned.head.contains("p=a"),
+      s"metadata pruning must reach the plan's file list: $scanned")
+    // a predicate no filter can prune still answers exactly
+    assert(IcebergLite.readWhere(s, root, length(col("v")) === 3).count() == 11L)
+  }
+
   test("partition summaries: mixed and cross-kind string values never mis-prune a manifest") {
     val s = spark
     import s.implicits._
