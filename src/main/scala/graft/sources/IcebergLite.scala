@@ -2727,6 +2727,8 @@ object IcebergLite {
   private def readWithDeletes(spark: SparkSession, tablePath: String,
       files: Seq[DataFile], snapshotId: Option[Long]): DataFrame = {
     val pdels = posDeletes(tablePath, snapshotId)
+    val rdels = rowDeletes(tablePath, snapshotId)
+    val edels = eqDeletes(tablePath, snapshotId)
     val readPaths = files.map(_.filePath)
     val needPos = pdels.exists(posDelMayTarget(_, readPaths))
     val base0 = readFileSet(spark, tablePath, files, withRowPos = needPos,
@@ -2734,12 +2736,15 @@ object IcebergLite {
     // file identity captured ONCE, at the scan (single file source in
     // the plan here) — appliers after the first delete-file join read
     // the captured column, where input_file_name() can no longer
-    // resolve (see [[fileIdCol]])
-    val base = base0.withColumn("__graft_scan_file", inputFileCol)
+    // resolve (see [[fileIdCol]]). Only paid when a pending delete
+    // exists: the common clean read stays projection-free.
+    val base =
+      if (rdels.isEmpty && edels.isEmpty && !needPos) base0
+      else base0.withColumn("__graft_scan_file", inputFileCol)
     applyPosDeletes(
       applyEqDeletes(
-        applyRowDeletes(base, tablePath, files, rowDeletes(tablePath, snapshotId)),
-        tablePath, files, eqDeletes(tablePath, snapshotId)),
+        applyRowDeletes(base, tablePath, files, rdels),
+        tablePath, files, edels),
       tablePath, files, pdels)
       .drop("__graft_scan_file")
   }
