@@ -108,5 +108,10 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((_, delegate) => new TrinoDialectParser(delegate))
+    // SQL-visible catalog tables (see SqlCatalog.scala): name/time-
+    // travel/INSERT resolution in the analyzer, metadata pruning for
+    // WHERE clauses in the operator-optimization batch
+    e.injectResolutionRule(session => GraftSqlResolution(session))
+    e.injectOptimizerRule(session => GraftMetadataPrune(session))
   }
 }

@@ -75,6 +75,16 @@ object Catalog {
       writeAll(root, all + (db -> Map.empty))
     }
 
+  /** Deregister an EMPTY database (callers drop its tables first —
+    * cascade policy is theirs, not the catalog's). */
+  def dropDatabase(root: String, db: String): Unit =
+    IcebergLite.withCommitLock(root) {
+      val all = readAll(root)
+      require(all.contains(db), s"database $db does not exist")
+      require(all(db).isEmpty, s"database $db still has tables")
+      writeAll(root, all - db)
+    }
+
   def listTables(root: String, db: String): Seq[String] = {
     val all = readAll(root)
     require(all.contains(db), s"database $db does not exist")

@@ -1611,13 +1611,16 @@ object IcebergLite {
     * exactly. */
   def readWhere(spark: SparkSession, tablePath: String,
       condition: org.apache.spark.sql.Column,
-      snapshotId: Option[Long] = None): DataFrame = {
-    // the condition is RESOLVED against an empty probe frame carrying
-    // the snapshot's logical schema (+ identity partition columns):
-    // Spark 4 Columns wrap lazy ColumnNodes, and resolution is also
-    // what types the literals, so date/decimal comparisons render
-    // through the exact bounds encoding. Pre-tracking tables skip
-    // translation (no schema to resolve against) and stay row-level.
+      snapshotId: Option[Long] = None): DataFrame =
+    read(spark, tablePath, snapshotId,
+      resolvedMetaFilters(spark, tablePath, condition, snapshotId))
+      .filter(condition)
+
+  /** The snapshot's LOGICAL read shape: data schema (renames applied)
+    * + identity spec columns + legacy partition columns — what a SQL
+    * user sees, whether or not any data file carries the columns. */
+  private[graft] def logicalShape(tablePath: String,
+      snapshotId: Option[Long]): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StringType, StructType}
     val rmap = renames(tablePath, snapshotId)
     val dataCols = tableSchema(tablePath, snapshotId)
@@ -1632,27 +1635,38 @@ object IcebergLite {
       .map(p => rmap.getOrElse(p, p))
       .filterNot(n => dataCols.exists(_.name == n) || identCols.exists(_.name == n))
       .map(n => org.apache.spark.sql.types.StructField(n, StringType))
-    val shape = StructType(dataCols ++ identCols ++ legacyPartCols)
-    val filters =
-      if (shape.isEmpty) Nil
-      else try {
-        val probe = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
-          .filter(condition)
-        probe.queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            filtersFromExpression(f.condition)
-        }.getOrElse(Nil)
-      } catch {
-        // a column the metadata-derived probe shape lacks (legacy
-        // bounds-less tables): pruning is best-effort, the row-level
-        // filter below is the semantics
-        case _: org.apache.spark.sql.AnalysisException => Nil
-      }
-    read(spark, tablePath, snapshotId, filters).filter(condition)
+    StructType(dataCols ++ identCols ++ legacyPartCols)
   }
 
-  private def filtersFromExpression(
+  /** Resolve a Column predicate against the snapshot's logical shape
+    * and translate its supported conjuncts to metadata filters. The
+    * condition is RESOLVED against an empty probe frame: Spark 4
+    * Columns wrap lazy ColumnNodes, and resolution is also what types
+    * the literals, so date/decimal comparisons render through the
+    * exact bounds encoding. Pre-tracking tables skip translation (no
+    * schema to resolve against) — pruning is best-effort, the
+    * caller's row-level filter is the semantics. */
+  private[graft] def resolvedMetaFilters(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column,
+      snapshotId: Option[Long]): Seq[PartitionFilter] = {
+    val shape = logicalShape(tablePath, snapshotId)
+    if (shape.isEmpty) Nil
+    else try {
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+        .filter(condition)
+      probe.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          filtersFromExpression(f.condition)
+      }.getOrElse(Nil)
+    } catch {
+      // a column the metadata-derived probe shape lacks (legacy
+      // bounds-less tables): see above — best-effort only
+      case _: org.apache.spark.sql.AnalysisException => Nil
+    }
+  }
+
+  private[graft] def filtersFromExpression(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[PartitionFilter] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     // catalyst's In is renamed away so the unqualified In below is
@@ -1692,6 +1706,22 @@ object IcebergLite {
       case _ => Nil // unsupported conjunct: row-level only, never prunes
     }
   }
+
+  /** STRICT variant of [[filtersFromExpression]]: Some(filters) only
+    * when the WHOLE expression is exactly represented — None the
+    * moment any node falls outside the supported conjunct set. The
+    * lossy form is sound for PRUNING (skipping less is safe); a
+    * row-mutating caller (SQL `DELETE FROM`) must instead refuse the
+    * translation entirely when it is partial, or it would mutate MORE
+    * rows than the predicate names. */
+  private[graft] def filtersFromExpressionExact(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Seq[PartitionFilter]] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        for { a <- filtersFromExpressionExact(l); b <- filtersFromExpressionExact(r) }
+          yield a ++ b
+      case _ => Some(filtersFromExpression(e)).filter(_.nonEmpty)
+    }
 
   /** Read a snapshot WITH Iceberg's metadata columns: every surviving
     * row carries `_file` (table-relative data-file path) and `_pos`
@@ -3124,6 +3154,88 @@ object IcebergLite {
       pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
       pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
       schemaUnion = wSchema, addStatsFiles = statsAdds)
+  }
+
+  /** Copy-on-write row-level UPDATE as ONE NEW SNAPSHOT (SQL `UPDATE
+    * ... SET ... WHERE ...`): rows matching `condition` get the
+    * `assignments` applied (each value cast to the column's type);
+    * every other row — including non-matching rows in touched files —
+    * is carried byte-for-byte. The condition's supported conjuncts
+    * scope the rewrite exactly as they scope reads
+    * ([[resolvedMetaFilters]] → partition/manifest/bounds matching,
+    * hidden-partition projection included), so an update keyed to one
+    * partition/day rewrites only that slice and every other file is
+    * carried VERBATIM in the manifest — at 100 TB the difference
+    * between a surgical rewrite and a full-table pass. Pruning is a
+    * conservative superset (a translated conjunct is one of the
+    * condition's own conjuncts, so every row the condition matches
+    * lives in a touched file); correctness comes from the row-level
+    * `when(condition, ...)` applied inside the rewrite. Updating a
+    * partition-driving column is allowed — rows MOVE: hidden-spec
+    * fields are re-derived from the updated sources (stale recovered
+    * values dropped first), legacy partition columns re-bucket by
+    * their new value through the shared write path. Pending
+    * merge-on-read deletes on touched files materialize (they are
+    * read through [[readWithDeletes]]); prior snapshots stay
+    * time-travelable. Returns the new snapshot id (parent id when no
+    * file could match). */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val parentId = currentSnapshotId(tablePath)
+    val rmap = renames(tablePath) // physical -> logical
+    val metaFilters = withProjectedFilters(tablePath,
+      resolvedMetaFilters(spark, tablePath, condition, None)
+        .map(physicalFilter(rmap, _)))
+    val live = dataFiles(tablePath)
+    val (touched, kept) = live.partition(f => metaFilters.forall(_.matches(f)))
+    if (touched.isEmpty) return parentId.getOrElse(0L)
+    val spec = partitionSpec(tablePath)
+    val dfPhys = readWithDeletes(spark, tablePath, touched, parentId)
+    val df = if (rmap.isEmpty) dfPhys else dfPhys.withColumnsRenamed(rmap)
+    val missing = assignments.map(_._1).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"UPDATE targets unknown columns: ${missing.mkString(", ")}")
+    val assigned = assignments.toMap
+    val updated = df.select(df.columns.toSeq.map { c =>
+      assigned.get(c) match {
+        case Some(v) =>
+          when(condition, v.cast(df.schema(df.schema.fieldIndex(c)).dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val backPhys =
+      if (rmap.isEmpty) updated else updated.withColumnsRenamed(rmap.map(_.swap))
+    // derived (non-identity) spec fields recovered at read are stale
+    // the moment their source column changed: drop and re-derive
+    val derivedNames = spec.filter(_.transform != IcebergTransforms.Identity).map(_.name)
+    val rederived = withSpecColumns(spec, backPhys.drop(derivedNames: _*))
+    val partCols =
+      if (spec.nonEmpty) spec.map(_.name).sorted
+      else touched.flatMap(_.partition.keys).distinct.sorted
+    val (rewritten, wSchema, statsAdds) = writeDataFiles(spark, tablePath, rederived,
+      partCols, s"update-${runTag()}", trustedPreDerived = true)
+    commitSnapshot(tablePath, parentId,
+      kept.map(entryJson) ++ rewritten, carriedManifests = Nil,
+      operation = "overwrite",
+      pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
+      pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
+      pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
+      schemaUnion = wSchema, addStatsFiles = statsAdds)
+  }
+
+  /** TRUNCATE as a NEW SNAPSHOT: zero entries, schema carried, prior
+    * snapshots (and any branch/tag pinning them) stay time-travelable
+    * until GC — a metadata-only commit however large the table. */
+  def truncate(tablePath: String): Long = {
+    val parentId = currentSnapshotId(tablePath)
+    commitSnapshot(tablePath, parentId, Nil, carriedManifests = Nil,
+      operation = "delete",
+      pendingRowDeletes = Nil, pendingPosDeletes = Nil, pendingEqDeletes = Nil)
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is

@@ -57,10 +57,13 @@ class CatalogSpec extends AnyFunSuite {
     // stream_changelog_tail CDC-out consumer row and the
     // iceberg_manifests_meta metadata-table row, and the
     // iceberg_catalog metastore-surface row, and the
-    // iceberg_predicate_pushdown readWhere row → 205.
+    // iceberg_predicate_pushdown readWhere row → 205, and the
+    // iceberg_sql_catalog SQL-surface row (DDL + INSERT + time travel
+    // + WHERE-driven file pruning through the session extensions)
+    // → 206.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 205 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 205 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 206 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 206 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftCatalogPlugin
+import graft.sources.{Catalog, IcebergLite, IcebergTransforms}
+
+/** SQL surface over the file-backed catalog (SqlCatalog.scala): name
+  * resolution, DDL, INSERT, time travel, and — the scale piece —
+  * WHERE-driven metadata pruning visible as a smaller file set in the
+  * optimized plan. */
+class SqlCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // one registered catalog for the whole suite; each test gets its own
+  // database so cases stay independent
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_sqlcat").toString
+    spark.conf.set("spark.sql.catalog.sqlcat", classOf[GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.sqlcat.root", r)
+    r
+  }
+
+  /** Parquet files feeding the scans of the OPTIMIZED plan — where
+    * [[graft.plans.GraftMetadataPrune]] has already re-planned the
+    * file list (Dataset.inputFiles reads the analyzed plan, which
+    * still carries the unpruned marker child). */
+  private def scanFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.toSeq
+        case _ => Nil
+      }
+    }.flatten
+
+  test("DDL + INSERT + SELECT round-trip through pure SQL") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.ddl")
+    assert(spark.sql("SHOW NAMESPACES IN sqlcat").collect().map(_.getString(0))
+      .contains("ddl"))
+    spark.sql("CREATE TABLE sqlcat.ddl.kv (k BIGINT, v STRING)")
+    assert(spark.sql("SHOW TABLES IN sqlcat.ddl").collect().map(_.getString(1))
+      .toSeq == Seq("kv"))
+    spark.sql("INSERT INTO sqlcat.ddl.kv VALUES (1, 'a'), (2, 'b')")
+    // second insert aligns positionally and CASTS to the schema the
+    // first insert established (int literal -> bigint column)
+    spark.sql("INSERT INTO sqlcat.ddl.kv SELECT 3, 'c'")
+    assert(spark.sql("SELECT k, v FROM sqlcat.ddl.kv ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // DROP deregisters; the standard not-found error follows
+    spark.sql("DROP TABLE sqlcat.ddl.kv")
+    val err = intercept[Exception](spark.sql("SELECT * FROM sqlcat.ddl.kv"))
+    assert(err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      err.getMessage.contains("cannot be found"))
+    spark.sql("DROP NAMESPACE sqlcat.ddl")
+  }
+
+  test("WHERE prunes the scanned file set through partition metadata") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.prune")
+    val path = Catalog.createTable(root, "prune", "events")
+    // identity-partitioned by day: 4 days, 1+ file each
+    val s = spark
+    import s.implicits._
+    (0 until 4).foreach { d =>
+      IcebergLite.append(spark, path,
+        Seq.tabulate(50)(i => (d * 100 + i, s"2024-01-0${d + 1}"))
+          .toDF("id", "day"),
+        partitionColumns = Seq("day"))
+    }
+    val all = spark.sql("SELECT * FROM sqlcat.prune.events")
+    val one = spark.sql(
+      "SELECT id FROM sqlcat.prune.events WHERE day = '2024-01-02'")
+    assert(scanFiles(all).size > scanFiles(one).size)
+    assert(scanFiles(one).nonEmpty)
+    assert(one.count() == 50)
+    assert(one.collect().map(_.getInt(0)).min == 100)
+    // untranslatable predicate (OR) keeps every file but stays correct
+    val or = spark.sql(
+      "SELECT count(*) AS n FROM sqlcat.prune.events " +
+        "WHERE day = '2024-01-02' OR day = '2024-01-03'")
+    assert(or.collect().head.getLong(0) == 100)
+    // fully-pruned filter: metadata-only empty result, zero files
+    val none = spark.sql(
+      "SELECT id, day FROM sqlcat.prune.events WHERE day = '1999-01-01'")
+    assert(scanFiles(none).isEmpty)
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("id", "day"))
+  }
+
+  test("VERSION AS OF: snapshot id, tag, branch; TIMESTAMP AS OF") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.tt")
+    val path = Catalog.createTable(root, "tt", "t")
+    val s = spark
+    import s.implicits._
+    val snap1 = IcebergLite.append(spark, path, Seq((1, "one")).toDF("id", "v"))
+    val ts1 = IcebergLite.snapshotTimestampMs(path, snap1)
+    IcebergLite.createTag(path, "v1", Some(snap1))
+    IcebergLite.createBranch(path, "audit", Some(snap1))
+    val snap2 = IcebergLite.append(spark, path, Seq((2, "two")).toDF("id", "v"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM sqlcat.tt.t")
+      .collect().head.getLong(0) == 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM sqlcat.tt.t VERSION AS OF $snap1")
+      .collect().head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.tt.t VERSION AS OF 'v1'")
+      .collect().head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.tt.t VERSION AS OF 'audit'")
+      .collect().head.getLong(0) == 1)
+    val tsLit = java.time.Instant.ofEpochMilli(ts1).toString.replace("Z", "")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM sqlcat.tt.t TIMESTAMP AS OF '${tsLit}Z'")
+      .collect().head.getLong(0) == 1)
+    assert(snap2 > snap1)
+  }
+
+  test("INSERT OVERWRITE replaces exactly the partitions the query emits") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.ow")
+    // PARTITIONED BY maps onto the hidden-partitioning spec
+    spark.sql(
+      "CREATE TABLE sqlcat.ow.days (day STRING, n INT) PARTITIONED BY (day)")
+    assert(IcebergLite.partitionSpec(Catalog.tablePath(root, "ow", "days"))
+      .map(_.name) == Seq("day"))
+    spark.sql("INSERT INTO sqlcat.ow.days VALUES ('d1', 10), ('d2', 20)")
+    // re-run d2's load: d2 replaced, d1 carried verbatim
+    spark.sql("INSERT OVERWRITE sqlcat.ow.days VALUES ('d2', 99)")
+    assert(spark.sql("SELECT day, n FROM sqlcat.ow.days ORDER BY day").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("d1", 10), ("d2", 99)))
+    // unpartitioned tables refuse INSERT OVERWRITE with a clear message
+    Catalog.createTable(root, "ow", "flat")
+    spark.sql("INSERT INTO sqlcat.ow.flat VALUES (1)")
+    val err = intercept[Exception](
+      spark.sql("INSERT OVERWRITE sqlcat.ow.flat VALUES (2)"))
+    assert(err.getMessage.contains("partition spec"))
+  }
+
+  test("joins and subqueries compose across catalog tables") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.j")
+    val s = spark
+    import s.implicits._
+    IcebergLite.append(spark, Catalog.createTable(root, "j", "dim"),
+      Seq((1, "x"), (2, "y")).toDF("id", "name"))
+    IcebergLite.append(spark, Catalog.createTable(root, "j", "fact"),
+      Seq((1, 10.0), (1, 5.0), (2, 7.0)).toDF("id", "amt"))
+    val joined = spark.sql("""
+      SELECT d.name, sum(f.amt) AS total
+      FROM sqlcat.j.fact f JOIN sqlcat.j.dim d ON f.id = d.id
+      WHERE f.id IN (SELECT id FROM sqlcat.j.dim WHERE name <> 'zzz')
+      GROUP BY d.name ORDER BY d.name""").collect()
+    assert(joined.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("x", 15.0), ("y", 7.0)))
+  }
+
+  test("catalog plugin table listing stays in sync with DDL") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.sync")
+    spark.sql("CREATE TABLE sqlcat.sync.a (x INT)")
+    spark.sql("CREATE TABLE sqlcat.sync.b (x INT)")
+    spark.sql("ALTER TABLE sqlcat.sync.a RENAME TO sqlcat.sync.c")
+    assert(Catalog.listTables(root, "sync") == Seq("b", "c"))
+    assert(spark.sql("SHOW TABLES IN sqlcat.sync").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("b", "c"))
+  }
+}
