@@ -129,6 +129,7 @@ object ScaleSweep {
     if (mode == "eqdel") { eqDeleteSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdelk") { eqdelKSweep(spark, nDocs); spark.stop(); return }
     if (mode == "lakehouse") { lakehouseSweep(spark); spark.stop(); return }
+    if (mode == "update") { updateSweep(spark); spark.stop(); return }
     if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
     if (mode == "optimize") { optimizeSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
@@ -1103,6 +1104,63 @@ object ScaleSweep {
     *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     *     sbt -batch "runMain graft.ScaleSweep lakehouse"
     */
+  /** Copy-on-write UPDATE at the bench's scale point: sf0.1 lineitem
+    * partitioned 7 ways on l_linenumber. A predicate naming one
+    * partition must rewrite only that partition's files (the rest
+    * carried path-identical) and beat the unpruned full-table update
+    * on wall — the scoping SQL `UPDATE ... WHERE` rides on.
+    *     sbt -batch "runMain graft.ScaleSweep update"
+    */
+  private def updateSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import sources.IcebergLite
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_update_sweep").resolve("t").toString
+    IcebergLite.createTable(root)
+    val li = Engine.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"))
+    val nRows = li.count()
+    // 4 write tasks × 7 partitions → 28 files: the carried set is the
+    // anchor's point, not a 1-file-per-partition degenerate layout
+    IcebergLite.append(spark, root, li.repartition(4),
+      partitionColumns = Seq("l_linenumber"))
+    val before = IcebergLite.dataFiles(root).map(_.filePath)
+    val expectTouched = IcebergLite.read(spark, root)
+      .filter(col("l_linenumber") === "1" && col("l_quantity") <= 25.0).count()
+    val sumBefore = IcebergLite.read(spark, root)
+      .agg(sum(col("l_extendedprice"))).head.getDouble(0)
+
+    val t0 = System.nanoTime()
+    IcebergLite.updateWhere(spark, root,
+      col("l_linenumber") === "1" && col("l_quantity") <= 25.0,
+      Seq("l_extendedprice" -> (col("l_extendedprice") + 1.0)))
+    val prunedWall = (System.nanoTime() - t0) / 1e9
+    val after = IcebergLite.dataFiles(root).map(_.filePath)
+    val carried = before.toSet.intersect(after.toSet)
+    require(before.filterNot(_.contains("l_linenumber=1")).forall(carried.contains),
+      "non-matching partitions must carry path-identical")
+    val sumAfter = IcebergLite.read(spark, root)
+      .agg(sum(col("l_extendedprice"))).head.getDouble(0)
+    require(math.abs(sumAfter - sumBefore - expectTouched) < 1.0,
+      s"update touched ${sumAfter - sumBefore} rows' worth, expected $expectTouched")
+
+    // contrast: the same assignment with an unprunable predicate
+    // rewrites every file
+    val t1 = System.nanoTime()
+    IcebergLite.updateWhere(spark, root,
+      col("l_quantity") % 2.0 === 1.0,
+      Seq("l_extendedprice" -> (col("l_extendedprice") + 1.0)))
+    val fullWall = (System.nanoTime() - t1) / 1e9
+    println(
+      s"""{"sweep":"update","sf":"${sfDir.split('/').last}","rows":$nRows,""" +
+      s""""files":${before.size},"touchedRows":$expectTouched,""" +
+      s""""carriedFiles":${carried.size},""" +
+      s""""prunedUpdateWallSec":${math.round(prunedWall * 100) / 100.0},""" +
+      s""""fullUpdateWallSec":${math.round(fullWall * 100) / 100.0}}""")
+  }
+
   private def lakehouseSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     import sources.IcebergLite
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

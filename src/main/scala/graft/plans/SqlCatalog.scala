@@ -96,6 +96,35 @@ object GraftSqlCatalog {
     }
   }
 
+  /** `PARTITIONED BY` clauses map onto the hidden-partitioning spec:
+    * bare columns are identity transforms; `years/months/days/hours
+    * (col)`, `bucket(n, col)` and `truncate(w, col)` are the Iceberg
+    * transforms [[graft.sources.IcebergTransforms]] implements. */
+  def toSpecField(t: Transform,
+      schema: StructType): IcebergTransforms.PartitionField = {
+    import IcebergTransforms._
+    val colName = t.references().head.fieldNames().mkString(".")
+    val srcType = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column $colName is not in the table schema")).dataType
+    def intArg: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(s"$t needs an int argument"))
+    val transform = t.name() match {
+      case "identity" => Identity
+      case "years" => Year
+      case "months" => Month
+      case "days" => Day
+      case "hours" => Hour
+      case "bucket" => Bucket(intArg)
+      case "truncate" => Truncate(intArg)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other")
+    }
+    PartitionField(colName, transform, srcType)
+  }
+
   /** (catalogRoot, tablePath) when `parts` names a registered graft
     * table; None leaves the relation for Spark's normal resolution
     * (and its standard TABLE_OR_VIEW_NOT_FOUND error). */
@@ -107,12 +136,45 @@ object GraftSqlCatalog {
     }
 }
 
-/** Analyzer rule: name resolution + time travel + INSERT routing. */
+/** Analyzer rule: name resolution + time travel + INSERT/DML routing. */
 case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedTableOrView}
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThanOrEqual, Literal, PlanExpression, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertStarAction, MergeIntoTable, RenameTable, SubqueryAlias, TruncateTable, UpdateStarAction, UpdateTable}
+
+  /** The DML target: a graft table reference, optionally aliased. */
+  private object GraftTarget {
+    def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
+      case SubqueryAlias(ident, UnresolvedRelation(parts, _, _)) =>
+        GraftSqlCatalog.resolve(spark, parts).map(p => (p, Some(ident.name)))
+      case UnresolvedRelation(parts, _, _) =>
+        GraftSqlCatalog.resolve(spark, parts).map(p => (p, None))
+      case _ => None
+    }
+  }
+
+  /** DML conditions/values arrive UNRESOLVED (the target never
+    * resolves through the catalog); qualifiers — the table alias or
+    * name — are stripped so the expression re-resolves by bare column
+    * name against the table read inside the command. Subqueries are
+    * refused (they would need the outer analyzer's decorrelation). */
+  private def bare(e: Expression): Expression = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      !e.exists(_.isInstanceOf[SubqueryExpression]),
+      "subqueries in DML conditions are not supported for graft tables")
+    e.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute.quoted(a.nameParts.last)
+    }
+  }
 
   private def relationFor(path: String, snapshotId: Option[Long]): LogicalPlan = {
-    val plan = IcebergLite.read(spark, path, snapshotId).queryExecution.analyzed
-    if (plan.output.nonEmpty) GraftRelation(path, snapshotId, plan)
+    // PIN the snapshot at analysis: the optimizer-side prune rule
+    // re-plans the file list later, and a DataFrame analyzed before a
+    // concurrent commit must not see the filtered and unfiltered
+    // branches of its own plan read different snapshots
+    val snap = snapshotId.orElse(IcebergLite.currentSnapshotId(path))
+    val plan = IcebergLite.read(spark, path, snap).queryExecution.analyzed
+    if (plan.output.nonEmpty) GraftRelation(path, snap, plan)
     else GraftSqlCatalog.declaredSchema(path) match {
       // empty table: zero rows with the DDL-declared columns
       case Some(s) => LocalRelation(
@@ -160,15 +222,206 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // ALTER TABLE ... RENAME TO: the V2 path needs loadTable (which
     // this catalog refuses by design — see GraftCatalogPlugin), so the
     // statement resolves here instead, to a name-only catalog move
-    case org.apache.spark.sql.catalyst.plans.logical.RenameTable(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView(parts, _, _),
-        newName, false)
+    case RenameTable(UnresolvedTableOrView(parts, _, _), newName, false)
         if parts.length == 3 && GraftSqlCatalog.rootFor(spark, parts.head).isDefined =>
       require(newName.length == 1 ||
         (newName.length == 3 && newName.take(2) == parts.take(2)),
         "RENAME cannot move a table across databases or catalogs")
       GraftRenameTableCommand(GraftSqlCatalog.rootFor(spark, parts.head).get,
         parts(1), parts(2), newName.last)
+    case TruncateTable(org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _))
+        if GraftSqlCatalog.resolve(spark, parts).isDefined =>
+      GraftTruncateCommand(GraftSqlCatalog.resolve(spark, parts).get)
+    case DeleteFromTable(GraftTarget(path, _), cond) =>
+      GraftDeleteCommand(path,
+        org.apache.spark.sql.GraftColumnBridge.toCol(bare(cond)),
+        noCondition = cond == Literal.TrueLiteral)
+    case UpdateTable(GraftTarget(path, _), assignments, condOpt) =>
+      GraftUpdateCommand(path,
+        assignments.map { case Assignment(key, value) =>
+          val name = key match {
+            case a: UnresolvedAttribute => a.nameParts.last
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+            case other => throw new IllegalArgumentException(
+              s"unsupported SET target $other (nested fields are not updatable)")
+          }
+          (name, org.apache.spark.sql.GraftColumnBridge.toCol(bare(value)))
+        },
+        org.apache.spark.sql.GraftColumnBridge.toCol(
+          bare(condOpt.getOrElse(Literal.TrueLiteral))))
+    case MergeIntoTable(GraftTarget(path, tAlias), source, cond,
+        matched, notMatched, notMatchedBySource, _) if source.resolved =>
+      mergeFor(path, tAlias, source, cond, matched, notMatched, notMatchedBySource)
+    // ALTER TABLE column evolution maps onto the metadata-only
+    // evolution API (add-with-null-fill / rename / type widening)
+    case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _), cols)
+        if GraftSqlCatalog.resolve(spark, parts).isDefined =>
+      val fields = cols.map { c =>
+        require(c.path.isEmpty && c.position.isEmpty && c.default.isEmpty,
+          "ADD COLUMNS supports plain top-level columns only " +
+            "(no nested paths, positions, or defaults)")
+        org.apache.spark.sql.types.StructField(c.colName, c.dataType, nullable = true)
+      }
+      GraftAddColumnsCommand(GraftSqlCatalog.resolve(spark, parts).get,
+        StructType(fields))
+    case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _),
+        field, newName)
+        if GraftSqlCatalog.resolve(spark, parts).isDefined =>
+      require(field.name.length == 1, "RENAME COLUMN supports top-level columns only")
+      GraftRenameColumnCommand(GraftSqlCatalog.resolve(spark, parts).get,
+        field.name.head, newName)
+    case org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _), specs)
+        if GraftSqlCatalog.resolve(spark, parts).isDefined =>
+      val widens = specs.map { sp =>
+        require(sp.newDataType.isDefined && sp.newNullability.isEmpty &&
+          sp.newComment.isEmpty && sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty,
+          "ALTER COLUMN supports TYPE widening only")
+        require(sp.column.name.length == 1,
+          "ALTER COLUMN supports top-level columns only")
+        (sp.column.name.head, sp.newDataType.get)
+      }
+      GraftWidenColumnsCommand(GraftSqlCatalog.resolve(spark, parts).get, widens)
+    // DESCRIBE answers from metadata alone (the plugin's loadTable
+    // refuses by design): logical shape + the partition spec section
+    case org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+        UnresolvedTableOrView(parts, _, _), _, _, output)
+        if GraftSqlCatalog.resolve(spark, parts).isDefined =>
+      describeFor(GraftSqlCatalog.resolve(spark, parts).get, output)
+    case org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _),
+        partitioning, query, _, _, ignoreIfExists, _)
+        if parts.length == 3 &&
+          GraftSqlCatalog.rootFor(spark, parts.head).isDefined && query.resolved =>
+      GraftCtasCommand(GraftSqlCatalog.rootFor(spark, parts.head).get,
+        parts(1), parts(2), partitioning, query, ignoreIfExists)
+    // the identifier may already be catalog-resolved (rule order
+    // within the fixpoint is not ours to choose)
+    case org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect(
+        r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier,
+        partitioning, query, _, _, ignoreIfExists, _)
+        if r.catalog.isInstanceOf[GraftCatalogPlugin] && query.resolved =>
+      GraftCtasCommand(
+        GraftSqlCatalog.rootFor(spark, r.catalog.name).getOrElse(
+          throw new IllegalStateException(s"catalog ${r.catalog.name} lost its root")),
+        r.identifier.namespace.head, r.identifier.name,
+        partitioning, query, ignoreIfExists)
+  }
+
+  private def describeFor(path: String, output: Seq[Attribute]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val shape = IcebergLite.logicalShape(path, None) match {
+      case s if s.nonEmpty => s
+      case _ => GraftSqlCatalog.declaredSchema(path)
+        .getOrElse(new org.apache.spark.sql.types.StructType())
+    }
+    def row(a: String, b: String, c: String) = InternalRow(
+      UTF8String.fromString(a), UTF8String.fromString(b),
+      if (c == null) null else UTF8String.fromString(c))
+    val cols = shape.fields.toSeq.map(f =>
+      row(f.name, f.dataType.simpleString, null))
+    val spec = IcebergLite.partitionSpec(path)
+    val partSection =
+      if (spec.isEmpty) Nil
+      else row("# Partition Information", "", null) +: spec.map(f =>
+        row(f.name, "", s"${f.transform.tag}(${f.source})"))
+    LocalRelation(output, cols ++ partSection)
+  }
+
+  // ------------------------------------------------------------ MERGE
+  /** Maps the supported MERGE shapes onto [[IcebergLite.merge]]:
+    *  - `ON` must be a conjunction of `target.col = source.col`
+    *    equalities over SAME-NAMED columns (the key columns);
+    *  - `WHEN MATCHED THEN UPDATE SET *` (+ `WHEN NOT MATCHED THEN
+    *    INSERT *`) is the upsert;
+    *  - `WHEN MATCHED AND source.seq >= target.seq THEN UPDATE SET *`
+    *    maps onto the ordered-upsert `precedence` column;
+    *  - `WHEN MATCHED AND source.flag THEN DELETE` maps onto the CDC
+    *    `tombstoneCol`; a bare `WHEN MATCHED THEN DELETE` (no update
+    *    action) tags every source row as a tombstone.
+    * Everything else refuses with a message naming the gap. */
+  private def mergeFor(path: String, tAlias: Option[String],
+      source: LogicalPlan, cond: Expression,
+      matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatchedBySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    require(notMatchedBySource.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+    val sAlias = source match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case _ => None
+    }
+    val targetNames = tAlias.toSeq.map(_.toLowerCase).toSet
+    val sourceNames = sAlias.toSeq.map(_.toLowerCase).toSet
+    // 't' = target-side reference, 's' = source-side, by resolved
+    // attribute membership or alias qualifier
+    def side(e: Expression): Option[(Char, String)] = e match {
+      case a: AttributeReference if source.outputSet.contains(a) => Some(('s', a.name))
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.init.last.toLowerCase
+        if (targetNames.contains(q)) Some(('t', a.nameParts.last))
+        else if (sourceNames.contains(q)) Some(('s', a.nameParts.last))
+        else None
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keyCols = conjuncts(cond).map {
+      case EqualTo(l, r) => (side(l), side(r)) match {
+        case (Some(('t', tn)), Some(('s', sn))) if tn == sn => tn
+        case (Some(('s', sn)), Some(('t', tn))) if tn == sn => tn
+        case _ => throw new IllegalArgumentException(
+          s"MERGE ON conjunct must equate same-named target and source columns " +
+            s"(qualify both sides with their aliases): ${EqualTo(l, r).sql}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON must be a conjunction of equalities, got ${other.sql}")
+    }
+    var precedence: Option[String] = None
+    var tombstone: Option[String] = None
+    var hasUpdate = false
+    var deleteAll = false
+    matched.foreach {
+      case UpdateStarAction(None) => hasUpdate = true
+      case UpdateStarAction(Some(GreaterThanOrEqual(l, r))) =>
+        (side(l), side(r)) match {
+          case (Some(('s', sn)), Some(('t', tn))) if sn == tn =>
+            hasUpdate = true; precedence = Some(sn)
+          case _ => throw new IllegalArgumentException(
+            "conditional UPDATE supports only source.seq >= target.seq " +
+              "over a same-named column (ordered upsert)")
+        }
+      case DeleteAction(Some(flag)) => side(flag) match {
+        case Some(('s', sn)) => tombstone = Some(sn)
+        case _ => throw new IllegalArgumentException(
+          "conditional DELETE supports only a boolean SOURCE column flag")
+      }
+      case DeleteAction(None) => deleteAll = true
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action $other (UPDATE SET * / DELETE only)")
+    }
+    val insertAll = notMatched match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action $other (INSERT * only)")
+    }
+    require(!(deleteAll && (hasUpdate || tombstone.nonEmpty)),
+      "a bare WHEN MATCHED THEN DELETE cannot combine with UPDATE " +
+        "(use a source tombstone flag for per-row routing)")
+    require(hasUpdate || deleteAll,
+      "MERGE needs WHEN MATCHED THEN UPDATE SET * or THEN DELETE")
+    require(!hasUpdate || insertAll,
+      "upsert MERGE needs WHEN NOT MATCHED THEN INSERT * (the merge " +
+        "primitive always inserts unmatched source rows)")
+    GraftMergeCommand(path, source, keyCols, precedence, tombstone, deleteAll)
   }
 }
 
@@ -178,6 +431,178 @@ case class GraftRenameTableCommand(root: String, db: String,
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
     Catalog.renameTable(root, db, from, to)
+    Nil
+  }
+}
+
+/** `CREATE TABLE ... AS SELECT`: register + declare the query's
+  * schema + first append, in one statement. `PARTITIONED BY` maps
+  * onto the hidden spec exactly as in plain DDL. */
+case class GraftCtasCommand(root: String, db: String, table: String,
+    partitioning: Seq[Transform], query: LogicalPlan,
+    ignoreIfExists: Boolean) extends RunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = query :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = Catalog.listDatabases(root).contains(db) &&
+      Catalog.listTables(root, db).contains(table)
+    if (exists) {
+      require(ignoreIfExists, s"table $db.$table already exists")
+      return Nil
+    }
+    val df = org.apache.spark.sql.GraftColumnBridge.toDF(spark, query)
+    val path = Catalog.createTable(root, db, table)
+    if (partitioning.nonEmpty)
+      IcebergLite.createTable(path,
+        partitioning.map(GraftSqlCatalog.toSpecField(_, df.schema)))
+    GraftSqlCatalog.declareSchema(path, df.schema)
+    IcebergLite.append(spark, path, df)
+    Nil
+  }
+}
+
+case class GraftTruncateCommand(tablePath: String) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergLite.truncate(tablePath)
+    Nil
+  }
+}
+
+/** Column evolution commands. A still-empty DDL-declared table has no
+  * snapshot to commit against — evolution rewrites the declaration
+  * instead; once data exists the snapshot schema governs. */
+case class GraftAddColumnsCommand(tablePath: String,
+    cols: StructType) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    (IcebergLite.currentSnapshotId(tablePath),
+        GraftSqlCatalog.declaredSchema(tablePath)) match {
+      case (None, Some(d)) =>
+        cols.fieldNames.foreach(n => require(!d.fieldNames.contains(n),
+          s"column $n already exists"))
+        GraftSqlCatalog.declareSchema(tablePath, StructType(d.fields ++ cols.fields))
+      case _ => IcebergLite.addColumns(spark, tablePath, cols)
+    }
+    Nil
+  }
+}
+
+case class GraftRenameColumnCommand(tablePath: String,
+    from: String, to: String) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    (IcebergLite.currentSnapshotId(tablePath),
+        GraftSqlCatalog.declaredSchema(tablePath)) match {
+      case (None, Some(d)) =>
+        require(d.fieldNames.contains(from), s"column $from does not exist")
+        require(!d.fieldNames.contains(to), s"column $to already exists")
+        GraftSqlCatalog.declareSchema(tablePath, StructType(d.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)))
+      case _ => IcebergLite.renameColumn(tablePath, from, to)
+    }
+    Nil
+  }
+}
+
+case class GraftWidenColumnsCommand(tablePath: String,
+    widens: Seq[(String, org.apache.spark.sql.types.DataType)]) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    (IcebergLite.currentSnapshotId(tablePath),
+        GraftSqlCatalog.declaredSchema(tablePath)) match {
+      case (None, Some(d)) =>
+        val declared = widens.foldLeft(d) { case (s, (n, t)) =>
+          require(s.fieldNames.contains(n), s"column $n does not exist")
+          StructType(s.fields.map(f => if (f.name == n) f.copy(dataType = t) else f))
+        }
+        GraftSqlCatalog.declareSchema(tablePath, declared)
+      case _ =>
+        widens.foreach { case (n, t) =>
+          IcebergLite.widenColumn(spark, tablePath, n, t)
+        }
+    }
+    Nil
+  }
+}
+
+/** `DELETE FROM ... WHERE ...`. Conditions the metadata filter set
+  * represents EXACTLY run as the pruned copy-on-write delete (files
+  * the filters prove untouched are carried verbatim). Any other
+  * condition — OR, functions, cross-column comparisons — routes
+  * through the metadata-column workflow instead: matching rows are
+  * located by predicate and removed as a merge-on-read POSITION
+  * delete (no rewrite at all; compaction materializes later). The
+  * lossy pruning translation is never used to decide which rows die —
+  * that would delete more rows than the predicate names. */
+case class GraftDeleteCommand(tablePath: String,
+    condition: org.apache.spark.sql.Column,
+    noCondition: Boolean) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    if (noCondition) { IcebergLite.truncate(tablePath); return Nil }
+    val exact = IcebergLite.resolvedConditionExpr(spark, tablePath, condition, None)
+      .flatMap(IcebergLite.filtersFromExpressionExact)
+    exact match {
+      case Some(filters) => IcebergLite.delete(spark, tablePath, filters)
+      case None =>
+        val victims = IcebergLite.readWithMetadataColumns(spark, tablePath)
+          .filter(condition)
+          .select(col("_file").as("file_path"), col("_pos").as("pos"))
+        IcebergLite.deletePositions(spark, tablePath, victims)
+    }
+    Nil
+  }
+}
+
+/** `UPDATE ... SET ... WHERE ...` → [[IcebergLite.updateWhere]]
+  * (copy-on-write, condition-pruned rewrite scope, rows may move
+  * partitions when a partition-driving column is assigned). */
+case class GraftUpdateCommand(tablePath: String,
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    condition: org.apache.spark.sql.Column) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergLite.updateWhere(spark, tablePath, condition, assignments)
+    Nil
+  }
+}
+
+/** Supported `MERGE INTO` shapes → [[IcebergLite.merge]] (see
+  * [[GraftSqlResolution.mergeFor]] for the mapping). */
+case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
+    keyCols: Seq[String], precedence: Option[String],
+    tombstone: Option[String], deleteAll: Boolean) extends RunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = source :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src0 = org.apache.spark.sql.GraftColumnBridge.toDF(spark, source)
+    // same cast discipline as INSERT: table-schema columns align to
+    // their live types; extra source columns (tombstone/precedence
+    // helpers) ride along untouched
+    val live = IcebergLite.read(spark, tablePath).schema
+    val src =
+      if (live.isEmpty) src0
+      else src0.select(
+        (live.fields.toSeq.filter(f => src0.columns.contains(f.name))
+          .map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+          src0.columns.toSeq.filterNot(live.fieldNames.contains).map(col)): _*)
+    val (df, tomb) =
+      if (deleteAll) (src.withColumn("__graft_tombstone", lit(true)),
+        Some("__graft_tombstone"))
+      else (src, tombstone)
+    IcebergLite.merge(spark, tablePath, df, keyCols,
+      precedence = precedence, tombstoneCol = tomb)
     Nil
   }
 }
@@ -335,41 +760,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
     throw new NoSuchTableException(ident)
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     throw new NoSuchTableException(ident)
-  /** `PARTITIONED BY` clauses map onto the hidden-partitioning spec:
-    * bare columns are identity transforms; `years/months/days/hours
-    * (col)`, `bucket(n, col)` and `truncate(w, col)` are the Iceberg
-    * transforms [[graft.sources.IcebergTransforms]] implements. */
-  private def toSpecField(t: Transform,
-      schema: StructType): IcebergTransforms.PartitionField = {
-    import IcebergTransforms._
-    val colName = t.references().head.fieldNames().mkString(".")
-    val srcType = schema.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(
-        s"partition column $colName is not in the table schema")).dataType
-    def intArg: Int = t.arguments().collectFirst {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-        l.value().toString.toInt
-    }.getOrElse(throw new IllegalArgumentException(s"$t needs an int argument"))
-    val transform = t.name() match {
-      case "identity" => Identity
-      case "years" => Year
-      case "months" => Month
-      case "days" => Day
-      case "hours" => Hour
-      case "bucket" => Bucket(intArg)
-      case "truncate" => Truncate(intArg)
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition transform $other")
-    }
-    PartitionField(colName, transform, srcType)
-  }
-
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = Catalog.createTable(root, db(ident.namespace), ident.name,
       Option(properties.get(TableCatalog.PROP_LOCATION)))
     if (partitions.nonEmpty)
-      IcebergLite.createTable(path, partitions.toSeq.map(toSpecField(_, schema)))
+      IcebergLite.createTable(path,
+        partitions.toSeq.map(GraftSqlCatalog.toSpecField(_, schema)))
     // the table layer is schema-on-write; record the declaration so
     // the first INSERT aligns to it (GraftSqlCatalog.declaredSchema)
     if (schema.nonEmpty) GraftSqlCatalog.declareSchema(path, schema)

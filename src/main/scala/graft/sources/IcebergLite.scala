@@ -724,6 +724,35 @@ object IcebergLite {
       operation = "replace", schemaSet = widened)
   }
 
+  /** ADD COLUMNS as a metadata-only commit (the other half of the
+    * append-driven schema union): the snapshot schema gains the new
+    * nullable fields, every existing file null-fills them at read —
+    * no data I/O at any table size. Names are checked against the
+    * LOGICAL view so a column cannot shadow a renamed one. */
+  def addColumns(spark: SparkSession, tablePath: String,
+      cols: org.apache.spark.sql.types.StructType): Long = withCommitLock(tablePath) {
+    val parentId = currentSnapshotId(tablePath)
+    require(parentId.nonEmpty, "add columns on an empty table: declare them " +
+      "at CREATE TABLE or in the first insert instead")
+    require(cols.nonEmpty, "no columns to add")
+    val rmap = renames(tablePath, parentId)
+    val cur = tableSchema(tablePath, parentId).getOrElse {
+      val live = dataFiles(tablePath, parentId)
+      require(live.nonEmpty, "add columns on a table with no data files")
+      spark.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$tablePath/${f.filePath}"): _*).schema
+    }
+    val logicalCur = cur.fieldNames.map(n => rmap.getOrElse(n, n)).toSet ++
+      partitionSpec(tablePath).map(_.name)
+    cols.fieldNames.foreach(n =>
+      require(!logicalCur.contains(n), s"column $n already exists"))
+    commitSnapshot(tablePath, parentId, entries = Nil,
+      carriedManifests = parentManifests(tablePath, parentId),
+      operation = "replace",
+      schemaSet = org.apache.spark.sql.types.StructType(
+        cur.fields ++ cols.fields.map(_.copy(nullable = true))))
+  }
+
   /** Cumulative physical→logical column-name mapping as of a snapshot
     * (empty when the table has never been renamed). Stored whole in
     * each snapshot's JSON, so resolution is O(1) — no chain walk. */
@@ -1648,21 +1677,29 @@ object IcebergLite {
     * caller's row-level filter is the semantics. */
   private[graft] def resolvedMetaFilters(spark: SparkSession, tablePath: String,
       condition: org.apache.spark.sql.Column,
-      snapshotId: Option[Long]): Seq[PartitionFilter] = {
+      snapshotId: Option[Long]): Seq[PartitionFilter] =
+    resolvedConditionExpr(spark, tablePath, condition, snapshotId)
+      .map(filtersFromExpression).getOrElse(Nil)
+
+  /** The condition RESOLVED (attributes bound, literals typed) against
+    * the snapshot's logical shape; None when the table predates schema
+    * tracking or the condition references columns the shape lacks. */
+  private[graft] def resolvedConditionExpr(spark: SparkSession, tablePath: String,
+      condition: org.apache.spark.sql.Column, snapshotId: Option[Long])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val shape = logicalShape(tablePath, snapshotId)
-    if (shape.isEmpty) Nil
+    if (shape.isEmpty) None
     else try {
       val probe = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
         .filter(condition)
       probe.queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          filtersFromExpression(f.condition)
-      }.getOrElse(Nil)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
     } catch {
       // a column the metadata-derived probe shape lacks (legacy
       // bounds-less tables): see above — best-effort only
-      case _: org.apache.spark.sql.AnalysisException => Nil
+      case _: org.apache.spark.sql.AnalysisException => None
     }
   }
 

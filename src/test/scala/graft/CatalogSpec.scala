@@ -60,10 +60,11 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_predicate_pushdown readWhere row → 205, and the
     // iceberg_sql_catalog SQL-surface row (DDL + INSERT + time travel
     // + WHERE-driven file pruning through the session extensions)
-    // → 206.
+    // → 206, and the iceberg_sql_dml row (UPDATE / both DELETE
+    // routes / MERGE INTO with tombstones through pure SQL) → 207.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 206 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 206 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 207 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 207 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

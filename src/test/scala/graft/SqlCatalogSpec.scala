@@ -159,6 +159,56 @@ class SqlCatalogSpec extends AnyFunSuite {
       Seq(("x", 15.0), ("y", 7.0)))
   }
 
+  test("DESCRIBE TABLE answers from metadata; CTAS registers, declares, and loads") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.meta")
+    spark.sql("""CREATE TABLE sqlcat.meta.src (id BIGINT, grp STRING, n INT)
+                 PARTITIONED BY (grp)""")
+    spark.sql("INSERT INTO sqlcat.meta.src VALUES (1, 'g1', 5), (2, 'g2', 6)")
+    val desc = spark.sql("DESCRIBE TABLE sqlcat.meta.src").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.contains(("id", "bigint")) && desc.contains(("n", "int")))
+    assert(desc.exists(_._1 == "# Partition Information"))
+    // CTAS: one statement registers + declares schema + appends
+    spark.sql("""CREATE TABLE sqlcat.meta.agg AS
+                 SELECT grp, sum(n) AS total FROM sqlcat.meta.src GROUP BY grp""")
+    assert(spark.sql("SELECT grp, total FROM sqlcat.meta.agg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("g1", 5L), ("g2", 6L)))
+    // CTAS with PARTITIONED BY lays out through the hidden spec
+    spark.sql("""CREATE TABLE sqlcat.meta.bygrp PARTITIONED BY (grp) AS
+                 SELECT id, grp FROM sqlcat.meta.src""")
+    assert(IcebergLite.partitionSpec(
+      Catalog.tablePath(root, "meta", "bygrp")).map(_.name) == Seq("grp"))
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.meta.bygrp")
+      .collect().head.getLong(0) == 2)
+    val dup = intercept[Exception](
+      spark.sql("CREATE TABLE sqlcat.meta.agg AS SELECT 1 AS x"))
+    assert(dup.getMessage.toLowerCase.contains("exists"))
+  }
+
+  test("ALTER TABLE column evolution: add null-fills, rename is snapshot-scoped, widen promotes") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.evo")
+    spark.sql("CREATE TABLE sqlcat.evo.t (id INT, v STRING)")
+    // evolution before any data rewrites the declaration
+    spark.sql("ALTER TABLE sqlcat.evo.t ADD COLUMNS (w STRING)")
+    spark.sql("INSERT INTO sqlcat.evo.t VALUES (1, 'a', 'w1')")
+    // metadata-only evolution on a live table
+    spark.sql("ALTER TABLE sqlcat.evo.t ADD COLUMNS (n BIGINT)")
+    spark.sql("ALTER TABLE sqlcat.evo.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE sqlcat.evo.t RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO sqlcat.evo.t VALUES (2147483648, 'b', 'w2', 9)")
+    val got = spark.sql(
+      "SELECT id, label, w, n FROM sqlcat.evo.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "w1", -1L), (2147483648L, "b", "w2", 9L)))
+    val narrow = intercept[Exception](
+      spark.sql("ALTER TABLE sqlcat.evo.t ALTER COLUMN n TYPE INT"))
+    assert(narrow.getMessage.contains("widening"))
+  }
+
   test("catalog plugin table listing stays in sync with DDL") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.sync")

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftCatalogPlugin
+import graft.sources.{Catalog, IcebergLite}
+
+/** SQL DML over catalog tables (SqlCatalog.scala): DELETE (pruned
+  * copy-on-write vs position-delete routing), UPDATE (copy-on-write,
+  * partition moves), MERGE INTO (upsert / ordered upsert / tombstone
+  * delete), TRUNCATE — all resolved through the session extensions
+  * onto the table layer's snapshot commits. */
+class SqlDmlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_sqldml").toString
+    spark.conf.set("spark.sql.catalog.dml", classOf[GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.dml.root", r)
+    spark.sql("CREATE NAMESPACE dml.db")
+    r
+  }
+
+  private def rows(sql: String): Seq[(Long, String, String)] =
+    spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("DELETE with a translatable predicate prunes the rewrite; general predicates go merge-on-read") {
+    root
+    spark.sql("""CREATE TABLE dml.db.d (id BIGINT, p STRING, v STRING)
+                 PARTITIONED BY (p)""")
+    spark.sql("""INSERT INTO dml.db.d VALUES
+      (1, 'a', 'keep'), (2, 'a', 'drop'), (3, 'b', 'keep'), (4, 'b', 'xx')""")
+    val path = Catalog.tablePath(root, "db", "d")
+    val files1 = IcebergLite.dataFiles(path).map(_.filePath).toSet
+
+    // exact conjuncts → copy-on-write delete; partition b untouched
+    spark.sql("DELETE FROM dml.db.d WHERE p = 'a' AND id = 2")
+    val files2 = IcebergLite.dataFiles(path).map(_.filePath).toSet
+    assert(files1.filter(_.contains("p=b")).subsetOf(files2),
+      "partition b files must carry verbatim through a p='a' delete")
+    assert(rows("SELECT id, p, v FROM dml.db.d ORDER BY id") ==
+      Seq((1L, "a", "keep"), (3L, "b", "keep"), (4L, "b", "xx")))
+
+    // untranslatable predicate (function) → position delete, zero rewrite
+    spark.sql("DELETE FROM dml.db.d WHERE length(v) = 2")
+    val files3 = IcebergLite.dataFiles(path).map(_.filePath).toSet
+    assert(files3 == files2, "general-predicate delete must not rewrite files")
+    assert(rows("SELECT id, p, v FROM dml.db.d ORDER BY id") ==
+      Seq((1L, "a", "keep"), (3L, "b", "keep")))
+
+    // DELETE without WHERE truncates (metadata-only)
+    spark.sql("DELETE FROM dml.db.d")
+    assert(spark.sql("SELECT count(*) AS n FROM dml.db.d")
+      .collect().head.getLong(0) == 0)
+  }
+
+  test("UPDATE rewrites only touched partitions; assigned partition columns move rows") {
+    root
+    spark.sql("""CREATE TABLE dml.db.u (id BIGINT, p STRING, v STRING)
+                 PARTITIONED BY (p)""")
+    spark.sql("""INSERT INTO dml.db.u VALUES
+      (1, 'a', 'x'), (2, 'a', 'y'), (3, 'b', 'z')""")
+    val path = Catalog.tablePath(root, "db", "u")
+    val before = IcebergLite.dataFiles(path).map(_.filePath).toSet
+
+    spark.sql("UPDATE dml.db.u SET v = concat(v, '!') WHERE p = 'a' AND id = 2")
+    val after = IcebergLite.dataFiles(path).map(_.filePath).toSet
+    assert(before.filter(_.contains("p=b")).subsetOf(after),
+      "partition b must carry verbatim through a p='a' update")
+    assert(rows("SELECT id, p, v FROM dml.db.u ORDER BY id") ==
+      Seq((1L, "a", "x"), (2L, "a", "y!"), (3L, "b", "z")))
+
+    // moving a row across partitions: the partition column is assignable
+    spark.sql("UPDATE dml.db.u SET p = 'b' WHERE id = 1")
+    assert(rows("SELECT id, p, v FROM dml.db.u ORDER BY id") ==
+      Seq((1L, "b", "x"), (2L, "a", "y!"), (3L, "b", "z")))
+    val moved = IcebergLite.readWhere(spark, path,
+      org.apache.spark.sql.functions.col("p") === "b")
+    assert(moved.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    // expression over existing columns, unconditional
+    spark.sql("UPDATE dml.db.u SET id = id + 100")
+    assert(spark.sql("SELECT sum(id) AS s FROM dml.db.u")
+      .collect().head.getLong(0) == 306L)
+  }
+
+  test("MERGE INTO: upsert, ordered upsert, tombstone routing, delete-only") {
+    root
+    spark.sql("CREATE TABLE dml.db.m (id BIGINT, v STRING, seq BIGINT)")
+    spark.sql("INSERT INTO dml.db.m VALUES (1, 'one', 10), (2, 'two', 10)")
+
+    // plain upsert: update matched, insert unmatched
+    spark.sql("""
+      MERGE INTO dml.db.m AS t
+      USING (SELECT 2 AS id, 'TWO' AS v, 11 AS seq
+             UNION ALL SELECT 3, 'three', 11) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows("SELECT id, v, cast(seq AS STRING) FROM dml.db.m ORDER BY id") ==
+      Seq((1L, "one", "10"), (2L, "TWO", "11"), (3L, "three", "11")))
+
+    // ordered upsert: stale sequence cannot clobber
+    spark.sql("""
+      MERGE INTO dml.db.m AS t
+      USING (SELECT 2 AS id, 'stale' AS v, 5 AS seq) AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.seq >= t.seq THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows("SELECT id, v, cast(seq AS STRING) FROM dml.db.m WHERE id = 2") ==
+      Seq((2L, "TWO", "11")))
+
+    // tombstone column routes per-row delete vs upsert
+    spark.sql("""
+      MERGE INTO dml.db.m AS t
+      USING (SELECT 1 AS id, 'ONE' AS v, 12 AS seq, false AS dead
+             UNION ALL SELECT 3, 'x', 12, true) AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.dead THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows("SELECT id, v, cast(seq AS STRING) FROM dml.db.m ORDER BY id") ==
+      Seq((1L, "ONE", "12"), (2L, "TWO", "11")))
+
+    // delete-only merge: matched keys die, unmatched no-op
+    spark.sql("""
+      MERGE INTO dml.db.m AS t
+      USING (SELECT 2 AS id, 'zz' AS v, 0 AS seq
+             UNION ALL SELECT 99, 'zz', 0) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM dml.db.m").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("TRUNCATE TABLE keeps schema and history") {
+    root
+    spark.sql("CREATE TABLE dml.db.tr (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.tr VALUES (1, 'a'), (2, 'b')")
+    val path = Catalog.tablePath(root, "db", "tr")
+    val pre = IcebergLite.currentSnapshotId(path).get
+    spark.sql("TRUNCATE TABLE dml.db.tr")
+    assert(spark.sql("SELECT count(*) AS n FROM dml.db.tr")
+      .collect().head.getLong(0) == 0)
+    // prior snapshot still time-travelable; columns still resolvable
+    assert(spark.sql(s"SELECT id FROM dml.db.tr VERSION AS OF $pre").count() == 2)
+    assert(spark.sql("SELECT id, v FROM dml.db.tr").columns.toSeq == Seq("id", "v"))
+  }
+
+  test("unsupported DML shapes refuse with actionable messages") {
+    root
+    spark.sql("CREATE TABLE dml.db.r (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.r VALUES (1, 'a')")
+    val sub = intercept[Exception](spark.sql(
+      "DELETE FROM dml.db.r WHERE id IN (SELECT 1)"))
+    assert(sub.getMessage.contains("subqueries"))
+    val nmbs = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.r AS t USING (SELECT 1 AS id, 'x' AS v) AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+    assert(nmbs.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+}
