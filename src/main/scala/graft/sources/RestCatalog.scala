@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+
+/** REST metastore — the deployment transport the reference's
+  * `BranchingMetastoreClient` speaks (`/root/reference/src/metastore/
+  * mod.rs:172-275`): `GET /branch/{id}/databases`,
+  * `/branch/{id}/database/{db}`, `/branch/{id}/database/{db}/tables`,
+  * `/branch/{id}/table/{db}/{table}`, with the same response shapes
+  * (`databases`, `tables[{table_name,table_type,comment}]`, and a
+  * table document carrying `columns[{name,data_type,nullable}]` +
+  * `table_location`/`table_format`), 404 → table-not-found, and
+  * retry-with-exponential-backoff on transport errors.
+  *
+  * The server half fronts the file-backed [[Catalog]] — the exact
+  * substitution real deployments make (metadata service in front of
+  * shared storage; data never moves through it). Branch scoping maps
+  * the reference's branch-id path segment onto the engine's ref
+  *  layer: `main` serves every table; any other branch id serves the
+  * tables whose Iceberg metadata carries a branch of that name (their
+  * schema resolved AS OF that branch's head), because in this engine
+  * branching is per-table table-format state, not a metastore fork.
+  * The client half resolves names → locations, then reads through
+  * [[IcebergLite]] exactly as local resolution would — the metastore
+  * is O(names) control-plane traffic however large the tables are.
+  */
+object RestCatalog {
+  private implicit val formats: Formats = DefaultFormats
+
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  // ------------------------------------------------------------ server
+  final class Server private[RestCatalog] (
+      private val http: com.sun.net.httpserver.HttpServer) {
+    def port: Int = http.getAddress.getPort
+    def baseUrl: String = s"http://127.0.0.1:$port"
+    def stop(): Unit = http.stop(0)
+  }
+
+  /** Serve `root`'s catalog on an ephemeral (or given) port. */
+  def serve(root: String, port: Int = 0): Server = {
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", port), 0)
+    http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val (status, body) =
+        try route(root, ex.getRequestURI.getPath)
+        catch { case e: Exception => (500, s"""{"error": ${jstr(e.getMessage)}}""") }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    http.start()
+    new Server(http)
+  }
+
+  /** `main` sees everything; another branch id sees the tables whose
+    * OWN metadata carries that branch (per-table refs, see class doc). */
+  private def visible(root: String, branch: String, db: String, t: String): Boolean =
+    branch == "main" ||
+      IcebergLite.branches(Catalog.tablePath(root, db, t)).contains(branch)
+
+  private def branchSnapshot(root: String, branch: String,
+      db: String, t: String): Option[Long] =
+    if (branch == "main") None
+    else IcebergLite.branches(Catalog.tablePath(root, db, t)).get(branch)
+
+  private def route(root: String, path: String): (Int, String) = {
+    val parts = path.split("/").filter(_.nonEmpty).toList
+    parts match {
+      case "branch" :: branch :: "databases" :: Nil =>
+        val dbs = Catalog.listDatabases(root).filter(db =>
+          branch == "main" || Catalog.listTables(root, db)
+            .exists(visible(root, branch, db, _)))
+        (200, dbs.map(jstr).mkString("""{"databases": [""", ", ", "]}"))
+      case "branch" :: branch :: "database" :: db :: Nil =>
+        if (!Catalog.listDatabases(root).contains(db))
+          (404, s"""{"error": "database $db not found"}""")
+        else (200, s"""{"database_name": ${jstr(db)}, "comment": null}""")
+      case "branch" :: branch :: "database" :: db :: "tables" :: Nil =>
+        if (!Catalog.listDatabases(root).contains(db))
+          (404, s"""{"error": "database $db not found"}""")
+        else {
+          val ts = Catalog.listTables(root, db).filter(visible(root, branch, db, _))
+            .map(t => s"""{"table_name": ${jstr(t)}, "table_type": "TABLE", "comment": null}""")
+          (200, ts.mkString("""{"tables": [""", ", ", "]}"))
+        }
+      case "branch" :: branch :: "table" :: db :: t :: Nil =>
+        val exists = Catalog.listDatabases(root).contains(db) &&
+          Catalog.listTables(root, db).contains(t) && visible(root, branch, db, t)
+        if (!exists) (404, s"""{"error": "table $db.$t not found"}""")
+        else {
+          val location = Catalog.tablePath(root, db, t)
+          // schema AS OF the requested branch's head — the reference's
+          // branch scoping, realized through per-table refs
+          val snap = branchSnapshot(root, branch, db, t)
+          val schema = IcebergLite.tableSchema(location, snap).map { s =>
+            val rmap = IcebergLite.renames(location, snap)
+            org.apache.spark.sql.types.StructType(
+              s.fields.map(f => f.copy(name = rmap.getOrElse(f.name, f.name))))
+          }
+          val cols = schema.map(_.fields.toSeq).getOrElse(Nil).map(f =>
+            s"""{"name": ${jstr(f.name)}, "data_type": ${jstr(f.dataType.catalogString)}, """ +
+              s""""nullable": ${f.nullable}, "comment": null}""")
+          (200,
+            s"""{"table_name": ${jstr(t)}, "database_name": ${jstr(db)}, """ +
+            s""""table_type": "TABLE", "columns": ${cols.mkString("[", ", ", "]")}, """ +
+            s""""table_location": ${jstr(location)}, "table_format": "iceberg"}""")
+        }
+      case _ => (404, """{"error": "no such route"}""")
+    }
+  }
+
+  // ------------------------------------------------------------ client
+  case class TableInfo(tableName: String, tableType: String)
+  case class ColumnMetadata(name: String, dataType: String, nullable: Boolean)
+  case class TableMetadata(tableName: String, databaseName: String,
+      columns: Seq[ColumnMetadata], tableLocation: String, tableFormat: String)
+
+  class TableNotFound(msg: String) extends RuntimeException(msg)
+
+  /** Client with the reference's reliability contract: `maxRetries`
+    * attempts, exponential backoff `retryDelayMs → maxRetryDelayMs`,
+    * per-request timeout; a 404 on get_table surfaces as
+    * [[TableNotFound]] immediately (the reference's special case —
+    * missing tables are an answer, not a transport fault). */
+  class Client(baseUrl: String, branchId: String = "main",
+      maxRetries: Int = 3, retryDelayMs: Long = 100,
+      maxRetryDelayMs: Long = 5000, timeoutSecs: Long = 30) {
+    private val http = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSecs)).build()
+
+    private def get(url: String, notFound: String => Exception): JValue = {
+      var delay = retryDelayMs
+      var last: Exception = null
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        try {
+          val resp = http.send(
+            HttpRequest.newBuilder(java.net.URI.create(url))
+              .timeout(java.time.Duration.ofSeconds(timeoutSecs)).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() match {
+            case ok if ok / 100 == 2 =>
+              return org.json4s.jackson.JsonMethods.parse(resp.body())
+            case 404 => throw notFound(url) // answer, not fault: no retry
+            case s if s / 100 == 5 =>
+              last = new RuntimeException(s"$url -> HTTP $s") // retryable
+            case s => throw new RuntimeException(s"$url -> HTTP $s")
+          }
+        } catch {
+          case e: TableNotFound => throw e
+          case e: java.io.IOException => last = e // transport fault: retry
+        }
+        attempt += 1
+        if (attempt <= maxRetries) {
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, maxRetryDelayMs)
+        }
+      }
+      throw new RuntimeException(s"max retries exceeded for $url", last)
+    }
+
+    private def notFoundErr(url: String): Exception = new TableNotFound(url)
+
+    def listDatabases(): Seq[String] =
+      (get(s"$baseUrl/branch/$branchId/databases", notFoundErr) \ "databases")
+        .extract[Seq[String]]
+
+    def listTables(db: String): Seq[TableInfo] =
+      (get(s"$baseUrl/branch/$branchId/database/$db/tables", notFoundErr) \ "tables") match {
+        case JArray(ts) => ts.map(t => TableInfo(
+          (t \ "table_name").extract[String], (t \ "table_type").extract[String]))
+        case _ => Nil
+      }
+
+    def getTable(db: String, table: String): TableMetadata = {
+      val j = get(s"$baseUrl/branch/$branchId/table/$db/$table",
+        u => new TableNotFound(s"table $db.$table not found ($u)"))
+      TableMetadata(
+        (j \ "table_name").extract[String],
+        (j \ "database_name").extract[String],
+        (j \ "columns") match {
+          case JArray(cs) => cs.map(c => ColumnMetadata(
+            (c \ "name").extract[String], (c \ "data_type").extract[String],
+            (c \ "nullable").extract[Boolean]))
+          case _ => Nil
+        },
+        (j \ "table_location").extract[String],
+        (j \ "table_format").extract[String])
+    }
+
+    /** Resolve by name over HTTP, then read DIRECTLY from storage —
+      * the metastore never proxies data. A non-main branch reads the
+      * branch head's snapshot. */
+    def readTable(spark: SparkSession, db: String, table: String): DataFrame = {
+      val meta = getTable(db, table)
+      val snap =
+        if (branchId == "main") None
+        else Some(IcebergLite.resolveRef(meta.tableLocation, branchId))
+      IcebergLite.read(spark, meta.tableLocation, snap)
+    }
+  }
+}

@@ -61,10 +61,13 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_sql_catalog SQL-surface row (DDL + INSERT + time travel
     // + WHERE-driven file pruning through the session extensions)
     // → 206, and the iceberg_sql_dml row (UPDATE / both DELETE
-    // routes / MERGE INTO with tombstones through pure SQL) → 207.
+    // routes / MERGE INTO with tombstones through pure SQL) → 207,
+    // and the iceberg_rest_catalog REST-metastore row (the reference
+    // client's endpoint/response/retry/branch-scope contract over the
+    // file catalog) → 208.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 207 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 207 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 208 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 208 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Catalog, IcebergLite, RestCatalog}
+
+/** REST metastore round-trip (reference metastore/mod.rs:172-275):
+  * server fronts the file catalog, client speaks the reference's
+  * endpoint + response shapes with its reliability contract (retry
+  * with backoff, 404-is-an-answer), branch scoping resolves through
+  * per-table refs. */
+class RestCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val fixture: (String, RestCatalog.Server, RestCatalog.Client) = {
+    val root = Files.createTempDirectory("graft_restcat").toString
+    val s = spark
+    import s.implicits._
+    Catalog.init(root)
+    Catalog.createDatabase(root, "sales")
+    Catalog.createDatabase(root, "empty")
+    IcebergLite.append(spark, Catalog.createTable(root, "sales", "orders"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    IcebergLite.append(spark, Catalog.createTable(root, "sales", "dim"),
+      Seq((1L, 10.0)).toDF("id", "w"))
+    val server = RestCatalog.serve(root)
+    (root, server, new RestCatalog.Client(server.baseUrl))
+  }
+
+  test("list/get endpoints serve the reference's response shapes") {
+    val (_, _, client) = fixture
+    assert(client.listDatabases() == Seq("empty", "sales"))
+    assert(client.listTables("sales").map(_.tableName) == Seq("dim", "orders"))
+    val meta = client.getTable("sales", "orders")
+    assert(meta.databaseName == "sales" && meta.tableFormat == "iceberg")
+    assert(meta.columns.map(c => (c.name, c.dataType)) ==
+      Seq(("id", "bigint"), ("v", "string")))
+    assert(meta.tableLocation.nonEmpty)
+  }
+
+  test("readTable resolves over HTTP and reads from storage directly") {
+    val (_, _, client) = fixture
+    val df = client.readTable(spark, "sales", "orders")
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("404 is an answer: TableNotFound without retries; transport faults retry") {
+    val (_, server, client) = fixture
+    intercept[RestCatalog.TableNotFound](client.getTable("sales", "nope"))
+    intercept[RestCatalog.TableNotFound](client.getTable("nodb", "orders"))
+    // a dead endpoint exhausts retries with backoff, then reports
+    val t0 = System.nanoTime()
+    val dead = new RestCatalog.Client(
+      s"http://127.0.0.1:1", maxRetries = 2, retryDelayMs = 20)
+    val e = intercept[RuntimeException](dead.listDatabases())
+    assert(e.getMessage.contains("max retries"))
+    assert((System.nanoTime() - t0) / 1e6 >= 60, "20ms + 40ms backoff must elapse")
+    assert(server.port > 0)
+  }
+
+  test("branch scoping: a non-main branch sees branch-bearing tables as of the branch head") {
+    val (root, server, _) = fixture
+    val s = spark
+    import s.implicits._
+    val path = Catalog.tablePath(root, "sales", "orders")
+    IcebergLite.createBranch(path, "audit")
+    // main advances past the branch point with a new column
+    IcebergLite.append(spark, path,
+      Seq((9L, "z", "extra")).toDF("id", "v", "note"))
+    val audit = new RestCatalog.Client(server.baseUrl, branchId = "audit")
+    // only the branch-bearing table is visible on the branch
+    assert(audit.listTables("sales").map(_.tableName) == Seq("orders"))
+    // schema AS OF the branch head: no `note` column
+    assert(audit.getTable("sales", "orders").columns.map(_.name) == Seq("id", "v"))
+    assert(audit.readTable(spark, "sales", "orders").count() == 3)
+    // main sees the post-branch world
+    val main = new RestCatalog.Client(server.baseUrl)
+    assert(main.readTable(spark, "sales", "orders").count() == 4)
+  }
+}
