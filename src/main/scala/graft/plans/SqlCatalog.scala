@@ -142,6 +142,20 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThanOrEqual, Literal, PlanExpression, SubqueryExpression}
   import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertStarAction, MergeIntoTable, RenameTable, SubqueryAlias, TruncateTable, UpdateStarAction, UpdateTable}
 
+  /** A command's table argument — parsers emit UnresolvedTable for
+    * table-only commands and UnresolvedTableOrView for the rest;
+    * accept either and yield the resolved table path. */
+  private object GraftTablePath {
+    def unapply(plan: LogicalPlan): Option[String] = {
+      val parts = plan match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedTable(p, _, _) => Some(p)
+        case UnresolvedTableOrView(p, _, _) => Some(p)
+        case _ => None
+      }
+      parts.flatMap(GraftSqlCatalog.resolve(spark, _))
+    }
+  }
+
   /** The DML target: a graft table reference, optionally aliased. */
   private object GraftTarget {
     def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
@@ -219,6 +233,15 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case UnresolvedRelation(parts, _, false)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       relationFor(GraftSqlCatalog.resolve(spark, parts).get, None)
+    // real Iceberg's metadata tables as 4-part names:
+    // SELECT * FROM graft.db.t.history / files / partitions / refs /
+    // manifests / delete_files / column_stats / snapshots
+    case UnresolvedRelation(parts, _, false) if parts.length == 4 &&
+        metadataTables.contains(parts(3).toLowerCase) &&
+        GraftSqlCatalog.resolve(spark, parts.take(3)).isDefined =>
+      val path = GraftSqlCatalog.resolve(spark, parts.take(3)).get
+      metadataTables(parts(3).toLowerCase)(spark, path)
+        .queryExecution.analyzed
     // ALTER TABLE ... RENAME TO: the V2 path needs loadTable (which
     // this catalog refuses by design — see GraftCatalogPlugin), so the
     // statement resolves here instead, to a name-only catalog move
@@ -229,9 +252,8 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         "RENAME cannot move a table across databases or catalogs")
       GraftRenameTableCommand(GraftSqlCatalog.rootFor(spark, parts.head).get,
         parts(1), parts(2), newName.last)
-    case TruncateTable(org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _))
-        if GraftSqlCatalog.resolve(spark, parts).isDefined =>
-      GraftTruncateCommand(GraftSqlCatalog.resolve(spark, parts).get)
+    case TruncateTable(GraftTablePath(path)) =>
+      GraftTruncateCommand(path)
     case DeleteFromTable(GraftTarget(path, _), cond) =>
       GraftDeleteCommand(path,
         org.apache.spark.sql.GraftColumnBridge.toCol(bare(cond)),
@@ -284,6 +306,30 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         (sp.column.name.head, sp.newDataType.get)
       }
       GraftWidenColumnsCommand(GraftSqlCatalog.resolve(spark, parts).get, widens)
+    case org.apache.spark.sql.catalyst.plans.logical.SetTableProperties(
+        GraftTablePath(path), props) =>
+      GraftSetPropertiesCommand(path, props)
+    case org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties(
+        GraftTablePath(path), keys, _) =>
+      GraftUnsetPropertiesCommand(path, keys)
+    case org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties(
+        GraftTablePath(path), key, output) =>
+      val all = IcebergLite.tableProperties(path)
+      val shown = key.map(k => all.view.filterKeys(_ == k).toMap).getOrElse(all)
+      LocalRelation(output, shown.toSeq.sortBy(_._1).map { case (k, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      })
+    case org.apache.spark.sql.catalyst.plans.logical.ShowPartitions(
+        GraftTablePath(path), None, output) =>
+      val tuples = IcebergLite.dataFiles(path).map(_.partition)
+        .filter(_.nonEmpty).distinct
+        .map(m => m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"))
+        .sorted
+      LocalRelation(output, tuples.map(t =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))))
     // DESCRIBE answers from metadata alone (the plugin's loadTable
     // refuses by design): logical shape + the partition spec section
     case org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
@@ -309,6 +355,17 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         r.identifier.namespace.head, r.identifier.name,
         partitioning, query, ignoreIfExists)
   }
+
+  /** The metadata-table suffixes a 4-part name resolves to. */
+  private val metadataTables: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "history" -> ((s, p) => IcebergLite.history(s, p)),
+    "snapshots" -> ((s, p) => IcebergLite.history(s, p)),
+    "refs" -> ((s, p) => IcebergLite.refsMetadata(s, p)),
+    "files" -> ((s, p) => IcebergLite.filesMetadata(s, p)),
+    "partitions" -> ((s, p) => IcebergLite.partitionsMetadata(s, p)),
+    "manifests" -> ((s, p) => IcebergLite.manifestsMetadata(s, p)),
+    "delete_files" -> ((s, p) => IcebergLite.deleteFilesMetadata(s, p)),
+    "column_stats" -> ((s, p) => IcebergLite.columnStatsMetadata(s, p)))
 
   private def describeFor(path: String, output: Seq[Attribute]): LogicalPlan = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -467,6 +524,26 @@ case class GraftTruncateCommand(tablePath: String) extends RunnableCommand {
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
     IcebergLite.truncate(tablePath)
+    Nil
+  }
+}
+
+case class GraftSetPropertiesCommand(tablePath: String,
+    props: Map[String, String]) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergLite.setProperties(tablePath, props)
+    Nil
+  }
+}
+
+case class GraftUnsetPropertiesCommand(tablePath: String,
+    keys: Seq[String]) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    IcebergLite.unsetProperties(tablePath, keys)
     Nil
   }
 }

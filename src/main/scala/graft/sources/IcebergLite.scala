@@ -1493,6 +1493,75 @@ object IcebergLite {
     else (readJson(p.toString) \ "max_records_per_file").extractOrElse[Long](0L)
   }
 
+  /** Arbitrary TABLE PROPERTIES (real Iceberg's tblproperties map) in
+    * one `metadata/properties.json` document. Keys the engine acts on
+    * delegate to their typed stores so a SET actually changes write
+    * behavior: `write.max-records-per-file` (row bound),
+    * `write.distribution-mode` (none|hash|range), `write.sort-order`
+    * (comma-separated columns). Everything else is an opaque
+    * annotation round-tripped for SHOW TBLPROPERTIES. */
+  private val typedPropSet: Map[String, (String, String) => Unit] = Map(
+    "write.max-records-per-file" -> ((p, v) => setMaxRecordsPerFile(p, v.toLong)),
+    "write.distribution-mode" -> ((p, v) => setWriteDistribution(p, v)),
+    "write.sort-order" -> ((p, v) =>
+      setSortOrder(p, v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)))
+
+  private def genericPropsFile(tablePath: String) =
+    Paths.get(s"$tablePath/metadata/properties.json")
+
+  private def genericProperties(tablePath: String): Map[String, String] = {
+    val p = genericPropsFile(tablePath)
+    if (!Files.exists(p)) Map.empty
+    else readJson(p.toString) match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def writeGenericProperties(tablePath: String,
+      props: Map[String, String]): Unit =
+    atomicWrite(genericPropsFile(tablePath),
+      props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}"))
+
+  def setProperties(tablePath: String, props: Map[String, String]): Unit = {
+    val (typed, generic) = props.partition(kv => typedPropSet.contains(kv._1))
+    typed.foreach { case (k, v) => typedPropSet(k)(tablePath, v) }
+    if (generic.nonEmpty) withCommitLock(tablePath) {
+      writeGenericProperties(tablePath, genericProperties(tablePath) ++ generic)
+    }
+  }
+
+  def unsetProperties(tablePath: String, keys: Seq[String]): Unit = {
+    keys.foreach {
+      case "write.max-records-per-file" => setMaxRecordsPerFile(tablePath, 0L)
+      case "write.distribution-mode" => setWriteDistribution(tablePath, "none")
+      case "write.sort-order" => withCommitLock(tablePath) {
+        Files.deleteIfExists(Paths.get(s"$tablePath/metadata/sort-order.json")); ()
+      }
+      case _ => ()
+    }
+    val generic = keys.filterNot(typedPropSet.contains)
+    if (generic.nonEmpty) withCommitLock(tablePath) {
+      writeGenericProperties(tablePath, genericProperties(tablePath) -- generic)
+    }
+  }
+
+  /** Effective property map: annotations + every typed knob currently
+    * set away from its default. */
+  def tableProperties(tablePath: String): Map[String, String] = {
+    val typed = Seq(
+      "write.max-records-per-file" ->
+        Some(maxRecordsPerFile(tablePath)).filter(_ != 0L).map(_.toString),
+      "write.distribution-mode" ->
+        Some(writeDistribution(tablePath)).filter(_ != "none"),
+      "write.sort-order" ->
+        Some(sortOrder(tablePath)).filter(_.nonEmpty).map(_.mkString(",")))
+      .collect { case (k, Some(v)) => k -> v }
+    genericProperties(tablePath) ++ typed
+  }
+
   /** The table's write sort order (physical names; empty when unset). */
   def sortOrder(tablePath: String): Seq[String] = {
     val p = Paths.get(s"$tablePath/metadata/sort-order.json")

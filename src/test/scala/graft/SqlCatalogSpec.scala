@@ -209,6 +209,52 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(narrow.getMessage.contains("widening"))
   }
 
+  test("metadata tables resolve as 4-part names; SHOW PARTITIONS lists tuples") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.meta4")
+    spark.sql("""CREATE TABLE sqlcat.meta4.t (id BIGINT, p STRING)
+                 PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO sqlcat.meta4.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO sqlcat.meta4.t VALUES (3, 'b')")
+    val hist = spark.sql(
+      "SELECT operation, n_files FROM sqlcat.meta4.t.history ORDER BY snapshot_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hist.map(_._1) == Seq("append", "append") && hist.last._2 >= 2)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.meta4.t.files")
+      .collect().head.getLong(0) >= 2)
+    assert(spark.sql("SELECT * FROM sqlcat.meta4.t.partitions").count() == 2)
+    assert(spark.sql("SHOW PARTITIONS sqlcat.meta4.t").collect()
+      .map(_.getString(0)).toSeq == Seq("p=a", "p=b"))
+    // joins against metadata tables compose like any relation
+    val joined = spark.sql("""
+      SELECT count(*) AS n FROM sqlcat.meta4.t.files f
+      JOIN sqlcat.meta4.t.files g ON f.file_path = g.file_path""")
+    assert(joined.collect().head.getLong(0) >= 2)
+  }
+
+  test("TBLPROPERTIES: typed write knobs take effect, annotations round-trip") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.props")
+    spark.sql("CREATE TABLE sqlcat.props.t (id BIGINT, p STRING)")
+    spark.sql("""ALTER TABLE sqlcat.props.t SET TBLPROPERTIES (
+      'write.max-records-per-file' = '10', 'pipeline.team' = 'data-eng')""")
+    val path = Catalog.tablePath(root, "props", "t")
+    assert(IcebergLite.maxRecordsPerFile(path) == 10L)
+    val shown = spark.sql("SHOW TBLPROPERTIES sqlcat.props.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown == Map(
+      "write.max-records-per-file" -> "10", "pipeline.team" -> "data-eng"))
+    // the row bound is LIVE: a 25-row insert must cut >= 3 files
+    val s = spark
+    import s.implicits._
+    spark.sql("INSERT INTO sqlcat.props.t SELECT id, 'x' FROM range(25)")
+    assert(IcebergLite.dataFiles(path).size >= 3)
+    spark.sql("ALTER TABLE sqlcat.props.t UNSET TBLPROPERTIES " +
+      "('write.max-records-per-file', 'pipeline.team')")
+    assert(IcebergLite.maxRecordsPerFile(path) == 0L)
+    assert(spark.sql("SHOW TBLPROPERTIES sqlcat.props.t").collect().isEmpty)
+  }
+
   test("catalog plugin table listing stays in sync with DDL") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.sync")
