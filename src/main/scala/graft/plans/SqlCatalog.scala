@@ -772,10 +772,109 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
   }
 }
 
+/** Maintenance PROCEDURES (`CALL graft.system.<proc>(...)`) — real
+  * Iceberg's stored-procedure surface on Spark 4's ProcedureCatalog
+  * API. Every procedure takes the table as `'db.table'`, runs the
+  * corresponding metadata/maintenance primitive, and returns its
+  * outcome as rows (a `LocalScan` — driver-side result, no executor
+  * machinery for what is metadata work). */
+object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def p(name: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, t).build()
+
+  private final class Proc(procName: String, ps: Seq[ProcedureParameter],
+      out: StructType, run: (SparkSession, InternalRow) => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val result = run(org.apache.spark.sql.SparkSession.active, input).toArray
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  private def out(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = false) })
+
+  def all(root: String): Map[String, UnboundProcedure] = {
+    def path(input: InternalRow): String = {
+      val parts = input.getUTF8String(0).toString.split("\\.", 2)
+      require(parts.length == 2, "table must be 'db.table'")
+      Catalog.tablePath(root, parts(0), parts(1))
+    }
+    def row(vs: Any*) = InternalRow.fromSeq(vs)
+    Map(
+      "expire_snapshots" -> new Proc("expire_snapshots",
+        Seq(p("table", StringType), p("retain_last", IntegerType),
+          p("older_than_ms", LongType)),
+        out("expired_snapshots" -> IntegerType, "deleted_files" -> IntegerType),
+        (s, in) => {
+          val (snaps, files) = IcebergLite.expireSnapshots(path(in), in.getInt(1),
+            Some(in.getLong(2)).filter(_ > 0))
+          Seq(row(snaps, files))
+        }),
+      "remove_orphan_files" -> new Proc("remove_orphan_files",
+        Seq(p("table", StringType), p("older_than_ms", LongType)),
+        out("orphans_deleted" -> IntegerType),
+        (s, in) => Seq(row(
+          IcebergLite.removeOrphanFiles(path(in), in.getLong(1)).size))),
+      "rewrite_data_files" -> new Proc("rewrite_data_files",
+        Seq(p("table", StringType), p("small_bytes", LongType)),
+        out("snapshot_id" -> LongType),
+        (s, in) => Seq(row(
+          if (in.getLong(1) > 0) IcebergLite.compactSmallFiles(s, path(in), in.getLong(1))
+          else IcebergLite.compact(s, path(in))))),
+      "rewrite_manifests" -> new Proc("rewrite_manifests",
+        Seq(p("table", StringType), p("target_manifests", IntegerType)),
+        out("snapshot_id" -> LongType),
+        (s, in) => Seq(row(
+          IcebergLite.rewriteManifests(s, path(in), in.getInt(1))))),
+      "rollback_to_snapshot" -> new Proc("rollback_to_snapshot",
+        Seq(p("table", StringType), p("snapshot_id", LongType)),
+        out("current_snapshot_id" -> LongType),
+        (s, in) => Seq(row(IcebergLite.rollbackTo(path(in), in.getLong(1))))),
+      "cherrypick_snapshot" -> new Proc("cherrypick_snapshot",
+        Seq(p("table", StringType), p("snapshot_id", LongType)),
+        out("current_snapshot_id" -> LongType),
+        (s, in) => Seq(row(IcebergLite.cherryPick(path(in), in.getLong(1))))),
+      "fast_forward" -> new Proc("fast_forward",
+        Seq(p("table", StringType), p("branch", StringType)),
+        out("current_snapshot_id" -> LongType),
+        (s, in) => Seq(row(IcebergLite.fastForwardMain(path(in),
+          in.getUTF8String(1).toString)))),
+      "create_branch" -> new Proc("create_branch",
+        Seq(p("table", StringType), p("name", StringType)),
+        out("snapshot_id" -> LongType),
+        (s, in) => Seq(row(IcebergLite.createBranch(path(in),
+          in.getUTF8String(1).toString)))),
+      "create_tag" -> new Proc("create_tag",
+        Seq(p("table", StringType), p("name", StringType)),
+        out("snapshot_id" -> LongType),
+        (s, in) => Seq(row(IcebergLite.createTag(path(in),
+          in.getUTF8String(1).toString)))))
+  }
+}
+
 /** Spark `TableCatalog` over the catalog JSON: DDL + name listing.
   * `loadTable` intentionally reports no-such-table so reads resolve
-  * through [[GraftSqlResolution]] (see class doc). */
-class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
+  * through [[GraftSqlResolution]] (see class doc). Also a
+  * `ProcedureCatalog`: `CALL graft.system.<proc>(...)` runs the
+  * maintenance surface ([[GraftProcedures]]). */
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -818,6 +917,20 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces {
       Catalog.dropDatabase(root, d)
       true
     }
+  }
+
+  // ------------------------------------------------------- procedures
+  private lazy val procedures = GraftProcedures.all(root)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procedures.keys.toSeq.sorted.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")) &&
+      procedures.contains(ident.name),
+      s"unknown procedure $ident (see CALL graft.system.<name>)")
+    procedures(ident.name)
   }
 
   // ----------------------------------------------------------- tables

@@ -64,10 +64,12 @@ class CatalogSpec extends AnyFunSuite {
     // routes / MERGE INTO with tombstones through pure SQL) → 207,
     // and the iceberg_rest_catalog REST-metastore row (the reference
     // client's endpoint/response/retry/branch-scope contract over the
-    // file catalog) → 208.
+    // file catalog) → 208, and the iceberg_sql_procedures row
+    // (CALL graft.system.* maintenance procedures on Spark 4's
+    // ProcedureCatalog API) → 209.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 208 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 208 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 209 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 209 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -255,6 +255,45 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TBLPROPERTIES sqlcat.props.t").collect().isEmpty)
   }
 
+  test("CALL graft.system.* runs the maintenance surface with row results") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.proc")
+    spark.sql("CREATE TABLE sqlcat.proc.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO sqlcat.proc.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO sqlcat.proc.t VALUES (2, 'b')")
+    spark.sql("INSERT INTO sqlcat.proc.t VALUES (3, 'c')")
+    val path = Catalog.tablePath(root, "proc", "t")
+    val snaps = IcebergLite.snapshots(path)
+
+    // rollback + cherry-pick: history surgery via CALL
+    val rb = spark.sql(
+      s"CALL sqlcat.system.rollback_to_snapshot('proc.t', ${snaps(1)})").collect()
+    assert(rb.head.getLong(0) == snaps(1))
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.proc.t")
+      .collect().head.getLong(0) == 2)
+    spark.sql(s"CALL sqlcat.system.cherrypick_snapshot('proc.t', ${snaps(2)})")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.proc.t")
+      .collect().head.getLong(0) == 3)
+
+    // compaction returns the new snapshot id; table is 1 file after
+    val rw = spark.sql(
+      "CALL sqlcat.system.rewrite_data_files('proc.t', 0)").collect()
+    assert(rw.head.getLong(0) == IcebergLite.currentSnapshotId(path).get)
+    assert(IcebergLite.dataFiles(path).size == 1)
+
+    // branch + tag + expiry with row counts
+    spark.sql("CALL sqlcat.system.create_tag('proc.t', 'rel')")
+    val exp = spark.sql(
+      "CALL sqlcat.system.expire_snapshots('proc.t', 1, 0)").collect()
+    assert(exp.head.getInt(0) >= 1)
+    // the tag pins the current snapshot; reads still work
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.proc.t VERSION AS OF 'rel'")
+      .collect().head.getLong(0) == 3)
+    val orph = spark.sql(
+      "CALL sqlcat.system.remove_orphan_files('proc.t', 0)").collect()
+    assert(orph.head.getInt(0) >= 0)
+  }
+
   test("catalog plugin table listing stays in sync with DDL") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.sync")
