@@ -242,6 +242,14 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       val path = GraftSqlCatalog.resolve(spark, parts.take(3)).get
       metadataTables(parts(3).toLowerCase)(spark, path)
         .queryExecution.analyzed
+    // ... and its branch_/tag_ suffixes: graft.db.t.branch_audit
+    // reads the branch head (same as VERSION AS OF 'audit')
+    case UnresolvedRelation(parts, _, false) if parts.length == 4 &&
+        (parts(3).startsWith("branch_") || parts(3).startsWith("tag_")) &&
+        GraftSqlCatalog.resolve(spark, parts.take(3)).isDefined =>
+      val path = GraftSqlCatalog.resolve(spark, parts.take(3)).get
+      val ref = parts(3).stripPrefix("branch_").stripPrefix("tag_")
+      relationFor(path, Some(IcebergLite.resolveRef(path, ref)))
     // ALTER TABLE ... RENAME TO: the V2 path needs loadTable (which
     // this catalog refuses by design — see GraftCatalogPlugin), so the
     // statement resolves here instead, to a name-only catalog move

@@ -230,6 +230,14 @@ class SqlCatalogSpec extends AnyFunSuite {
       SELECT count(*) AS n FROM sqlcat.meta4.t.files f
       JOIN sqlcat.meta4.t.files g ON f.file_path = g.file_path""")
     assert(joined.collect().head.getLong(0) >= 2)
+    // branch_/tag_ suffixes read the ref head (Iceberg's naming)
+    val path = Catalog.tablePath(root, "meta4", "t")
+    IcebergLite.createBranch(path, "audit")
+    spark.sql("INSERT INTO sqlcat.meta4.t VALUES (4, 'c')")
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.meta4.t.branch_audit")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) AS n FROM sqlcat.meta4.t")
+      .collect().head.getLong(0) == 4)
   }
 
   test("TBLPROPERTIES: typed write knobs take effect, annotations round-trip") {
