@@ -59,12 +59,20 @@ import graft.sources.{Catalog, IcebergLite, IcebergTransforms}
   *     removed either way so column pruning / filter pushdown reach
   *     the parquet scan within the same optimizer batch.
   */
+/** The LAZY table marker: analysis binds only the snapshot and the
+  * output attributes (metadata reads — no file listing, no
+  * FileIndex); the optimizer rule replaces it with the real read AFTER
+  * WHERE conjuncts have pruned the file list. At 10⁶ files this is
+  * what keeps SQL analysis O(metadata): the eager alternative builds a
+  * scan over every file at resolution only for pruning to discard it,
+  * and a plan touching one partition never lists — or requires the
+  * existence of — files outside it (SqlCatalogSpec proves a query
+  * survives a vanished file in a pruned-away partition). */
 case class GraftRelation(tablePath: String, snapshotId: Option[Long],
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
-  override def maxRows: Option[Long] = child.maxRows
-  override protected def withNewChildInternal(newChild: LogicalPlan): GraftRelation =
-    copy(child = newChild)
+    output: Seq[Attribute])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
 }
 
 object GraftSqlCatalog {
@@ -182,18 +190,28 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def relationFor(path: String, snapshotId: Option[Long]): LogicalPlan = {
-    // PIN the snapshot at analysis: the optimizer-side prune rule
-    // re-plans the file list later, and a DataFrame analyzed before a
-    // concurrent commit must not see the filtered and unfiltered
-    // branches of its own plan read different snapshots
+    // PIN the snapshot at analysis: the optimizer-side rule builds the
+    // real read later, and a DataFrame analyzed before a concurrent
+    // commit must not see parts of its own plan read different
+    // snapshots
     val snap = snapshotId.orElse(IcebergLite.currentSnapshotId(path))
-    val plan = IcebergLite.read(spark, path, snap).queryExecution.analyzed
-    if (plan.output.nonEmpty) GraftRelation(path, snap, plan)
+    val shape = IcebergLite.logicalShape(path, snap)
+    // conservative nullability: the read null-fills files that predate
+    // added columns, so no column may be assumed non-null plan-wide
+    def attrs(s: StructType) = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(StructType(s.fields.map(_.copy(nullable = true))))
+    // lazy only when the snapshot RECORDS its schema — the recorded
+    // shape is the deferred read's contract
+    val tracked = IcebergLite.tableSchema(path, snap).isDefined
+    if (tracked && shape.nonEmpty) GraftRelation(path, snap, attrs(shape))
     else GraftSqlCatalog.declaredSchema(path) match {
       // empty table: zero rows with the DDL-declared columns
-      case Some(s) => LocalRelation(
-        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(s))
-      case None => plan
+      case Some(s) => LocalRelation(attrs(s))
+      case None if IcebergLite.dataFiles(path, snap).nonEmpty =>
+        // pre-schema-tracking table: no recorded shape to be lazy
+        // against — resolve eagerly (row-level filtering only)
+        IcebergLite.read(spark, path, snap).queryExecution.analyzed
+      case None => LocalRelation(Nil: Seq[Attribute])
     }
   }
 
@@ -697,33 +715,44 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
   * point, so the subplan it substitutes still receives column pruning
   * and parquet filter pushdown afterwards. */
 case class GraftMetadataPrune(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case Filter(cond, GraftRelation(path, snap, child)) =>
-      val metaFilters = IcebergLite.filtersFromExpression(cond)
-      if (metaFilters.isEmpty) Filter(cond, child)
-      else {
-        // optimizedPlan, NOT analyzed: this splice happens after the
-        // early optimizer batches, so e.g. the read's broadcast
-        // ResolvedHint must already be eliminated in the subtree
-        val planned = IcebergLite.read(spark, path, snap, metaFilters)
-          .queryExecution.optimizedPlan
-        if (planned.output.isEmpty)
-          // every file pruned: metadata-only empty result with the
-          // original attributes (read() loses the schema on empty)
-          LocalRelation(child.output)
-        else {
-          val byName = planned.output.map(a => a.name -> a).toMap
-          // splice under the ORIGINAL exprIds so references above the
-          // filter keep resolving
-          val remap = child.output.map { o =>
-            val n = byName(o.name)
-            Alias(if (n.dataType == o.dataType) n else Cast(n, o.dataType),
-              o.name)(exprId = o.exprId)
-          }
-          Filter(cond, Project(remap, planned))
+  /** Build the real read over the filter-surviving files and splice it
+    * under the marker's ORIGINAL exprIds so references above keep
+    * resolving. By-name with casts: the marker's metadata-derived
+    * shape is authoritative for names; the physical read's types may
+    * be narrower (pre-widening files) and recovered partition columns
+    * arrive as strings. A column the read lacks entirely null-fills —
+    * the same contract add-column evolution gives old files. */
+  private def splice(path: String, snap: Option[Long],
+      markerOut: Seq[Attribute],
+      metaFilters: Seq[graft.sources.IcebergLite.PartitionFilter]): LogicalPlan = {
+    // optimizedPlan, NOT analyzed: this splice happens after the
+    // early optimizer batches, so e.g. the read's broadcast
+    // ResolvedHint must already be eliminated in the subtree
+    val planned = IcebergLite.read(spark, path, snap, metaFilters)
+      .queryExecution.optimizedPlan
+    if (planned.output.isEmpty)
+      // every file pruned (or empty snapshot): metadata-only empty
+      // result with the original attributes
+      LocalRelation(markerOut)
+    else {
+      val byName = planned.output.map(a => a.name -> a).toMap
+      val remap = markerOut.map { o =>
+        val e: Expression = byName.get(o.name) match {
+          case Some(n) if n.dataType == o.dataType => n
+          case Some(n) => Cast(n, o.dataType)
+          case None => Cast(org.apache.spark.sql.catalyst.expressions.Literal(null),
+            o.dataType)
         }
+        Alias(e, o.name)(exprId = o.exprId)
       }
-    case GraftRelation(_, _, child) => child
+      Project(remap, planned)
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case Filter(cond, GraftRelation(path, snap, out)) =>
+      Filter(cond, splice(path, snap, out, IcebergLite.filtersFromExpression(cond)))
+    case GraftRelation(path, snap, out) => splice(path, snap, out, Nil)
   }
 }
 

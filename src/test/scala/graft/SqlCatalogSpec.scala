@@ -302,6 +302,28 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(orph.head.getInt(0) >= 0)
   }
 
+  test("analysis is lazy: a vanished file outside the pruned set never blocks the query") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.lazy")
+    spark.sql("""CREATE TABLE sqlcat.lazy.t (id BIGINT, p STRING)
+                 PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO sqlcat.lazy.t VALUES (1, 'a'), (2, 'b')")
+    val path = Catalog.tablePath(root, "lazy", "t")
+    // simulate a storage hole in partition b (the manifest still
+    // lists the file)
+    val bFile = IcebergLite.dataFiles(path)
+      .find(_.partition.get("p").contains("b")).get.filePath
+    Files.delete(java.nio.file.Paths.get(s"$path/$bFile"))
+    // ANALYSIS lists nothing — even the unfiltered plan resolves
+    val all = spark.sql("SELECT id FROM sqlcat.lazy.t")
+    assert(all.schema.fieldNames.toSeq == Seq("id"))
+    // a query pruned to partition a never touches b's missing file
+    assert(spark.sql("SELECT id FROM sqlcat.lazy.t WHERE p = 'a'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the unfiltered EXECUTION is what must fail
+    intercept[Exception](all.collect())
+  }
+
   test("catalog plugin table listing stays in sync with DDL") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.sync")
