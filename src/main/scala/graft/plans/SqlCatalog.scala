@@ -164,14 +164,22 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The DML target: a graft table reference, optionally aliased. */
+  /** The DML target: a graft table reference, optionally aliased,
+    * optionally branch-scoped (`graft.db.t.branch_x`). */
   private object GraftTarget {
-    def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
-      case SubqueryAlias(ident, UnresolvedRelation(parts, _, _)) =>
-        GraftSqlCatalog.resolve(spark, parts).map(p => (p, Some(ident.name)))
-      case UnresolvedRelation(parts, _, _) =>
-        GraftSqlCatalog.resolve(spark, parts).map(p => (p, None))
-      case _ => None
+    def unapply(plan: LogicalPlan): Option[(String, Option[String], Option[String])] = {
+      def table(parts: Seq[String]): Option[(String, Option[String])] =
+        if (parts.length == 4 && parts(3).startsWith("branch_"))
+          GraftSqlCatalog.resolve(spark, parts.take(3))
+            .map((_, Some(parts(3).stripPrefix("branch_"))))
+        else GraftSqlCatalog.resolve(spark, parts).map((_, None))
+      plan match {
+        case SubqueryAlias(ident, UnresolvedRelation(parts, _, _)) =>
+          table(parts).map { case (p, b) => (p, Some(ident.name), b) }
+        case UnresolvedRelation(parts, _, _) =>
+          table(parts).map { case (p, b) => (p, None, b) }
+        case _ => None
+      }
     }
   }
 
@@ -243,7 +251,20 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       require(userCols.isEmpty || byName,
         "INSERT with an explicit column list is supported BY NAME only")
       GraftInsertCommand(GraftSqlCatalog.resolve(spark, parts).get, query,
-        overwrite, byName)
+        overwrite, byName, toBranch = None)
+    // write-audit-publish in SQL: INSERT INTO graft.db.t.branch_audit
+    // appends to the branch head; main is untouched until fast_forward
+    case InsertIntoStatement(UnresolvedRelation(parts, _, _), partSpec,
+        userCols, query, overwrite, _, byName) if query.resolved &&
+        parts.length == 4 && parts(3).startsWith("branch_") &&
+        GraftSqlCatalog.resolve(spark, parts.take(3)).isDefined =>
+      require(partSpec.isEmpty && (userCols.isEmpty || byName),
+        "branch INSERT supports plain or BY NAME column lists only")
+      require(!overwrite, "INSERT OVERWRITE onto a branch is unsupported; " +
+        "write-audit-publish appends to the branch, then fast_forward")
+      GraftInsertCommand(GraftSqlCatalog.resolve(spark, parts.take(3)).get,
+        query, overwrite = false, byName,
+        toBranch = Some(parts(3).stripPrefix("branch_")))
     case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, ver)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       val path = GraftSqlCatalog.resolve(spark, parts).get
@@ -280,11 +301,15 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         parts(1), parts(2), newName.last)
     case TruncateTable(GraftTablePath(path)) =>
       GraftTruncateCommand(path)
-    case DeleteFromTable(GraftTarget(path, _), cond) =>
+    case DeleteFromTable(GraftTarget(path, _, branch), cond) =>
+      require(branch.isEmpty, "DELETE on a branch is unsupported; " +
+        "route CDC deletes through MERGE INTO the branch")
       GraftDeleteCommand(path,
         org.apache.spark.sql.GraftColumnBridge.toCol(bare(cond)),
         noCondition = cond == Literal.TrueLiteral)
-    case UpdateTable(GraftTarget(path, _), assignments, condOpt) =>
+    case UpdateTable(GraftTarget(path, _, branch), assignments, condOpt) =>
+      require(branch.isEmpty, "UPDATE on a branch is unsupported; " +
+        "route changes through MERGE INTO the branch")
       GraftUpdateCommand(path,
         assignments.map { case Assignment(key, value) =>
           val name = key match {
@@ -297,9 +322,10 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         },
         org.apache.spark.sql.GraftColumnBridge.toCol(
           bare(condOpt.getOrElse(Literal.TrueLiteral))))
-    case MergeIntoTable(GraftTarget(path, tAlias), source, cond,
+    case MergeIntoTable(GraftTarget(path, tAlias, branch), source, cond,
         matched, notMatched, notMatchedBySource, _) if source.resolved =>
-      mergeFor(path, tAlias, source, cond, matched, notMatched, notMatchedBySource)
+      mergeFor(path, tAlias, branch, source, cond, matched, notMatched,
+        notMatchedBySource)
     // ALTER TABLE column evolution maps onto the metadata-only
     // evolution API (add-with-null-fill / rename / type widening)
     case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
@@ -427,7 +453,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     *    action) tags every source row as a tombstone.
     * Everything else refuses with a message naming the gap. */
   private def mergeFor(path: String, tAlias: Option[String],
-      source: LogicalPlan, cond: Expression,
+      toBranch: Option[String], source: LogicalPlan, cond: Expression,
       matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
       notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
       notMatchedBySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): LogicalPlan = {
@@ -504,7 +530,8 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     require(!hasUpdate || insertAll,
       "upsert MERGE needs WHEN NOT MATCHED THEN INSERT * (the merge " +
         "primitive always inserts unmatched source rows)")
-    GraftMergeCommand(path, source, keyCols, precedence, tombstone, deleteAll)
+    GraftMergeCommand(path, source, keyCols, precedence, tombstone, deleteAll,
+      toBranch)
   }
 }
 
@@ -683,7 +710,8 @@ case class GraftUpdateCommand(tablePath: String,
   * [[GraftSqlResolution.mergeFor]] for the mapping). */
 case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     keyCols: Seq[String], precedence: Option[String],
-    tombstone: Option[String], deleteAll: Boolean) extends RunnableCommand {
+    tombstone: Option[String], deleteAll: Boolean,
+    toBranch: Option[String]) extends RunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = source :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
@@ -705,7 +733,7 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
         Some("__graft_tombstone"))
       else (src, tombstone)
     IcebergLite.merge(spark, tablePath, df, keyCols,
-      precedence = precedence, tombstoneCol = tomb)
+      precedence = precedence, tombstoneCol = tomb, toBranch = toBranch)
     Nil
   }
 }
@@ -763,7 +791,8 @@ case class GraftMetadataPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   * (`BY NAME` by name), cast to the table's logical schema; a first
   * insert into an empty, spec-less table defines the schema. */
 case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
-    overwrite: Boolean, byName: Boolean) extends RunnableCommand {
+    overwrite: Boolean, byName: Boolean,
+    toBranch: Option[String]) extends RunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = query :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
@@ -777,7 +806,11 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
     // partition columns last, the declaration puts them where the
     // user wrote them). Types always come from the live schema so
     // later type-widening is honored over a stale declaration.
-    val live = Option(IcebergLite.read(spark, tablePath).schema).filter(_.nonEmpty)
+    // alignment truth follows the WRITE TARGET's head: a branch
+    // insert aligns to the branch's schema, not main's
+    val alignSnap = toBranch.map(IcebergLite.resolveRef(tablePath, _))
+    val live = Option(IcebergLite.read(spark, tablePath, alignSnap).schema)
+      .filter(_.nonEmpty)
     val declared = GraftSqlCatalog.declaredSchema(tablePath)
     val logical: Option[StructType] = (live, declared) match {
       case (Some(l), Some(d)) if d.fieldNames.sorted.sameElements(l.fieldNames.sorted) =>
@@ -804,7 +837,7 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
         "INSERT OVERWRITE needs a partition spec (dynamic overwrite); " +
           "unpartitioned full rewrites go through delete + insert")
       IcebergLite.overwrite(spark, tablePath, aligned, Nil)
-    } else IcebergLite.append(spark, tablePath, aligned)
+    } else IcebergLite.append(spark, tablePath, aligned, toBranch = toBranch)
     Nil
   }
 }

@@ -150,6 +150,34 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id, v FROM dml.db.tr").columns.toSeq == Seq("id", "v"))
   }
 
+  test("write-audit-publish in SQL: branch INSERT + MERGE, fast_forward publish") {
+    root
+    spark.sql("CREATE TABLE dml.db.wap (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.wap VALUES (1, 'a')")
+    spark.sql("CALL dml.system.create_branch('db.wap', 'audit')")
+    // audit writes land on the branch; main is frozen
+    spark.sql("INSERT INTO dml.db.wap.branch_audit VALUES (2, 'b')")
+    spark.sql("""
+      MERGE INTO dml.db.wap.branch_audit AS t
+      USING (SELECT 2 AS id, 'B' AS v UNION ALL SELECT 3, 'c') AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) AS n FROM dml.db.wap")
+      .collect().head.getLong(0) == 1)
+    assert(spark.sql("SELECT id, v FROM dml.db.wap.branch_audit ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // publish: fast-forward main to the audited branch head
+    spark.sql("CALL dml.system.fast_forward('db.wap', 'audit')")
+    assert(spark.sql("SELECT count(*) AS n FROM dml.db.wap")
+      .collect().head.getLong(0) == 3)
+    // UPDATE/DELETE on a branch refuse with routing guidance
+    val up = intercept[Exception](
+      spark.sql("UPDATE dml.db.wap.branch_audit SET v = 'x' WHERE id = 1"))
+    assert(up.getMessage.contains("branch"))
+  }
+
   test("unsupported DML shapes refuse with actionable messages") {
     root
     spark.sql("CREATE TABLE dml.db.r (id BIGINT, v STRING)")
