@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.functions._
 
@@ -235,4 +235,35 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+  /** Overlapping character-window CHUNKING — the retrieval/embedding
+    * preprocessing step: each document explodes into windows of
+    * `chunkChars` characters starting every `chunkChars - overlap`
+    * characters, so consecutive chunks share `overlap` characters and
+    * no boundary sentence is lost to both sides. Pure map-side codegen
+    * (sequence → explode → substring): zero shuffle at any corpus
+    * size; output bytes ∝ input × chunkChars/stride, the minimum a
+    * character-window chunker can emit. A trailing window whose
+    * remainder fits inside the previous chunk's overlap is suppressed
+    * (it would re-emit that tail verbatim); empty documents produce no
+    * chunks. `chunk_idx = chunk_start / stride` is stable under any
+    * partitioning — chunk identity is (doc, offset), not row order. */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      chunkChars: Int, overlap: Int): DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap < chunkChars, got overlap=$overlap chunkChars=$chunkChars")
+    val stride = chunkChars - overlap
+    df.select(id.as("doc_id"), text.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0),
+          greatest(length(col("__t")) - 1, lit(0)), lit(stride))).as("chunk_start"))
+      .filter(col("chunk_start") === 0 ||
+        length(col("__t")) - col("chunk_start") > overlap)
+      .select(col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long"),
+        substring(col("__t"), col("chunk_start") + 1, lit(chunkChars)).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+      .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
+  }
+
 }

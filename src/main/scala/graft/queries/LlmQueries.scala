@@ -736,6 +736,31 @@ object LlmQueries extends QueryCatalog {
         .orderBy(col("doc_id")))
 
   /** Token counting: whitespace + BPE-ish pre-tokenizer regex. */
+  /** Overlapping character-window chunking (RAG/embedding
+    * preprocessing — TextAnalysis.chunk): windows of 120 chars every
+    * 90 (30-char overlap), trailing windows that fit inside the
+    * previous overlap suppressed. DuckDB re-derives the identical
+    * window set from range()+substr, chunk identity being (doc,
+    * offset) — layout-independent by construction. */
+  private val textChunks = Q(
+    "text_chunks",
+    Some("""
+      SELECT doc_id,
+             CAST(chunk_start / 90 AS BIGINT) AS chunk_idx,
+             CAST(chunk_start AS BIGINT) AS chunk_start,
+             substr(text, chunk_start + 1, 120) AS chunk,
+             length(substr(text, chunk_start + 1, 120)) AS n_chunk_chars
+      FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text), 1), 90)) AS chunk_start
+            FROM documents WHERE doc_id < 60)
+      WHERE (chunk_start = 0 OR length(text) - chunk_start > 30)
+        AND length(substr(text, chunk_start + 1, 120)) > 0
+      ORDER BY doc_id, chunk_idx"""),
+    (s, dir) =>
+      TextAnalysis.chunk(
+        t(s, dir, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), chunkChars = 120, overlap = 30)
+        .orderBy(col("doc_id"), col("chunk_idx")))
+
   private val textTokens = Q(
     "text_tokens",
     Some("""
@@ -1393,7 +1418,7 @@ object LlmQueries extends QueryCatalog {
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     pqEncodeQ, annPqFull, annPq,
-    textLangid, textQuality, textTokens, textFingerprint, textLmScore,
+    textLangid, textQuality, textTokens, textChunks, textFingerprint, textLmScore,
     textRepetition, textEntropy, textQualityGate, textBm25,
     multimodalFrames, multimodalDecode, llmPipeline, llmRelease,
     dataSampleHash, dataSampleStratified, dataShards, dataPackBlocks, dataVocabTopk,
