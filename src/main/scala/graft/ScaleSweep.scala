@@ -130,6 +130,7 @@ object ScaleSweep {
     if (mode == "eqdelk") { eqdelKSweep(spark, nDocs); spark.stop(); return }
     if (mode == "lakehouse") { lakehouseSweep(spark); spark.stop(); return }
     if (mode == "update") { updateSweep(spark); spark.stop(); return }
+    if (mode == "sqldml") { sqlDmlSweep(spark); spark.stop(); return }
     if (mode == "hidden") { hiddenSweep(spark, nDocs); spark.stop(); return }
     if (mode == "optimize") { optimizeSweep(spark, nDocs); spark.stop(); return }
     if (mode == "tpchgen") {
@@ -1159,6 +1160,70 @@ object ScaleSweep {
       s""""carriedFiles":${carried.size},""" +
       s""""prunedUpdateWallSec":${math.round(prunedWall * 100) / 100.0},""" +
       s""""fullUpdateWallSec":${math.round(fullWall * 100) / 100.0}}""")
+  }
+
+  /** The WHOLE SQL DML lifecycle at the bench's scale point (sf0.1
+    * lineitem, 600k rows): CTAS, pruned SELECT, scoped UPDATE, both
+    * DELETE routes, 10k-key MERGE. Every statement is pure
+    * `spark.sql` over the registered catalog — the walls price the
+    * claim that the SQL layer adds analysis-time machinery only.
+    *     SPARK_GRAFT_SF_DIR=... sbt -batch "runMain graft.ScaleSweep sqldml"
+    */
+  private def sqlDmlSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import sources.{Catalog, IcebergLite}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqldml_sweep").toString
+    Catalog.init(root)
+    spark.conf.set("spark.sql.catalog.sweepcat",
+      classOf[graft.plans.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.sweepcat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sweepcat.db")
+    Engine.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("string").as("ln"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"))
+      .createOrReplaceTempView("li_src")
+    def timed[A](f: => A): (A, Double) = {
+      val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, ctasWall) = timed(spark.sql(
+      "CREATE TABLE sweepcat.db.li PARTITIONED BY (ln) AS SELECT * FROM li_src"))
+    val path = Catalog.tablePath(root, "db", "li")
+    val nFiles = IcebergLite.dataFiles(path).size
+    val total = spark.sql("SELECT count(*) AS n FROM sweepcat.db.li")
+      .collect()(0).getLong(0)
+    val (sel, selWall) = timed(spark.sql(
+      "SELECT count(*) AS n FROM sweepcat.db.li WHERE ln = '1' AND qty <= 25")
+      .collect()(0).getLong(0))
+    val (_, updWall) = timed(spark.sql(
+      "UPDATE sweepcat.db.li SET price = price + 1 WHERE ln = '1' AND qty <= 25"))
+    val (_, delCowWall) = timed(spark.sql(
+      "DELETE FROM sweepcat.db.li WHERE ln = '7'"))
+    val (_, delMorWall) = timed(spark.sql(
+      "DELETE FROM sweepcat.db.li WHERE qty * 2 >= 99"))
+    val mergeN = spark.sql("""SELECT count(*) AS n FROM (
+      SELECT DISTINCT l_orderkey FROM li_src WHERE l_orderkey % 60 = 0)""")
+      .collect()(0).getLong(0)
+    val (_, mergeWall) = timed(spark.sql("""
+      MERGE INTO sweepcat.db.li AS t
+      USING (SELECT DISTINCT l_orderkey, '9' AS ln, 1.0 AS qty, 0.0 AS price
+             FROM li_src WHERE l_orderkey % 60 = 0) AS s
+      ON t.l_orderkey = s.l_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *"""))
+    val after = spark.sql("SELECT count(*) AS n FROM sweepcat.db.li")
+      .collect()(0).getLong(0)
+    require(after > 0 && sel > 0, s"lifecycle lost the table: $after/$sel")
+    println(
+      s"""{"sweep":"sqldml","sf":"${sfDir.split('/').last}","rows":$total,""" +
+      s""""files":$nFiles,"ctasWallSec":${math.round(ctasWall * 100) / 100.0},""" +
+      s""""prunedSelectWallSec":${math.round(selWall * 100) / 100.0},""" +
+      s""""updateWallSec":${math.round(updWall * 100) / 100.0},""" +
+      s""""deleteCowWallSec":${math.round(delCowWall * 100) / 100.0},""" +
+      s""""deleteMorWallSec":${math.round(delMorWall * 100) / 100.0},""" +
+      s""""mergeKeys":$mergeN,"mergeWallSec":${math.round(mergeWall * 100) / 100.0},""" +
+      s""""rowsAfter":$after}""")
   }
 
   private def lakehouseSweep(spark: org.apache.spark.sql.SparkSession): Unit = {

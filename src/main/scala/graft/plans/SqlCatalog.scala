@@ -144,6 +144,18 @@ object GraftSqlCatalog {
     }
 }
 
+/** A DML statement's still-unresolved graft target, claimed by the
+  * resolution rule on FIRST sight of the statement — before the
+  * generic relation case could turn the target into a read relation
+  * (a DML target is a write address, not a scan). `resolved = false`
+  * keeps the analyzer iterating until the statement's sources resolve
+  * and the DML case consumes the placeholder. */
+case class GraftDmlTarget(parts: Seq[String], alias: Option[String])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+}
+
 /** Analyzer rule: name resolution + time travel + INSERT/DML routing. */
 case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedTableOrView}
@@ -164,6 +176,15 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** An INSERT address: the raw relation or the claimed placeholder. */
+  private object GraftInsertAddress {
+    def unapply(plan: LogicalPlan): Option[Seq[String]] = plan match {
+      case UnresolvedRelation(parts, _, _) => Some(parts)
+      case GraftDmlTarget(parts, _) => Some(parts)
+      case _ => None
+    }
+  }
+
   /** The DML target: a graft table reference, optionally aliased,
     * optionally branch-scoped (`graft.db.t.branch_x`). */
   private object GraftTarget {
@@ -178,6 +199,8 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           table(parts).map { case (p, b) => (p, Some(ident.name), b) }
         case UnresolvedRelation(parts, _, _) =>
           table(parts).map { case (p, b) => (p, None, b) }
+        case GraftDmlTarget(parts, alias) =>
+          table(parts).map { case (p, b) => (p, alias, b) }
         case _ => None
       }
     }
@@ -241,8 +264,26 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** `parts` names a graft table (3-part) or branch target (4-part). */
+  private def graftParts(parts: Seq[String]): Boolean =
+    GraftSqlCatalog.resolve(spark, parts).isDefined ||
+      (parts.length == 4 && parts(3).startsWith("branch_") &&
+        GraftSqlCatalog.resolve(spark, parts.take(3)).isDefined)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case i @ InsertIntoStatement(UnresolvedRelation(parts, _, _), partSpec,
+    // CLAIM still-blocked DML targets first (top-down: the statement
+    // is seen before its children): a MERGE/INSERT whose source has
+    // not resolved yet must not lose its target to the relation case
+    case m @ MergeIntoTable(SubqueryAlias(ident, UnresolvedRelation(parts, _, _)),
+        source, _, _, _, _, _) if !source.resolved && graftParts(parts) =>
+      m.copy(targetTable = GraftDmlTarget(parts, Some(ident.name)))
+    case m @ MergeIntoTable(UnresolvedRelation(parts, _, _),
+        source, _, _, _, _, _) if !source.resolved && graftParts(parts) =>
+      m.copy(targetTable = GraftDmlTarget(parts, None))
+    case i @ InsertIntoStatement(UnresolvedRelation(parts, _, _),
+        _, _, query, _, _, _) if !query.resolved && graftParts(parts) =>
+      i.copy(table = GraftDmlTarget(parts, None))
+    case i @ InsertIntoStatement(GraftInsertAddress(parts), partSpec,
         userCols, query, overwrite, _, byName) if query.resolved &&
         GraftSqlCatalog.resolve(spark, parts).isDefined =>
       require(partSpec.isEmpty,
@@ -254,7 +295,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         overwrite, byName, toBranch = None)
     // write-audit-publish in SQL: INSERT INTO graft.db.t.branch_audit
     // appends to the branch head; main is untouched until fast_forward
-    case InsertIntoStatement(UnresolvedRelation(parts, _, _), partSpec,
+    case InsertIntoStatement(GraftInsertAddress(parts), partSpec,
         userCols, query, overwrite, _, byName) if query.resolved &&
         parts.length == 4 && parts(3).startsWith("branch_") &&
         GraftSqlCatalog.resolve(spark, parts.take(3)).isDefined =>

@@ -178,6 +178,26 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(up.getMessage.contains("branch"))
   }
 
+  test("MERGE/INSERT sources that resolve late (views) still find their target") {
+    root
+    spark.sql("CREATE TABLE dml.db.late (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.late VALUES (1, 'a')")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "A"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("late_src")
+    // first analyzer pass sees an UNRESOLVED view source: the target
+    // must be claimed as a write address, not resolved into a scan
+    spark.sql("""
+      MERGE INTO dml.db.late AS t USING late_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("INSERT INTO dml.db.late SELECT id + 10, v FROM late_src")
+    assert(spark.sql("SELECT id, v FROM dml.db.late ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (2L, "b"), (11L, "A"), (12L, "b")))
+  }
+
   test("unsupported DML shapes refuse with actionable messages") {
     root
     spark.sql("CREATE TABLE dml.db.r (id BIGINT, v STRING)")
