@@ -20,12 +20,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.{Catalog, IcebergLite, IcebergTransforms}
 
-/** SQL-visible lakehouse tables: `SELECT ... FROM graft.db.t` with
-  * time travel and metadata pruning, `INSERT INTO` / `INSERT
-  * OVERWRITE`, and namespace/table DDL — the SQL face of
-  * [[graft.sources.Catalog]] (itself the analogue of the reference's
-  * metastore client, `/root/reference/src/metastore/mod.rs:16-86`;
-  * the reference's CLI resolves names the same way before planning).
+/** SQL-visible lakehouse tables — the catalog's full SQL face:
+  * `SELECT ... FROM graft.db.t` with time travel (`VERSION AS OF
+  * <snap|'ref'>`, `TIMESTAMP AS OF`, `branch_x`/`tag_x` suffixes) and
+  * WHERE-driven metadata pruning; the DML surface (INSERT INTO /
+  * OVERWRITE, UPDATE, DELETE, MERGE INTO, TRUNCATE, branch-scoped
+  * writes for write-audit-publish); DDL (CREATE NAMESPACE / TABLE /
+  * CTAS / DESCRIBE / ALTER evolution / TBLPROPERTIES); metadata
+  * tables as 4-part names; and `CALL graft.system.*` maintenance
+  * procedures. [[graft.sources.Catalog]] is the name store (the
+  * analogue of the reference's metastore client, `/root/reference/
+  * src/metastore/mod.rs:16-86`; [[graft.sources.RestCatalog]] speaks
+  * its wire protocol).
   *
   * Wiring: register the catalog name with
   * {{{
@@ -35,29 +41,30 @@ import graft.sources.{Catalog, IcebergLite, IcebergTransforms}
   * Three cooperating pieces, all injected by [[GraftExtensions]]:
   *
   *  1. [[GraftCatalogPlugin]] — a Spark `TableCatalog` +
-  *     `SupportsNamespaces` over the catalog JSON, powering DDL
-  *     (`CREATE NAMESPACE` / `CREATE TABLE` / `SHOW TABLES` /
-  *     `DROP TABLE` / `ALTER TABLE RENAME`). Its `loadTable` throws
-  *     `NoSuchTableException` BY DESIGN: reads do not go through a
-  *     DSv2 scan (which would re-implement parquet reading) but
-  *     through rule 2, keeping Spark's vectorized reader + codegen.
-  *  2. [[GraftSqlResolution]] (analyzer rule) — resolves the
-  *     still-unresolved relation to the table's [[IcebergLite.read]]
-  *     plan wrapped in a [[GraftRelation]] marker; resolves `VERSION
-  *     AS OF <snap|'ref'>` / `TIMESTAMP AS OF` through
-  *     [[IcebergLite.resolveRef]] / [[IcebergLite.snapshotAsOf]], and
-  *     `INSERT INTO`/`OVERWRITE` to a [[GraftInsertCommand]].
+  *     `SupportsNamespaces` + `ProcedureCatalog` over the catalog
+  *     JSON, powering DDL, listings, and CALL procedures. Its
+  *     `loadTable` throws `NoSuchTableException` BY DESIGN: reads do
+  *     not go through a DSv2 scan (which would re-implement parquet
+  *     reading) but through rule 2, keeping Spark's vectorized reader
+  *     + whole-stage codegen.
+  *  2. [[GraftSqlResolution]] (analyzer rule) — resolves relations to
+  *     the LAZY [[GraftRelation]] marker (snapshot pinned, output
+  *     attrs from metadata, NO file listing at analysis), resolves
+  *     time travel through [[IcebergLite.resolveRef]] /
+  *     [[IcebergLite.snapshotAsOf]], and routes every DML statement
+  *     to a RunnableCommand over the table layer's primitives —
+  *     claiming still-blocked DML targets ([[GraftDmlTarget]]) so a
+  *     write address is never mistaken for a scan.
   *  3. [[GraftMetadataPrune]] (optimizer rule, operator-optimization
-  *     batch) — when a `Filter` lands directly on the marker, its
-  *     supported conjuncts re-plan the file list through partition /
-  *     manifest-summary / file-bounds skipping
-  *     ([[IcebergLite.filtersFromExpression]]), so a SQL `WHERE` on a
-  *     partition or clustered column reads only the surviving files —
-  *     at 100 TB the difference between scanning a table and scanning
-  *     a day. The FULL predicate stays row-level on top (pruning can
-  *     only skip work, never change results), and the marker is
-  *     removed either way so column pruning / filter pushdown reach
-  *     the parquet scan within the same optimizer batch.
+  *     batch) — replaces each marker with the real read planned over
+  *     exactly the files surviving the WHERE's supported conjuncts
+  *     (partition / manifest-summary / file-bounds skipping through
+  *     [[IcebergLite.filtersFromExpression]]) — at 100 TB the
+  *     difference between scanning a table and scanning a day. The
+  *     FULL predicate stays row-level on top (pruning can only skip
+  *     work, never change results), and the substitution happens
+  *     inside the batch's fixed point so column pruning and parquet
+  *     filter pushdown still reach the spliced scan.
   */
 /** The LAZY table marker: analysis binds only the snapshot and the
   * output attributes (metadata reads — no file listing, no
