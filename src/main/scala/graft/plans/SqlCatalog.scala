@@ -173,13 +173,19 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     * table-only commands and UnresolvedTableOrView for the rest;
     * accept either and yield the resolved table path. */
   private object GraftTablePath {
-    def unapply(plan: LogicalPlan): Option[String] = {
+    def unapply(plan: LogicalPlan): Option[String] =
+      GraftTableParts.unapply(plan).map(_._2)
+  }
+
+  /** Same, keeping the NAME parts alongside the resolved path. */
+  private object GraftTableParts {
+    def unapply(plan: LogicalPlan): Option[(Seq[String], String)] = {
       val parts = plan match {
         case org.apache.spark.sql.catalyst.analysis.UnresolvedTable(p, _, _) => Some(p)
         case UnresolvedTableOrView(p, _, _) => Some(p)
         case _ => None
       }
-      parts.flatMap(GraftSqlCatalog.resolve(spark, _))
+      parts.flatMap(p => GraftSqlCatalog.resolve(spark, p).map((p, _)))
     }
   }
 
@@ -430,6 +436,35 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       LocalRelation(output, tuples.map(t =>
         org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(t))))
+    // SHOW CREATE TABLE renders a re-runnable declaration from
+    // metadata: logical shape, partition transforms, set properties
+    case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+        GraftTableParts(parts, path), _, output) =>
+      val shape = IcebergLite.logicalShape(path, None) match {
+        case s if s.nonEmpty => s
+        case _ => GraftSqlCatalog.declaredSchema(path)
+          .getOrElse(new org.apache.spark.sql.types.StructType())
+      }
+      val cols = shape.fields.map(f =>
+        s"${f.name} ${f.dataType.sql}").mkString(",\n  ")
+      val spec = IcebergLite.partitionSpec(path)
+      val partBy =
+        if (spec.isEmpty) ""
+        else spec.map { f => f.transform match {
+          case IcebergTransforms.Identity => f.source
+          case IcebergTransforms.Bucket(n) => s"bucket($n, ${f.source})"
+          case IcebergTransforms.Truncate(w) => s"truncate($w, ${f.source})"
+          case t => s"${t.tag}(${f.source})"
+        }}.mkString("\nPARTITIONED BY (", ", ", ")")
+      val props = IcebergLite.tableProperties(path)
+      val tblProps =
+        if (props.isEmpty) ""
+        else props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'$k' = '$v'" }
+          .mkString("\nTBLPROPERTIES (", ", ", ")")
+      LocalRelation(output, Seq(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"CREATE TABLE ${parts.mkString(".")} (\n  $cols)$partBy$tblProps"))))
     // DESCRIBE answers from metadata alone (the plugin's loadTable
     // refuses by design): logical shape + the partition spec section
     case org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(

@@ -324,6 +324,49 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception](all.collect())
   }
 
+  test("SHOW CREATE TABLE renders a re-runnable declaration from metadata") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.sct")
+    spark.sql("""CREATE TABLE sqlcat.sct.t (id BIGINT, day STRING, n INT)
+                 PARTITIONED BY (day, bucket(4, id))""")
+    spark.sql("ALTER TABLE sqlcat.sct.t SET TBLPROPERTIES " +
+      "('write.max-records-per-file' = '100')")
+    spark.sql("INSERT INTO sqlcat.sct.t VALUES (1, 'd1', 5)")
+    val ddl = spark.sql("SHOW CREATE TABLE sqlcat.sct.t")
+      .collect().head.getString(0)
+    assert(ddl.contains("CREATE TABLE sqlcat.sct.t"))
+    assert(ddl.contains("id BIGINT") && ddl.contains("n INT"))
+    assert(ddl.contains("PARTITIONED BY (day, bucket(4, id))"))
+    assert(ddl.contains("'write.max-records-per-file' = '100'"))
+  }
+
+  test("concurrent DML: the commit lock serializes; a lost parent aborts cleanly") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.cc")
+    spark.sql("CREATE TABLE sqlcat.cc.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO sqlcat.cc.t VALUES (1, 'a'), (2, 'b')")
+    // two UPDATEs racing on different rows: each either commits or
+    // aborts with a conflict — never a lost update
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence((0 until 2).toList.map(i => Future {
+      try { spark.sql(s"UPDATE sqlcat.cc.t SET v = 'u$i' WHERE id = ${i + 1}"); None }
+      catch { case e: Exception => Some(e) }
+    })), 120.seconds)
+    val failures = results.flatten
+    val rows = spark.sql("SELECT id, v FROM sqlcat.cc.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    if (failures.isEmpty)
+      assert(rows == Seq((1L, "u0"), (2L, "u1")))
+    else {
+      // exactly one aborted; the winner's update (and only it) landed
+      assert(failures.size == 1)
+      assert(rows.count(_._2.startsWith("u")) == 1)
+      assert(rows.map(_._1) == Seq(1L, 2L))
+    }
+  }
+
   test("catalog plugin table listing stays in sync with DDL") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.sync")
