@@ -211,9 +211,10 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         case SubqueryAlias(ident, UnresolvedRelation(parts, _, _)) =>
           table(parts).map { case (p, b) => (p, Some(ident.name), b) }
         case UnresolvedRelation(parts, _, _) =>
-          table(parts).map { case (p, b) => (p, None, b) }
+          // no alias: SQL scoping lets the bare table name qualify
+          table(parts).map { case (p, b) => (p, Some(parts(2)), b) }
         case GraftDmlTarget(parts, alias) =>
-          table(parts).map { case (p, b) => (p, alias, b) }
+          table(parts).map { case (p, b) => (p, alias.orElse(Some(parts(2))), b) }
         case _ => None
       }
     }
@@ -248,13 +249,14 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // shape is the deferred read's contract
     val tracked = IcebergLite.tableSchema(path, snap).isDefined
     if (tracked && shape.nonEmpty) GraftRelation(path, snap, attrs(shape))
+    else if (IcebergLite.dataFiles(path, snap).nonEmpty)
+      // pre-schema-tracking table WITH data (e.g. a DDL adoption of an
+      // old root): the data wins over any declaration — resolve
+      // eagerly (row-level filtering only)
+      IcebergLite.read(spark, path, snap).queryExecution.analyzed
     else GraftSqlCatalog.declaredSchema(path) match {
       // empty table: zero rows with the DDL-declared columns
       case Some(s) => LocalRelation(attrs(s))
-      case None if IcebergLite.dataFiles(path, snap).nonEmpty =>
-        // pre-schema-tracking table: no recorded shape to be lazy
-        // against — resolve eagerly (row-level filtering only)
-        IcebergLite.read(spark, path, snap).queryExecution.analyzed
       case None => LocalRelation(Nil: Seq[Attribute])
     }
   }
@@ -460,7 +462,9 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       val tblProps =
         if (props.isEmpty) ""
         else props.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"'$k' = '$v'" }
+          .map { case (k, v) =>
+            // SQL single-quote doubling keeps the rendered DDL re-runnable
+            s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'" }
           .mkString("\nTBLPROPERTIES (", ", ", ")")
       LocalRelation(output, Seq(org.apache.spark.sql.catalyst.InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(
@@ -608,6 +612,14 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     require(!(deleteAll && (hasUpdate || tombstone.nonEmpty)),
       "a bare WHEN MATCHED THEN DELETE cannot combine with UPDATE " +
         "(use a source tombstone flag for per-row routing)")
+    require(!(deleteAll && insertAll),
+      "WHEN MATCHED THEN DELETE with WHEN NOT MATCHED THEN INSERT is " +
+        "unsupported (the merge primitive cannot insert rows it tombstones); " +
+        "split into a delete-only MERGE and an INSERT, or flag deletes in " +
+        "the source")
+    require(matched.count(_.isInstanceOf[UpdateStarAction]) <= 1,
+      "at most one WHEN MATCHED ... UPDATE clause is supported (clause " +
+        "ordering between multiple UPDATE arms has no merge-primitive mapping)")
     require(hasUpdate || deleteAll,
       "MERGE needs WHEN MATCHED THEN UPDATE SET * or THEN DELETE")
     require(!hasUpdate || insertAll,
@@ -802,9 +814,12 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     import org.apache.spark.sql.functions.{col, lit}
     val src0 = org.apache.spark.sql.GraftColumnBridge.toDF(spark, source)
     // same cast discipline as INSERT: table-schema columns align to
-    // their live types; extra source columns (tombstone/precedence
-    // helpers) ride along untouched
-    val live = IcebergLite.read(spark, tablePath).schema
+    // their live types — the WRITE TARGET's head (branch merges align
+    // to the branch schema, which may have evolved past main's) —
+    // while extra source columns (tombstone/precedence helpers) ride
+    // along untouched
+    val alignSnap = toBranch.map(IcebergLite.resolveRef(tablePath, _))
+    val live = IcebergLite.read(spark, tablePath, alignSnap).schema
     val src =
       if (live.isEmpty) src0
       else src0.select(

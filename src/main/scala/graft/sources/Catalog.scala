@@ -38,10 +38,29 @@ object Catalog {
       Files.writeString(catalogFile(root), """{"databases": {}}""")
   }
 
+  /** Parse cache keyed by (mtime, size): analyzer rules and the REST
+    * server resolve names many times per statement/request, and the
+    * document only changes under the commit lock. In-process mutations
+    * refresh the cache directly at write; cross-process writers are
+    * picked up through the key — a same-instant same-size rewrite by
+    * ANOTHER process is the only (adversarial) staleness window. */
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((java.nio.file.attribute.FileTime, Long), Map[String, Map[String, String]])]()
+
   private def readAll(root: String): Map[String, Map[String, String]] = {
-    if (!Files.exists(catalogFile(root))) return Map.empty
+    val f = catalogFile(root)
+    if (!Files.exists(f)) return Map.empty
+    val key = (Files.getLastModifiedTime(f), Files.size(f))
+    val cached = parseCache.get(root)
+    if (cached != null && cached._1 == key) return cached._2
+    val parsed = parseJson(f)
+    parseCache.put(root, (key, parsed))
+    parsed
+  }
+
+  private def parseJson(f: java.nio.file.Path): Map[String, Map[String, String]] = {
     org.json4s.jackson.JsonMethods.parse(
-      Files.readString(catalogFile(root))) \ "databases" match {
+      Files.readString(f)) \ "databases" match {
       case JObject(dbs) => dbs.map { case (db, ts) =>
         db -> (ts match {
           case JObject(fields) => fields.collect {
@@ -62,7 +81,9 @@ object Catalog {
         .map { case (t, p) => s"${jstr(t)}: ${jstr(p)}" }
         .mkString("{", ", ", "}")
     }.mkString("{", ", ", "}")
-    Files.writeString(catalogFile(root), s"""{"databases": $body}""")
+    val f = catalogFile(root)
+    Files.writeString(f, s"""{"databases": $body}""")
+    parseCache.put(root, ((Files.getLastModifiedTime(f), Files.size(f)), dbs))
   }
 
   def listDatabases(root: String): Seq[String] =

@@ -50,7 +50,8 @@ object RestCatalog {
     http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       val (status, body) =
         try route(root, ex.getRequestURI.getPath)
-        catch { case e: Exception => (500, s"""{"error": ${jstr(e.getMessage)}}""") }
+        catch { case e: Exception => (500, s"""{"error": ${
+          jstr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""") }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(status, bytes.length.toLong)
@@ -126,6 +127,11 @@ object RestCatalog {
 
   class TableNotFound(msg: String) extends RuntimeException(msg)
 
+  /** Percent-encode ONE path segment (URLEncoder is form-encoding:
+    * its '+' for space would decode as a literal plus in a URI path). */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
   /** Client with the reference's reliability contract: `maxRetries`
     * attempts, exponential backoff `retryDelayMs → maxRetryDelayMs`,
     * per-request timeout; a 404 on get_table surfaces as
@@ -171,18 +177,18 @@ object RestCatalog {
     private def notFoundErr(url: String): Exception = new TableNotFound(url)
 
     def listDatabases(): Seq[String] =
-      (get(s"$baseUrl/branch/$branchId/databases", notFoundErr) \ "databases")
+      (get(s"$baseUrl/branch/${seg(branchId)}/databases", notFoundErr) \ "databases")
         .extract[Seq[String]]
 
     def listTables(db: String): Seq[TableInfo] =
-      (get(s"$baseUrl/branch/$branchId/database/$db/tables", notFoundErr) \ "tables") match {
+      (get(s"$baseUrl/branch/${seg(branchId)}/database/${seg(db)}/tables", notFoundErr) \ "tables") match {
         case JArray(ts) => ts.map(t => TableInfo(
           (t \ "table_name").extract[String], (t \ "table_type").extract[String]))
         case _ => Nil
       }
 
     def getTable(db: String, table: String): TableMetadata = {
-      val j = get(s"$baseUrl/branch/$branchId/table/$db/$table",
+      val j = get(s"$baseUrl/branch/${seg(branchId)}/table/${seg(db)}/${seg(table)}",
         u => new TableNotFound(s"table $db.$table not found ($u)"))
       TableMetadata(
         (j \ "table_name").extract[String],

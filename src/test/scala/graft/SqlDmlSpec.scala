@@ -187,9 +187,10 @@ class SqlDmlSpec extends AnyFunSuite {
     Seq((1L, "A"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("late_src")
     // first analyzer pass sees an UNRESOLVED view source: the target
     // must be claimed as a write address, not resolved into a scan
+    // unaliased target: the bare table name qualifies (SQL scoping)
     spark.sql("""
-      MERGE INTO dml.db.late AS t USING late_src AS s
-      ON t.id = s.id
+      MERGE INTO dml.db.late USING late_src AS s
+      ON late.id = s.id
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *""")
     spark.sql("INSERT INTO dml.db.late SELECT id + 10, v FROM late_src")
