@@ -742,10 +742,17 @@ object IcebergLite {
       spark.read.option("mergeSchema", "true")
         .parquet(live.map(f => s"$tablePath/${f.filePath}"): _*).schema
     }
-    val logicalCur = cur.fieldNames.map(n => rmap.getOrElse(n, n)).toSet ++
-      partitionSpec(tablePath).map(_.name)
+    // collision set: the FULL logical shape (data + spec + legacy
+    // partition columns) AND the physical names — a new column named
+    // after a renamed column's physical name would commit a duplicate
+    // physical field and brick every read (renameColumn guards the
+    // mirror case), and one named after a legacy partition column
+    // would silently alias recovered partition values
+    val taken = logicalShape(tablePath, parentId).fieldNames.toSet ++
+      partitionSpec(tablePath).map(_.name) ++ cur.fieldNames
     cols.fieldNames.foreach(n =>
-      require(!logicalCur.contains(n), s"column $n already exists"))
+      require(!taken.contains(n),
+        s"column $n collides with an existing logical, physical, or partition name"))
     commitSnapshot(tablePath, parentId, entries = Nil,
       carriedManifests = parentManifests(tablePath, parentId),
       operation = "replace",
@@ -1527,6 +1534,20 @@ object IcebergLite {
 
   def setProperties(tablePath: String, props: Map[String, String]): Unit = {
     val (typed, generic) = props.partition(kv => typedPropSet.contains(kv._1))
+    // validate EVERY typed value before applying ANY — a SET statement
+    // must not half-apply when its third property fails to parse
+    typed.foreach {
+      case ("write.max-records-per-file", v) =>
+        require(v.trim.nonEmpty && v.trim.forall(_.isDigit),
+          s"write.max-records-per-file must be a non-negative integer, got '$v'")
+      case ("write.distribution-mode", v) =>
+        require(Set("none", "hash", "range").contains(v),
+          s"unknown write distribution mode: $v (none|hash|range)")
+      case ("write.sort-order", v) =>
+        require(v.split(",").exists(_.trim.nonEmpty),
+          "write.sort-order needs at least one column")
+      case _ => ()
+    }
     typed.foreach { case (k, v) => typedPropSet(k)(tablePath, v) }
     if (generic.nonEmpty) withCommitLock(tablePath) {
       writeGenericProperties(tablePath, genericProperties(tablePath) ++ generic)
@@ -1709,16 +1730,26 @@ object IcebergLite {
     * exactly. */
   def readWhere(spark: SparkSession, tablePath: String,
       condition: org.apache.spark.sql.Column,
-      snapshotId: Option[Long] = None): DataFrame =
-    read(spark, tablePath, snapshotId,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val base = read(spark, tablePath, snapshotId,
       resolvedMetaFilters(spark, tablePath, condition, snapshotId))
-      .filter(condition)
+    if (base.columns.nonEmpty) base.filter(condition)
+    else {
+      // every file pruned: a schema-less empty frame cannot resolve
+      // the condition — answer zero rows WITH the logical shape
+      val shape = logicalShape(tablePath, snapshotId)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+      if (shape.isEmpty) base else empty.filter(condition)
+    }
+  }
 
   /** The snapshot's LOGICAL read shape: data schema (renames applied)
     * + identity spec columns + legacy partition columns — what a SQL
     * user sees, whether or not any data file carries the columns. */
   private[graft] def logicalShape(tablePath: String,
-      snapshotId: Option[Long]): org.apache.spark.sql.types.StructType = {
+      snapshotId: Option[Long],
+      preListedFiles: Option[Seq[DataFile]] = None): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StringType, StructType}
     val rmap = renames(tablePath, snapshotId)
     val dataCols = tableSchema(tablePath, snapshotId)
@@ -1728,7 +1759,7 @@ object IcebergLite {
       .filter(_.transform == IcebergTransforms.Identity).map(_.name)
       .filterNot(n => dataCols.exists(_.name == n))
       .map(n => org.apache.spark.sql.types.StructField(n, StringType))
-    val legacyPartCols = dataFiles(tablePath, snapshotId)
+    val legacyPartCols = preListedFiles.getOrElse(dataFiles(tablePath, snapshotId))
       .flatMap(_.partition.keys).distinct
       .map(p => rmap.getOrElse(p, p))
       .filterNot(n => dataCols.exists(_.name == n) || identCols.exists(_.name == n))
@@ -1746,17 +1777,19 @@ object IcebergLite {
     * caller's row-level filter is the semantics. */
   private[graft] def resolvedMetaFilters(spark: SparkSession, tablePath: String,
       condition: org.apache.spark.sql.Column,
-      snapshotId: Option[Long]): Seq[PartitionFilter] =
-    resolvedConditionExpr(spark, tablePath, condition, snapshotId)
+      snapshotId: Option[Long],
+      preListedFiles: Option[Seq[DataFile]] = None): Seq[PartitionFilter] =
+    resolvedConditionExpr(spark, tablePath, condition, snapshotId, preListedFiles)
       .map(filtersFromExpression).getOrElse(Nil)
 
   /** The condition RESOLVED (attributes bound, literals typed) against
     * the snapshot's logical shape; None when the table predates schema
     * tracking or the condition references columns the shape lacks. */
   private[graft] def resolvedConditionExpr(spark: SparkSession, tablePath: String,
-      condition: org.apache.spark.sql.Column, snapshotId: Option[Long])
+      condition: org.apache.spark.sql.Column, snapshotId: Option[Long],
+      preListedFiles: Option[Seq[DataFile]] = None)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val shape = logicalShape(tablePath, snapshotId)
+    val shape = logicalShape(tablePath, snapshotId, preListedFiles)
     if (shape.isEmpty) None
     else try {
       val probe = spark.createDataFrame(
@@ -1785,10 +1818,15 @@ object IcebergLite {
     }
     // the string form BOUNDS carry: a typed literal cast to string by
     // Catalyst itself (dates render "2024-01-01", not day ordinals)
+    // rendered under the SESSION timezone — the same clock bounds are
+    // written with (perFileEntries' string cast) and rowPredicate
+    // re-parses with, so timestamp literals compare consistently in
+    // any session (this repo pins UTC; external sessions may not)
     def litOf(x: Expression): Option[String] = x match {
       case l: Literal if l.value != null =>
         Option(Cast(l, org.apache.spark.sql.types.StringType,
-          Some("UTC")).eval(null)).map(_.toString)
+          Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          .eval(null)).map(_.toString)
       case _ => None
     }
     def cmpFilter(l: Expression, r: Expression,
@@ -3294,10 +3332,12 @@ object IcebergLite {
       "duplicate assignment targets")
     val parentId = currentSnapshotId(tablePath)
     val rmap = renames(tablePath) // physical -> logical
-    val metaFilters = withProjectedFilters(tablePath,
-      resolvedMetaFilters(spark, tablePath, condition, None)
-        .map(physicalFilter(rmap, _)))
+    // ONE manifest pass: the probe's legacy-partition-key harvest and
+    // the touch partition both read this listing
     val live = dataFiles(tablePath)
+    val metaFilters = withProjectedFilters(tablePath,
+      resolvedMetaFilters(spark, tablePath, condition, None, Some(live))
+        .map(physicalFilter(rmap, _)))
     val (touched, kept) = live.partition(f => metaFilters.forall(_.matches(f)))
     if (touched.isEmpty) return parentId.getOrElse(0L)
     val spec = partitionSpec(tablePath)
@@ -3341,7 +3381,10 @@ object IcebergLite {
     val parentId = currentSnapshotId(tablePath)
     commitSnapshot(tablePath, parentId, Nil, carriedManifests = Nil,
       operation = "delete",
-      pendingRowDeletes = Nil, pendingPosDeletes = Nil, pendingEqDeletes = Nil)
+      pendingRowDeletes = Nil, pendingPosDeletes = Nil, pendingEqDeletes = Nil,
+      // no rows -> no column stats: carrying the parent's sidecars
+      // would report NDVs for deleted data
+      statsFilesSet = Nil)
   }
 
   /** Small-file COMPACTION as a NEW SNAPSHOT: every live row is

@@ -3260,4 +3260,43 @@ class SourcesSpec extends AnyFunSuite {
       assert(rows(pruned) == rows(full), s"soundness violated for $fs")
     }
   }
+  test("r10 review regressions: full-prune readWhere, addColumns collisions, atomic SET, truncate stats") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_review_fix").resolve("t").toString
+    IcebergLite.createTable(root)
+    IcebergLite.append(s, root, Seq((1L, "a"), (2L, "b")).toDF("id", "p"),
+      partitionColumns = Seq("p"))
+
+    // a predicate that prunes EVERY file answers zero rows, not an
+    // unresolved-column crash
+    val none = IcebergLite.readWhere(s, root, col("p") === "zzz")
+    assert(none.collect().isEmpty)
+    assert(none.columns.contains("id"))
+
+    // addColumns refuses names colliding with a renamed column's
+    // PHYSICAL name and with a legacy partition column
+    IcebergLite.renameColumn(root, "id", "ident")
+    val phys = intercept[IllegalArgumentException](
+      IcebergLite.addColumns(s, root, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType)))))
+    assert(phys.getMessage.contains("collides"))
+    val legacy = intercept[IllegalArgumentException](
+      IcebergLite.addColumns(s, root, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.IntegerType)))))
+    assert(legacy.getMessage.contains("collides"))
+
+    // SET with one bad value applies NOTHING
+    intercept[IllegalArgumentException](IcebergLite.setProperties(root, Map(
+      "write.sort-order" -> "ident", "write.max-records-per-file" -> "abc")))
+    assert(IcebergLite.sortOrder(root).isEmpty)
+    assert(IcebergLite.maxRecordsPerFile(root) == 0L)
+
+    // truncate drops the stats sidecars with the rows
+    IcebergLite.truncate(root)
+    assert(IcebergLite.columnStatsMetadata(s, root).collect().isEmpty)
+  }
+
 }
