@@ -67,10 +67,11 @@ class CatalogSpec extends AnyFunSuite {
     // file catalog) → 208, and the iceberg_sql_procedures row
     // (CALL graft.system.* maintenance procedures on Spark 4's
     // ProcedureCatalog API) → 209, and the text_chunks
-    // overlapping-window chunking row (RAG preprocessing) → 210.
+    // overlapping-window chunking row (RAG preprocessing) → 210, and
+    // the iceberg_sql_meta_tables 4-part-name observability row → 211.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 210 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 210 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 211 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 211 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }
