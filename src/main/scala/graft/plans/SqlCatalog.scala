@@ -100,7 +100,9 @@ object GraftSqlCatalog {
     java.nio.file.Paths.get(tablePath, "metadata", "declared-schema.json")
 
   def declareSchema(tablePath: String, schema: StructType): Unit =
-    Files.writeString(declaredFile(tablePath), schema.json)
+    // read lock-free by every empty-table SELECT/INSERT alignment —
+    // tmp + ATOMIC_MOVE like all reader-visible metadata
+    graft.sources.IcebergLite.atomicWrite(declaredFile(tablePath), schema.json)
 
   def declaredSchema(tablePath: String): Option[StructType] = {
     val p = declaredFile(tablePath)
@@ -456,7 +458,10 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           case IcebergTransforms.Identity => f.source
           case IcebergTransforms.Bucket(n) => s"bucket($n, ${f.source})"
           case IcebergTransforms.Truncate(w) => s"truncate($w, ${f.source})"
-          case t => s"${t.tag}(${f.source})"
+          // temporal tags are singular ("year") but the SQL transform
+          // names toSpecField accepts are Spark's plurals — render the
+          // plural so the declaration actually re-runs
+          case t => s"${t.tag}s(${f.source})"
         }}.mkString("\nPARTITIONED BY (", ", ", ")")
       val props = IcebergLite.tableProperties(path)
       val tblProps =

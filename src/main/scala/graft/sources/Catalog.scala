@@ -35,7 +35,7 @@ object Catalog {
   def init(root: String): Unit = {
     Files.createDirectories(Paths.get(root, "metadata"))
     if (!Files.exists(catalogFile(root)))
-      Files.writeString(catalogFile(root), """{"databases": {}}""")
+      IcebergLite.atomicWrite(catalogFile(root), """{"databases": {}}""")
   }
 
   /** Parse cache keyed by (mtime, size): analyzer rules and the REST
@@ -82,7 +82,10 @@ object Catalog {
         .mkString("{", ", ", "}")
     }.mkString("{", ", ", "}")
     val f = catalogFile(root)
-    Files.writeString(f, s"""{"databases": $body}""")
+    // lock-free readers (analyzer rules, REST server) may open this at
+    // any instant — same tmp + ATOMIC_MOVE discipline as the
+    // v0.metadata.json pointer flip, never an in-place truncate+write
+    IcebergLite.atomicWrite(f, s"""{"databases": $body}""")
     parseCache.put(root, ((Files.getLastModifiedTime(f), Files.size(f)), dbs))
   }
 

@@ -119,7 +119,7 @@ object IcebergLite {
   /** `beforeMove` runs between the tmp write and the move — commit
     * points pass their lock-ownership fence here so it sits as close
     * to the visible flip as possible. */
-  private def atomicWrite(path: java.nio.file.Path, content: String,
+  private[graft] def atomicWrite(path: java.nio.file.Path, content: String,
       beforeMove: => Unit = ()): Unit = {
     val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
@@ -1533,20 +1533,27 @@ object IcebergLite {
         .mkString("{", ", ", "}"))
 
   def setProperties(tablePath: String, props: Map[String, String]): Unit = {
-    val (typed, generic) = props.partition(kv => typedPropSet.contains(kv._1))
+    val (typed0, generic) = props.partition(kv => typedPropSet.contains(kv._1))
     // validate EVERY typed value before applying ANY — a SET statement
-    // must not half-apply when its third property fails to parse
-    typed.foreach {
+    // must not half-apply when its third property fails to parse. The
+    // validated (parsed/normalized) value is what the apply loop uses,
+    // so validation and apply can never disagree on one input
+    val typed = typed0.map {
       case ("write.max-records-per-file", v) =>
-        require(v.trim.nonEmpty && v.trim.forall(_.isDigit),
+        val n = v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"write.max-records-per-file must be a non-negative integer, got '$v'"))
+        require(n >= 0L,
           s"write.max-records-per-file must be a non-negative integer, got '$v'")
+        "write.max-records-per-file" -> n.toString
       case ("write.distribution-mode", v) =>
         require(Set("none", "hash", "range").contains(v),
           s"unknown write distribution mode: $v (none|hash|range)")
+        "write.distribution-mode" -> v
       case ("write.sort-order", v) =>
         require(v.split(",").exists(_.trim.nonEmpty),
           "write.sort-order needs at least one column")
-      case _ => ()
+        "write.sort-order" -> v
+      case kv => kv
     }
     typed.foreach { case (k, v) => typedPropSet(k)(tablePath, v) }
     if (generic.nonEmpty) withCommitLock(tablePath) {
@@ -3014,6 +3021,15 @@ object IcebergLite {
     val runDir = s"posdel-${runTag()}"
     pairs.distinct().write.mode("overwrite").parquet(s"$tablePath/data/$runDir")
     val written = perFileEntries(spark, tablePath, runDir, posPairSchema)
+    if (written.isEmpty) {
+      // zero matched positions: no delete files, no snapshot — mirror
+      // deleteEquality's guard, and don't leave an empty run dir behind
+      val dir = java.nio.file.Paths.get(s"$tablePath/data/$runDir")
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      return parentId.getOrElse(0L)
+    }
     val newDels = written.map(f => PosDelete(f.filePath, f.recordCount,
       f.lowerBounds.get("file_path"), f.upperBounds.get("file_path")))
     commitSnapshot(tablePath, parentId, entries = Nil,

@@ -82,7 +82,11 @@ object RestCatalog {
             .exists(visible(root, branch, db, _)))
         (200, dbs.map(jstr).mkString("""{"databases": [""", ", ", "]}"))
       case "branch" :: branch :: "database" :: db :: Nil =>
-        if (!Catalog.listDatabases(root).contains(db))
+        // same branch-scope contract as the /databases list: a db none
+        // of whose tables are visible on this branch is not found here
+        if (!Catalog.listDatabases(root).contains(db) ||
+            (branch != "main" && !Catalog.listTables(root, db)
+              .exists(visible(root, branch, db, _))))
           (404, s"""{"error": "database $db not found"}""")
         else (200, s"""{"database_name": ${jstr(db)}, "comment": null}""")
       case "branch" :: branch :: "database" :: db :: "tables" :: Nil =>
@@ -120,6 +124,7 @@ object RestCatalog {
   }
 
   // ------------------------------------------------------------ client
+  case class DatabaseMetadata(databaseName: String, comment: Option[String])
   case class TableInfo(tableName: String, tableType: String)
   case class ColumnMetadata(name: String, dataType: String, nullable: Boolean)
   case class TableMetadata(tableName: String, databaseName: String,
@@ -179,6 +184,15 @@ object RestCatalog {
     def listDatabases(): Seq[String] =
       (get(s"$baseUrl/branch/${seg(branchId)}/databases", notFoundErr) \ "databases")
         .extract[Seq[String]]
+
+    /** The reference's `get_database` (mod.rs:184-192): database
+      * metadata, branch-scoped like the list endpoint. */
+    def getDatabase(db: String): DatabaseMetadata = {
+      val j = get(s"$baseUrl/branch/${seg(branchId)}/database/${seg(db)}",
+        u => new TableNotFound(s"database $db not found ($u)"))
+      DatabaseMetadata((j \ "database_name").extract[String],
+        (j \ "comment").extractOpt[String])
+    }
 
     def listTables(db: String): Seq[TableInfo] =
       (get(s"$baseUrl/branch/${seg(branchId)}/database/${seg(db)}/tables", notFoundErr) \ "tables") match {

@@ -79,5 +79,14 @@ class RestCatalogSpec extends AnyFunSuite {
     // main sees the post-branch world
     val main = new RestCatalog.Client(server.baseUrl)
     assert(main.readTable(spark, "sales", "orders").count() == 4)
+
+    // the single-database GET honors the same branch scope as the
+    // list: a db with no branch-visible tables is 404 on that branch,
+    // while the db that has one resolves
+    assert(audit.listDatabases() == Seq("sales"))
+    assert(audit.getDatabase("sales").databaseName == "sales")
+    intercept[RestCatalog.TableNotFound](audit.getDatabase("empty"))
+    // main keeps serving it (empty databases exist on main)
+    assert(main.getDatabase("empty").databaseName == "empty")
   }
 }

@@ -3293,6 +3293,17 @@ class SourcesSpec extends AnyFunSuite {
       "write.sort-order" -> "ident", "write.max-records-per-file" -> "abc")))
     assert(IcebergLite.sortOrder(root).isEmpty)
     assert(IcebergLite.maxRecordsPerFile(root) == 0L)
+    // out-of-Long-range digits are rejected at VALIDATION (not as a
+    // mid-apply overflow), so the sort order still applies nothing
+    intercept[IllegalArgumentException](IcebergLite.setProperties(root, Map(
+      "write.sort-order" -> "ident",
+      "write.max-records-per-file" -> "99999999999999999999999999")))
+    assert(IcebergLite.sortOrder(root).isEmpty)
+    // a whitespace-padded value parses: validation and apply share
+    // one trim+parse
+    IcebergLite.setProperties(root, Map("write.max-records-per-file" -> " 7 "))
+    assert(IcebergLite.maxRecordsPerFile(root) == 7L)
+    IcebergLite.setProperties(root, Map("write.max-records-per-file" -> "0"))
 
     // truncate drops the stats sidecars with the rows
     IcebergLite.truncate(root)

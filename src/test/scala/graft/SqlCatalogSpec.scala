@@ -340,6 +340,28 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(ddl.contains("'write.max-records-per-file' = '100'"))
   }
 
+  test("SHOW CREATE TABLE re-runs for temporally-partitioned tables") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.sct2")
+    spark.sql("""CREATE TABLE sqlcat.sct2.ev (id BIGINT, ts TIMESTAMP)
+                 PARTITIONED BY (days(ts))""")
+    val ddl = spark.sql("SHOW CREATE TABLE sqlcat.sct2.ev")
+      .collect().head.getString(0)
+    // singular tag ("day") must render as the plural SQL transform the
+    // parser + toSpecField accept
+    assert(ddl.contains("PARTITIONED BY (days(ts))"), ddl)
+    // the declaration IS re-runnable: replay it under a new name
+    spark.sql(ddl.replace("sqlcat.sct2.ev", "sqlcat.sct2.ev2"))
+    spark.sql("INSERT INTO sqlcat.sct2.ev2 VALUES " +
+      "(1, TIMESTAMP '2024-03-01 10:00:00')")
+    assert(spark.sql("SELECT id FROM sqlcat.sct2.ev2").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val path2 = Catalog.tablePath(root, "sct2", "ev2")
+    assert(IcebergLite.partitionSpec(path2)
+      .map(f => (f.source, f.transform)) ==
+      Seq(("ts", IcebergTransforms.Day)))
+  }
+
   test("concurrent DML: the commit lock serializes; a lost parent aborts cleanly") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.cc")

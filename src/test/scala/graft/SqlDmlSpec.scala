@@ -57,6 +57,26 @@ class SqlDmlSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0)
   }
 
+  test("DELETE matching zero rows commits no snapshot and leaves no delete-file dir") {
+    root
+    spark.sql("CREATE TABLE dml.db.z (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.z VALUES (1, 'a'), (2, 'b')")
+    val path = Catalog.tablePath(root, "db", "z")
+    val snapBefore = IcebergLite.currentSnapshotId(path)
+    // untranslatable predicate → MoR position route, but nothing matches
+    spark.sql("DELETE FROM dml.db.z WHERE length(v) = 99")
+    assert(IcebergLite.currentSnapshotId(path) == snapBefore,
+      "a zero-match delete must not commit a spurious snapshot")
+    val dataDir = java.nio.file.Paths.get(path, "data")
+    val leftover = java.nio.file.Files.list(dataDir).iterator()
+    val posdels = Iterator.continually(leftover)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.startsWith("posdel-")).toSeq
+    assert(posdels.isEmpty, s"empty posdel run dirs left behind: $posdels")
+    assert(rows("SELECT id, v, v FROM dml.db.z ORDER BY id").map(_._1) ==
+      Seq(1L, 2L))
+  }
+
   test("UPDATE rewrites only touched partitions; assigned partition columns move rows") {
     root
     spark.sql("""CREATE TABLE dml.db.u (id BIGINT, p STRING, v STRING)
