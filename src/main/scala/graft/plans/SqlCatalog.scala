@@ -559,7 +559,9 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     val targetNames = tAlias.toSeq.map(_.toLowerCase).toSet
     val sourceNames = sAlias.toSeq.map(_.toLowerCase).toSet
     // 't' = target-side reference, 's' = source-side, by resolved
-    // attribute membership or alias qualifier
+    // attribute membership or alias qualifier; an UNQUALIFIED
+    // still-unresolved name is target-side (the analyzer resolves
+    // every source reference it can — the target is our placeholder)
     def side(e: Expression): Option[(Char, String)] = e match {
       case a: AttributeReference if source.outputSet.contains(a) => Some(('s', a.name))
       case a: UnresolvedAttribute if a.nameParts.length > 1 =>
@@ -567,6 +569,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         if (targetNames.contains(q)) Some(('t', a.nameParts.last))
         else if (sourceNames.contains(q)) Some(('s', a.nameParts.last))
         else None
+      case a: UnresolvedAttribute => Some(('t', a.nameParts.last))
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -574,21 +577,58 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val keyCols = conjuncts(cond).map {
+    // (target name, source name) per ON conjunct — differently-named
+    // keys are the join-corpus norm (l_orderkey = o_orderkey); the
+    // command renames the source key to the target name up front
+    val keyPairs = conjuncts(cond).map {
       case EqualTo(l, r) => (side(l), side(r)) match {
-        case (Some(('t', tn)), Some(('s', sn))) if tn == sn => tn
-        case (Some(('s', sn)), Some(('t', tn))) if tn == sn => tn
+        case (Some(('t', tn)), Some(('s', sn))) => (tn, sn)
+        case (Some(('s', sn)), Some(('t', tn))) => (tn, sn)
         case _ => throw new IllegalArgumentException(
-          s"MERGE ON conjunct must equate same-named target and source columns " +
+          s"MERGE ON conjunct must equate a target and a source column " +
             s"(qualify both sides with their aliases): ${EqualTo(l, r).sql}")
       }
       case other => throw new IllegalArgumentException(
         s"MERGE ON must be a conjunction of equalities, got ${other.sql}")
     }
+    val keyCols = keyPairs.map(_._1)
+    val keyRenames: Map[String, String] =
+      keyPairs.filter { case (tn, sn) => tn != sn }
+        .map { case (tn, sn) => sn -> tn }.toMap
+    require(keyPairs.map(_._1).distinct.size == keyPairs.size,
+      "MERGE ON equates the same target key column twice")
+    require(keyPairs.map(_._2).distinct.size == keyPairs.size,
+      "MERGE ON uses the same source column for two target keys")
+    // an assignment VALUE sees target columns bare and source columns
+    // as __graft_s_<name> — the disambiguation the expr-merge's
+    // touched-row join uses (source keys are renamed first, so a
+    // reference to the source key lands on its target name)
+    def assignVal(e: Expression): org.apache.spark.sql.Column = {
+      require(!e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        !e.exists(_.isInstanceOf[SubqueryExpression]),
+        "subqueries in MERGE assignments are not supported for graft tables")
+      org.apache.spark.sql.GraftColumnBridge.toCol(e.transform {
+        case a: AttributeReference if source.outputSet.contains(a) =>
+          UnresolvedAttribute.quoted(
+            "__graft_s_" + keyRenames.getOrElse(a.name, a.name))
+        case a: UnresolvedAttribute
+            if a.nameParts.length > 1 &&
+              sourceNames.contains(a.nameParts.init.last.toLowerCase) =>
+          UnresolvedAttribute.quoted("__graft_s_" +
+            keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
+        case a: UnresolvedAttribute => UnresolvedAttribute.quoted(a.nameParts.last)
+      })
+    }
+    def assignTarget(key: Expression): String = side(key) match {
+      case Some(('t', tn)) => tn
+      case _ => throw new IllegalArgumentException(
+        s"SET target must be a target column, got ${key.sql}")
+    }
     var precedence: Option[String] = None
     var tombstone: Option[String] = None
     var hasUpdate = false
     var deleteAll = false
+    var updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None
     matched.foreach {
       case UpdateStarAction(None) => hasUpdate = true
       case UpdateStarAction(Some(GreaterThanOrEqual(l, r))) =>
@@ -599,6 +639,16 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
             "conditional UPDATE supports only source.seq >= target.seq " +
               "over a same-named column (ordered upsert)")
         }
+      case org.apache.spark.sql.catalyst.plans.logical.UpdateAction(None, assigns, _) =>
+        hasUpdate = true
+        val pairs = assigns.map(a => assignTarget(a.key) -> assignVal(a.value))
+        require(pairs.map(_._1).distinct.size == pairs.size,
+          "UPDATE SET assigns the same column twice")
+        updateAssigns = Some(pairs)
+      case org.apache.spark.sql.catalyst.plans.logical.UpdateAction(Some(c), _, _) =>
+        throw new IllegalArgumentException(
+          "conditional UPDATE SET col = expr is unsupported (fold the " +
+            s"condition into the assignment with CASE): ${c.sql}")
       case DeleteAction(Some(flag)) => side(flag) match {
         case Some(('s', sn)) => tombstone = Some(sn)
         case _ => throw new IllegalArgumentException(
@@ -606,7 +656,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case DeleteAction(None) => deleteAll = true
       case other => throw new IllegalArgumentException(
-        s"unsupported WHEN MATCHED action $other (UPDATE SET * / DELETE only)")
+        s"unsupported WHEN MATCHED action $other (UPDATE SET ... / DELETE only)")
     }
     val insertAll = notMatched match {
       case Seq() => false
@@ -622,16 +672,21 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         "unsupported (the merge primitive cannot insert rows it tombstones); " +
         "split into a delete-only MERGE and an INSERT, or flag deletes in " +
         "the source")
-    require(matched.count(_.isInstanceOf[UpdateStarAction]) <= 1,
+    require(matched.count(a => a.isInstanceOf[UpdateStarAction] ||
+      a.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.UpdateAction]) <= 1,
       "at most one WHEN MATCHED ... UPDATE clause is supported (clause " +
         "ordering between multiple UPDATE arms has no merge-primitive mapping)")
+    require(updateAssigns.isEmpty || (tombstone.isEmpty && precedence.isEmpty),
+      "UPDATE SET col = expr cannot combine with a DELETE arm or an " +
+        "ordered-upsert condition (those are replace-semantics forms)")
     require(hasUpdate || deleteAll,
-      "MERGE needs WHEN MATCHED THEN UPDATE SET * or THEN DELETE")
-    require(!hasUpdate || insertAll,
+      "MERGE needs WHEN MATCHED THEN UPDATE SET ... or THEN DELETE")
+    require(!hasUpdate || insertAll || updateAssigns.nonEmpty,
       "upsert MERGE needs WHEN NOT MATCHED THEN INSERT * (the merge " +
-        "primitive always inserts unmatched source rows)")
+        "primitive always inserts unmatched source rows); update-only " +
+        "MERGE is supported with column-level SET assignments")
     GraftMergeCommand(path, source, keyCols, precedence, tombstone, deleteAll,
-      toBranch)
+      toBranch, keyRenames, updateAssigns, insertAll)
   }
 }
 
@@ -811,13 +866,30 @@ case class GraftUpdateCommand(tablePath: String,
 case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     keyCols: Seq[String], precedence: Option[String],
     tombstone: Option[String], deleteAll: Boolean,
-    toBranch: Option[String]) extends RunnableCommand {
+    toBranch: Option[String],
+    keyRenames: Map[String, String] = Map.empty,
+    updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+    insertAll: Boolean = true) extends RunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = source :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
-    val src0 = org.apache.spark.sql.GraftColumnBridge.toDF(spark, source)
+    val srcRaw = org.apache.spark.sql.GraftColumnBridge.toDF(spark, source)
+    // differently-named ON keys: the source key column takes its
+    // target name before anything else sees the frame
+    val src0 =
+      if (keyRenames.isEmpty) srcRaw
+      else {
+        keyRenames.foreach { case (sn, tn) =>
+          require(srcRaw.columns.contains(sn),
+            s"MERGE ON names source column $sn which the source lacks")
+          require(!srcRaw.columns.contains(tn),
+            s"cannot rename source key $sn to $tn: the source already has " +
+              s"a column named $tn")
+        }
+        srcRaw.withColumnsRenamed(keyRenames)
+      }
     // same cast discipline as INSERT: table-schema columns align to
     // their live types — the WRITE TARGET's head (branch merges align
     // to the branch schema, which may have evolved past main's) —
@@ -836,7 +908,9 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
         Some("__graft_tombstone"))
       else (src, tombstone)
     IcebergLite.merge(spark, tablePath, df, keyCols,
-      precedence = precedence, tombstoneCol = tomb, toBranch = toBranch)
+      precedence = precedence, tombstoneCol = tomb, toBranch = toBranch,
+      updateAssigns = updateAssigns,
+      insertUnmatched = insertAll || updateAssigns.isEmpty)
     Nil
   }
 }

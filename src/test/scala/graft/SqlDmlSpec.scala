@@ -219,6 +219,93 @@ class SqlDmlSpec extends AnyFunSuite {
       Seq((1L, "A"), (2L, "b"), (11L, "A"), (12L, "b")))
   }
 
+  test("MERGE with column-level SET expressions and differently-named ON keys") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.ex (ok BIGINT, amt DOUBLE, note STRING)")
+    spark.sql("""INSERT INTO dml.db.ex VALUES
+      (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 5.0, 'c')""")
+    Seq((2L, 99.0, 7.0, "upd"), (4L, 1.5, 0.0, "new"))
+      .toDF("o_key", "amt", "delta", "note").createOrReplaceTempView("ex_src")
+    // arithmetic over BOTH sides + a function of a source column;
+    // ON equates differently-named key columns
+    spark.sql("""
+      MERGE INTO dml.db.ex AS t USING ex_src AS s
+      ON t.ok = s.o_key
+      WHEN MATCHED THEN UPDATE SET t.amt = t.amt + s.delta, t.note = upper(s.note)
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT ok, amt, note FROM dml.db.ex ORDER BY ok").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ==
+      Seq((1L, 10.0, "a"), (2L, 27.0, "UPD"), (3L, 5.0, "c"),
+        (4L, 1.5, "new")))
+
+    // update-only MERGE (no INSERT arm): unmatched source rows are
+    // ignored, and the source needs only the columns it references
+    Seq((1L, 100.0), (9L, 1000.0)).toDF("o_key", "delta")
+      .createOrReplaceTempView("ex_src2")
+    spark.sql("""
+      MERGE INTO dml.db.ex AS t USING ex_src2 AS s
+      ON t.ok = s.o_key
+      WHEN MATCHED THEN UPDATE SET t.amt = t.amt + s.delta""")
+    assert(spark.sql("SELECT ok, amt FROM dml.db.ex ORDER BY ok").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 110.0), (2L, 27.0), (3L, 5.0), (4L, 1.5)))
+
+    // expr-merge on a RENAMED column: assignment names arrive logical
+    spark.sql("ALTER TABLE dml.db.ex RENAME COLUMN amt TO amount")
+    spark.sql("""
+      MERGE INTO dml.db.ex AS t USING ex_src2 AS s
+      ON t.ok = s.o_key
+      WHEN MATCHED THEN UPDATE SET t.amount = t.amount + s.delta""")
+    assert(spark.sql("SELECT amount FROM dml.db.ex WHERE ok = 1").collect()
+      .head.getDouble(0) == 210.0)
+  }
+
+  test("expr-MERGE refusals: conditions, mixed arms, duplicate SET, key collisions") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.exr (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO dml.db.exr VALUES (1, 1.0)")
+    Seq((1L, 2.0, false)).toDF("id", "v", "dead")
+      .createOrReplaceTempView("exr_src")
+    val cond = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.exr AS t USING exr_src AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.v > 0 THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(cond.getMessage.contains("conditional UPDATE"))
+    val mixed = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.exr AS t USING exr_src AS s
+      ON t.id = s.id
+      WHEN MATCHED AND s.dead THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = s.v + 1
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(mixed.getMessage.contains("cannot combine"))
+    val dup = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.exr AS t USING exr_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v, t.v = s.v + 1
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(dup.getMessage.contains("same column twice"))
+    // renaming the source key to the target name must not shadow an
+    // existing source column
+    Seq((1L, 5L, 2.0)).toDF("id", "k", "v").createOrReplaceTempView("exr_src2")
+    val clash = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.exr AS t USING exr_src2 AS s
+      ON t.id = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *"""))
+    assert(clash.getMessage.contains("already has"))
+    // star-update without INSERT still refuses (replace semantics)
+    val star = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.exr AS t USING exr_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *"""))
+    assert(star.getMessage.contains("INSERT"))
+  }
+
   test("unsupported DML shapes refuse with actionable messages") {
     root
     spark.sql("CREATE TABLE dml.db.r (id BIGINT, v STRING)")
