@@ -894,9 +894,17 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     // their live types — the WRITE TARGET's head (branch merges align
     // to the branch schema, which may have evolved past main's) —
     // while extra source columns (tombstone/precedence helpers) ride
-    // along untouched
+    // along untouched. The shape comes from METADATA (logicalShape =
+    // recorded schema + renames + spec columns), never from planning
+    // the read: a write must not pay O(files) for a schema question
     val alignSnap = toBranch.map(IcebergLite.resolveRef(tablePath, _))
-    val live = IcebergLite.read(spark, tablePath, alignSnap).schema
+    // schema-tracked: metadata-only; pre-tracking adopted roots (data
+    // but no recorded schema) fall back to planning the read — the
+    // only place the column names exist is the files themselves
+    val live =
+      if (IcebergLite.tableSchema(tablePath, alignSnap).isDefined)
+        IcebergLite.logicalShape(tablePath, alignSnap)
+      else IcebergLite.read(spark, tablePath, alignSnap).schema
     val src =
       if (live.isEmpty) src0
       else src0.select(
@@ -976,18 +984,28 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftColumnBridge.toDF(spark, query)
-    // the table's READ schema is the alignment truth — it has renames
+    // the table's LOGICAL shape is the alignment truth — renames
     // applied and identity-partition source columns recovered (the
     // snapshot data schema alone lacks those); the DDL declaration
-    // only contributes COLUMN ORDER (the read appends recovered
+    // only contributes COLUMN ORDER (the shape appends recovered
     // partition columns last, the declaration puts them where the
     // user wrote them). Types always come from the live schema so
     // later type-widening is honored over a stale declaration.
+    // The shape is METADATA-only (logicalShape, never a planned
+    // read): an INSERT must not pay O(files) for a schema question —
+    // and must succeed even when a data file in some other partition
+    // has vanished from storage.
     // alignment truth follows the WRITE TARGET's head: a branch
     // insert aligns to the branch's schema, not main's
     val alignSnap = toBranch.map(IcebergLite.resolveRef(tablePath, _))
-    val live = Option(IcebergLite.read(spark, tablePath, alignSnap).schema)
-      .filter(_.nonEmpty)
+    // schema-tracked: metadata-only; pre-tracking adopted roots fall
+    // back to planning the read (names live only in the files); an
+    // EMPTY table has no live shape — the declaration takes over
+    val live =
+      (if (IcebergLite.tableSchema(tablePath, alignSnap).isDefined)
+        Option(IcebergLite.logicalShape(tablePath, alignSnap))
+      else Option(IcebergLite.read(spark, tablePath, alignSnap).schema))
+        .filter(_.nonEmpty)
     val declared = GraftSqlCatalog.declaredSchema(tablePath)
     val logical: Option[StructType] = (live, declared) match {
       case (Some(l), Some(d)) if d.fieldNames.sorted.sameElements(l.fieldNames.sorted) =>

@@ -1766,7 +1766,12 @@ object IcebergLite {
       .filter(_.transform == IcebergTransforms.Identity).map(_.name)
       .filterNot(n => dataCols.exists(_.name == n))
       .map(n => org.apache.spark.sql.types.StructField(n, StringType))
-    val legacyPartCols = preListedFiles.getOrElse(dataFiles(tablePath, snapshotId))
+    // legacy partition columns exist only on adopted hive-layout
+    // tables, which are spec-LESS: a spec-managed table never needs
+    // the manifest walk, keeping the shape question O(metadata-doc)
+    // for the modern path (SQL analysis and write alignment both ask)
+    val legacyPartCols = (if (partitionSpec(tablePath).nonEmpty) Nil
+        else preListedFiles.getOrElse(dataFiles(tablePath, snapshotId)))
       .flatMap(_.partition.keys).distinct
       .map(p => rmap.getOrElse(p, p))
       .filterNot(n => dataCols.exists(_.name == n) || identCols.exists(_.name == n))
@@ -3664,10 +3669,19 @@ object IcebergLite {
         // carry through the rewrite byte-identical in value. The
         // target read stays scoped to TOUCHED files; everything else
         // is carried verbatim, exactly like the upsert path.
-        val tSchema = tableSchema(tablePath, parentId).getOrElse(
+        // the touched-file read recovers identity-partition columns
+        // that the recorded data schema omits (hidden partitioning
+        // stores them in the path) — the SET surface includes them
+        val tBase = tableSchema(tablePath, parentId).getOrElse(
           org.apache.spark.sql.types.StructType(Nil))
-        require(tSchema.nonEmpty,
+        require(tBase.nonEmpty,
           "expr-merge needs a target with a recorded schema")
+        val tIdent = partitionSpec(tablePath)
+          .filter(_.transform == IcebergTransforms.Identity).map(_.name)
+          .filterNot(tBase.fieldNames.contains)
+          .map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType))
+        val tSchema = org.apache.spark.sql.types.StructType(tBase.fields ++ tIdent)
         val tCols = tSchema.fields.map(_.name).toSeq
         require(!tCols.exists(_.startsWith("__graft_s_")),
           "table columns may not start with the reserved __graft_s_ prefix")

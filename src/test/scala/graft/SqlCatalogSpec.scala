@@ -324,6 +324,36 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception](all.collect())
   }
 
+  test("writes align from metadata: INSERT and MERGE succeed with a vanished file elsewhere") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.lazyw")
+    spark.sql("""CREATE TABLE sqlcat.lazyw.t (id BIGINT, p STRING)
+                 PARTITIONED BY (p)""")
+    spark.sql("INSERT INTO sqlcat.lazyw.t VALUES (1, 'a'), (2, 'b')")
+    val path = Catalog.tablePath(root, "lazyw", "t")
+    // storage hole in partition b — schema alignment must never plan
+    // the read (O(files) + existence checks), so writes that don't
+    // touch b keep working
+    val bFile = IcebergLite.dataFiles(path)
+      .find(_.partition.get("p").contains("b")).get.filePath
+    Files.delete(java.nio.file.Paths.get(s"$path/$bFile"))
+    spark.sql("INSERT INTO sqlcat.lazyw.t VALUES (3, 'a')")
+    // expr-MERGE scoped to partition-a keys: touched files exclude b
+    spark.sql("""
+      MERGE INTO sqlcat.lazyw.t AS t
+      USING (SELECT 1 AS k, 'A' AS np UNION ALL SELECT 3, 'AA') AS s
+      ON t.id = s.k
+      WHEN MATCHED THEN UPDATE SET t.p = s.np""")
+    // read back through exact-prunable predicates (the vanished b
+    // partition must stay out of the plan)
+    assert(spark.sql("SELECT id, p FROM sqlcat.lazyw.t WHERE p = 'A'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A")))
+    assert(spark.sql("SELECT id, p FROM sqlcat.lazyw.t WHERE p = 'AA'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "AA")))
+  }
+
   test("SHOW CREATE TABLE renders a re-runnable declaration from metadata") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.sct")
