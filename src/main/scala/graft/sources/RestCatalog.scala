@@ -43,13 +43,19 @@ object RestCatalog {
     def stop(): Unit = http.stop(0)
   }
 
-  /** Serve `root`'s catalog on an ephemeral (or given) port. */
+  /** Serve `root`'s catalog on an ephemeral (or given) port. Requests
+    * run on a cached thread pool (the default null executor would
+    * serialize every client behind the slowest request — the ref
+    * advance under a commit lock must not block concurrent reads). */
   def serve(root: String, port: Int = 0): Server = {
     val http = com.sun.net.httpserver.HttpServer.create(
       new InetSocketAddress("127.0.0.1", port), 0)
+    http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
     http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       val (status, body) =
-        try route(root, ex.getRequestURI.getPath)
+        try route(root, ex.getRequestMethod, ex.getRequestURI.getPath,
+          Option(ex.getRequestURI.getQuery).getOrElse(""))
         catch { case e: Exception => (500, s"""{"error": ${
           jstr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""") }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -73,8 +79,140 @@ object RestCatalog {
     if (branch == "main") None
     else IcebergLite.branches(Catalog.tablePath(root, db, t)).get(branch)
 
-  private def route(root: String, path: String): (Int, String) = {
+  /** Tables (db, name, path) carrying branch ref `branch`. */
+  private def branchTables(root: String, branch: String): Seq[(String, String, String)] =
+    for {
+      db <- Catalog.listDatabases(root)
+      t <- Catalog.listTables(root, db)
+      p = Catalog.tablePath(root, db, t)
+      if IcebergLite.branches(p).contains(branch)
+    } yield (db, t, p)
+
+  private def qparams(query: String): Map[String, String] =
+    query.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+
+  /** The WRITE surface — the reference's branch operations
+    * (BranchingMetastore.java:63-80: createBranch-with-parent,
+    * mergeBranch-with-conflict, deleteBranch) plus a CAS commit route,
+    * realized over per-table refs:
+    *  - `POST /branch/{id}/create?parent={pid}` forks {id} from the
+    *    parent branch's head on EVERY table visible on the parent
+    *    (409 when {id} already exists anywhere — the reference's
+    *    BranchAlreadyExistsException; 404 for a missing parent);
+    *  - `POST /branch/{id}/table/{db}/{t}/commit?snapshot={sid}&
+    *    expected_head={h}` advances the branch ref iff its head still
+    *    equals expected_head — a concurrent change answers 409, the
+    *    reference's merge-conflict analogue at commit granularity.
+    *    Data files never pass through the server: the client lands
+    *    them on storage first, then moves the POINTER here;
+    *  - `POST /branch/{src}/merge/{target}` merges per table:
+    *    target `main` fast-forwards the main pointer (divergence →
+    *    409 MergeConflict naming the table, the reference's
+    *    "has diverged between branches"); a branch target advances
+    *    iff its head is an ancestor of the source head;
+    *  - `DELETE /branch/{id}` drops the ref from every table. */
+  private def route(root: String, method: String, path: String,
+      query: String): (Int, String) = {
     val parts = path.split("/").filter(_.nonEmpty).toList
+    (method, parts) match {
+      case ("POST", "branch" :: branch :: "create" :: Nil) =>
+        val parent = qparams(query).getOrElse("parent", "main")
+        if (branch == "main")
+          return (409, """{"error": "branch main already exists"}""")
+        if (branchTables(root, branch).nonEmpty)
+          return (409, s"""{"error": "branch $branch already exists"}""")
+        val parentTables =
+          if (parent == "main")
+            for { db <- Catalog.listDatabases(root); t <- Catalog.listTables(root, db) }
+              yield (db, t, Catalog.tablePath(root, db, t))
+          else branchTables(root, parent)
+        if (parent != "main" && parentTables.isEmpty)
+          return (404, s"""{"error": "parent branch $parent not found"}""")
+        // fork at the PARENT's head per table; empty tables (nothing
+        // to branch) are skipped, matching the table layer's refusal
+        val forked = parentTables.flatMap { case (db, t, p) =>
+          val head =
+            if (parent == "main") IcebergLite.currentSnapshotId(p)
+            else IcebergLite.branches(p).get(parent)
+          head.map { h => IcebergLite.createBranch(p, branch, Some(h)); s"$db.$t" }
+        }
+        (200, s"""{"branch_id": ${jstr(branch)}, "parent_id": ${jstr(parent)}, """ +
+          s""""tables": ${forked.map(jstr).mkString("[", ", ", "]")}}""")
+      case ("POST", "branch" :: branch :: "table" :: db :: t :: "commit" :: Nil) =>
+        val q = qparams(query)
+        val snap = q.get("snapshot").map(_.toLong).getOrElse(
+          return (400, """{"error": "snapshot parameter required"}"""))
+        if (!Catalog.listDatabases(root).contains(db) ||
+            !Catalog.listTables(root, db).contains(t))
+          return (404, s"""{"error": "table $db.$t not found"}""")
+        val p = Catalog.tablePath(root, db, t)
+        val current = IcebergLite.branches(p).get(branch).getOrElse(
+          return (404, s"""{"error": "branch $branch not found on $db.$t"}"""))
+        q.get("expected_head").map(_.toLong).foreach { exp =>
+          if (exp != current)
+            return (409, s"""{"error": "concurrent change on $db.$t: branch """ +
+              s"""$branch is at $current, expected $exp"}""")
+        }
+        IcebergLite.advanceBranch(p, branch, Some(snap))
+        (200, s"""{"branch_id": ${jstr(branch)}, "table": ${jstr(s"$db.$t")}, """ +
+          s""""head": $snap}""")
+      case ("POST", "branch" :: src :: "merge" :: target :: Nil) =>
+        val carrying = branchTables(root, src)
+        if (carrying.isEmpty)
+          return (404, s"""{"error": "branch $src not found"}""")
+        // conflict check FIRST across every table, then apply — a
+        // half-merged catalog is worse than a refused one (the
+        // reference checks all conflicts before copying too)
+        val heads = carrying.map { case (db, t, p) =>
+          val srcHead = IcebergLite.branches(p)(src)
+          if (target == "main") {
+            if (!ancestorsOf(p, srcHead).contains(
+                IcebergLite.currentSnapshotId(p).getOrElse(srcHead)))
+              return (409, s"""{"error": "merge conflict: table $db.$t has """ +
+                s"""diverged between branches"}""")
+          } else {
+            val tgtHead = IcebergLite.branches(p).get(target).getOrElse(
+              return (404, s"""{"error": "branch $target not found on $db.$t"}"""))
+            if (!ancestorsOf(p, srcHead).contains(tgtHead))
+              return (409, s"""{"error": "merge conflict: table $db.$t has """ +
+                s"""diverged between branches"}""")
+          }
+          (db, t, p, srcHead)
+        }
+        val merged = heads.map { case (db, t, p, srcHead) =>
+          if (target == "main") IcebergLite.fastForwardMain(p, src)
+          else IcebergLite.advanceBranch(p, target, Some(srcHead))
+          s"$db.$t"
+        }
+        (200, s"""{"source": ${jstr(src)}, "target": ${jstr(target)}, """ +
+          s""""merged_tables": ${merged.map(jstr).mkString("[", ", ", "]")}}""")
+      case ("DELETE", "branch" :: branch :: Nil) =>
+        val carrying = branchTables(root, branch)
+        if (carrying.isEmpty)
+          return (404, s"""{"error": "branch $branch not found"}""")
+        carrying.foreach { case (_, _, p) => IcebergLite.dropBranch(p, branch) }
+        (200, s"""{"deleted": ${jstr(branch)}, "tables": ${carrying.size}}""")
+      case ("GET", getParts) => routeGet(root, getParts)
+      case _ => (404, """{"error": "no such route"}""")
+    }
+  }
+
+  /** Snapshot ancestor chain of `head` (inclusive), bounded by
+    * existing snapshot files like fastForwardMain's walk. */
+  private def ancestorsOf(tablePath: String, head: Long): Set[Long] = {
+    val chain = scala.collection.mutable.Set.empty[Long]
+    var cursor: Option[Long] = Some(head)
+    while (cursor.nonEmpty && IcebergLite.snapshots(tablePath).contains(cursor.get)) {
+      chain += cursor.get
+      cursor = IcebergLite.parentSnapshotId(tablePath, cursor.get)
+    }
+    chain.toSet
+  }
+
+  private def routeGet(root: String, parts: List[String]): (Int, String) = {
     parts match {
       case "branch" :: branch :: "databases" :: Nil =>
         val dbs = Catalog.listDatabases(root).filter(db =>
@@ -131,6 +269,10 @@ object RestCatalog {
       columns: Seq[ColumnMetadata], tableLocation: String, tableFormat: String)
 
   class TableNotFound(msg: String) extends RuntimeException(msg)
+  /** 409 from the write surface — the reference's
+    * MergeConflictException / BranchAlreadyExistsException family: a
+    * definitive answer about concurrent state, never retried. */
+  class ConflictException(msg: String) extends RuntimeException(msg)
 
   /** Percent-encode ONE path segment (URLEncoder is form-encoding:
     * its '+' for space would decode as a literal plus in a URI path). */
@@ -148,26 +290,42 @@ object RestCatalog {
     private val http = HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSecs)).build()
 
-    private def get(url: String, notFound: String => Exception): JValue = {
+    private def get(url: String, notFound: String => Exception): JValue =
+      send(url, "GET", notFound)
+
+    /** One request with the reliability contract: 2xx parses, 404 and
+      * 409 are ANSWERS (no retry — a 409 retried could double-apply a
+      * pointer move), 5xx and transport faults retry with backoff. */
+    private def send(url: String, method: String,
+        notFound: String => Exception): JValue = {
       var delay = retryDelayMs
       var last: Exception = null
       var attempt = 0
       while (attempt <= maxRetries) {
         try {
+          val b = HttpRequest.newBuilder(java.net.URI.create(url))
+            .timeout(java.time.Duration.ofSeconds(timeoutSecs))
           val resp = http.send(
-            HttpRequest.newBuilder(java.net.URI.create(url))
-              .timeout(java.time.Duration.ofSeconds(timeoutSecs)).GET().build(),
+            (method match {
+              case "GET" => b.GET()
+              case "POST" => b.POST(HttpRequest.BodyPublishers.noBody())
+              case "DELETE" => b.DELETE()
+            }).build(),
             HttpResponse.BodyHandlers.ofString())
           resp.statusCode() match {
             case ok if ok / 100 == 2 =>
               return org.json4s.jackson.JsonMethods.parse(resp.body())
             case 404 => throw notFound(url) // answer, not fault: no retry
+            case 409 => throw new ConflictException(
+              (org.json4s.jackson.JsonMethods.parse(resp.body()) \ "error")
+                .extractOpt[String].getOrElse(s"$url -> HTTP 409"))
             case s if s / 100 == 5 =>
               last = new RuntimeException(s"$url -> HTTP $s") // retryable
             case s => throw new RuntimeException(s"$url -> HTTP $s")
           }
         } catch {
           case e: TableNotFound => throw e
+          case e: ConflictException => throw e
           case e: java.io.IOException => last = e // transport fault: retry
         }
         attempt += 1
@@ -216,6 +374,38 @@ object RestCatalog {
         (j \ "table_location").extract[String],
         (j \ "table_format").extract[String])
     }
+
+    /** Fork a new branch from `parent`'s head on every parent-visible
+      * table (the reference's createBranch-with-parentId). The CLIENT
+      * branch id is the new branch. */
+    def createBranch(parent: String = "main"): Seq[String] =
+      (send(s"$baseUrl/branch/${seg(branchId)}/create?parent=${seg(parent)}",
+        "POST", notFoundErr) \ "tables").extract[Seq[String]]
+
+    /** CAS-advance this branch's head on one table to `snapshotId`:
+      * refused with [[ConflictException]] when the head moved past
+      * `expectedHead` (a concurrent writer won). Data files are
+      * already on storage — only the POINTER moves here. */
+    def commitTable(db: String, table: String, snapshotId: Long,
+        expectedHead: Option[Long] = None): Long = {
+      val exp = expectedHead.map(h => s"&expected_head=$h").getOrElse("")
+      (send(s"$baseUrl/branch/${seg(branchId)}/table/${seg(db)}/${seg(table)}" +
+        s"/commit?snapshot=$snapshotId$exp", "POST",
+        u => new TableNotFound(s"table $db.$table not found ($u)")) \ "head")
+        .extract[Long]
+    }
+
+    /** Merge this branch into `target` across every carrying table —
+      * all-or-nothing: any diverged table refuses the WHOLE merge with
+      * [[ConflictException]] (the reference's MergeConflictException). */
+    def mergeBranch(target: String = "main"): Seq[String] =
+      (send(s"$baseUrl/branch/${seg(branchId)}/merge/${seg(target)}",
+        "POST", notFoundErr) \ "merged_tables").extract[Seq[String]]
+
+    /** Drop this branch's ref from every carrying table. */
+    def deleteBranch(): Int =
+      (send(s"$baseUrl/branch/${seg(branchId)}", "DELETE", notFoundErr) \ "tables")
+        .extract[Int]
 
     /** Resolve by name over HTTP, then read DIRECTLY from storage —
       * the metastore never proxies data. A non-main branch reads the

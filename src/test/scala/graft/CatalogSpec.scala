@@ -70,10 +70,12 @@ class CatalogSpec extends AnyFunSuite {
     // overlapping-window chunking row (RAG preprocessing) → 210, and
     // the iceberg_sql_meta_tables 4-part-name observability row → 211.
     // round 11 added the iceberg_sql_merge_expr column-level-MERGE row
-    // (UPDATE SET col = expr + differently-named ON keys) → 212.
+    // (UPDATE SET col = expr + differently-named ON keys) → 212, and
+    // the iceberg_rest_branch REST branch-write row (fork → branch
+    // commit → fast-forward merge to main) → 213.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 212 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 212 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 213 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 213 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -89,4 +89,62 @@ class RestCatalogSpec extends AnyFunSuite {
     // main keeps serving it (empty databases exist on main)
     assert(main.getDatabase("empty").databaseName == "empty")
   }
+
+  private lazy val wfixture: (String, RestCatalog.Server) = {
+    val root = Files.createTempDirectory("graft_restbr").toString
+    val s = spark
+    import s.implicits._
+    Catalog.init(root)
+    Catalog.createDatabase(root, "wh")
+    IcebergLite.append(spark, Catalog.createTable(root, "wh", "t"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    (root, RestCatalog.serve(root))
+  }
+
+  test("branch write surface: fork, branch commit, fast-forward merge to main") {
+    val (root, server) = wfixture
+    val s = spark
+    import s.implicits._
+    val path = Catalog.tablePath(root, "wh", "t")
+    val wap = new RestCatalog.Client(server.baseUrl, branchId = "wap")
+    assert(wap.createBranch() == Seq("wh.t"))
+    // duplicate fork and missing parent are definitive answers
+    intercept[RestCatalog.ConflictException](wap.createBranch())
+    intercept[RestCatalog.TableNotFound](
+      new RestCatalog.Client(server.baseUrl, branchId = "x").createBranch("nope"))
+    // land data files on storage against the BRANCH (data plane),
+    // then merge publishes to main in one pointer flip per table
+    IcebergLite.append(spark, path, Seq((3L, "c")).toDF("id", "v"),
+      toBranch = Some("wap"))
+    assert(new RestCatalog.Client(server.baseUrl).readTable(spark, "wh", "t")
+      .count() == 2, "pre-merge main must not see branch commits")
+    assert(wap.mergeBranch() == Seq("wh.t"))
+    assert(new RestCatalog.Client(server.baseUrl).readTable(spark, "wh", "t")
+      .count() == 3)
+    assert(wap.deleteBranch() == 1)
+    assert(!IcebergLite.branches(path).contains("wap"))
+  }
+
+  test("branch write surface: CAS commit and merge conflicts answer 409") {
+    val (root, server) = wfixture
+    val s = spark
+    import s.implicits._
+    val path = Catalog.tablePath(root, "wh", "t")
+    val dev = new RestCatalog.Client(server.baseUrl, branchId = "dev")
+    dev.createBranch()
+    val h0 = IcebergLite.branches(path)("dev")
+    // two main appends create candidate snapshots; two writers race
+    // the SAME expected head — the second is told the truth, not retried
+    val s2 = IcebergLite.append(spark, path, Seq((10L, "x")).toDF("id", "v"))
+    val s3 = IcebergLite.append(spark, path, Seq((11L, "y")).toDF("id", "v"))
+    assert(dev.commitTable("wh", "t", s2, expectedHead = Some(h0)) == s2)
+    val cas = intercept[RestCatalog.ConflictException](
+      dev.commitTable("wh", "t", s3, expectedHead = Some(h0)))
+    assert(cas.getMessage.contains("concurrent change"))
+    // merge conflict: branch and main have DIVERGED (dev head s2 is
+    // not a descendant chain containing main's s3)
+    val mc = intercept[RestCatalog.ConflictException](dev.mergeBranch())
+    assert(mc.getMessage.contains("diverged"))
+    dev.deleteBranch()
+  }
 }
