@@ -389,14 +389,14 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
         org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _), cols)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
-      val fields = cols.map { c =>
-        require(c.path.isEmpty && c.position.isEmpty && c.default.isEmpty,
-          "ADD COLUMNS supports plain top-level columns only " +
-            "(no nested paths, positions, or defaults)")
-        org.apache.spark.sql.types.StructField(c.colName, c.dataType, nullable = true)
+      val adds = cols.map { c =>
+        require(c.position.isEmpty && c.default.isEmpty,
+          "ADD COLUMNS supports plain columns only (no positions or defaults)")
+        // a nested path (s.x INT) routes through the same metadata-only
+        // commit — one snapshot for the whole statement
+        (c.path.map(_.name).getOrElse(Nil) :+ c.colName, c.dataType)
       }
-      GraftAddColumnsCommand(GraftSqlCatalog.resolve(spark, parts).get,
-        StructType(fields))
+      GraftAddColumnsCommand(GraftSqlCatalog.resolve(spark, parts).get, adds)
     case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(
         org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _),
         field, newName)
@@ -411,9 +411,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         require(sp.newDataType.isDefined && sp.newNullability.isEmpty &&
           sp.newComment.isEmpty && sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty,
           "ALTER COLUMN supports TYPE widening only")
-        require(sp.column.name.length == 1,
-          "ALTER COLUMN supports top-level columns only")
-        (sp.column.name.head, sp.newDataType.get)
+        (sp.column.name, sp.newDataType.get)
       }
       GraftWidenColumnsCommand(GraftSqlCatalog.resolve(spark, parts).get, widens)
     case org.apache.spark.sql.catalyst.plans.logical.SetTableProperties(
@@ -760,17 +758,21 @@ case class GraftUnsetPropertiesCommand(tablePath: String,
   * snapshot to commit against — evolution rewrites the declaration
   * instead; once data exists the snapshot schema governs. */
 case class GraftAddColumnsCommand(tablePath: String,
-    cols: StructType) extends RunnableCommand {
+    adds: Seq[(Seq[String], org.apache.spark.sql.types.DataType)])
+    extends RunnableCommand {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
     (IcebergLite.currentSnapshotId(tablePath),
         GraftSqlCatalog.declaredSchema(tablePath)) match {
       case (None, Some(d)) =>
-        cols.fieldNames.foreach(n => require(!d.fieldNames.contains(n),
-          s"column $n already exists"))
-        GraftSqlCatalog.declareSchema(tablePath, StructType(d.fields ++ cols.fields))
-      case _ => IcebergLite.addColumns(spark, tablePath, cols)
+        // still-empty declared table: rewrite the declaration — nested
+        // paths evolve the declared struct through the same pure
+        // transform the snapshot path uses
+        GraftSqlCatalog.declareSchema(tablePath,
+          adds.foldLeft(d) { case (s, (p, dt)) =>
+            IcebergLite.addFieldToStruct(s, p, dt) })
+      case _ => IcebergLite.addFields(spark, tablePath, adds)
     }
     Nil
   }
@@ -795,22 +797,20 @@ case class GraftRenameColumnCommand(tablePath: String,
 }
 
 case class GraftWidenColumnsCommand(tablePath: String,
-    widens: Seq[(String, org.apache.spark.sql.types.DataType)]) extends RunnableCommand {
+    widens: Seq[(Seq[String], org.apache.spark.sql.types.DataType)])
+    extends RunnableCommand {
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
     (IcebergLite.currentSnapshotId(tablePath),
         GraftSqlCatalog.declaredSchema(tablePath)) match {
       case (None, Some(d)) =>
-        val declared = widens.foldLeft(d) { case (s, (n, t)) =>
-          require(s.fieldNames.contains(n), s"column $n does not exist")
-          StructType(s.fields.map(f => if (f.name == n) f.copy(dataType = t) else f))
-        }
-        GraftSqlCatalog.declareSchema(tablePath, declared)
-      case _ =>
-        widens.foreach { case (n, t) =>
-          IcebergLite.widenColumn(spark, tablePath, n, t)
-        }
+        // a declaration with no data yet may retype freely (nothing
+        // narrow is on disk to widen FROM) — existence still checked
+        GraftSqlCatalog.declareSchema(tablePath,
+          widens.foldLeft(d) { case (s, (p, t)) =>
+            IcebergLite.widenFieldInStruct(s, p, t, checkWidening = false) })
+      case _ => IcebergLite.widenFields(spark, tablePath, widens)
     }
     Nil
   }

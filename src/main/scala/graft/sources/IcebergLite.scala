@@ -760,6 +760,126 @@ object IcebergLite {
         cur.fields ++ cols.fields.map(_.copy(nullable = true))))
   }
 
+  /** Apply `f` to the struct at `path` (Nil = the root), rebuilding
+    * the parent chain — the shared walk under nested add/widen. */
+  private def withNestedStruct(s: org.apache.spark.sql.types.StructType,
+      path: List[String])(
+      f: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    path match {
+      case Nil => f(s)
+      case name :: rest =>
+        val idx = s.fieldNames.indexOf(name)
+        require(idx >= 0, s"struct field $name does not exist")
+        s.fields(idx).dataType match {
+          case inner: org.apache.spark.sql.types.StructType =>
+            org.apache.spark.sql.types.StructType(s.fields.updated(idx,
+              s.fields(idx).copy(dataType = withNestedStruct(inner, rest)(f))))
+          case other => throw new IllegalArgumentException(
+            s"$name is ${other.catalogString}, not a struct")
+        }
+    }
+
+  /** PURE nested-field transforms (no commit) — shared by the SQL
+    * layer's declared-schema rewrite and the snapshot commits below. */
+  private[graft] def addFieldToStruct(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String],
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType =
+    withNestedStruct(s, path.init.toList) { inner =>
+      require(!inner.fieldNames.contains(path.last),
+        s"column ${path.mkString(".")} already exists")
+      org.apache.spark.sql.types.StructType(inner.fields :+
+        org.apache.spark.sql.types.StructField(path.last, dt, nullable = true))
+    }
+
+  private[graft] def widenFieldInStruct(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String], t: org.apache.spark.sql.types.DataType,
+      checkWidening: Boolean = true): org.apache.spark.sql.types.StructType =
+    withNestedStruct(s, path.init.toList) { inner =>
+      val idx = inner.fieldNames.indexOf(path.last)
+      require(idx >= 0, s"column ${path.mkString(".")} does not exist")
+      val from = inner.fields(idx).dataType
+      require(!checkWidening || isWidening(from, t),
+        s"${from.catalogString} -> ${t.catalogString} is not a widening " +
+          "promotion (int->long, float->double, decimal precision up)")
+      org.apache.spark.sql.types.StructType(inner.fields.updated(idx,
+        inner.fields(idx).copy(dataType = t)))
+    }
+
+  /** ADD FIELDS — the path-aware superset of [[addColumns]], ONE
+    * metadata-only commit for any mix of top-level columns and nested
+    * struct fields (`s.x INT`): the snapshot schema gains the nullable
+    * fields, existing files null-fill them at read — the same
+    * per-snapshot nested evolution append-driven schema union already
+    * gives writes, now reachable as explicit DDL. Paths arrive
+    * logical; only the TOP-level segment can be renamed (renames are
+    * top-level), so only it translates. */
+  def addFields(spark: SparkSession, tablePath: String,
+      adds: Seq[(Seq[String], org.apache.spark.sql.types.DataType)]): Long =
+    withCommitLock(tablePath) {
+      val parentId = currentSnapshotId(tablePath)
+      require(parentId.nonEmpty, "add columns on an empty table: declare them " +
+        "at CREATE TABLE or in the first insert instead")
+      require(adds.nonEmpty, "no columns to add")
+      val rmap = renames(tablePath, parentId)
+      val cur = tableSchema(tablePath, parentId).getOrElse {
+        val live = dataFiles(tablePath, parentId)
+        require(live.nonEmpty, "add columns on a table with no data files")
+        spark.read.option("mergeSchema", "true")
+          .parquet(live.map(f => s"$tablePath/${f.filePath}"): _*).schema
+      }
+      val taken = scala.collection.mutable.Set.empty[String] ++
+        logicalShape(tablePath, parentId).fieldNames ++
+        partitionSpec(tablePath).map(_.name) ++ cur.fieldNames
+      var next = cur
+      adds.foreach { case (p0, dt) =>
+        if (p0.length == 1) {
+          require(!taken.contains(p0.head),
+            s"column ${p0.head} collides with an existing logical, physical, or partition name")
+          taken += p0.head
+          next = org.apache.spark.sql.types.StructType(next.fields :+
+            org.apache.spark.sql.types.StructField(p0.head, dt, nullable = true))
+        } else next = addFieldToStruct(next,
+          physicalName(rmap, p0.head) +: p0.tail, dt)
+      }
+      commitSnapshot(tablePath, parentId, entries = Nil,
+        carriedManifests = parentManifests(tablePath, parentId),
+        operation = "replace", schemaSet = next)
+    }
+
+  /** WIDEN FIELDS — the path-aware superset of [[widenColumn]], ONE
+    * metadata-only commit for several promotions incl. nested leaves
+    * (`s.x` int→long): existing files keep their narrow encoding and
+    * widen per file at read, like the top-level form. Partition-spec
+    * pinning applies to top-level sources only (spec sources are
+    * top-level by construction). */
+  def widenFields(spark: SparkSession, tablePath: String,
+      widens: Seq[(Seq[String], org.apache.spark.sql.types.DataType)]): Long =
+    withCommitLock(tablePath) {
+      val parentId = currentSnapshotId(tablePath)
+      require(parentId.nonEmpty, "widen on an empty table (no snapshot)")
+      require(widens.nonEmpty, "no columns to widen")
+      val rmap = renames(tablePath, parentId)
+      val specNames = partitionSpecs(tablePath).flatten
+        .flatMap(f => Seq(f.source, f.name)).toSet
+      val cur = tableSchema(tablePath, parentId).getOrElse {
+        val live = dataFiles(tablePath, parentId)
+        require(live.nonEmpty, "widen on a table with no data files")
+        spark.read.option("mergeSchema", "true")
+          .parquet(live.map(f => s"$tablePath/${f.filePath}"): _*).schema
+      }
+      var next = cur
+      widens.foreach { case (p0, t) =>
+        val p = physicalName(rmap, p0.head) +: p0.tail
+        if (p.length == 1)
+          require(!specNames.contains(p.head),
+            s"cannot widen ${p0.mkString(".")}: partition-spec source/field types are fixed")
+        next = widenFieldInStruct(next, p, t)
+      }
+      commitSnapshot(tablePath, parentId, entries = Nil,
+        carriedManifests = parentManifests(tablePath, parentId),
+        operation = "replace", schemaSet = next)
+    }
+
   /** Cumulative physical→logical column-name mapping as of a snapshot
     * (empty when the table has never been renamed). Stored whole in
     * each snapshot's JSON, so resolution is O(1) — no chain walk. */

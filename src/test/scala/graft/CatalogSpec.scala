@@ -72,10 +72,12 @@ class CatalogSpec extends AnyFunSuite {
     // round 11 added the iceberg_sql_merge_expr column-level-MERGE row
     // (UPDATE SET col = expr + differently-named ON keys) → 212, and
     // the iceberg_rest_branch REST branch-write row (fork → branch
-    // commit → fast-forward merge to main) → 213.
+    // commit → fast-forward merge to main) → 213, and the
+    // iceberg_sql_struct_evolution nested-DDL row (ADD COLUMNS s.x /
+    // ALTER COLUMN s.x TYPE as single metadata commits) → 214.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 213 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 213 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 214 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 214 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

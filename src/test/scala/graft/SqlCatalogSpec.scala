@@ -209,6 +209,47 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(narrow.getMessage.contains("widening"))
   }
 
+  test("nested-field SQL evolution: ADD COLUMNS s.x and ALTER COLUMN s.x TYPE") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.nse")
+    spark.sql("CREATE TABLE sqlcat.nse.t (id BIGINT, s STRUCT<a: STRING>)")
+    spark.sql("INSERT INTO sqlcat.nse.t VALUES (1, named_struct('a', 'one'))")
+    val path = Catalog.tablePath(root, "nse", "t")
+    val snapsBefore = IcebergLite.snapshots(path).size
+    // one statement (mixed top-level + nested) = ONE metadata commit
+    spark.sql("ALTER TABLE sqlcat.nse.t ADD COLUMNS (top STRING, s.x INT)")
+    assert(IcebergLite.snapshots(path).size == snapsBefore + 1)
+    spark.sql("INSERT INTO sqlcat.nse.t VALUES " +
+      "(2, named_struct('a', 'two', 'x', 7), 't2')")
+    // nested widen, then a value only BIGINT can hold
+    spark.sql("ALTER TABLE sqlcat.nse.t ALTER COLUMN s.x TYPE BIGINT")
+    spark.sql("INSERT INTO sqlcat.nse.t VALUES " +
+      "(3, named_struct('a', 'three', 'x', 4000000000), 't3')")
+    val got = spark.sql(
+      "SELECT id, s.a AS sa, s.x AS sx FROM sqlcat.nse.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, "one", -1L), (2L, "two", 7L),
+      (3L, "three", 4000000000L)))
+    // refusals keep their shapes: duplicate nested field, non-struct
+    // path, nested narrow
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE sqlcat.nse.t ADD COLUMNS (s.x INT)"))
+    assert(dup.getMessage.contains("already exists"))
+    val notStruct = intercept[Exception](
+      spark.sql("ALTER TABLE sqlcat.nse.t ADD COLUMNS (id.y INT)"))
+    assert(notStruct.getMessage.contains("not a struct"))
+    val narrow2 = intercept[Exception](
+      spark.sql("ALTER TABLE sqlcat.nse.t ALTER COLUMN s.x TYPE INT"))
+    assert(narrow2.getMessage.contains("widening"))
+    // declared-table (pre-data) nested evolution rewrites the declaration
+    spark.sql("CREATE TABLE sqlcat.nse.d (id BIGINT, s STRUCT<a: STRING>)")
+    spark.sql("ALTER TABLE sqlcat.nse.d ADD COLUMNS (s.x INT)")
+    spark.sql("INSERT INTO sqlcat.nse.d VALUES (1, named_struct('a', 'z', 'x', 5))")
+    assert(spark.sql("SELECT s.x AS sx FROM sqlcat.nse.d").collect()
+      .head.getInt(0) == 5)
+  }
+
   test("metadata tables resolve as 4-part names; SHOW PARTITIONS lists tuples") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.meta4")
