@@ -80,6 +80,21 @@ case class GraftRelation(tablePath: String, snapshotId: Option[Long],
     extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  /** Real statistics from MANIFEST metadata (file sizes + record
+    * counts) instead of the leaf default (defaultSizeInBytes = assume
+    * huge): any stats consumer that runs before the optimizer splice
+    * — join estimation, CBO row counts — sees the table's true size
+    * without listing storage. Cached per relation instance; the
+    * snapshot is pinned so the answer cannot drift. */
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    cachedStats
+  private lazy val cachedStats = {
+    val files = graft.sources.IcebergLite.dataFiles(tablePath, snapshotId)
+    val size = files.map(f => math.max(f.fileSizeBytes, 0L)).sum
+    val rows = files.map(f => math.max(f.recordCount, 0L)).sum
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = BigInt(size).max(1), rowCount = Some(BigInt(rows)))
+  }
 }
 
 object GraftSqlCatalog {

@@ -53,6 +53,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)") && p.contains("*(2)"))
   }
 
+  test("SQL join of a small graft table broadcasts with no hint") {
+    // the spliced read must carry real size statistics so the planner
+    // picks the broadcast side from METADATA, not hints
+    val root = java.nio.file.Files.createTempDirectory("graft_planstat").toString
+    graft.sources.Catalog.init(root)
+    spark.conf.set("spark.sql.catalog.pstat",
+      classOf[graft.plans.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.pstat.root", root)
+    spark.sql("CREATE NAMESPACE pstat.db")
+    spark.sql("CREATE TABLE pstat.db.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO pstat.db.dim VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CREATE TABLE pstat.db.fact (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO pstat.db.fact SELECT id % 3 + 1, id FROM range(20000)")
+    val df = spark.sql("""
+      SELECT d.name, sum(f.v) AS total
+      FROM pstat.db.fact f JOIN pstat.db.dim d ON f.k = d.k
+      GROUP BY d.name""")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim must broadcast, not shuffle")
+    // the lazy marker itself carries MANIFEST-derived statistics
+    // (sizes + row counts) — pre-splice stats consumers see the true
+    // table size, not the assume-huge leaf default
+    val markerStats = df.queryExecution.analyzed.collect {
+      case g: graft.plans.GraftRelation => g.stats
+    }
+    assert(markerStats.size == 2)
+    assert(markerStats.exists(_.rowCount.contains(BigInt(20000))), markerStats)
+    assert(markerStats.exists(_.rowCount.contains(BigInt(3))), markerStats)
+    assert(markerStats.forall(_.sizeInBytes > 0))
+  }
+
   test("semi/anti shapes plan as semi/anti joins, not cross products") {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))
