@@ -446,10 +446,12 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       })
     case org.apache.spark.sql.catalyst.plans.logical.ShowPartitions(
         GraftTablePath(path), None, output) =>
-      val tuples = IcebergLite.dataFiles(path).map(_.partition)
-        .filter(_.nonEmpty).distinct
-        .map(m => m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"))
-        .sorted
+      // through the partitions METADATA TABLE: past the planning
+      // threshold the manifest walk runs as a Spark job instead of a
+      // driver loop — a 10⁵-manifest table answers distributed
+      val tuples = IcebergLite.partitionsMetadata(spark, path)
+        .select("part").filter(org.apache.spark.sql.functions.col("part") =!= "")
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
       LocalRelation(output, tuples.map(t =>
         org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(t))))

@@ -2257,21 +2257,42 @@ object IcebergLite {
     * what [[planFilesDistributed]] fans out over executors. */
   def filesMetadata(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
-    dataFiles(tablePath, snapshotId).foreach { f =>
-      rows.add(org.apache.spark.sql.Row(
-        f.filePath, f.fileFormat,
-        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
-        f.recordCount, f.sequenceNumber, f.fileSizeBytes))
-    }
     import org.apache.spark.sql.types._
-    spark.createDataFrame(rows, StructType(Seq(
+    val schema = StructType(Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("file_format", StringType, nullable = false),
       StructField("part", StringType, nullable = false),
       StructField("record_count", LongType, nullable = false),
       StructField("sequence_number", LongType, nullable = false),
-      StructField("file_size_bytes", LongType, nullable = false))))
+      StructField("file_size_bytes", LongType, nullable = false)))
+    def rowOf(f: DataFile) = (
+      f.filePath, f.fileFormat,
+      f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+      f.recordCount, f.sequenceNumber, f.fileSizeBytes)
+    val snap = snapshotId.orElse(currentSnapshotId(tablePath))
+    val manifests = snap.map(manifestPathsOf(tablePath, _)).getOrElse(Nil)
+    val threshold = spark.conf
+      .getOption("graft.iceberg.planning.distributedThreshold")
+      .map(_.toInt).getOrElse(64)
+    if (manifests.size >= threshold) {
+      // big metadata: parse manifests as ONE Spark job (the same
+      // fan-out planFilesDistributed uses) — SHOW PARTITIONS / the
+      // files and partitions tables on a 10⁵-manifest table must not
+      // re-list every entry in a driver thread
+      val tp = tablePath
+      spark.createDataset(manifests)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(manifests.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .flatMap(m => manifestFiles(tp, m).map(rowOf))(
+          org.apache.spark.sql.Encoders.product[(String, String, String, Long, Long, Long)])
+        .toDF(schema.fieldNames.toSeq: _*)
+    } else {
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      snap.foreach(id => dataFilesFrom(tablePath, id,
+        parseManifestList(tablePath, id), Nil).foreach(f =>
+        rows.add(org.apache.spark.sql.Row.fromTuple(rowOf(f)))))
+      spark.createDataFrame(rows, schema)
+    }
   }
 
   /** `partitions` METADATA TABLE — per-partition file and record

@@ -1553,6 +1553,42 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.iceberg.planning.distributedThreshold")
   }
 
+  test("files/partitions metadata tables plan DISTRIBUTED past the manifest threshold") {
+    val root = syntheticManifestTable(nManifests = 80, filesPer = 25)
+    // past the threshold (80 >= 64): the manifest walk is a Spark job,
+    // not a driver-built LocalRelation
+    val dist = IcebergLite.filesMetadata(spark, root)
+    // the only LocalRelation allowed is the O(manifests) PATH list that
+    // seeds the job — never the O(entries) file rows themselves
+    assert(dist.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.output.length > 1 => l
+    }.isEmpty, "big-metadata files table must not materialize entries on the driver")
+    assert(dist.queryExecution.optimizedPlan.toString.contains("SerializeFromObject"),
+      "entry parsing must run inside the plan (flatMap over manifests)")
+    spark.sparkContext.setJobGroup("graft-meta-spec", "distributed files metadata")
+    val distRows = try dist.collect().toSet
+    finally spark.sparkContext.clearJobGroup()
+    val deadline = System.currentTimeMillis() + 5000
+    var ids = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-meta-spec")
+    while (ids.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ids = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-meta-spec")
+    }
+    assert(ids.nonEmpty, "filesMetadata must submit a Spark job past the threshold")
+    // row-identical to the driver path (threshold raised out of reach)
+    spark.conf.set("graft.iceberg.planning.distributedThreshold", "100000")
+    val driverRows = try IcebergLite.filesMetadata(spark, root).collect().toSet
+    finally spark.conf.unset("graft.iceberg.planning.distributedThreshold")
+    assert(distRows == driverRows)
+    assert(distRows.size == 80 * 25)
+    // the partitions aggregation inherits the distributed scan
+    val parts = IcebergLite.partitionsMetadata(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts.keySet == (0 to 9).map(i => s"p=$i").toSet)
+    assert(parts("p=3") == 8L * 25)
+  }
+
   test("branch writes: commits land on the branch, main is isolated, fast-forward publishes") {
     val s = spark
     import s.implicits._
