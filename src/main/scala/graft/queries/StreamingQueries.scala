@@ -229,6 +229,63 @@ object StreamingQueries extends QueryCatalog {
         .orderBy(col("user_id"))
     })
 
+  private lazy val sqlUpsertRoot = java.nio.file.Files
+    .createTempDirectory("graft_stream_sql_upsert_row")
+
+  /** SQL-DRIVEN streaming CDC (r11, [[EventStream.sqlMergeStream]]):
+    * the upsert is DECLARED as a MERGE INTO statement — per-batch
+    * winner selection in a USING subquery over the batch view, ordered
+    * upsert via `WHEN MATCHED AND s.event_id >= t.event_id` — and run
+    * against every micro-batch through foreachBatch. The row feeds
+    * HALF the events, stops the stream (kill), then feeds the rest and
+    * RESTARTS from the same checkpoint: the finished table must hold
+    * exactly the max-event_id record per user, the same oracle as the
+    * programmatic `stream_upsert` row. */
+  private val streamSqlUpsert = Q(
+    "stream_sql_upsert",
+    Some("""
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id"""),
+    (s, dir) => {
+      Engine.deleteRecursively(sqlUpsertRoot)
+      val root = sqlUpsertRoot.toString
+      graft.sources.Catalog.init(root)
+      s.conf.set("spark.sql.catalog.graftscdc",
+        classOf[graft.plans.GraftCatalogPlugin].getName)
+      s.conf.set("spark.sql.catalog.graftscdc.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftscdc.db")
+      s.sql("""CREATE TABLE graftscdc.db.state
+               (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)""")
+      val ev = Engine.t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val mid = ev.agg(((min(col("event_id")) + max(col("event_id"))) / 2)
+        .cast("long")).head.getLong(0)
+      val inDir = s"$root/in"
+      ev.filter(col("event_id") <= mid).coalesce(1).write.parquet(inDir)
+      val mergeSql = """
+        MERGE INTO graftscdc.db.state AS t
+        USING (SELECT user_id, event_id, event_type, value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id DESC) AS rn
+                 FROM batch) WHERE rn = 1) AS s
+        ON t.user_id = s.user_id
+        WHEN MATCHED AND s.event_id >= t.event_id THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *"""
+      def run(): Unit = EventStream.sqlMergeStream(
+        s.readStream.schema(ev.schema).parquet(inDir), mergeSql, s"$root/ckpt")
+      run() // half the input, then the stream STOPS (the kill)
+      val path = graft.sources.Catalog.tablePath(root, "db", "state")
+      require(graft.sources.IcebergLite.currentSnapshotId(path).nonEmpty,
+        "first run must have committed merges before the kill")
+      ev.filter(col("event_id") > mid).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      run() // RESTART from the same checkpoint
+      s.sql("""SELECT user_id, event_id, event_type, value
+               FROM graftscdc.db.state ORDER BY user_id""")
+    })
+
   private lazy val upsertBranchRoot = java.nio.file.Files
     .createTempDirectory("graft_stream_upsert_branch_row")
 
@@ -337,5 +394,5 @@ object StreamingQueries extends QueryCatalog {
   def defs: Seq[Q] = Seq(
     streamDedupIds, streamJoinClickView, streamSessionize, streamWindowAgg,
     streamIngestDedup, streamSessionWindow, streamUpsert, streamUpsertBranch,
-    streamChangelogTail)
+    streamChangelogTail, streamSqlUpsert)
 }

@@ -261,6 +261,71 @@ object EventStream {
 
   /** A testdata table as a file-source STREAM. Streaming readers need
     * an explicit schema, so the batch footer is read once. */
+  /** SQL-DRIVEN streaming CDC: run a `MERGE INTO <graft table> USING
+    * <view> ...` statement against every micro-batch — the
+    * `writeStream.foreachBatch` upsert pattern, declared as the SQL a
+    * warehouse user already writes. The single-part relation name in
+    * the USING clause is the PER-BATCH BINDING: each micro-batch
+    * registers under it (a subquery source `USING (SELECT ... FROM
+    * batch ...) s` works — the inner view is what binds), so dedup /
+    * winner selection lives in the statement, and a branch-scoped
+    * target (`cat.db.t.branch_x`) gives the write-audit-publish
+    * pattern end-to-end from SQL.
+    *
+    * The statement parses ONCE, and its SHAPE is validated before the
+    * stream starts by running the ANALYZER (not execution) over the
+    * statement with a zero-row stand-in source of the stream's schema —
+    * an unsupported MERGE form fails at declaration, not on batch 17.
+    * Batches retry on commit conflicts like [[upsertStream]]; replay
+    * idempotence follows the same foreachBatch contract (make the
+    * statement a precedence merge — `WHEN MATCHED AND s.seq >= t.seq`
+    * — for at-least-once safety). */
+  def sqlMergeStream(events: DataFrame, mergeSql: String,
+      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, MergeIntoTable}
+    val spark = events.sparkSession
+    val merge = spark.sessionState.sqlParser.parsePlan(mergeSql) match {
+      case m: MergeIntoTable => m
+      case other => throw new IllegalArgumentException(
+        s"sqlMergeStream needs a MERGE INTO statement, got ${other.nodeName}")
+    }
+    val names = merge.sourceTable.collect {
+      case UnresolvedRelation(parts, _, _) if parts.length == 1 => parts.head
+    }.distinct
+    require(names.size == 1,
+      s"the USING clause must reference exactly one single-part view " +
+        s"(the per-batch binding), found: ${names.mkString(", ")}")
+    val sourceName = names.head
+    val probeAttrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(events.schema)
+    val probe: LogicalPlan = merge.transformUp {
+      case UnresolvedRelation(parts, _, _) if parts == Seq(sourceName) =>
+        LocalRelation(probeAttrs)
+    }
+    spark.sessionState.analyzer.execute(probe) // shape refusals fire HERE
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          batch.createOrReplaceTempView(sourceName)
+          var attempts = 0
+          var committed = false
+          while (!committed) try {
+            batch.sparkSession.sql(mergeSql)
+            committed = true
+          } catch {
+            case _: graft.sources.IcebergLite.CommitConflictException
+                if attempts < 5 => attempts += 1
+          }
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   def tableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$sfDir/$table.parquet").schema

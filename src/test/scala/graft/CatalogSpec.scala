@@ -74,10 +74,12 @@ class CatalogSpec extends AnyFunSuite {
     // the iceberg_rest_branch REST branch-write row (fork → branch
     // commit → fast-forward merge to main) → 213, and the
     // iceberg_sql_struct_evolution nested-DDL row (ADD COLUMNS s.x /
-    // ALTER COLUMN s.x TYPE as single metadata commits) → 214.
+    // ALTER COLUMN s.x TYPE as single metadata commits) → 214, and the
+    // stream_sql_upsert SQL-declared streaming-CDC row (MERGE INTO
+    // string driving foreachBatch, checkpoint kill-restart) → 215.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 214 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 214 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 215 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 215 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

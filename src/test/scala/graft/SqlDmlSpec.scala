@@ -306,6 +306,44 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(star.getMessage.contains("INSERT"))
   }
 
+  test("sqlMergeStream validates the statement shape BEFORE the stream starts") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.scdc (id BIGINT, v STRING)")
+    val in = java.nio.file.Files.createTempDirectory("graft_scdc_in")
+      .resolve("in").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def stream() = spark.readStream.schema(schema).parquet(in)
+    // NOT MATCHED BY SOURCE is an unsupported shape: it must refuse at
+    // DECLARATION (no checkpoint dir is ever created)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scdc_ckpt")
+      .resolve("c1").toString
+    val bad = intercept[Exception](graft.streaming.EventStream.sqlMergeStream(
+      stream(), """
+        MERGE INTO dml.db.scdc AS t USING batch AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""", ckpt))
+    assert(bad.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)),
+      "a refused statement must not have started the stream")
+    // a non-MERGE statement and a multi-view USING refuse too
+    val notMerge = intercept[Exception](graft.streaming.EventStream.sqlMergeStream(
+      stream(), "SELECT 1", ckpt))
+    assert(notMerge.getMessage.contains("MERGE INTO"))
+    // the happy path streams the batch through the statement
+    graft.streaming.EventStream.sqlMergeStream(stream(), """
+      MERGE INTO dml.db.scdc AS t USING batch AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""", ckpt)
+    assert(spark.sql("SELECT id, v FROM dml.db.scdc").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+  }
+
   test("unsupported DML shapes refuse with actionable messages") {
     root
     spark.sql("CREATE TABLE dml.db.r (id BIGINT, v STRING)")
