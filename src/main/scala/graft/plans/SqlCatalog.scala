@@ -673,11 +673,38 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => throw new IllegalArgumentException(
         s"unsupported WHEN MATCHED action $other (UPDATE SET ... / DELETE only)")
     }
-    val insertAll = notMatched match {
-      case Seq() => false
-      case Seq(InsertStarAction(None)) => true
+    // INSERT VALUES expressions see the SOURCE row only (the unmatched
+    // frame IS the source, so references land bare, key-renamed)
+    def insertVal(e: Expression): org.apache.spark.sql.Column = {
+      require(!e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        !e.exists(_.isInstanceOf[SubqueryExpression]),
+        "subqueries in MERGE assignments are not supported for graft tables")
+      org.apache.spark.sql.GraftColumnBridge.toCol(e.transform {
+        case a: AttributeReference if source.outputSet.contains(a) =>
+          UnresolvedAttribute.quoted(keyRenames.getOrElse(a.name, a.name))
+        case a: UnresolvedAttribute
+            if a.nameParts.length > 1 &&
+              sourceNames.contains(a.nameParts.init.last.toLowerCase) =>
+          UnresolvedAttribute.quoted(
+            keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
+        case a: UnresolvedAttribute => throw new IllegalArgumentException(
+          s"INSERT values may reference source columns only, got ${a.sql}")
+      })
+    }
+    val (insertAll, insertAssigns) = notMatched match {
+      case Seq() => (false, None)
+      case Seq(InsertStarAction(None)) => (true, None)
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.InsertAction(None, assigns)) =>
+        val pairs = assigns.map(a => assignTarget(a.key) -> insertVal(a.value))
+        require(pairs.map(_._1).distinct.size == pairs.size,
+          "INSERT assigns the same column twice")
+        (true, Some(pairs): Option[Seq[(String, org.apache.spark.sql.Column)]])
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.InsertAction(Some(c), _)) =>
+        throw new IllegalArgumentException(
+          s"conditional INSERT is unsupported (filter the source instead): ${c.sql}")
       case other => throw new IllegalArgumentException(
-        s"unsupported WHEN NOT MATCHED action $other (INSERT * only)")
+        s"unsupported WHEN NOT MATCHED action $other " +
+          "(one INSERT * or INSERT (cols) VALUES (exprs))")
     }
     require(!(deleteAll && (hasUpdate || tombstone.nonEmpty)),
       "a bare WHEN MATCHED THEN DELETE cannot combine with UPDATE " +
@@ -694,14 +721,21 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     require(updateAssigns.isEmpty || (tombstone.isEmpty && precedence.isEmpty),
       "UPDATE SET col = expr cannot combine with a DELETE arm or an " +
         "ordered-upsert condition (those are replace-semantics forms)")
-    require(hasUpdate || deleteAll,
-      "MERGE needs WHEN MATCHED THEN UPDATE SET ... or THEN DELETE")
+    require(insertAssigns.isEmpty || tombstone.isEmpty,
+      "column-level INSERT cannot combine with a DELETE arm")
+    require(insertAssigns.isEmpty || !hasUpdate || updateAssigns.nonEmpty,
+      "column-level INSERT combines with column-level UPDATE SET " +
+        "assignments (or stands alone), not with UPDATE SET *")
+    require(hasUpdate || deleteAll || insertAll,
+      "MERGE needs WHEN MATCHED THEN UPDATE/DELETE or WHEN NOT MATCHED " +
+        "THEN INSERT")
     require(!hasUpdate || insertAll || updateAssigns.nonEmpty,
       "upsert MERGE needs WHEN NOT MATCHED THEN INSERT * (the merge " +
         "primitive always inserts unmatched source rows); update-only " +
         "MERGE is supported with column-level SET assignments")
     GraftMergeCommand(path, source, keyCols, precedence, tombstone, deleteAll,
-      toBranch, keyRenames, updateAssigns, insertAll)
+      toBranch, keyRenames, updateAssigns, insertAll, insertAssigns,
+      insertOnly = !hasUpdate && !deleteAll && insertAll)
   }
 }
 
@@ -886,7 +920,9 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     toBranch: Option[String],
     keyRenames: Map[String, String] = Map.empty,
     updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-    insertAll: Boolean = true) extends RunnableCommand {
+    insertAll: Boolean = true,
+    insertAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+    insertOnly: Boolean = false) extends RunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = source :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
@@ -935,7 +971,8 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     IcebergLite.merge(spark, tablePath, df, keyCols,
       precedence = precedence, tombstoneCol = tomb, toBranch = toBranch,
       updateAssigns = updateAssigns,
-      insertUnmatched = insertAll || updateAssigns.isEmpty)
+      insertUnmatched = insertAll || updateAssigns.isEmpty,
+      insertAssigns = insertAssigns, insertOnly = insertOnly)
     Nil
   }
 }

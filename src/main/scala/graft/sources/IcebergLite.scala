@@ -3671,22 +3671,32 @@ object IcebergLite {
     * each matched target row is rewritten by the assignment
     * expressions — target columns referenced bare, source columns as
     * `__graft_s_<name>` — and unassigned columns carry through
-    * unchanged. `insertUnmatched = false` drops the INSERT arm (an
-    * update-only MERGE); it is only meaningful with `updateAssigns`
-    * (the plain upsert primitive always inserts). Incompatible with
-    * `precedence`/`tombstoneCol` (those are replace-semantics knobs). */
+    * unchanged. `insertAssigns` switches WHEN NOT MATCHED from
+    * INSERT * to a column-level projection (INSERT (cols) VALUES
+    * (exprs)): assigned columns evaluate over the SOURCE row (bare
+    * names), unassigned columns null-fill. `insertUnmatched = false`
+    * drops the INSERT arm (an update-only MERGE). An
+    * `updateAssigns`-less expr-form merge (insert-only MERGE — no
+    * WHEN MATCHED clause at all) REWRITES NOTHING: every live file
+    * carries verbatim and only the anti-joined unmatched source rows
+    * land as new files — the dedup-insert ingest shape at its minimum
+    * I/O. Any expr-form knob is incompatible with
+    * `precedence`/`tombstoneCol` (replace-semantics knobs). */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keyCols: Seq[String], maxKeyPrune: Int = 10000,
       precedence: Option[String] = None,
       toBranch: Option[String] = None,
       tombstoneCol: Option[String] = None,
       updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-      insertUnmatched: Boolean = true): Long = {
-    require(updateAssigns.isEmpty ||
-      (precedence.isEmpty && tombstoneCol.isEmpty),
-      "updateAssigns cannot combine with precedence or tombstoneCol")
-    require(insertUnmatched || updateAssigns.nonEmpty,
-      "insertUnmatched=false needs updateAssigns (the plain upsert always inserts)")
+      insertUnmatched: Boolean = true,
+      insertAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+      insertOnly: Boolean = false): Long = {
+    val exprForm = updateAssigns.isDefined || insertAssigns.isDefined ||
+      !insertUnmatched || insertOnly
+    require(!exprForm || (precedence.isEmpty && tombstoneCol.isEmpty),
+      "column-level merge forms cannot combine with precedence or tombstoneCol")
+    require(insertUnmatched || insertAssigns.isEmpty,
+      "insertAssigns with insertUnmatched=false is contradictory")
     // source and key/precedence names arrive logical; translate once
     // and run the whole merge in physical names (readFileSet and
     // writeDataFiles are physical-native). A branch merge plans
@@ -3709,25 +3719,28 @@ object IcebergLite {
     val rmap = renames(tablePath, parentId)
     // assignment expressions arrive over LOGICAL names; translate both
     // the assigned-to column and every attribute the value references
-    // (bare = target, __graft_s_ prefix = source) to physical once,
-    // like keys — mergeImpl runs physical-native
-    val physAssigns = updateAssigns.map(_.map { case (c, v) =>
-      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-      val expr = org.apache.spark.sql.GraftColumnBridge.toExpr(v).transform {
-        case a: UnresolvedAttribute =>
-          val n = a.nameParts.last
-          if (n.startsWith("__graft_s_"))
-            UnresolvedAttribute.quoted(
-              "__graft_s_" + physicalName(rmap, n.stripPrefix("__graft_s_")))
-          else UnresolvedAttribute.quoted(physicalName(rmap, n))
+    // (bare = target/source, __graft_s_ prefix = source in update
+    // values) to physical once, like keys — mergeImpl runs
+    // physical-native
+    def physAssignSeq(assigns: Seq[(String, org.apache.spark.sql.Column)]) =
+      assigns.map { case (c, v) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val expr = org.apache.spark.sql.GraftColumnBridge.toExpr(v).transform {
+          case a: UnresolvedAttribute =>
+            val n = a.nameParts.last
+            if (n.startsWith("__graft_s_"))
+              UnresolvedAttribute.quoted(
+                "__graft_s_" + physicalName(rmap, n.stripPrefix("__graft_s_")))
+            else UnresolvedAttribute.quoted(physicalName(rmap, n))
+        }
+        physicalName(rmap, c) -> org.apache.spark.sql.GraftColumnBridge.toCol(expr)
       }
-      physicalName(rmap, c) -> org.apache.spark.sql.GraftColumnBridge.toCol(expr)
-    })
     mergeImpl(spark, tablePath,
       if (rmap.isEmpty) source else source.withColumnsRenamed(rmap.map(_.swap)),
       keyCols.map(physicalName(rmap, _)), maxKeyPrune,
       precedence.map(physicalName(rmap, _)), parentId, toBranch, tombstoneCol,
-      physAssigns, insertUnmatched)
+      updateAssigns.map(physAssignSeq), insertUnmatched,
+      insertAssigns.map(physAssignSeq), insertOnly)
   }
 
   private def mergeImpl(spark: SparkSession, tablePath: String, source: DataFrame,
@@ -3736,7 +3749,9 @@ object IcebergLite {
       toBranch: Option[String],
       tombstoneCol: Option[String] = None,
       updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-      insertUnmatched: Boolean = true): Long = {
+      insertUnmatched: Boolean = true,
+      insertAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
+      insertOnly: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, row_number, when}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     tombstoneCol.foreach { t =>
@@ -3800,87 +3815,103 @@ object IcebergLite {
       case None => source
       case Some(t) => source.filter(!tombstoneFlag).drop(t)
     }
-    updateAssigns match {
-      case Some(assigns) =>
-        // WHEN MATCHED transforms rows IN PLACE: each touched row
-        // left-joins its (unique — dup check above) source row; SET
-        // expressions see target columns bare and source columns
-        // prefixed __graft_s_. Rows whose keys match no source row —
-        // including null-keyed rows, which SQL equality never matches —
-        // carry through the rewrite byte-identical in value. The
-        // target read stays scoped to TOUCHED files; everything else
-        // is carried verbatim, exactly like the upsert path.
-        // the touched-file read recovers identity-partition columns
-        // that the recorded data schema omits (hidden partitioning
-        // stores them in the path) — the SET surface includes them
-        val tBase = tableSchema(tablePath, parentId).getOrElse(
-          org.apache.spark.sql.types.StructType(Nil))
-        require(tBase.nonEmpty,
-          "expr-merge needs a target with a recorded schema")
-        val tIdent = partitionSpec(tablePath)
-          .filter(_.transform == IcebergTransforms.Identity).map(_.name)
-          .filterNot(tBase.fieldNames.contains)
-          .map(n => org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.StringType))
-        val tSchema = org.apache.spark.sql.types.StructType(tBase.fields ++ tIdent)
-        val tCols = tSchema.fields.map(_.name).toSeq
-        require(!tCols.exists(_.startsWith("__graft_s_")),
-          "table columns may not start with the reserved __graft_s_ prefix")
-        val badAssign = assigns.map(_._1).filterNot(tCols.contains)
-        require(badAssign.isEmpty,
-          s"SET targets not in the table schema: ${badAssign.mkString(", ")}")
-        if (touched.isEmpty && !insertUnmatched)
-          return parentId.getOrElse(0L) // nothing matched, nothing to insert
-        val inserts =
-          if (!insertUnmatched) None
-          else {
-            val missing = tCols.filterNot(source.columns.contains)
-            require(missing.isEmpty,
-              s"INSERT * needs the source to carry every target column; " +
-                s"missing: ${missing.mkString(", ")}")
-            val unmatched =
-              if (touched.isEmpty) source
-              else source.join(
-                touchedDf().select(keyCols.map(col): _*), keyCols, "left_anti")
-            Some(unmatched.select(
-              tCols.map(c => col(c).cast(tSchema(c).dataType).as(c)): _*))
+    if (updateAssigns.isDefined || insertAssigns.isDefined ||
+        !insertUnmatched || insertOnly) {
+      // COLUMN-LEVEL (expr) FORM.
+      // WHEN MATCHED transforms rows IN PLACE: each touched row
+      // left-joins its (unique — dup check above) source row; SET
+      // expressions see target columns bare and source columns
+      // prefixed __graft_s_. Rows whose keys match no source row —
+      // including null-keyed rows, which SQL equality never matches —
+      // carry through the rewrite byte-identical in value. The
+      // target read stays scoped to TOUCHED files; with NO matched
+      // arm at all (insert-only MERGE) nothing rewrites — every live
+      // file carries verbatim and touched files are read for their
+      // KEYS only (column-pruned) to anti-join the inserts.
+      // the touched-file read recovers identity-partition columns
+      // that the recorded data schema omits (hidden partitioning
+      // stores them in the path) — the SET surface includes them
+      val tBase = tableSchema(tablePath, parentId).getOrElse(
+        org.apache.spark.sql.types.StructType(Nil))
+      require(tBase.nonEmpty,
+        "expr-merge needs a target with a recorded schema")
+      val tIdent = partitionSpec(tablePath)
+        .filter(_.transform == IcebergTransforms.Identity).map(_.name)
+        .filterNot(tBase.fieldNames.contains)
+        .map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType))
+      val tSchema = org.apache.spark.sql.types.StructType(tBase.fields ++ tIdent)
+      val tCols = tSchema.fields.map(_.name).toSeq
+      require(!tCols.exists(_.startsWith("__graft_s_")),
+        "table columns may not start with the reserved __graft_s_ prefix")
+      val badAssign = (updateAssigns.toSeq ++ insertAssigns.toSeq).flatten
+        .map(_._1).filterNot(tCols.contains)
+      require(badAssign.isEmpty,
+        s"SET/INSERT targets not in the table schema: ${badAssign.mkString(", ")}")
+      if (touched.isEmpty && !insertUnmatched)
+        return parentId.getOrElse(0L) // nothing matched, nothing to insert
+      val inserts =
+        if (!insertUnmatched) None
+        else {
+          val unmatched =
+            if (touched.isEmpty) source
+            else source.join(
+              touchedDf().select(keyCols.map(col): _*), keyCols, "left_anti")
+          insertAssigns match {
+            case Some(ia) =>
+              // column-level INSERT: assigned columns evaluate over
+              // the source row (bare names); unassigned columns
+              // null-fill — SQL's INSERT (cols) VALUES contract
+              val im = ia.toMap
+              Some(unmatched.select(tCols.map(c =>
+                im.getOrElse(c, lit(null)).cast(tSchema(c).dataType).as(c)): _*))
+            case None =>
+              val missing = tCols.filterNot(source.columns.contains)
+              require(missing.isEmpty,
+                s"INSERT * needs the source to carry every target column; " +
+                  s"missing: ${missing.mkString(", ")}")
+              Some(unmatched.select(
+                tCols.map(c => col(c).cast(tSchema(c).dataType).as(c)): _*))
           }
-        val updated =
-          if (touched.isEmpty) None
-          else {
-            val t = touchedDf()
-            val srcPref = source.select(source.columns.toSeq
-                .map(c => col(c).as(s"__graft_s_$c")): _*)
-              .withColumn("__graft_s_matched", lit(true))
-            val joined = t.join(srcPref,
-              keyCols.map(k => t(k) === srcPref(s"__graft_s_$k")).reduce(_ && _),
-              "left_outer")
-            val assignMap = assigns.toMap
-            Some(joined.select(tCols.map { c =>
-              val out = assignMap.get(c) match {
-                case Some(v) =>
-                  when(col("__graft_s_matched") === lit(true), v).otherwise(col(c))
-                case None => col(c)
-              }
-              out.cast(tSchema(c).dataType).as(c)
-            }: _*))
-          }
-        val newData = (updated, inserts) match {
-          case (Some(u), Some(i)) => u.unionByName(i)
-          case (Some(u), None) => u
-          case (None, Some(i)) => i
-          case (None, None) => return parentId.getOrElse(0L)
         }
-        val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath,
-          newData, partCols, s"merge-${runTag()}")
-        return commitSnapshot(tablePath, parentId,
-          kept.map(entryJson) ++ entries, carriedManifests = Nil,
-          operation = "overwrite",
-          pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), kept),
-          pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), kept),
-          pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), kept),
-          toBranch = toBranch, schemaUnion = wSchema, addStatsFiles = statsAdds)
-      case None => ()
+      val updated = updateAssigns match {
+        case Some(assigns) if touched.nonEmpty =>
+          val t = touchedDf()
+          val srcPref = source.select(source.columns.toSeq
+              .map(c => col(c).as(s"__graft_s_$c")): _*)
+            .withColumn("__graft_s_matched", lit(true))
+          val joined = t.join(srcPref,
+            keyCols.map(k => t(k) === srcPref(s"__graft_s_$k")).reduce(_ && _),
+            "left_outer")
+          val assignMap = assigns.toMap
+          Some(joined.select(tCols.map { c =>
+            val out = assignMap.get(c) match {
+              case Some(v) =>
+                when(col("__graft_s_matched") === lit(true), v).otherwise(col(c))
+              case None => col(c)
+            }
+            out.cast(tSchema(c).dataType).as(c)
+          }: _*))
+        case _ => None // no matched rewrite (insert-only): files keep
+      }
+      // insert-only merges carry EVERY live file (touched were only
+      // read for keys); matched-rewriting merges carry the untouched
+      val keptEntries = if (updateAssigns.isEmpty) live else kept
+      val newData = (updated, inserts) match {
+        case (Some(u), Some(i)) => u.unionByName(i)
+        case (Some(u), None) => u
+        case (None, Some(i)) => i
+        case (None, None) => return parentId.getOrElse(0L)
+      }
+      val (entries, wSchema, statsAdds) = writeDataFiles(spark, tablePath,
+        newData, partCols, s"merge-${runTag()}")
+      return commitSnapshot(tablePath, parentId,
+        keptEntries.map(entryJson) ++ entries, carriedManifests = Nil,
+        operation = "overwrite",
+        pendingRowDeletes = pruneDeletes(rowDeletes(tablePath, parentId), keptEntries),
+        pendingPosDeletes = prunePosDeletes(posDeletes(tablePath, parentId), keptEntries),
+        pendingEqDeletes = pruneEqDeletes(tablePath, eqDeletes(tablePath, parentId), keptEntries),
+        toBranch = toBranch, schemaUnion = wSchema, addStatsFiles = statsAdds)
     }
     val newData =
       if (touched.isEmpty) upsertRows

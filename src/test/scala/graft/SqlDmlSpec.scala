@@ -262,6 +262,64 @@ class SqlDmlSpec extends AnyFunSuite {
       .head.getDouble(0) == 210.0)
   }
 
+  test("column-level INSERT actions and insert-only MERGE") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.ci (ok BIGINT, amt DOUBLE, note STRING)")
+    spark.sql("INSERT INTO dml.db.ci VALUES (1, 10.0, 'a')")
+    Seq((1L, 5.0), (2L, 3.0)).toDF("o_key", "delta")
+      .createOrReplaceTempView("ci_src")
+    // INSERT (cols) VALUES (exprs): assigned columns evaluate over the
+    // source, unassigned (note) null-fills
+    spark.sql("""
+      MERGE INTO dml.db.ci AS t USING ci_src AS s
+      ON t.ok = s.o_key
+      WHEN MATCHED THEN UPDATE SET t.amt = t.amt + s.delta
+      WHEN NOT MATCHED THEN INSERT (ok, amt) VALUES (s.o_key, s.delta * 2)""")
+    assert(spark.sql("SELECT ok, amt, note FROM dml.db.ci ORDER BY ok").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).toSeq ==
+      Seq((1L, 15.0, "a"), (2L, 6.0, "-")))
+
+    // INSERT-ONLY MERGE (dedup-insert): existing keys are skipped and
+    // NO live file is rewritten — the whole commit is carried files +
+    // the new rows
+    val path = Catalog.tablePath(root, "db", "ci")
+    val before = IcebergLite.dataFiles(path).map(_.filePath).toSet
+    Seq((2L, 99.0, "dup"), (3L, 30.0, "new")).toDF("ok", "amt", "note")
+      .createOrReplaceTempView("ci_src2")
+    spark.sql("""
+      MERGE INTO dml.db.ci AS t USING ci_src2 AS s
+      ON t.ok = s.ok
+      WHEN NOT MATCHED THEN INSERT *""")
+    val after = IcebergLite.dataFiles(path).map(_.filePath).toSet
+    assert(before.subsetOf(after), "insert-only MERGE must rewrite no live file")
+    assert(spark.sql("SELECT ok, amt FROM dml.db.ci ORDER BY ok").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 15.0), (2L, 6.0), (3L, 30.0)),
+      "existing key 2 must keep its stored row")
+
+    // refusals: conditional INSERT, star-update + column insert,
+    // target reference in an INSERT value
+    val condIns = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.ci AS t USING ci_src AS s
+      ON t.ok = s.o_key
+      WHEN NOT MATCHED AND s.delta > 0 THEN INSERT (ok) VALUES (s.o_key)"""))
+    assert(condIns.getMessage.contains("conditional INSERT"))
+    val starMix = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.ci AS t USING ci_src2 AS s
+      ON t.ok = s.ok
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT (ok) VALUES (s.ok)"""))
+    assert(starMix.getMessage.contains("not with UPDATE SET *"))
+    val tgtRef = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.ci AS t USING ci_src AS s
+      ON t.ok = s.o_key
+      WHEN NOT MATCHED THEN INSERT (ok, amt) VALUES (s.o_key, t.amt)"""))
+    assert(tgtRef.getMessage.contains("source columns only"))
+  }
+
   test("expr-MERGE refusals: conditions, mixed arms, duplicate SET, key collisions") {
     root
     val s = spark
