@@ -565,8 +565,16 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
       notMatchedBySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    require(notMatchedBySource.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE — the snapshot-sync form
+    // (target rows whose keys the source lacks die). Unconditional
+    // DELETE only; inherently a full-table rewrite (every file may
+    // hold an unmatched row), priced as such by the primitive.
+    val deleteUnmatchedTarget = notMatchedBySource match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED BY SOURCE supports THEN DELETE only, got $other")
+    }
     val sAlias = source match {
       case SubqueryAlias(id, _) => Some(id.name)
       case _ => None
@@ -726,16 +734,23 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     require(insertAssigns.isEmpty || !hasUpdate || updateAssigns.nonEmpty,
       "column-level INSERT combines with column-level UPDATE SET " +
         "assignments (or stands alone), not with UPDATE SET *")
-    require(hasUpdate || deleteAll || insertAll,
-      "MERGE needs WHEN MATCHED THEN UPDATE/DELETE or WHEN NOT MATCHED " +
-        "THEN INSERT")
+    require(!deleteUnmatchedTarget ||
+      (tombstone.isEmpty && precedence.isEmpty && !deleteAll &&
+        (!hasUpdate || updateAssigns.nonEmpty)),
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE combines with column-level " +
+        "UPDATE SET assignments and/or an INSERT arm, not with UPDATE SET * " +
+        "or matched-DELETE forms")
+    require(hasUpdate || deleteAll || insertAll || deleteUnmatchedTarget,
+      "MERGE needs WHEN MATCHED THEN UPDATE/DELETE, WHEN NOT MATCHED " +
+        "THEN INSERT, or WHEN NOT MATCHED BY SOURCE THEN DELETE")
     require(!hasUpdate || insertAll || updateAssigns.nonEmpty,
       "upsert MERGE needs WHEN NOT MATCHED THEN INSERT * (the merge " +
         "primitive always inserts unmatched source rows); update-only " +
         "MERGE is supported with column-level SET assignments")
     GraftMergeCommand(path, source, keyCols, precedence, tombstone, deleteAll,
       toBranch, keyRenames, updateAssigns, insertAll, insertAssigns,
-      insertOnly = !hasUpdate && !deleteAll && insertAll)
+      insertOnly = !hasUpdate && !deleteAll && insertAll,
+      deleteUnmatchedTarget = deleteUnmatchedTarget)
   }
 }
 
@@ -922,7 +937,8 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
     insertAll: Boolean = true,
     insertAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-    insertOnly: Boolean = false) extends RunnableCommand {
+    insertOnly: Boolean = false,
+    deleteUnmatchedTarget: Boolean = false) extends RunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = source :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
@@ -968,11 +984,17 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
       if (deleteAll) (src.withColumn("__graft_tombstone", lit(true)),
         Some("__graft_tombstone"))
       else (src, tombstone)
+    // expr-form statements insert exactly when they carry an INSERT
+    // arm; the legacy star/tombstone path always inserts (primitive
+    // contract — mergeFor requires the INSERT * there)
+    val exprStatement = updateAssigns.nonEmpty || insertAssigns.nonEmpty ||
+      insertOnly || deleteUnmatchedTarget
     IcebergLite.merge(spark, tablePath, df, keyCols,
       precedence = precedence, tombstoneCol = tomb, toBranch = toBranch,
       updateAssigns = updateAssigns,
-      insertUnmatched = insertAll || updateAssigns.isEmpty,
-      insertAssigns = insertAssigns, insertOnly = insertOnly)
+      insertUnmatched = if (exprStatement) insertAll else true,
+      insertAssigns = insertAssigns, insertOnly = insertOnly,
+      deleteUnmatchedTarget = deleteUnmatchedTarget)
     Nil
   }
 }

@@ -3690,9 +3690,10 @@ object IcebergLite {
       updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
       insertUnmatched: Boolean = true,
       insertAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-      insertOnly: Boolean = false): Long = {
+      insertOnly: Boolean = false,
+      deleteUnmatchedTarget: Boolean = false): Long = {
     val exprForm = updateAssigns.isDefined || insertAssigns.isDefined ||
-      !insertUnmatched || insertOnly
+      !insertUnmatched || insertOnly || deleteUnmatchedTarget
     require(!exprForm || (precedence.isEmpty && tombstoneCol.isEmpty),
       "column-level merge forms cannot combine with precedence or tombstoneCol")
     require(insertUnmatched || insertAssigns.isEmpty,
@@ -3740,7 +3741,7 @@ object IcebergLite {
       keyCols.map(physicalName(rmap, _)), maxKeyPrune,
       precedence.map(physicalName(rmap, _)), parentId, toBranch, tombstoneCol,
       updateAssigns.map(physAssignSeq), insertUnmatched,
-      insertAssigns.map(physAssignSeq), insertOnly)
+      insertAssigns.map(physAssignSeq), insertOnly, deleteUnmatchedTarget)
   }
 
   private def mergeImpl(spark: SparkSession, tablePath: String, source: DataFrame,
@@ -3751,7 +3752,8 @@ object IcebergLite {
       updateAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
       insertUnmatched: Boolean = true,
       insertAssigns: Option[Seq[(String, org.apache.spark.sql.Column)]] = None,
-      insertOnly: Boolean = false): Long = {
+      insertOnly: Boolean = false,
+      deleteUnmatchedTarget: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, row_number, when}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     tombstoneCol.foreach { t =>
@@ -3816,7 +3818,7 @@ object IcebergLite {
       case Some(t) => source.filter(!tombstoneFlag).drop(t)
     }
     if (updateAssigns.isDefined || insertAssigns.isDefined ||
-        !insertUnmatched || insertOnly) {
+        !insertUnmatched || insertOnly || deleteUnmatchedTarget) {
       // COLUMN-LEVEL (expr) FORM.
       // WHEN MATCHED transforms rows IN PLACE: each touched row
       // left-joins its (unique — dup check above) source row; SET
@@ -3848,15 +3850,22 @@ object IcebergLite {
         .map(_._1).filterNot(tCols.contains)
       require(badAssign.isEmpty,
         s"SET/INSERT targets not in the table schema: ${badAssign.mkString(", ")}")
-      if (touched.isEmpty && !insertUnmatched)
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE (the snapshot-sync
+      // form) touches EVERY live file by construction: any file may
+      // hold a row whose key the source lacks — an inherently
+      // full-table rewrite, priced as such (the other forms stay
+      // scoped to key-touched files)
+      val rewriteSet = if (deleteUnmatchedTarget) live else touched
+      def rewriteDf() = readWithDeletes(spark, tablePath, rewriteSet, parentId)
+      if (rewriteSet.isEmpty && !insertUnmatched)
         return parentId.getOrElse(0L) // nothing matched, nothing to insert
       val inserts =
         if (!insertUnmatched) None
         else {
           val unmatched =
-            if (touched.isEmpty) source
+            if (rewriteSet.isEmpty) source
             else source.join(
-              touchedDf().select(keyCols.map(col): _*), keyCols, "left_anti")
+              rewriteDf().select(keyCols.map(col): _*), keyCols, "left_anti")
           insertAssigns match {
             case Some(ia) =>
               // column-level INSERT: assigned columns evaluate over
@@ -3874,17 +3883,25 @@ object IcebergLite {
                 tCols.map(c => col(c).cast(tSchema(c).dataType).as(c)): _*))
           }
         }
-      val updated = updateAssigns match {
-        case Some(assigns) if touched.nonEmpty =>
-          val t = touchedDf()
+      val updated =
+        if (rewriteSet.isEmpty ||
+            (updateAssigns.isEmpty && !deleteUnmatchedTarget)) None
+        else {
+          val t = rewriteDf()
           val srcPref = source.select(source.columns.toSeq
               .map(c => col(c).as(s"__graft_s_$c")): _*)
             .withColumn("__graft_s_matched", lit(true))
           val joined = t.join(srcPref,
             keyCols.map(k => t(k) === srcPref(s"__graft_s_$k")).reduce(_ && _),
             "left_outer")
-          val assignMap = assigns.toMap
-          Some(joined.select(tCols.map { c =>
+          // by-source delete: rows with no source match are DROPPED
+          // here instead of carried
+          val bases =
+            if (deleteUnmatchedTarget)
+              joined.filter(col("__graft_s_matched") === lit(true))
+            else joined
+          val assignMap = updateAssigns.getOrElse(Nil).toMap
+          Some(bases.select(tCols.map { c =>
             val out = assignMap.get(c) match {
               case Some(v) =>
                 when(col("__graft_s_matched") === lit(true), v).otherwise(col(c))
@@ -3892,11 +3909,14 @@ object IcebergLite {
             }
             out.cast(tSchema(c).dataType).as(c)
           }: _*))
-        case _ => None // no matched rewrite (insert-only): files keep
-      }
+        }
+      // by-source deletes rewrite everything (carry nothing);
       // insert-only merges carry EVERY live file (touched were only
       // read for keys); matched-rewriting merges carry the untouched
-      val keptEntries = if (updateAssigns.isEmpty) live else kept
+      val keptEntries =
+        if (deleteUnmatchedTarget) Seq.empty[DataFile]
+        else if (updateAssigns.isEmpty) live
+        else kept
       val newData = (updated, inserts) match {
         case (Some(u), Some(i)) => u.unionByName(i)
         case (Some(u), None) => u

@@ -320,6 +320,47 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(tgtRef.getMessage.contains("source columns only"))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: the snapshot-sync MERGE") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.sync (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.sync VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')")
+    Seq((2L, "new2"), (4L, "new4")).toDF("id", "v")
+      .createOrReplaceTempView("sync_src")
+    // full sync: matched update, unmatched insert, by-source delete —
+    // the table becomes exactly the source state
+    spark.sql("""
+      MERGE INTO dml.db.sync AS t USING sync_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id, v FROM dml.db.sync ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "new2"), (4L, "new4")))
+    // delete-only by-source form: prune to the source's key set
+    Seq(Tuple1(4L)).toDF("id").createOrReplaceTempView("sync_keep")
+    spark.sql("""
+      MERGE INTO dml.db.sync AS t USING sync_keep AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id, v FROM dml.db.sync").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((4L, "new4")))
+    // history intact: time travel still sees the pre-sync table
+    val path = Catalog.tablePath(root, "db", "sync")
+    val first = IcebergLite.snapshots(path).min
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM dml.db.sync VERSION AS OF $first")
+      .collect().head.getLong(0) == 3)
+    // refusal: conditional by-source delete
+    val cond = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.sync AS t USING sync_keep AS s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id > 0 THEN DELETE"""))
+    assert(cond.getMessage.contains("THEN DELETE only"))
+  }
+
   test("expr-MERGE refusals: conditions, mixed arms, duplicate SET, key collisions") {
     root
     val s = spark
