@@ -125,6 +125,11 @@ object ScaleSweep {
         .map(_.toInt).getOrElse(100)
       planSweep(spark, nDocs, filesPer); spark.stop(); return
     }
+    if (mode == "metafiles") {
+      val filesPer = args.filter(_.forall(_.isDigit)).drop(1).headOption
+        .map(_.toInt).getOrElse(100)
+      metaFilesSweep(spark, nDocs, filesPer); spark.stop(); return
+    }
     if (mode == "writemeta") { writeMetaSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdel") { eqDeleteSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdelk") { eqdelKSweep(spark, nDocs); spark.stop(); return }
@@ -896,6 +901,56 @@ object ScaleSweep {
       s""""optimizeWallSec":${math.round(optWall * 100) / 100.0}}""")
   }
 
+  /** Distributed metadata-TABLE anchor (r11): `files`/`partitions` and
+    * SHOW PARTITIONS on a big-metadata table must not re-parse every
+    * manifest in one driver thread. Builds the planSweep synthetic
+    * (nFiles entries over nFiles/filesPer manifests), then times the
+    * driver walk vs the job-based walk, verifying row identity. */
+  private def metaFilesSweep(spark: org.apache.spark.sql.SparkSession,
+      nFiles: Long, filesPer: Int = 100): Unit = {
+    val nManifests = math.max(1, (nFiles / filesPer).toInt)
+    val root = java.nio.file.Files.createTempDirectory("graft_metafiles_sweep").toString
+    sources.IcebergLite.createTable(root)
+    val manifestPaths = (1 to nManifests).map { i =>
+      val entries = (0 until filesPer).map { j =>
+        s"""{"data_file": {"file_path": "data/f-$i-$j.parquet", "file_format": "PARQUET",
+           |  "partition": {"p": "${i % 10}"}, "record_count": 1000, "sequence_number": 1,
+           |  "file_size_in_bytes": 1048576,
+           |  "lower_bounds": {"id": "${j * 1000}"}, "upper_bounds": {"id": "${j * 1000 + 999}"}}}""".stripMargin
+      }
+      val rel = s"metadata/manifest-pre-$i.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/$rel"),
+        entries.mkString("{\"entries\": [", ",\n", "]}"))
+      rel
+    }
+    sources.IcebergLite.commitSnapshot(root, None, entries = Nil,
+      carriedManifests = manifestPaths)
+    // warm the job path once (session warm-up), then time
+    sources.IcebergLite.filesMetadata(spark, root).count()
+    val tDist = System.nanoTime()
+    val distCount = sources.IcebergLite.filesMetadata(spark, root).count()
+    val distWall = (System.nanoTime() - tDist) / 1e9
+    val tParts = System.nanoTime()
+    val partRows = sources.IcebergLite.partitionsMetadata(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val partsWall = (System.nanoTime() - tParts) / 1e9
+    spark.conf.set("graft.iceberg.planning.distributedThreshold", "2000000000")
+    val (driverWall, driverCount) = try {
+      val t = System.nanoTime()
+      val c = sources.IcebergLite.filesMetadata(spark, root).count()
+      ((System.nanoTime() - t) / 1e9, c)
+    } finally spark.conf.unset("graft.iceberg.planning.distributedThreshold")
+    require(distCount == driverCount, "distributed files table diverged")
+    require(partRows.size == 10 &&
+      partRows.values.sum == nManifests.toLong * filesPer * 1000,
+      s"partitions table wrong: $partRows")
+    def r1(d: Double) = math.round(d * 100) / 100.0
+    println(s"""{"sweep":"metafiles","files":${nManifests.toLong * filesPer},""" +
+      s""""manifests":$nManifests,"distWallSec":${r1(distWall)},""" +
+      s""""partitionsWallSec":${r1(partsWall)},"driverWallSec":${r1(driverWall)},""" +
+      s""""rows":$distCount}""")
+  }
+
   private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long,
       filesPer: Int = 100): Unit = {
     val nManifests = math.max(1, (nFiles / filesPer).toInt)
@@ -1212,6 +1267,26 @@ object ScaleSweep {
       ON t.l_orderkey = s.l_orderkey
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *"""))
+    // r11: column-level (expr) MERGE — same key population, SET
+    // arithmetic over both sides; prunes to key-touched files exactly
+    // like the star form
+    val (_, mergeExprWall) = timed(spark.sql("""
+      MERGE INTO sweepcat.db.li AS t
+      USING (SELECT DISTINCT l_orderkey AS ok, 2.5 AS delta
+             FROM li_src WHERE l_orderkey % 60 = 0) AS s
+      ON t.l_orderkey = s.ok
+      WHEN MATCHED THEN UPDATE SET t.price = t.price + s.delta"""))
+    // r11: insert-only MERGE (dedup-insert) — must rewrite NOTHING
+    val filesBeforeIns = IcebergLite.dataFiles(path).map(_.filePath).toSet
+    val (_, insOnlyWall) = timed(spark.sql("""
+      MERGE INTO sweepcat.db.li AS t
+      USING (SELECT DISTINCT l_orderkey, '8' AS ln, 1.0 AS qty, 0.0 AS price
+             FROM li_src WHERE l_orderkey % 61 = 0) AS s
+      ON t.l_orderkey = s.l_orderkey
+      WHEN NOT MATCHED THEN INSERT *"""))
+    require(filesBeforeIns.subsetOf(
+      IcebergLite.dataFiles(path).map(_.filePath).toSet),
+      "insert-only MERGE rewrote live files")
     val after = spark.sql("SELECT count(*) AS n FROM sweepcat.db.li")
       .collect()(0).getLong(0)
     require(after > 0 && sel > 0, s"lifecycle lost the table: $after/$sel")
@@ -1223,6 +1298,8 @@ object ScaleSweep {
       s""""deleteCowWallSec":${math.round(delCowWall * 100) / 100.0},""" +
       s""""deleteMorWallSec":${math.round(delMorWall * 100) / 100.0},""" +
       s""""mergeKeys":$mergeN,"mergeWallSec":${math.round(mergeWall * 100) / 100.0},""" +
+      s""""mergeExprWallSec":${math.round(mergeExprWall * 100) / 100.0},""" +
+      s""""insertOnlyWallSec":${math.round(insOnlyWall * 100) / 100.0},""" +
       s""""rowsAfter":$after}""")
   }
 
