@@ -84,16 +84,56 @@ case class GraftRelation(tablePath: String, snapshotId: Option[Long],
     * counts) instead of the leaf default (defaultSizeInBytes = assume
     * huge): any stats consumer that runs before the optimizer splice
     * — join estimation, CBO row counts — sees the table's true size
-    * without listing storage. Cached per relation instance; the
-    * snapshot is pinned so the answer cannot drift. */
+    * without listing storage. Any UNKNOWN count (-1, the adopted-file
+    * case manifestFiles models) falls back to the conservative leaf
+    * default — asserting certainty of emptiness for a table we cannot
+    * size is the one inversion worse than no stats at all. Cached
+    * per (table, snapshot) JVM-wide: a snapshot is immutable, and a
+    * fresh GraftRelation per query must not re-parse every manifest
+    * on the driver. */
   override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
-    cachedStats
-  private lazy val cachedStats = {
-    val files = graft.sources.IcebergLite.dataFiles(tablePath, snapshotId)
-    val size = files.map(f => math.max(f.fileSizeBytes, 0L)).sum
-    val rows = files.map(f => math.max(f.recordCount, 0L)).sum
-    org.apache.spark.sql.catalyst.plans.logical.Statistics(
-      sizeInBytes = BigInt(size).max(1), rowCount = Some(BigInt(rows)))
+    GraftRelation.statsFor(tablePath, snapshotId)
+}
+
+object GraftRelation {
+  // keyed by (table, snapshot id, snapshot-file mtime): ids are
+  // max+1 per table, so rollback + expiry can REUSE an id for
+  // different content — the recreated file's mtime misses the cache
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.catalyst.plans.logical.Statistics]()
+  private def statsFor(tablePath: String, snapshotId: Option[Long]) = {
+    // resolve "current" to a concrete id first — None is not a stable key
+    val snap = snapshotId.orElse(
+      graft.sources.IcebergLite.currentSnapshotId(tablePath))
+    snap match {
+      case None => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(1), rowCount = Some(BigInt(0))) // truly empty table
+      case Some(id) =>
+        if (statsCache.size > 4096) statsCache.clear()
+        val mtime = try Files.getLastModifiedTime(java.nio.file.Paths.get(
+          s"$tablePath/metadata/snap-$id.snapshot.json")).toMillis
+        catch { case _: java.io.IOException => -1L }
+        statsCache.computeIfAbsent((tablePath, id, mtime), { case (p, s, _) =>
+          // manifest-LIST totals first: one small JSON read at any
+          // table size. Only a list predating totals tracking walks
+          // the manifests; unknown per-file counts there fall back to
+          // the conservative leaf default.
+          graft.sources.IcebergLite.snapshotTotals(p, Some(s)) match {
+            case Some((rows, bytes)) =>
+              org.apache.spark.sql.catalyst.plans.logical.Statistics(
+                sizeInBytes = BigInt(bytes).max(1), rowCount = Some(BigInt(rows)))
+            case None =>
+              val files = graft.sources.IcebergLite.dataFiles(p, Some(s))
+              if (files.exists(f => f.fileSizeBytes < 0 || f.recordCount < 0))
+                org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes =
+                  org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)
+              else org.apache.spark.sql.catalyst.plans.logical.Statistics(
+                sizeInBytes = BigInt(files.map(_.fileSizeBytes).sum).max(1),
+                rowCount = Some(BigInt(files.map(_.recordCount).sum)))
+          }
+        })
+    }
   }
 }
 
@@ -1038,7 +1078,51 @@ case class GraftMetadataPrune(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** True when every output of the aggregate is a plain COUNT(*) /
+    * COUNT(1) — no DISTINCT, no FILTER clause, no column argument
+    * (COUNT(col) is null-sensitive and must scan). */
+  private def countStarOnly(
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Boolean =
+    aggExprs.nonEmpty && aggExprs.forall {
+      case Alias(ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case c: org.apache.spark.sql.catalyst.expressions.aggregate.Count =>
+            c.children.forall {
+              case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value != null
+              case _ => false
+            }
+          case _ => false
+        })
+      case _ => false
+    }
+
+  /** The marker under any stack of Projects — a Project never changes
+    * row count, so a count above it still counts the table. */
+  private def markerBelowProjects(p: LogicalPlan): Option[GraftRelation] = p match {
+    case g: GraftRelation => Some(g)
+    case Project(_, child) => markerBelowProjects(child)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // unfiltered COUNT(*) answers from the manifest-list totals — at
+    // 100 TB the difference between a metadata read and a full scan.
+    // Refused (falls through to the scan) whenever the count could
+    // disagree with a read: pending merge-on-read deletes at this
+    // snapshot, or totals the list does not carry (legacy/unknown)
+    case agg @ org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+        Nil, aggExprs, child, _)
+        if countStarOnly(aggExprs) && markerBelowProjects(child).exists { g =>
+          IcebergLite.rowDeletes(g.tablePath, g.snapshotId).isEmpty &&
+          IcebergLite.posDeletes(g.tablePath, g.snapshotId).isEmpty &&
+          IcebergLite.eqDeletes(g.tablePath, g.snapshotId).isEmpty &&
+          IcebergLite.snapshotTotals(g.tablePath, g.snapshotId).isDefined
+        } =>
+      val g = markerBelowProjects(child).get
+      val rows = IcebergLite.snapshotTotals(g.tablePath, g.snapshotId).get._1
+      LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+        Seq(org.apache.spark.sql.catalyst.InternalRow(
+          aggExprs.map(_ => rows): _*)))
     case Filter(cond, GraftRelation(path, snap, out)) =>
       Filter(cond, splice(path, snap, out, IcebergLite.filtersFromExpression(cond)))
     case GraftRelation(path, snap, out) => splice(path, snap, out, Nil)

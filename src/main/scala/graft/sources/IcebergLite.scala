@@ -230,8 +230,14 @@ object IcebergLite {
     * range of the partition values of every entry inside (real
     * Iceberg's `manifest_file.partitions` field). `None` = no summary
     * recorded (legacy list): the manifest must be parsed. */
+  /** One manifest-list entry. `totalRecords`/`totalBytes` are the
+    * manifest's entry sums (real Iceberg's added_rows_count family);
+    * -1 = unknown (legacy list, or a manifest holding files with
+    * unknown per-file counts). Known totals make table statistics an
+    * O(manifest-list) read — no manifest is parsed to SIZE a table. */
   private final case class ManifestRef(path: String,
-      summaries: Option[Map[String, ColSummary]])
+      summaries: Option[Map[String, ColSummary]],
+      totalRecords: Long = -1L, totalBytes: Long = -1L)
 
   private def parseManifestList(tablePath: String, id: Long): Seq[ManifestRef] = {
     val snap = readJson(s"$tablePath/metadata/snap-$id.snapshot.json")
@@ -248,11 +254,30 @@ object IcebergLite {
           }.toMap)
           case _ => None
         }
-        ManifestRef((m \ "manifest_path").extract[String], sums)
+        ManifestRef((m \ "manifest_path").extract[String], sums,
+          (m \ "total_records").extractOrElse[Long](-1L),
+          (m \ "total_bytes").extractOrElse[Long](-1L))
       }
       case _ => Nil
     }
   }
+
+  /** (rows, bytes) of a snapshot from manifest-LIST totals alone —
+    * `None` when any entry predates totals tracking or sums files
+    * with unknown counts (callers fall back to a manifest walk, or to
+    * a conservative default). One small JSON read at any table size:
+    * the stats question a CBO asks before every join must never cost
+    * an O(manifests) driver parse. An empty list (no committed
+    * snapshot) is Some((0, 0)) — certainty of emptiness. */
+  def snapshotTotals(tablePath: String,
+      snapshotId: Option[Long] = None): Option[(Long, Long)] =
+    snapshotId.orElse(currentSnapshotId(tablePath)) match {
+      case None => Some((0L, 0L))
+      case Some(id) =>
+        val refs = parseManifestList(tablePath, id)
+        if (refs.exists(r => r.totalRecords < 0 || r.totalBytes < 0)) None
+        else Some((refs.map(_.totalRecords).sum, refs.map(_.totalBytes).sum))
+    }
 
   /** Manifest paths listed by a snapshot's manifest list (table-
     * relative). One small JSON read — O(manifests) driver work, never
@@ -1294,6 +1319,7 @@ object IcebergLite {
       schemaUnion: org.apache.spark.sql.types.StructType = null,
       schemaSet: org.apache.spark.sql.types.StructType = null,
       knownSummaryJson: Map[String, String] = Map.empty,
+      knownTotals: Map[String, (Long, Long)] = Map.empty,
       writeOwnManifest: Boolean = true,
       addStatsFiles: Seq[String] = Nil,
       statsFilesSet: Seq[String] = null): Long = withCommitLock(tablePath) {
@@ -1373,16 +1399,32 @@ object IcebergLite {
     // parent does not list (rewriteManifests' fresh consolidations) and
     // the commit's own new manifest are parsed once — O(their entries),
     // the same cost class as writing them
-    val parentSums: Map[String, Option[Map[String, ColSummary]]] =
+    val parentRefs: Map[String, ManifestRef] =
       parent.map(p => parseManifestList(tablePath, p)
-        .map(r => r.path -> r.summaries).toMap).getOrElse(Map.empty)
+        .map(r => r.path -> r).toMap).getOrElse(Map.empty)
+    // a path neither the parent lists nor the caller summarized is
+    // parsed ONCE, feeding both its partition summary and its totals
+    val freshParse = scala.collection.mutable.Map.empty[String, Seq[DataFile]]
+    def parsedOnce(path: String): Seq[DataFile] =
+      freshParse.getOrElseUpdate(path, manifestFiles(tablePath, path))
     def summaryOf(path: String): Option[Map[String, ColSummary]] =
-      parentSums.getOrElse(path,
-        Some(partitionSummary(manifestFiles(tablePath, path))))
-    // a caller that already computed a manifest's summary WHERE THE
-    // MANIFEST WAS WRITTEN (the distributed rewrite) hands the exact
-    // serialized body in — the commit must not re-parse 10⁶ entries
-    // on the driver just to re-derive it
+      parentRefs.get(path).map(_.summaries).getOrElse(
+        Some(partitionSummary(parsedOnce(path))))
+    // entry totals (rows, bytes): parent entries carry verbatim (a
+    // legacy -1 stays -1 — never re-parsed on the append path, same
+    // contract as summaries); fresh manifests sum their parse, with
+    // any unknown per-file count poisoning the sum to -1 (a wrong
+    // small total is worse than an honest unknown)
+    def totalsOf(path: String): (Long, Long) =
+      parentRefs.get(path).map(r => (r.totalRecords, r.totalBytes)).getOrElse {
+        val fs = parsedOnce(path)
+        if (fs.exists(f => f.recordCount < 0 || f.fileSizeBytes < 0)) (-1L, -1L)
+        else (fs.map(_.recordCount).sum, fs.map(_.fileSizeBytes).sum)
+      }
+    // a caller that already computed a manifest's summary AND totals
+    // WHERE THE MANIFEST WAS WRITTEN (the distributed rewrite) hands
+    // the exact serialized body in — the commit must not re-parse 10⁶
+    // entries on the driver just to re-derive them
     def summaryField(path: String): String = knownSummaryJson.get(path) match {
       case Some(body) => s""",\n  "partition_summaries": $body"""
       case None => summaryOf(path) match {
@@ -1390,10 +1432,15 @@ object IcebergLite {
         case Some(m) => s""",\n  "partition_summaries": ${summaryBody(m)}"""
       }
     }
+    def totalsField(path: String): String = {
+      val (r, b) = knownTotals.getOrElse(path, totalsOf(path))
+      if (r < 0 || b < 0) "" // unknown stays absent, parsing back as -1
+      else s""", "total_records": $r, "total_bytes": $b"""
+    }
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$id.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
-           |  "snapshot_id": $id, "sequence_number": ${i + 1}${summaryField(m)}}""".stripMargin
+           |  "snapshot_id": $id, "sequence_number": ${i + 1}${totalsField(m)}${summaryField(m)}}""".stripMargin
       }.mkString("[", ",\n", "]"))
     val renamesJson =
       if (rmap.isEmpty) ""
@@ -2154,15 +2201,23 @@ object IcebergLite {
           val rel = s"metadata/manifest-rw-$tag-$pid.json"
           atomicWrite(Paths.get(s"$tp/$rel"),
             files.map(entryJson).mkString("{\"entries\": [", ",\n", "]}"))
-          Iterator.single((rel, summaryBody(partitionSummary(files))))
+          // totals computed where the entries are, like the summary —
+          // the commit must not re-parse this manifest to size it
+          val (tr, tb) =
+            if (files.exists(f => f.recordCount < 0 || f.fileSizeBytes < 0))
+              (-1L, -1L)
+            else (files.map(_.recordCount).sum, files.map(_.fileSizeBytes).sum)
+          Iterator.single((rel, summaryBody(partitionSummary(files)), tr, tb))
         }
-      }(org.apache.spark.sql.Encoders.product[(String, String)])
-      .collect().sortBy { case (rel, _) =>
+      }(org.apache.spark.sql.Encoders.product[(String, String, Long, Long)])
+      .collect().sortBy { case (rel, _, _, _) =>
         rel.substring(rel.lastIndexOf('-') + 1).stripSuffix(".json").toInt
       }
     commitSnapshot(tablePath, parentId, entries = Nil,
       carriedManifests = written.map(_._1).toSeq, operation = "replace",
-      knownSummaryJson = written.toMap, writeOwnManifest = false)
+      knownSummaryJson = written.map(w => w._1 -> w._2).toMap,
+      knownTotals = written.map(w => w._1 -> (w._3, w._4)).toMap,
+      writeOwnManifest = false)
   }
 
   /** The operation that produced a snapshot (`append` / `delete` /
@@ -3846,6 +3901,12 @@ object IcebergLite {
       val tCols = tSchema.fields.map(_.name).toSeq
       require(!tCols.exists(_.startsWith("__graft_s_")),
         "table columns may not start with the reserved __graft_s_ prefix")
+      // the matched marker lives OUTSIDE the __graft_s_ namespace —
+      // a source column literally named "matched" prefixes to
+      // "__graft_s_" + "matched", and a marker with that name would
+      // silently overwrite the data column (constant true, not values)
+      require(!source.columns.exists(_.startsWith("__graft_")),
+        "source columns may not start with the reserved __graft_ prefix")
       val badAssign = (updateAssigns.toSeq ++ insertAssigns.toSeq).flatten
         .map(_._1).filterNot(tCols.contains)
       require(badAssign.isEmpty,
@@ -3890,7 +3951,7 @@ object IcebergLite {
           val t = rewriteDf()
           val srcPref = source.select(source.columns.toSeq
               .map(c => col(c).as(s"__graft_s_$c")): _*)
-            .withColumn("__graft_s_matched", lit(true))
+            .withColumn("__graft_matched__", lit(true))
           val joined = t.join(srcPref,
             keyCols.map(k => t(k) === srcPref(s"__graft_s_$k")).reduce(_ && _),
             "left_outer")
@@ -3898,13 +3959,13 @@ object IcebergLite {
           // here instead of carried
           val bases =
             if (deleteUnmatchedTarget)
-              joined.filter(col("__graft_s_matched") === lit(true))
+              joined.filter(col("__graft_matched__") === lit(true))
             else joined
           val assignMap = updateAssigns.getOrElse(Nil).toMap
           Some(bases.select(tCols.map { c =>
             val out = assignMap.get(c) match {
               case Some(v) =>
-                when(col("__graft_s_matched") === lit(true), v).otherwise(col(c))
+                when(col("__graft_matched__") === lit(true), v).otherwise(col(c))
               case None => col(c)
             }
             out.cast(tSchema(c).dataType).as(c)

@@ -88,6 +88,22 @@ object RestCatalog {
       if IcebergLite.branches(p).contains(branch)
     } yield (db, t, p)
 
+  /** Run `body` holding the commit lock of EVERY table in `paths`,
+    * acquired in one global (sorted) order so two multi-table routes
+    * can never deadlock each other. The write routes need this
+    * because their check-then-act spans tables: a per-call lock taken
+    * inside `advanceBranch` alone leaves the CHECK outside it, and
+    * under the server's concurrent executor two writers could both
+    * pass the check and silently overwrite each other. Tables whose
+    * metadata directory does not exist yet (declared, never written)
+    * are skipped — they cannot carry refs and have no lock file home. */
+  private def withTableLocks[A](paths: Seq[String])(body: => A): A =
+    paths.distinct.sorted
+      .filter(p => java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$p/metadata")))
+      .foldRight(() => body)((p, b) =>
+        () => IcebergLite.withCommitLock(p)(b())).apply()
+
   private def qparams(query: String): Map[String, String] =
     query.split("&").filter(_.contains("=")).map { kv =>
       val Array(k, v) = kv.split("=", 2)
@@ -122,25 +138,38 @@ object RestCatalog {
         val parent = qparams(query).getOrElse("parent", "main")
         if (branch == "main")
           return (409, """{"error": "branch main already exists"}""")
-        if (branchTables(root, branch).nonEmpty)
-          return (409, s"""{"error": "branch $branch already exists"}""")
-        val parentTables =
-          if (parent == "main")
-            for { db <- Catalog.listDatabases(root); t <- Catalog.listTables(root, db) }
-              yield (db, t, Catalog.tablePath(root, db, t))
-          else branchTables(root, parent)
-        if (parent != "main" && parentTables.isEmpty)
-          return (404, s"""{"error": "parent branch $parent not found"}""")
-        // fork at the PARENT's head per table; empty tables (nothing
-        // to branch) are skipped, matching the table layer's refusal
-        val forked = parentTables.flatMap { case (db, t, p) =>
-          val head =
-            if (parent == "main") IcebergLite.currentSnapshotId(p)
-            else IcebergLite.branches(p).get(parent)
-          head.map { h => IcebergLite.createBranch(p, branch, Some(h)); s"$db.$t" }
+        val all =
+          for { db <- Catalog.listDatabases(root); t <- Catalog.listTables(root, db) }
+            yield (db, t, Catalog.tablePath(root, db, t))
+        // every check and every fork under ALL table locks: a
+        // duplicate found after some tables forked (same-named TAG, or
+        // a concurrent create racing this one) would otherwise leave a
+        // partial branch AND a 500 the client retries into a 409
+        // blaming the caller's own wreckage
+        withTableLocks(all.map(_._3)) {
+          val clash = all.exists { case (_, _, p) =>
+            IcebergLite.branches(p).contains(branch) ||
+              IcebergLite.tags(p).contains(branch)
+          }
+          if (clash)
+            return (409, s"""{"error": "ref $branch already exists"}""")
+          val parentTables =
+            if (parent == "main") all
+            else all.filter { case (_, _, p) =>
+              IcebergLite.branches(p).contains(parent) }
+          if (parent != "main" && parentTables.isEmpty)
+            return (404, s"""{"error": "parent branch $parent not found"}""")
+          // fork at the PARENT's head per table; empty tables (nothing
+          // to branch) are skipped, matching the table layer's refusal
+          val forked = parentTables.flatMap { case (db, t, p) =>
+            val head =
+              if (parent == "main") IcebergLite.currentSnapshotId(p)
+              else IcebergLite.branches(p).get(parent)
+            head.map { h => IcebergLite.createBranch(p, branch, Some(h)); s"$db.$t" }
+          }
+          (200, s"""{"branch_id": ${jstr(branch)}, "parent_id": ${jstr(parent)}, """ +
+            s""""tables": ${forked.map(jstr).mkString("[", ", ", "]")}}""")
         }
-        (200, s"""{"branch_id": ${jstr(branch)}, "parent_id": ${jstr(parent)}, """ +
-          s""""tables": ${forked.map(jstr).mkString("[", ", ", "]")}}""")
       case ("POST", "branch" :: branch :: "table" :: db :: t :: "commit" :: Nil) =>
         val q = qparams(query)
         val snap = q.get("snapshot").map(_.toLong).getOrElse(
@@ -149,46 +178,61 @@ object RestCatalog {
             !Catalog.listTables(root, db).contains(t))
           return (404, s"""{"error": "table $db.$t not found"}""")
         val p = Catalog.tablePath(root, db, t)
-        val current = IcebergLite.branches(p).get(branch).getOrElse(
-          return (404, s"""{"error": "branch $branch not found on $db.$t"}"""))
-        q.get("expected_head").map(_.toLong).foreach { exp =>
-          if (exp != current)
-            return (409, s"""{"error": "concurrent change on $db.$t: branch """ +
-              s"""$branch is at $current, expected $exp"}""")
+        // read-compare-advance is ONE critical section: two writers
+        // who both read the same head must not both pass the CAS check
+        // (the executor is concurrent — losing a commit with a 200 is
+        // exactly what expected_head exists to prevent)
+        IcebergLite.withCommitLock(p) {
+          val current = IcebergLite.branches(p).get(branch).getOrElse(
+            return (404, s"""{"error": "branch $branch not found on $db.$t"}"""))
+          q.get("expected_head").map(_.toLong).foreach { exp =>
+            if (exp != current)
+              return (409, s"""{"error": "concurrent change on $db.$t: branch """ +
+                s"""$branch is at $current, expected $exp"}""")
+          }
+          IcebergLite.advanceBranch(p, branch, Some(snap))
+          (200, s"""{"branch_id": ${jstr(branch)}, "table": ${jstr(s"$db.$t")}, """ +
+            s""""head": $snap}""")
         }
-        IcebergLite.advanceBranch(p, branch, Some(snap))
-        (200, s"""{"branch_id": ${jstr(branch)}, "table": ${jstr(s"$db.$t")}, """ +
-          s""""head": $snap}""")
       case ("POST", "branch" :: src :: "merge" :: target :: Nil) =>
         val carrying = branchTables(root, src)
         if (carrying.isEmpty)
           return (404, s"""{"error": "branch $src not found"}""")
         // conflict check FIRST across every table, then apply — a
         // half-merged catalog is worse than a refused one (the
-        // reference checks all conflicts before copying too)
-        val heads = carrying.map { case (db, t, p) =>
-          val srcHead = IcebergLite.branches(p)(src)
-          if (target == "main") {
-            if (!ancestorsOf(p, srcHead).contains(
-                IcebergLite.currentSnapshotId(p).getOrElse(srcHead)))
-              return (409, s"""{"error": "merge conflict: table $db.$t has """ +
-                s"""diverged between branches"}""")
-          } else {
-            val tgtHead = IcebergLite.branches(p).get(target).getOrElse(
-              return (404, s"""{"error": "branch $target not found on $db.$t"}"""))
-            if (!ancestorsOf(p, srcHead).contains(tgtHead))
-              return (409, s"""{"error": "merge conflict: table $db.$t has """ +
-                s"""diverged between branches"}""")
+        // reference checks all conflicts before copying too). BOTH
+        // phases run under every carrying table's commit lock: a
+        // concurrent commit landing between check and apply would
+        // either be silently overwritten (branch target) or make a
+        // later table throw mid-loop (main target) — the exact
+        // half-merge the two-phase structure claims to prevent.
+        withTableLocks(carrying.map(_._3)) {
+          val heads = carrying.map { case (db, t, p) =>
+            val srcHead = IcebergLite.branches(p).get(src).getOrElse(
+              return (409, s"""{"error": "branch $src vanished from $db.$t """ +
+                s"""during merge"}"""))
+            if (target == "main") {
+              if (!ancestorsOf(p, srcHead).contains(
+                  IcebergLite.currentSnapshotId(p).getOrElse(srcHead)))
+                return (409, s"""{"error": "merge conflict: table $db.$t has """ +
+                  s"""diverged between branches"}""")
+            } else {
+              val tgtHead = IcebergLite.branches(p).get(target).getOrElse(
+                return (404, s"""{"error": "branch $target not found on $db.$t"}"""))
+              if (!ancestorsOf(p, srcHead).contains(tgtHead))
+                return (409, s"""{"error": "merge conflict: table $db.$t has """ +
+                  s"""diverged between branches"}""")
+            }
+            (db, t, p, srcHead)
           }
-          (db, t, p, srcHead)
+          val merged = heads.map { case (db, t, p, srcHead) =>
+            if (target == "main") IcebergLite.fastForwardMain(p, src)
+            else IcebergLite.advanceBranch(p, target, Some(srcHead))
+            s"$db.$t"
+          }
+          (200, s"""{"source": ${jstr(src)}, "target": ${jstr(target)}, """ +
+            s""""merged_tables": ${merged.map(jstr).mkString("[", ", ", "]")}}""")
         }
-        val merged = heads.map { case (db, t, p, srcHead) =>
-          if (target == "main") IcebergLite.fastForwardMain(p, src)
-          else IcebergLite.advanceBranch(p, target, Some(srcHead))
-          s"$db.$t"
-        }
-        (200, s"""{"source": ${jstr(src)}, "target": ${jstr(target)}, """ +
-          s""""merged_tables": ${merged.map(jstr).mkString("[", ", ", "]")}}""")
       case ("DELETE", "branch" :: branch :: Nil) =>
         val carrying = branchTables(root, branch)
         if (carrying.isEmpty)
@@ -203,9 +247,13 @@ object RestCatalog {
   /** Snapshot ancestor chain of `head` (inclusive), bounded by
     * existing snapshot files like fastForwardMain's walk. */
   private def ancestorsOf(tablePath: String, head: Long): Set[Long] = {
+    // ONE directory listing for the whole walk — per-ancestor listing
+    // is O(chain × dir-entries), and the merge route calls this for
+    // every carrying table
+    val committed = IcebergLite.snapshots(tablePath).toSet
     val chain = scala.collection.mutable.Set.empty[Long]
     var cursor: Option[Long] = Some(head)
-    while (cursor.nonEmpty && IcebergLite.snapshots(tablePath).contains(cursor.get)) {
+    while (cursor.nonEmpty && committed.contains(cursor.get)) {
       chain += cursor.get
       cursor = IcebergLite.parentSnapshotId(tablePath, cursor.get)
     }

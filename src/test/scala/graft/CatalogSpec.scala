@@ -76,10 +76,13 @@ class CatalogSpec extends AnyFunSuite {
     // iceberg_sql_struct_evolution nested-DDL row (ADD COLUMNS s.x /
     // ALTER COLUMN s.x TYPE as single metadata commits) → 214, and the
     // stream_sql_upsert SQL-declared streaming-CDC row (MERGE INTO
-    // string driving foreachBatch, checkpoint kill-restart) → 215.
+    // string driving foreachBatch, checkpoint kill-restart) → 215, and
+    // the iceberg_count_meta metadata-COUNT(*) row (manifest-list
+    // totals answer an unfiltered count with no scan; a pending MoR
+    // delete flips it back to a scanning plan) → 216.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 215 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 215 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 216 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 216 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

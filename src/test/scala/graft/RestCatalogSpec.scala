@@ -147,4 +147,56 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(mc.getMessage.contains("diverged"))
     dev.deleteBranch()
   }
+
+  test("CAS commit is atomic under the concurrent executor: one winner per head") {
+    val (root, server) = wfixture
+    val s = spark
+    import s.implicits._
+    val path = Catalog.tablePath(root, "wh", "t")
+    val race = new RestCatalog.Client(server.baseUrl, branchId = "race")
+    race.createBranch()
+    val h0 = IcebergLite.branches(path)("race")
+    // land 4 candidate snapshots, then 4 writers race the SAME
+    // expected head over the server's thread pool: the read-compare-
+    // advance critical section must admit exactly one (the pre-lock
+    // server let every racer pass the check and silently kept the
+    // last write)
+    val snaps = (1 to 4).map(i =>
+      IcebergLite.append(spark, path, Seq((100L + i, "r")).toDF("id", "v")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results = snaps.map { sn =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+        def call(): Either[String, Long] =
+          try Right(race.commitTable("wh", "t", sn, expectedHead = Some(h0)))
+          catch { case e: RestCatalog.ConflictException => Left(e.getMessage) }
+      })
+    }.map(_.get())
+    pool.shutdown()
+    assert(results.count(_.isRight) == 1, s"exactly one CAS winner: $results")
+    assert(results.count(_.isLeft) == 3)
+    val winner = results.collectFirst { case Right(h) => h }.get
+    assert(IcebergLite.branches(path)("race") == winner)
+    race.deleteBranch()
+  }
+
+  test("create-branch refuses a same-named TAG with no partial fork") {
+    val (root, server) = wfixture
+    val s = spark
+    import s.implicits._
+    val pt = Catalog.tablePath(root, "wh", "t")
+    val pu = Catalog.createTable(root, "wh", "u")
+    IcebergLite.append(spark, pu, Seq((1L, 1.0)).toDF("id", "w"))
+    // a TAG named 'rel' on the second table clashes with a branch fork
+    // of the same name: the route must refuse BEFORE forking anything
+    // (the unchecked path forked wh.t, then blew up on wh.u — a
+    // partial branch plus a retried 409 blaming the caller)
+    IcebergLite.createTag(pu, "rel")
+    val rel = new RestCatalog.Client(server.baseUrl, branchId = "rel")
+    val e = intercept[RestCatalog.ConflictException](rel.createBranch())
+    assert(e.getMessage.contains("already exists"))
+    assert(!IcebergLite.branches(pt).contains("rel"),
+      "no table may carry the refused branch")
+    assert(!IcebergLite.branches(pu).contains("rel"))
+    IcebergLite.dropTag(pu, "rel")
+  }
 }

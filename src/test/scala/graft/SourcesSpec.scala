@@ -3346,4 +3346,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(IcebergLite.columnStatsMetadata(s, root).collect().isEmpty)
   }
 
+  test("manifest-list totals: sizing a table is one list read, carried forward across commits") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("iceberg_totals_spec").toString
+    IcebergLite.createTable(root, Nil)
+    // an initialized EMPTY table is certainty of emptiness, not unknown
+    assert(IcebergLite.snapshotTotals(root) == Some((0L, 0L)))
+    IcebergLite.append(s, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    IcebergLite.append(s, root, Seq((4L, "d"), (5L, "e")).toDF("id", "v").coalesce(1))
+    // totals agree with a full manifest walk — but come from the list
+    val walked = IcebergLite.dataFiles(root)
+    val Some((rows, bytes)) = IcebergLite.snapshotTotals(root)
+    assert(rows == 5L && rows == walked.map(_.recordCount).sum)
+    assert(bytes > 0L && bytes == walked.map(_.fileSizeBytes).sum)
+    // the first snapshot's totals stand independently (time travel)
+    val snap1 = IcebergLite.snapshots(root).min
+    assert(IcebergLite.snapshotTotals(root, Some(snap1)).exists(_._1 == 3L))
+    // a rewrite (fresh manifests, parsed where written) keeps totals
+    IcebergLite.compact(s, root)
+    assert(IcebergLite.snapshotTotals(root).exists(_._1 == 5L))
+    // a LEGACY list (written before totals tracking) answers None —
+    // callers fall back to the walk, never to a wrong zero
+    val id = IcebergLite.currentSnapshotId(root).get
+    val listPath = java.nio.file.Paths.get(s"$root/metadata/manifest-list-$id.json")
+    Files.writeString(listPath, Files.readString(listPath)
+      .replaceAll(""", "total_records": \d+, "total_bytes": \d+""", ""))
+    assert(IcebergLite.snapshotTotals(root).isEmpty)
+    // and the NEXT commit re-derives fresh totals rather than
+    // propagating the unknown forever: the new manifest is parsed
+    // once anyway; only carried legacy entries stay unknown
+    IcebergLite.append(s, root, Seq((6L, "f")).toDF("id", "v").coalesce(1))
+    assert(IcebergLite.snapshotTotals(root).isEmpty,
+      "carried legacy entries stay honest-unknown")
+  }
+
 }

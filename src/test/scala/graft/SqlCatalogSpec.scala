@@ -470,4 +470,33 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN sqlcat.sync").collect()
       .map(_.getString(1)).sorted.toSeq == Seq("b", "c"))
   }
+
+  test("unfiltered COUNT(*) answers from manifest-list totals, never a scan") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.cnt")
+    spark.sql("CREATE TABLE sqlcat.cnt.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO sqlcat.cnt.t VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    spark.sql("INSERT INTO sqlcat.cnt.t VALUES (4, 'd')")
+    val cnt = spark.sql("SELECT count(*) AS c, count(1) AS c1 FROM sqlcat.cnt.t")
+    assert(cnt.collect().head.getLong(0) == 4L && cnt.collect().head.getLong(1) == 4L)
+    assert(scanFiles(cnt).isEmpty, "metadata answer must plan no file scan")
+    // a MoR delete makes totals disagree with a read: the rewrite
+    // must refuse and the scanned count stay correct
+    val path = Catalog.tablePath(root, "cnt", "t")
+    val s = spark
+    import s.implicits._
+    IcebergLite.deleteEquality(spark, path, Seq(2L).toDF("id"))
+    val afterDel = spark.sql("SELECT count(*) AS c FROM sqlcat.cnt.t")
+    assert(afterDel.collect().head.getLong(0) == 3L)
+    assert(scanFiles(afterDel).nonEmpty, "pending deletes must force the scan")
+    // null-sensitive and filtered counts keep scanning too
+    assert(spark.sql("SELECT count(v) AS c FROM sqlcat.cnt.t")
+      .collect().head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) AS c FROM sqlcat.cnt.t WHERE id > 1")
+      .collect().head.getLong(0) == 2L)
+    // time travel counts the PINNED snapshot's totals
+    val snap1 = IcebergLite.snapshots(path).min
+    assert(spark.sql(s"SELECT count(*) AS c FROM sqlcat.cnt.t VERSION AS OF $snap1")
+      .collect().head.getLong(0) == 3L)
+  }
 }

@@ -405,6 +405,33 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(star.getMessage.contains("INSERT"))
   }
 
+  test("a source column named 'matched' is DATA, not the join marker") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.mk (ok BIGINT, done BOOLEAN, n BIGINT)")
+    spark.sql("INSERT INTO dml.db.mk VALUES (1, false, 0), (2, false, 0), (3, true, 5)")
+    // row 2 IS matched by key but carries matched=false — a marker
+    // named __graft_s_ + "matched" would overwrite it with constant
+    // true and silently commit done=true
+    Seq((1L, true, 10L), (2L, false, 20L)).toDF("o_key", "matched", "n")
+      .createOrReplaceTempView("mk_src")
+    spark.sql("""
+      MERGE INTO dml.db.mk AS t USING mk_src AS s
+      ON t.ok = s.o_key
+      WHEN MATCHED THEN UPDATE SET t.done = s.matched, t.n = s.n""")
+    assert(spark.sql("SELECT ok, done, n FROM dml.db.mk ORDER BY ok").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq ==
+      Seq((1L, true, 10L), (2L, false, 20L), (3L, true, 5L)))
+    // the reserved namespace itself refuses up front
+    Seq((1L, 9L)).toDF("o_key", "__graft_x").createOrReplaceTempView("mk_bad")
+    val e = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.mk AS t USING mk_bad AS s
+      ON t.ok = s.o_key
+      WHEN MATCHED THEN UPDATE SET t.n = s.`__graft_x`"""))
+    assert(e.getMessage.contains("__graft_"))
+  }
+
   test("sqlMergeStream validates the statement shape BEFORE the stream starts") {
     root
     val s = spark
