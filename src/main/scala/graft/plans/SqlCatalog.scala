@@ -361,23 +361,23 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       require(partSpec.isEmpty,
         "static PARTITION clauses are unsupported; partitioned graft tables " +
           "derive layout from their own spec (dynamic overwrite)")
-      require(userCols.isEmpty || byName,
-        "INSERT with an explicit column list is supported BY NAME only")
       GraftInsertCommand(GraftSqlCatalog.resolve(spark, parts).get, query,
-        overwrite, byName, toBranch = None)
+        overwrite, byName, toBranch = None,
+        userCols = if (byName) Nil else userCols)
     // write-audit-publish in SQL: INSERT INTO graft.db.t.branch_audit
     // appends to the branch head; main is untouched until fast_forward
     case InsertIntoStatement(GraftInsertAddress(parts), partSpec,
         userCols, query, overwrite, _, byName) if query.resolved &&
         parts.length == 4 && parts(3).startsWith("branch_") &&
         GraftSqlCatalog.resolve(spark, parts.take(3)).isDefined =>
-      require(partSpec.isEmpty && (userCols.isEmpty || byName),
-        "branch INSERT supports plain or BY NAME column lists only")
+      require(partSpec.isEmpty,
+        "static PARTITION clauses are unsupported on branch INSERT")
       require(!overwrite, "INSERT OVERWRITE onto a branch is unsupported; " +
         "write-audit-publish appends to the branch, then fast_forward")
       GraftInsertCommand(GraftSqlCatalog.resolve(spark, parts.take(3)).get,
         query, overwrite = false, byName,
-        toBranch = Some(parts(3).stripPrefix("branch_")))
+        toBranch = Some(parts(3).stripPrefix("branch_")),
+        userCols = if (byName) Nil else userCols)
     case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, ver)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       val path = GraftSqlCatalog.resolve(spark, parts).get
@@ -1137,7 +1137,8 @@ case class GraftMetadataPrune(spark: SparkSession) extends Rule[LogicalPlan] {
   * insert into an empty, spec-less table defines the schema. */
 case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
     overwrite: Boolean, byName: Boolean,
-    toBranch: Option[String]) extends RunnableCommand {
+    toBranch: Option[String],
+    userCols: Seq[String] = Nil) extends RunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = query :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
@@ -1174,6 +1175,25 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
       case (None, d) => d
     }
     val aligned = logical match {
+      case Some(schema) if userCols.nonEmpty =>
+        // explicit column list: source aligns POSITIONALLY to the
+        // listed columns; unlisted table columns null-fill (SQL's
+        // INSERT (cols) VALUES contract — same as the MERGE INSERT
+        // (cols) arm). The list must name real table columns, once.
+        require(src.columns.length == userCols.length,
+          s"INSERT column list has ${userCols.length} names but the query " +
+            s"produces ${src.columns.length} columns")
+        require(userCols.distinct.length == userCols.length,
+          s"INSERT column list names a column twice: ${userCols.mkString(", ")}")
+        val unknown = userCols.filterNot(schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"INSERT column list names absent from the table: ${unknown.mkString(", ")}")
+        val listed = src.toDF(userCols: _*)
+        listed.select(schema.fields.toSeq.map { f =>
+          (if (userCols.contains(f.name)) col(f.name)
+           else org.apache.spark.sql.functions.lit(null))
+            .cast(f.dataType).as(f.name)
+        }: _*)
       case Some(schema) =>
         require(src.columns.length == schema.length,
           s"INSERT column count ${src.columns.length} != table ${schema.length}")
@@ -1185,6 +1205,12 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
           } else src.toDF(schema.fieldNames.toSeq: _*)
         positioned.select(schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
+      // schema-defining first insert: an explicit list names the columns
+      case None if userCols.nonEmpty =>
+        require(src.columns.length == userCols.length,
+          s"INSERT column list has ${userCols.length} names but the query " +
+            s"produces ${src.columns.length} columns")
+        src.toDF(userCols: _*)
       case None => src
     }
     if (overwrite) {

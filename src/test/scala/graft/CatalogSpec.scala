@@ -79,10 +79,12 @@ class CatalogSpec extends AnyFunSuite {
     // string driving foreachBatch, checkpoint kill-restart) → 215, and
     // the iceberg_count_meta metadata-COUNT(*) row (manifest-list
     // totals answer an unfiltered count with no scan; a pending MoR
-    // delete flips it back to a scanning plan) → 216.
+    // delete flips it back to a scanning plan) → 216, and the
+    // iceberg_sql_insert_cols explicit-column-list INSERT row
+    // (positional map onto the listed columns, null-fill) → 217.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 216 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 216 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 217 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 217 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -471,6 +471,30 @@ class SqlCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).sorted.toSeq == Seq("b", "c"))
   }
 
+  test("INSERT with an explicit column list: reorder, null-fill, refusals") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.ins")
+    spark.sql("CREATE TABLE sqlcat.ins.t (a BIGINT, b STRING, c DOUBLE)")
+    // the list is positional: (b, a) maps 'x'→b, 1→a; unlisted c nulls
+    spark.sql("INSERT INTO sqlcat.ins.t (b, a) VALUES ('x', 1), ('y', 2)")
+    // full-list reorder round-trips every column
+    spark.sql("INSERT INTO sqlcat.ins.t (c, a, b) VALUES (0.5, 3, 'z')")
+    assert(spark.sql("SELECT a, b, c FROM sqlcat.ins.t ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq ==
+      Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(0.5))))
+    // refusals: unknown name, duplicate name, arity mismatch
+    assert(intercept[Exception](spark.sql(
+      "INSERT INTO sqlcat.ins.t (a, nope) VALUES (4, 'w')"))
+      .getMessage.contains("absent"))
+    assert(intercept[Exception](spark.sql(
+      "INSERT INTO sqlcat.ins.t (a, a) VALUES (4, 5)"))
+      .getMessage.contains("twice"))
+    assert(intercept[Exception](spark.sql(
+      "INSERT INTO sqlcat.ins.t (a, b) VALUES (4, 'w', 1.0)"))
+      .getMessage.contains("column list"))
+  }
+
   test("unfiltered COUNT(*) answers from manifest-list totals, never a scan") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.cnt")
