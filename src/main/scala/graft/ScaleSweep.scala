@@ -130,6 +130,11 @@ object ScaleSweep {
         .map(_.toInt).getOrElse(100)
       metaFilesSweep(spark, nDocs, filesPer); spark.stop(); return
     }
+    if (mode == "stats") {
+      val filesPer = args.filter(_.forall(_.isDigit)).drop(1).headOption
+        .map(_.toInt).getOrElse(100)
+      statsSweep(spark, nDocs, filesPer); spark.stop(); return
+    }
     if (mode == "writemeta") { writeMetaSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdel") { eqDeleteSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdelk") { eqdelKSweep(spark, nDocs); spark.stop(); return }
@@ -949,6 +954,59 @@ object ScaleSweep {
       s""""manifests":$nManifests,"distWallSec":${r1(distWall)},""" +
       s""""partitionsWallSec":${r1(partsWall)},"driverWallSec":${r1(driverWall)},""" +
       s""""rows":$distCount}""")
+  }
+
+  /** Table-sizing anchor (r11): statistics for a big-metadata table
+    * must come from the manifest LIST (snapshotTotals — one small
+    * JSON read), not an O(manifests) driver walk. Builds the
+    * metafiles synthetic (adoption commit computes totals parsing
+    * each manifest once — the cost the summary already paid), then
+    * times snapshotTotals vs the dataFiles fallback walk, verifying
+    * the answers agree. */
+  private def statsSweep(spark: org.apache.spark.sql.SparkSession,
+      nFiles: Long, filesPer: Int = 100): Unit = {
+    val nManifests = math.max(1, (nFiles / filesPer).toInt)
+    val root = java.nio.file.Files.createTempDirectory("graft_stats_sweep").toString
+    sources.IcebergLite.createTable(root)
+    val manifestPaths = (1 to nManifests).map { i =>
+      val entries = (0 until filesPer).map { j =>
+        s"""{"data_file": {"file_path": "data/f-$i-$j.parquet", "file_format": "PARQUET",
+           |  "partition": {"p": "${i % 10}"}, "record_count": 1000, "sequence_number": 1,
+           |  "file_size_in_bytes": 1048576,
+           |  "lower_bounds": {"id": "${j * 1000}"}, "upper_bounds": {"id": "${j * 1000 + 999}"}}}""".stripMargin
+      }
+      val rel = s"metadata/manifest-pre-$i.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/$rel"),
+        entries.mkString("{\"entries\": [", ",\n", "]}"))
+      rel
+    }
+    val tCommit = System.nanoTime()
+    sources.IcebergLite.commitSnapshot(root, None, entries = Nil,
+      carriedManifests = manifestPaths)
+    val commitWall = (System.nanoTime() - tCommit) / 1e9
+    val tTotals = System.nanoTime()
+    val totals = sources.IcebergLite.snapshotTotals(root)
+    val totalsWall = (System.nanoTime() - tTotals) / 1e9
+    val tWalk = System.nanoTime()
+    val walked = sources.IcebergLite.dataFiles(root)
+    val walkWall = (System.nanoTime() - tWalk) / 1e9
+    require(totals.exists(_._1 == walked.map(_.recordCount).sum),
+      s"list totals $totals diverge from the walk")
+    // a follow-up append must NOT re-parse the carried manifests to
+    // keep totals current (parent carry): time it at this width
+    val s2 = spark
+    import s2.implicits._
+    val tApp = System.nanoTime()
+    sources.IcebergLite.append(spark, root, Seq((1L, "x")).toDF("id", "v"))
+    val appendWall = (System.nanoTime() - tApp) / 1e9
+    require(sources.IcebergLite.snapshotTotals(root)
+      .exists(_._1 == walked.map(_.recordCount).sum + 1), "post-append totals wrong")
+    def r1(d: Double) = math.round(d * 1000) / 1000.0
+    println(s"""{"sweep":"stats","files":${nManifests.toLong * filesPer},""" +
+      s""""manifests":$nManifests,"adoptCommitWallSec":${r1(commitWall)},""" +
+      s""""snapshotTotalsWallSec":${r1(totalsWall)},""" +
+      s""""manifestWalkWallSec":${r1(walkWall)},"appendWallSec":${r1(appendWall)},""" +
+      s""""rows":${totals.map(_._1).getOrElse(-1L)}}""")
   }
 
   private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long,

@@ -1402,45 +1402,39 @@ object IcebergLite {
     val parentRefs: Map[String, ManifestRef] =
       parent.map(p => parseManifestList(tablePath, p)
         .map(r => r.path -> r).toMap).getOrElse(Map.empty)
-    // a path neither the parent lists nor the caller summarized is
-    // parsed ONCE, feeding both its partition summary and its totals
-    val freshParse = scala.collection.mutable.Map.empty[String, Seq[DataFile]]
-    def parsedOnce(path: String): Seq[DataFile] =
-      freshParse.getOrElseUpdate(path, manifestFiles(tablePath, path))
-    def summaryOf(path: String): Option[Map[String, ColSummary]] =
-      parentRefs.get(path).map(_.summaries).getOrElse(
-        Some(partitionSummary(parsedOnce(path))))
-    // entry totals (rows, bytes): parent entries carry verbatim (a
-    // legacy -1 stays -1 — never re-parsed on the append path, same
-    // contract as summaries); fresh manifests sum their parse, with
-    // any unknown per-file count poisoning the sum to -1 (a wrong
-    // small total is worse than an honest unknown)
-    def totalsOf(path: String): (Long, Long) =
-      parentRefs.get(path).map(r => (r.totalRecords, r.totalBytes)).getOrElse {
-        val fs = parsedOnce(path)
-        if (fs.exists(f => f.recordCount < 0 || f.fileSizeBytes < 0)) (-1L, -1L)
-        else (fs.map(_.recordCount).sum, fs.map(_.fileSizeBytes).sum)
-      }
-    // a caller that already computed a manifest's summary AND totals
+    // per list entry: totals (rows, bytes — real Iceberg's
+    // added_rows_count family) and the partition summary, from ONE
+    // source each in priority order: a caller that computed them
     // WHERE THE MANIFEST WAS WRITTEN (the distributed rewrite) hands
-    // the exact serialized body in — the commit must not re-parse 10⁶
-    // entries on the driver just to re-derive them
-    def summaryField(path: String): String = knownSummaryJson.get(path) match {
-      case Some(body) => s""",\n  "partition_summaries": $body"""
-      case None => summaryOf(path) match {
-        case None => ""
-        case Some(m) => s""",\n  "partition_summaries": ${summaryBody(m)}"""
-      }
-    }
-    def totalsField(path: String): String = {
-      val (r, b) = knownTotals.getOrElse(path, totalsOf(path))
-      if (r < 0 || b < 0) "" // unknown stays absent, parsing back as -1
-      else s""", "total_records": $r, "total_bytes": $b"""
+    // exact values in — the commit must not re-parse 10⁶ entries on
+    // the driver to re-derive them; a parent entry carries verbatim
+    // (a legacy unknown stays unknown — never re-parsed on the append
+    // path); anything else (the commit's own manifest, adopted paths)
+    // is parsed ONCE feeding both fields, and dropped. Totals with
+    // any unknown per-file count poison to -1 — a wrong small total
+    // is worse than an honest unknown.
+    def listExtras(path: String): String = {
+      val ((rows, bytes), summaryJson) =
+        (knownSummaryJson.get(path), parentRefs.get(path)) match {
+          case (Some(body), _) =>
+            (knownTotals.getOrElse(path, (-1L, -1L)), Some(body))
+          case (None, Some(ref)) =>
+            ((ref.totalRecords, ref.totalBytes), ref.summaries.map(summaryBody))
+          case (None, None) =>
+            val fs = manifestFiles(tablePath, path)
+            val t = if (fs.exists(f => f.recordCount < 0 || f.fileSizeBytes < 0))
+              (-1L, -1L)
+            else (fs.map(_.recordCount).sum, fs.map(_.fileSizeBytes).sum)
+            (t, Some(summaryBody(partitionSummary(fs))))
+        }
+      val tf = if (rows < 0 || bytes < 0) "" // unknown: absent, parses as -1
+        else s""", "total_records": $rows, "total_bytes": $bytes"""
+      tf + summaryJson.map(b => s""",\n  "partition_summaries": $b""").getOrElse("")
     }
     Files.writeString(Paths.get(s"$tablePath/metadata/manifest-list-$id.json"),
       allManifests.zipWithIndex.map { case (m, i) =>
         s"""{"manifest_path": "$m", "manifest_length": 1, "partition_spec_id": 0,
-           |  "snapshot_id": $id, "sequence_number": ${i + 1}${totalsField(m)}${summaryField(m)}}""".stripMargin
+           |  "snapshot_id": $id, "sequence_number": ${i + 1}${listExtras(m)}}""".stripMargin
       }.mkString("[", ",\n", "]"))
     val renamesJson =
       if (rmap.isEmpty) ""
