@@ -88,7 +88,12 @@ class TrinoDialectParser(delegate: ParserInterface) extends ParserInterface {
     sb.toString
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewrite(sqlText))
+  // view DDL addressed at a graft catalog is claimed HERE: the
+  // builtin ResolveSessionCatalog refuses non-session view statements
+  // before any extension resolution rule could (SqlCatalog.scala,
+  // GraftViewStatements)
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftViewStatements.claim(delegate.parsePlan(rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(rewrite(sqlText))

@@ -206,6 +206,180 @@ object GraftSqlCatalog {
       try Some(Catalog.tablePath(root, parts(1), parts(2)))
       catch { case _: IllegalArgumentException => None }
     }
+
+  /** A registered VIEW at `parts` (3-part, graft catalog): the
+    * catalog root and the stored document. */
+  def resolveView(spark: SparkSession,
+      parts: Seq[String]): Option[(String, Catalog.ViewDoc)] =
+    if (parts.length != 3) None
+    else rootFor(spark, parts.head).flatMap { root =>
+      Catalog.viewDoc(root, parts(1), parts(2)).map((root, _))
+    }
+}
+
+/** Persisted SQL views — the metastore object the reference models as
+  * table_type VIRTUAL_VIEW with viewOriginalText/viewExpandedText
+  * (branching-metastore Table.java:38-61). The ORIGINAL text is
+  * stored; expansion (unqualified table references scoped to the
+  * view's own catalog.database) happens lazily at read, which is the
+  * same answer viewExpandedText precomputes. Spark 4.1 ships the
+  * ViewCatalog interface but no v2 view execution, so the DDL and the
+  * read path both route through [[GraftSqlResolution]]. */
+object GraftViews {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+
+  /** Scope unqualified relation names in a view body to the view's
+    * own catalog.database — SQL's rule: a view means the same tables
+    * no matter who reads it. CTE names defined in the body stay
+    * untouched (they are not catalog names). */
+  def rescope(parsed: LogicalPlan, catalogName: String, db: String): LogicalPlan = {
+    val cteNames = parsed.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    parsed.transformDownWithSubqueries {
+      case UnresolvedRelation(p, opts, stream) if p.length < 3 &&
+          !(p.length == 1 && cteNames.contains(p.head.toLowerCase(java.util.Locale.ROOT))) =>
+        val full = if (p.length == 1) Seq(catalogName, db) ++ p else catalogName +: p
+        UnresolvedRelation(full, opts, stream)
+    }
+  }
+
+  /** Every (db, view) transitively referenced AS A VIEW from `sql` —
+    * the write-time cycle check walks stored documents, never the
+    * analyzer (an OR REPLACE cycle would otherwise only surface as an
+    * analyzer max-iterations failure at read time). */
+  def viewClosure(spark: SparkSession, root: String, catalogName: String,
+      db: String, sql: String): Set[(String, String)] = {
+    def refsOf(dbCtx: String, text: String): Seq[(String, String)] =
+      spark.sessionState.sqlParser.parsePlan(text).collectWithSubqueries {
+        case UnresolvedRelation(p, _, _) => p
+      }.flatMap {
+        case Seq(n) => Some((dbCtx, n))
+        case Seq(d, n) => Some((d, n))
+        case Seq(c, d, n) if c == catalogName => Some((d, n))
+        case _ => None
+      }.filter { case (d, n) => Catalog.viewDoc(root, d, n).isDefined }
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    var frontier = refsOf(db, sql)
+    while (frontier.nonEmpty) {
+      val next = frontier.filterNot(seen)
+      next.foreach(seen += _)
+      frontier = next.flatMap { case (d, n) =>
+        Catalog.viewDoc(root, d, n).toSeq.flatMap(doc => refsOf(d, doc.sql))
+      }
+    }
+    seen.toSet
+  }
+}
+
+/** Claims view DDL addressed at a graft catalog AT PARSE TIME.
+  * Spark 4.1's ResolveSessionCatalog throws MISSING_CATALOG_ABILITY
+  * for any non-session-catalog CreateView/ShowViews BEFORE extension
+  * resolution rules run, so an analyzer-rule claim can never win the
+  * race — the injected parser rewrites the statement root instead
+  * (view DDL is always a root-level plan). */
+object GraftViewStatements {
+  private def graftRoot(cat: String): Option[String] = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    def opt(k: String) =
+      try Option(conf.getConfString(k)) catch { case _: Exception => None }
+    opt(s"spark.sql.catalog.$cat")
+      .filter(_ == classOf[GraftCatalogPlugin].getName)
+      .flatMap(_ => opt(s"spark.sql.catalog.$cat.root"))
+  }
+
+  def claim(plan: LogicalPlan): LogicalPlan = plan match {
+    case cv: org.apache.spark.sql.catalyst.plans.logical.CreateView =>
+      cv.child match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+            if parts.length == 3 && graftRoot(parts.head).isDefined =>
+          GraftCreateViewCommand(graftRoot(parts.head).get, parts.head,
+            parts(1), parts(2),
+            cv.originalText.getOrElse(throw new IllegalArgumentException(
+              "CREATE VIEW needs the original query text")),
+            cv.userSpecifiedColumns.map(_._1), cv.comment, cv.properties,
+            cv.allowExisting, cv.replace)
+        case _ => cv
+      }
+    case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>
+      dv.child match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+            if parts.length == 3 && graftRoot(parts.head).isDefined =>
+          GraftDropViewCommand(graftRoot(parts.head).get, parts(1), parts(2),
+            dv.ifExists)
+        case _ => dv
+      }
+    case sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews =>
+      sv.namespace match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(parts, _)
+            if parts.length == 2 && graftRoot(parts.head).isDefined =>
+          GraftShowViewsCommand(graftRoot(parts.head).get, parts(1),
+            sv.pattern, sv.output)
+        case _ => sv
+      }
+    case other => other
+  }
+}
+
+/** CREATE [OR REPLACE] VIEW: validates by ANALYZING the scoped body
+  * now (a stored view that cannot analyze would fail every future
+  * reader instead of its author), refuses cycles against the stored
+  * documents, and persists original text + the analysis-time schema. */
+case class GraftCreateViewCommand(root: String, catalogName: String,
+    db: String, viewName: String, sqlText: String, aliases: Seq[String],
+    comment: Option[String], properties: Map[String, String],
+    allowExisting: Boolean, replace: Boolean) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(Catalog.listDatabases(root).contains(db),
+      s"database $db does not exist")
+    if (Catalog.viewDoc(root, db, viewName).isDefined && allowExisting &&
+        !replace) return Nil
+    val closure = GraftViews.viewClosure(spark, root, catalogName, db, sqlText)
+    require(!closure.contains((db, viewName)),
+      s"cyclic view reference through $db.$viewName")
+    val scoped = GraftViews.rescope(
+      spark.sessionState.sqlParser.parsePlan(sqlText), catalogName, db)
+    val schema0 = org.apache.spark.sql.GraftColumnBridge.toDF(spark, scoped).schema
+    require(aliases.isEmpty || aliases.length == schema0.length,
+      s"view column list has ${aliases.length} names for " +
+        s"${schema0.length} query columns")
+    val schema =
+      if (aliases.isEmpty) schema0
+      else StructType(schema0.fields.zip(aliases).map { case (f, a) =>
+        f.copy(name = a) })
+    Catalog.createView(root, db, viewName, Catalog.ViewDoc(
+      sqlText, catalogName, aliases, comment, properties, schema.json), replace)
+    Nil
+  }
+}
+
+case class GraftDropViewCommand(root: String, db: String, viewName: String,
+    ifExists: Boolean) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    val had = Catalog.dropView(root, db, viewName)
+    require(had || ifExists, s"view $db.$viewName does not exist")
+    Nil
+  }
+}
+
+case class GraftShowViewsCommand(root: String, db: String,
+    pattern: Option[String],
+    override val output: Seq[Attribute]) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    // SHOW VIEWS patterns are glob-ish: '*' any, '|' alternation
+    val rx = pattern.map(p => p.toLowerCase(java.util.Locale.ROOT)
+      .split("\\|").map(_.replace("*", ".*")).mkString("(", ")|(", ")"))
+    Catalog.listViews(root, db)
+      .filter(n => rx.forall(n.toLowerCase(java.util.Locale.ROOT).matches))
+      .map(n => Row(db, n, false))
+  }
 }
 
 /** A DML statement's still-unresolved graft target, claimed by the
@@ -382,6 +556,20 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       val path = GraftSqlCatalog.resolve(spark, parts).get
       relationFor(path, snapFor(path, ts, ver))
+    // a view name reads as its stored body, unqualified references
+    // scoped to the view's own catalog.database, column aliases
+    // applied — SubqueryAlias keeps the view's name as the qualifier
+    case UnresolvedRelation(parts, _, false)
+        if GraftSqlCatalog.resolveView(spark, parts).isDefined =>
+      val (_, doc) = GraftSqlCatalog.resolveView(spark, parts).get
+      val scoped = GraftViews.rescope(
+        spark.sessionState.sqlParser.parsePlan(doc.sql), doc.catalog, parts(1))
+      val aliased =
+        if (doc.aliases.nonEmpty)
+          org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases(
+            doc.aliases, scoped)
+        else scoped
+      SubqueryAlias(parts(2), aliased)
     case UnresolvedRelation(parts, _, false)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       relationFor(GraftSqlCatalog.resolve(spark, parts).get, None)
@@ -1325,7 +1513,8 @@ object GraftProcedures {
   * `ProcedureCatalog`: `CALL graft.system.<proc>(...)` runs the
   * maintenance surface ([[GraftProcedures]]). */
 class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -1382,6 +1571,84 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       procedures.contains(ident.name),
       s"unknown procedure $ident (see CALL graft.system.<name>)")
     procedures(ident.name)
+  }
+
+  // ------------------------------------------------------------ views
+  // The full ViewCatalog contract over the catalog's view store.
+  // Spark 4.1 ships the interface without v2 view EXECUTION, so SQL
+  // statements route through GraftSqlResolution — implementing the
+  // interface still matters: catalog-resolution rules accept view
+  // identifiers for this catalog, and API users get the reference's
+  // metastore view surface (Table.java:38-61) programmatically.
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  override def listViews(namespace: String*): Array[Identifier] = {
+    loadNamespaceMetadata(namespace.toArray)
+    Catalog.listViews(root, namespace.head)
+      .map(Identifier.of(namespace.toArray, _)).toArray
+  }
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      Catalog.viewDoc(root, ident.namespace.head, ident.name).isDefined
+  private def asView(ident: Identifier, doc: Catalog.ViewDoc): View = new View {
+    override def name(): String = (ident.namespace :+ ident.name).mkString(".")
+    override def query(): String = doc.sql
+    override def currentCatalog(): String = doc.catalog
+    override def currentNamespace(): Array[String] = ident.namespace
+    override def schema(): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(doc.schemaJson)
+        .asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = Array.empty
+    override def columnAliases(): Array[String] = doc.aliases.toArray
+    override def columnComments(): Array[String] = Array.empty
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String]()
+      doc.properties.foreach { case (k, v) => m.put(k, v) }
+      doc.comment.foreach(m.put(org.apache.spark.sql.connector.catalog
+        .ViewCatalog.PROP_COMMENT, _))
+      m
+    }
+  }
+  override def loadView(ident: Identifier): View =
+    Catalog.viewDoc(root, ident.namespace.head, ident.name)
+      .map(asView(ident, _)).getOrElse(throw
+        new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+  override def createView(info: ViewInfo): View = {
+    val props = info.properties.asScala.toMap
+    val doc = Catalog.ViewDoc(info.sql, info.currentCatalog,
+      info.columnAliases.toSeq,
+      props.get(org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT),
+      props - org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT,
+      info.schema.json)
+    Catalog.createView(root, info.ident.namespace.head, info.ident.name, doc)
+    asView(info.ident, doc)
+  }
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val doc = Catalog.viewDoc(root, ident.namespace.head, ident.name)
+      .getOrElse(throw
+        new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val updated = changes.foldLeft(doc) { (d, c) => c match {
+      case s: ViewChange.SetProperty =>
+        d.copy(properties = d.properties + (s.property -> s.value))
+      case r: ViewChange.RemoveProperty =>
+        d.copy(properties = d.properties - r.property)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported view change: $other")
+    }}
+    Catalog.createView(root, ident.namespace.head, ident.name, updated,
+      replace = true)
+    asView(ident, updated)
+  }
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      Catalog.dropView(root, ident.namespace.head, ident.name)
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    require(from.namespace.sameElements(to.namespace),
+      "RENAME cannot move a view across databases")
+    val doc = Catalog.viewDoc(root, from.namespace.head, from.name)
+      .getOrElse(throw
+        new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from))
+    Catalog.createView(root, to.namespace.head, to.name, doc)
+    Catalog.dropView(root, from.namespace.head, from.name)
   }
 
   // ----------------------------------------------------------- tables

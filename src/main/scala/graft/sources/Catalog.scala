@@ -124,6 +124,8 @@ object Catalog {
       val all = readAll(root)
       require(all.contains(db), s"database $db does not exist")
       require(!all(db).contains(name), s"table $db.$name already exists")
+      require(!readViews(root).getOrElse(db, Map.empty).contains(name),
+        s"view $db.$name already exists (views and tables share the namespace)")
       val path = location.getOrElse(Paths.get(root, db, name).toString)
       IcebergLite.createTable(path)
       writeAll(root, all + (db -> (all(db) + (name -> path))))
@@ -189,5 +191,75 @@ object Catalog {
             .foreach(Files.deleteIfExists(_))
       }
       writeAll(root, all + (db -> (all(db) - name)))
+    }
+
+  // ------------------------------------------------------------ views
+  /** A persisted SQL view — the metastore-level object the reference's
+    * model carries as table_type VIRTUAL_VIEW + viewOriginalText
+    * (branching-metastore Table.java:38-61). `sql` is the original
+    * query text; `catalog` is the catalog NAME the view was created
+    * under (unqualified table references in the text re-scope to
+    * `catalog.db` at read time — the expansion the reference stores
+    * as viewExpandedText); `schemaJson` is the analysis-time schema
+    * (aliases applied) so name-only consumers (REST) can serve
+    * columns without a SQL engine. */
+  case class ViewDoc(sql: String, catalog: String, aliases: Seq[String],
+      comment: Option[String], properties: Map[String, String],
+      schemaJson: String)
+
+  private def viewsFile(root: String) = Paths.get(root, "views.json")
+
+  private val viewParseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((java.nio.file.attribute.FileTime, Long), Map[String, Map[String, ViewDoc]])]()
+
+  private def readViews(root: String): Map[String, Map[String, ViewDoc]] = {
+    val f = viewsFile(root)
+    if (!Files.exists(f)) return Map.empty
+    val key = (Files.getLastModifiedTime(f), Files.size(f))
+    val cached = viewParseCache.get(root)
+    if (cached != null && cached._1 == key) return cached._2
+    val parsed = (org.json4s.jackson.JsonMethods.parse(Files.readString(f)) \ "views")
+      .extractOrElse[Map[String, Map[String, ViewDoc]]](Map.empty)
+    viewParseCache.put(root, (key, parsed))
+    parsed
+  }
+
+  private def writeViews(root: String,
+      views: Map[String, Map[String, ViewDoc]]): Unit = {
+    val f = viewsFile(root)
+    // same lock-free-reader discipline as catalog.json
+    IcebergLite.atomicWrite(f, org.json4s.jackson.Serialization.write(
+      Map("views" -> views))(DefaultFormats))
+    viewParseCache.put(root, ((Files.getLastModifiedTime(f), Files.size(f)), views))
+  }
+
+  def listViews(root: String, db: String): Seq[String] =
+    readViews(root).getOrElse(db, Map.empty).keys.toSeq.sorted
+
+  def viewDoc(root: String, db: String, name: String): Option[ViewDoc] =
+    readViews(root).getOrElse(db, Map.empty).get(name)
+
+  /** Register a view. Refuses a name a TABLE already holds (one
+    * namespace, like every real metastore); `replace` overwrites an
+    * existing view, otherwise an existing name refuses. */
+  def createView(root: String, db: String, name: String, doc: ViewDoc,
+      replace: Boolean = false): Unit =
+    IcebergLite.withCommitLock(root) {
+      val all = readAll(root)
+      require(all.contains(db), s"database $db does not exist")
+      require(!all(db).contains(name),
+        s"table $db.$name already exists (views and tables share the namespace)")
+      val views = readViews(root)
+      require(replace || !views.getOrElse(db, Map.empty).contains(name),
+        s"view $db.$name already exists")
+      writeViews(root, views + (db -> (views.getOrElse(db, Map.empty) + (name -> doc))))
+    }
+
+  def dropView(root: String, db: String, name: String): Boolean =
+    IcebergLite.withCommitLock(root) {
+      val views = readViews(root)
+      val had = views.getOrElse(db, Map.empty).contains(name)
+      if (had) writeViews(root, views + (db -> (views(db) - name)))
+      had
     }
 }

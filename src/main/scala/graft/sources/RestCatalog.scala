@@ -281,8 +281,34 @@ object RestCatalog {
         else {
           val ts = Catalog.listTables(root, db).filter(visible(root, branch, db, _))
             .map(t => s"""{"table_name": ${jstr(t)}, "table_type": "TABLE", "comment": null}""")
-          (200, ts.mkString("""{"tables": [""", ", ", "]}"))
+          // persisted views list alongside tables as VIRTUAL_VIEW —
+          // the reference's model (Table.java tableType + Hive's
+          // convention); views carry no branch refs, so only main
+          // serves them
+          val vs =
+            if (branch != "main") Nil
+            else Catalog.listViews(root, db).map(v =>
+              s"""{"table_name": ${jstr(v)}, "table_type": "VIRTUAL_VIEW", "comment": null}""")
+          (200, (ts ++ vs).mkString("""{"tables": [""", ", ", "]}"))
         }
+      case "branch" :: branch :: "table" :: db :: t :: Nil
+          if branch == "main" && Catalog.listDatabases(root).contains(db) &&
+            Catalog.viewDoc(root, db, t).isDefined =>
+        // a VIEW's document: columns from the analysis-time schema,
+        // the original text as the reference's viewOriginalText
+        // (Table.java:38), no storage location — data lives in the
+        // tables the text references
+        val doc = Catalog.viewDoc(root, db, t).get
+        val schema = org.apache.spark.sql.types.DataType.fromJson(doc.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cols = schema.fields.toSeq.map(f =>
+          s"""{"name": ${jstr(f.name)}, "data_type": ${jstr(f.dataType.catalogString)}, """ +
+            s""""nullable": ${f.nullable}, "comment": null}""")
+        (200,
+          s"""{"table_name": ${jstr(t)}, "database_name": ${jstr(db)}, """ +
+          s""""table_type": "VIRTUAL_VIEW", "columns": ${cols.mkString("[", ", ", "]")}, """ +
+          s""""table_location": null, "table_format": null, """ +
+          s""""view_original_text": ${jstr(doc.sql)}}""")
       case "branch" :: branch :: "table" :: db :: t :: Nil =>
         val exists = Catalog.listDatabases(root).contains(db) &&
           Catalog.listTables(root, db).contains(t) && visible(root, branch, db, t)
@@ -313,8 +339,13 @@ object RestCatalog {
   case class DatabaseMetadata(databaseName: String, comment: Option[String])
   case class TableInfo(tableName: String, tableType: String)
   case class ColumnMetadata(name: String, dataType: String, nullable: Boolean)
+  /** Location/format are optional exactly as in the reference's
+    * TableMetadata (mod.rs:353-361) — a VIRTUAL_VIEW has neither;
+    * `viewOriginalText` mirrors the reference's view model. */
   case class TableMetadata(tableName: String, databaseName: String,
-      columns: Seq[ColumnMetadata], tableLocation: String, tableFormat: String)
+      tableType: String, columns: Seq[ColumnMetadata],
+      tableLocation: Option[String], tableFormat: Option[String],
+      viewOriginalText: Option[String] = None)
 
   class TableNotFound(msg: String) extends RuntimeException(msg)
   /** 409 from the write surface — the reference's
@@ -413,14 +444,16 @@ object RestCatalog {
       TableMetadata(
         (j \ "table_name").extract[String],
         (j \ "database_name").extract[String],
+        (j \ "table_type").extractOrElse[String]("TABLE"),
         (j \ "columns") match {
           case JArray(cs) => cs.map(c => ColumnMetadata(
             (c \ "name").extract[String], (c \ "data_type").extract[String],
             (c \ "nullable").extract[Boolean]))
           case _ => Nil
         },
-        (j \ "table_location").extract[String],
-        (j \ "table_format").extract[String])
+        (j \ "table_location").extractOpt[String],
+        (j \ "table_format").extractOpt[String],
+        (j \ "view_original_text").extractOpt[String])
     }
 
     /** Fork a new branch from `parent`'s head on every parent-visible
@@ -460,10 +493,13 @@ object RestCatalog {
       * branch head's snapshot. */
     def readTable(spark: SparkSession, db: String, table: String): DataFrame = {
       val meta = getTable(db, table)
+      val loc = meta.tableLocation.getOrElse(throw new IllegalArgumentException(
+        s"$db.$table is a ${meta.tableType} with no storage location; " +
+          "views read through the SQL face"))
       val snap =
         if (branchId == "main") None
-        else Some(IcebergLite.resolveRef(meta.tableLocation, branchId))
-      IcebergLite.read(spark, meta.tableLocation, snap)
+        else Some(IcebergLite.resolveRef(loc, branchId))
+      IcebergLite.read(spark, loc, snap)
     }
   }
 }

@@ -81,10 +81,13 @@ class CatalogSpec extends AnyFunSuite {
     // totals answer an unfiltered count with no scan; a pending MoR
     // delete flips it back to a scanning plan) → 216, and the
     // iceberg_sql_insert_cols explicit-column-list INSERT row
-    // (positional map onto the listed columns, null-fill) → 217.
+    // (positional map onto the listed columns, null-fill) → 217, and
+    // the iceberg_sql_view persisted-view row (CREATE VIEW stores
+    // text+schema, unqualified names scope to the view's database,
+    // views nest and track the live table) → 218.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 217 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 217 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 218 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 218 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -34,7 +34,7 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(client.listDatabases() == Seq("empty", "sales"))
     assert(client.listTables("sales").map(_.tableName) == Seq("dim", "orders"))
     val meta = client.getTable("sales", "orders")
-    assert(meta.databaseName == "sales" && meta.tableFormat == "iceberg")
+    assert(meta.databaseName == "sales" && meta.tableFormat.contains("iceberg"))
     assert(meta.columns.map(c => (c.name, c.dataType)) ==
       Seq(("id", "bigint"), ("v", "string")))
     assert(meta.tableLocation.nonEmpty)
@@ -177,6 +177,32 @@ class RestCatalogSpec extends AnyFunSuite {
     val winner = results.collectFirst { case Right(h) => h }.get
     assert(IcebergLite.branches(path)("race") == winner)
     race.deleteBranch()
+  }
+
+  test("views surface over REST as VIRTUAL_VIEW with the original text") {
+    val (root, server, client) = fixture
+    val s = spark
+    Catalog.createView(root, "sales", "big_orders", Catalog.ViewDoc(
+      "SELECT id, v FROM orders WHERE id > 1", "restcat", Nil, None, Map.empty,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))).json))
+    val listed = client.listTables("sales")
+    assert(listed.map(t => (t.tableName, t.tableType)).contains(
+      ("big_orders", "VIRTUAL_VIEW")))
+    val meta = client.getTable("sales", "big_orders")
+    assert(meta.tableType == "VIRTUAL_VIEW")
+    assert(meta.tableLocation.isEmpty && meta.tableFormat.isEmpty)
+    assert(meta.viewOriginalText.exists(_.contains("FROM orders")))
+    assert(meta.columns.map(_.name) == Seq("id", "v"))
+    // the metastore serves names and text, never data: reading a view
+    // through the storage path is a definitive refusal
+    val e = intercept[IllegalArgumentException](
+      client.readTable(s, "sales", "big_orders"))
+    assert(e.getMessage.contains("VIRTUAL_VIEW"))
+    Catalog.dropView(root, "sales", "big_orders")
   }
 
   test("create-branch refuses a same-named TAG with no partial fork") {

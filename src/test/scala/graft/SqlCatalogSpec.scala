@@ -495,6 +495,63 @@ class SqlCatalogSpec extends AnyFunSuite {
       .getMessage.contains("column list"))
   }
 
+  test("persisted views: create, read, nest, alias, replace, drop, refusals") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.vw")
+    spark.sql("CREATE TABLE sqlcat.vw.t (id BIGINT, region STRING, amt DOUBLE)")
+    spark.sql("""INSERT INTO sqlcat.vw.t VALUES
+      (1, 'east', 10.0), (2, 'east', 5.0), (3, 'west', 20.0)""")
+    // body uses an UNQUALIFIED table name — it must scope to the
+    // view's own catalog.database for every reader
+    spark.sql("""CREATE VIEW sqlcat.vw.totals AS
+      SELECT region, sum(amt) AS total FROM t GROUP BY region""")
+    assert(spark.sql("SELECT * FROM sqlcat.vw.totals ORDER BY region").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("east", 15.0), ("west", 20.0)))
+    // view over view, with a column-alias list
+    spark.sql("""CREATE VIEW sqlcat.vw.big (r, t) AS
+      SELECT region, total FROM totals WHERE total > 16""")
+    assert(spark.sql("SELECT r, t FROM sqlcat.vw.big").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("west", 20.0)))
+    // the view tracks the TABLE, not a snapshot
+    spark.sql("INSERT INTO sqlcat.vw.t VALUES (4, 'west', 1.0)")
+    assert(spark.sql("SELECT total FROM sqlcat.vw.totals WHERE region='west'")
+      .collect().head.getDouble(0) == 21.0)
+    // SHOW VIEWS and OR REPLACE
+    assert(spark.sql("SHOW VIEWS IN sqlcat.vw").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("big", "totals"))
+    spark.sql("""CREATE OR REPLACE VIEW sqlcat.vw.big (r, t) AS
+      SELECT region, total FROM totals WHERE total > 0""")
+    assert(spark.sql("SELECT count(*) AS c FROM sqlcat.vw.big")
+      .collect().head.getLong(0) == 2L)
+    // IF NOT EXISTS no-ops on an existing view
+    spark.sql("""CREATE VIEW IF NOT EXISTS sqlcat.vw.big AS
+      SELECT 1 AS nope""")
+    assert(spark.sql("SELECT r FROM sqlcat.vw.big").columns.contains("r"))
+    // refusals: name clash with a table, cycle through OR REPLACE,
+    // invalid body caught at CREATE time
+    assert(intercept[Exception](spark.sql(
+      "CREATE VIEW sqlcat.vw.t AS SELECT 1")).getMessage.contains("already exists"))
+    assert(intercept[Exception](spark.sql(
+      """CREATE OR REPLACE VIEW sqlcat.vw.totals AS
+         SELECT r AS region, t AS total FROM big"""))
+      .getMessage.contains("cyclic"))
+    intercept[Exception](spark.sql(
+      "CREATE VIEW sqlcat.vw.bad AS SELECT no_such_col FROM t"))
+    // a failed CREATE stores nothing
+    assert(intercept[Exception](spark.sql("SELECT * FROM sqlcat.vw.bad"))
+      .getMessage.toLowerCase.contains("not"))
+    // DROP: the view goes, the table stays; IF EXISTS tolerates a rerun
+    spark.sql("DROP VIEW sqlcat.vw.big")
+    spark.sql("DROP VIEW IF EXISTS sqlcat.vw.big")
+    assert(intercept[Exception](spark.sql("DROP VIEW sqlcat.vw.big"))
+      .getMessage.contains("does not exist"))
+    assert(spark.sql("SHOW VIEWS IN sqlcat.vw").collect()
+      .map(_.getString(1)).toSeq == Seq("totals"))
+    assert(spark.sql("SELECT count(*) AS c FROM sqlcat.vw.t")
+      .collect().head.getLong(0) == 4L)
+  }
+
   test("unfiltered COUNT(*) answers from manifest-list totals, never a scan") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.cnt")
