@@ -723,6 +723,23 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         UnresolvedTableOrView(parts, _, _), _, _, output)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       describeFor(GraftSqlCatalog.resolve(spark, parts).get, output)
+    // DESCRIBE on a persisted view: the stored analysis-time schema
+    // plus the original text (Hive's "# View Text" convention)
+    case org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+        UnresolvedTableOrView(parts, _, _), _, _, output)
+        if GraftSqlCatalog.resolveView(spark, parts).isDefined =>
+      val (_, doc) = GraftSqlCatalog.resolveView(spark, parts).get
+      val schema = org.apache.spark.sql.types.DataType.fromJson(doc.schemaJson)
+        .asInstanceOf[StructType]
+      def vrow(a: String, b: String, c: String) =
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(b),
+          if (c == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(c))
+      LocalRelation(output,
+        schema.fields.toSeq.map(f => vrow(f.name, f.dataType.simpleString, null)) ++
+          Seq(vrow("# View Text", doc.sql, null)))
     case org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect(
         org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _),
         partitioning, query, _, _, ignoreIfExists, _)

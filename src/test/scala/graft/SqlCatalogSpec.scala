@@ -550,6 +550,22 @@ class SqlCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("totals"))
     assert(spark.sql("SELECT count(*) AS c FROM sqlcat.vw.t")
       .collect().head.getLong(0) == 4L)
+    // DESCRIBE serves the stored schema plus the original text
+    val desc = spark.sql("DESCRIBE TABLE sqlcat.vw.totals").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.take(2).toSeq ==
+      Seq(("region", "string"), ("total", "double")))
+    assert(desc.exists { case (k, v) =>
+      k == "# View Text" && v.contains("GROUP BY") })
+    // cross-process read: bump views.json's mtime so the parse cache
+    // misses and the document round-trips through JSON extraction
+    // (in-process reads otherwise always hit the write-through cache)
+    val vf = java.nio.file.Paths.get(root, "views.json")
+    java.nio.file.Files.setLastModifiedTime(vf,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(vf).toMillis + 7000))
+    assert(spark.sql("SELECT total FROM sqlcat.vw.totals WHERE region='west'")
+      .collect().head.getDouble(0) == 21.0)
   }
 
   test("unfiltered COUNT(*) answers from manifest-list totals, never a scan") {
