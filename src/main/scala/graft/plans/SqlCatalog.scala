@@ -602,6 +602,23 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         parts(1), parts(2), newName.last)
     case TruncateTable(GraftTablePath(path)) =>
       GraftTruncateCommand(path)
+    // DELETE ... WHERE keys IN (subquery): the subquery result is the
+    // delete-key set — route to the equality-delete primitive instead
+    // of refusing the subquery (the command analyzes the boxed plan
+    // at run time; it cannot resolve in place because the enclosing
+    // DML target is a placeholder the builtin analyzer cannot see
+    // through)
+    case DeleteFromTable(GraftTarget(path, _, branch),
+        in: org.apache.spark.sql.catalyst.expressions.InSubquery) =>
+      require(branch.isEmpty, "DELETE on a branch is unsupported; " +
+        "route CDC deletes through MERGE INTO the branch")
+      val keyCols = in.values.map {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+        case other => throw new IllegalArgumentException(
+          s"DELETE ... IN (subquery) supports plain key columns, got ${other.sql}")
+      }
+      GraftDeleteInCommand(path, keyCols, GraftPlanBox(in.query.plan))
     case DeleteFromTable(GraftTarget(path, _, branch), cond) =>
       require(branch.isEmpty, "DELETE on a branch is unsupported; " +
         "route CDC deletes through MERGE INTO the branch")
@@ -1154,6 +1171,34 @@ case class GraftDeleteCommand(tablePath: String,
           .select(col("_file").as("file_path"), col("_pos").as("pos"))
         IcebergLite.deletePositions(spark, tablePath, victims)
     }
+    Nil
+  }
+}
+
+/** Opaque holder for a not-yet-analyzed plan stored on a command: a
+  * bare LogicalPlan constructor arg would register as a TreeNode
+  * CHILD, and an unresolved child keeps the whole statement
+  * unresolved forever (the analyzer cannot resolve a subquery whose
+  * enclosing DML target is a graft placeholder it does not know). The
+  * command analyzes the boxed plan itself at run time. */
+case class GraftPlanBox(plan: LogicalPlan)
+
+/** `DELETE FROM t WHERE (k, ...) IN (subquery)` → merge-on-read
+  * EQUALITY delete: the subquery result IS the delete-key set, so the
+  * statement costs the subquery plus one delete-file write — no
+  * target-table scan, no rewrite (the scale-right shape; SQL IN
+  * equality also never matches NULL keys, which is exactly the
+  * eq-delete join's semantics). */
+case class GraftDeleteInCommand(tablePath: String, keyCols: Seq[String],
+    subquery: GraftPlanBox) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = org.apache.spark.sql.GraftColumnBridge.toDF(spark, subquery.plan)
+    require(keys.columns.length == keyCols.length,
+      s"IN subquery produces ${keys.columns.length} columns for " +
+        s"${keyCols.length} key columns")
+    IcebergLite.deleteEquality(spark, tablePath, keys.toDF(keyCols: _*))
     Nil
   }
 }

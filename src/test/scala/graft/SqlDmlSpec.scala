@@ -405,6 +405,39 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(star.getMessage.contains("INSERT"))
   }
 
+  test("DELETE WHERE key IN (subquery) routes to an equality delete") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.din (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO dml.db.din VALUES
+      (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')""")
+    spark.sql("CREATE TABLE dml.db.dead (id BIGINT)")
+    spark.sql("INSERT INTO dml.db.dead VALUES (2), (4), (99)")
+    val path = graft.sources.Catalog.tablePath(root, "db", "din")
+    val filesBefore = graft.sources.IcebergLite.dataFiles(path).map(_.filePath).toSet
+    spark.sql("""DELETE FROM dml.db.din
+      WHERE id IN (SELECT id FROM dml.db.dead)""")
+    assert(spark.sql("SELECT id FROM dml.db.din ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the route is merge-on-read: every pre-delete data file survives
+    // (no rewrite), the kill is an equality-delete file
+    val filesAfter = graft.sources.IcebergLite.dataFiles(path).map(_.filePath).toSet
+    assert(filesBefore.subsetOf(filesAfter), "IN-delete must not rewrite data files")
+    assert(graft.sources.IcebergLite.eqDeletes(path).nonEmpty)
+    // multi-column IN and a non-column key both behave
+    spark.sql("CREATE TABLE dml.db.din2 (a BIGINT, b STRING)")
+    spark.sql("INSERT INTO dml.db.din2 VALUES (1, 'x'), (1, 'y'), (2, 'x')")
+    spark.sql("""DELETE FROM dml.db.din2
+      WHERE (a, b) IN (SELECT 1, 'x')""")
+    assert(spark.sql("SELECT a, b FROM dml.db.din2 ORDER BY a, b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "y"), (2L, "x")))
+    val bad = intercept[Exception](spark.sql("""DELETE FROM dml.db.din2
+      WHERE (a + 1) IN (SELECT 1)"""))
+    assert(bad.getMessage.contains("plain key columns"))
+  }
+
   test("a source column named 'matched' is DATA, not the join marker") {
     root
     val s = spark
