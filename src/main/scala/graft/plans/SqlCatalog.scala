@@ -227,39 +227,67 @@ object GraftSqlCatalog {
   * read path both route through [[GraftSqlResolution]]. */
 object GraftViews {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+  import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+
+  private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Unqualified 1-part relation names visible from `p` down, with the
+    * LEXICAL scope of CTE definitions: an UnresolvedWith adds its CTE
+    * names for ITS subtree only (a CTE in one subquery must not shadow
+    * a real table elsewhere in the body). Calls `leaf` for every
+    * relation outside CTE scope, rebuilding the plan bottom-up. */
+  private def mapRelations(p: LogicalPlan, scope: Set[String])(
+      leaf: UnresolvedRelation => LogicalPlan): LogicalPlan = {
+    val here = p match {
+      case w: UnresolvedWith => scope ++ w.cteRelations.map(r => lc(r._1))
+      case _ => scope
+    }
+    val mapped = p match {
+      case u @ UnresolvedRelation(parts, _, _)
+          if !(parts.length == 1 && here.contains(lc(parts.head))) => leaf(u)
+      case other =>
+        other.withNewChildren(other.children.map(mapRelations(_, here)(leaf)))
+    }
+    mapped.transformExpressions {
+      case se: SubqueryExpression => se.withNewPlan(mapRelations(se.plan, here)(leaf))
+    }
+  }
 
   /** Scope unqualified relation names in a view body to the view's
     * own catalog.database — SQL's rule: a view means the same tables
-    * no matter who reads it. CTE names defined in the body stay
-    * untouched (they are not catalog names). */
-  def rescope(parsed: LogicalPlan, catalogName: String, db: String): LogicalPlan = {
-    val cteNames = parsed.collectWithSubqueries {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    parsed.transformDownWithSubqueries {
-      case UnresolvedRelation(p, opts, stream) if p.length < 3 &&
-          !(p.length == 1 && cteNames.contains(p.head.toLowerCase(java.util.Locale.ROOT))) =>
+    * no matter who reads it. `catalogName` is the name the READER
+    * resolved through (the same root may be registered under a
+    * different name per session). CTE names stay untouched within
+    * their lexical scope. */
+  def rescope(parsed: LogicalPlan, catalogName: String, db: String): LogicalPlan =
+    mapRelations(parsed, Set.empty) { case UnresolvedRelation(p, opts, stream) =>
+      if (p.length >= 3) UnresolvedRelation(p, opts, stream)
+      else {
         val full = if (p.length == 1) Seq(catalogName, db) ++ p else catalogName +: p
         UnresolvedRelation(full, opts, stream)
+      }
     }
-  }
 
   /** Every (db, view) transitively referenced AS A VIEW from `sql` —
     * the write-time cycle check walks stored documents, never the
     * analyzer (an OR REPLACE cycle would otherwise only surface as an
-    * analyzer max-iterations failure at read time). */
+    * analyzer max-iterations failure at read time). CTE names are
+    * exempt with the same lexical scoping the rescope applies. */
   def viewClosure(spark: SparkSession, root: String, catalogName: String,
       db: String, sql: String): Set[(String, String)] = {
-    def refsOf(dbCtx: String, text: String): Seq[(String, String)] =
-      spark.sessionState.sqlParser.parsePlan(text).collectWithSubqueries {
-        case UnresolvedRelation(p, _, _) => p
-      }.flatMap {
+    def refsOf(dbCtx: String, text: String): Seq[(String, String)] = {
+      val refs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      mapRelations(spark.sessionState.sqlParser.parsePlan(text), Set.empty) { u =>
+        refs += u.multipartIdentifier; u
+      }
+      refs.toSeq.flatMap {
         case Seq(n) => Some((dbCtx, n))
         case Seq(d, n) => Some((d, n))
         case Seq(c, d, n) if c == catalogName => Some((d, n))
         case _ => None
       }.filter { case (d, n) => Catalog.viewDoc(root, d, n).isDefined }
+    }
     val seen = scala.collection.mutable.Set.empty[(String, String)]
     var frontier = refsOf(db, sql)
     while (frontier.nonEmpty) {
@@ -562,14 +590,22 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case UnresolvedRelation(parts, _, false)
         if GraftSqlCatalog.resolveView(spark, parts).isDefined =>
       val (_, doc) = GraftSqlCatalog.resolveView(spark, parts).get
+      // scope to the READER's catalog name (parts.head), not the
+      // stored creation-time name: the same root may be registered
+      // under a different name in this session
       val scoped = GraftViews.rescope(
-        spark.sessionState.sqlParser.parsePlan(doc.sql), doc.catalog, parts(1))
+        spark.sessionState.sqlParser.parsePlan(doc.sql), parts.head, parts(1))
       val aliased =
         if (doc.aliases.nonEmpty)
           org.apache.spark.sql.catalyst.analysis.UnresolvedSubqueryColumnAliases(
             doc.aliases, scoped)
         else scoped
-      SubqueryAlias(parts(2), aliased)
+      // NESTED analysis (same pattern as the metadata-table case): the
+      // body may contain CTEs, and CTESubstitution lives in the
+      // Substitution batch that already ran — a raw parsed subtree
+      // spliced mid-resolution would never get its WITH names bound
+      SubqueryAlias(parts(2), org.apache.spark.sql.GraftColumnBridge
+        .toDF(spark, aliased).queryExecution.analyzed)
     case UnresolvedRelation(parts, _, false)
         if GraftSqlCatalog.resolve(spark, parts).isDefined =>
       relationFor(GraftSqlCatalog.resolve(spark, parts).get, None)
@@ -1194,6 +1230,15 @@ case class GraftDeleteInCommand(tablePath: String, keyCols: Seq[String],
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
+    // key names must be REAL table columns before anything commits: an
+    // eq-delete file keyed on a typo'd name poisons every subsequent
+    // read (the delete-application join fails), where the plain-DELETE
+    // path fails before committing — validate against the logical
+    // shape, the same metadata-only truth INSERT aligns to
+    val shape = IcebergLite.logicalShape(tablePath, None)
+    val unknown = keyCols.filterNot(shape.fieldNames.contains)
+    require(shape.isEmpty || unknown.isEmpty,
+      s"DELETE ... IN key columns not in the table: ${unknown.mkString(", ")}")
     val keys = org.apache.spark.sql.GraftColumnBridge.toDF(spark, subquery.plan)
     require(keys.columns.length == keyCols.length,
       s"IN subquery produces ${keys.columns.length} columns for " +
@@ -1460,6 +1505,8 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
         require(src.columns.length == userCols.length,
           s"INSERT column list has ${userCols.length} names but the query " +
             s"produces ${src.columns.length} columns")
+        require(userCols.distinct.length == userCols.length,
+          s"INSERT column list names a column twice: ${userCols.mkString(", ")}")
         src.toDF(userCols: _*)
       case None => src
     }
@@ -1613,8 +1660,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
     if (!Catalog.listDatabases(root).contains(d)) false
     else {
       val tables = Catalog.listTables(root, d)
-      require(cascade || tables.isEmpty,
-        s"namespace $d is not empty: ${tables.mkString(", ")}")
+      val views = Catalog.listViews(root, d)
+      // views count toward emptiness and drop with the namespace — an
+      // orphaned document would keep resolving (and block re-creating
+      // a same-named table) after its database is gone
+      require(cascade || (tables.isEmpty && views.isEmpty),
+        s"namespace $d is not empty: ${(tables ++ views).mkString(", ")}")
+      views.foreach(Catalog.dropView(root, d, _))
       tables.foreach(Catalog.dropTable(root, d, _, purge = false))
       Catalog.dropDatabase(root, d)
       true
@@ -1670,10 +1722,13 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       m
     }
   }
-  override def loadView(ident: Identifier): View =
+  override def loadView(ident: Identifier): View = {
+    if (ident.namespace.length != 1)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
     Catalog.viewDoc(root, ident.namespace.head, ident.name)
       .map(asView(ident, _)).getOrElse(throw
         new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+  }
   override def createView(info: ViewInfo): View = {
     val props = info.properties.asScala.toMap
     val doc = Catalog.ViewDoc(info.sql, info.currentCatalog,
@@ -1681,6 +1736,16 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       props.get(org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT),
       props - org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT,
       info.schema.json)
+    // the API path runs the same cycle refusal as SQL — two mutually-
+    // referencing documents would make every read of either spin to an
+    // analyzer max-iterations failure. (Body analysis is the SQL
+    // command's job; API callers hand the schema in.)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      val closure = GraftViews.viewClosure(s, root, catalogName,
+        info.ident.namespace.head, info.sql)
+      require(!closure.contains((info.ident.namespace.head, info.ident.name)),
+        s"cyclic view reference through ${info.ident}")
+    }
     Catalog.createView(root, info.ident.namespace.head, info.ident.name, doc)
     asView(info.ident, doc)
   }

@@ -233,8 +233,10 @@ object Catalog {
     viewParseCache.put(root, ((Files.getLastModifiedTime(f), Files.size(f)), views))
   }
 
-  def listViews(root: String, db: String): Seq[String] =
+  def listViews(root: String, db: String): Seq[String] = {
+    require(readAll(root).contains(db), s"database $db does not exist")
     readViews(root).getOrElse(db, Map.empty).keys.toSeq.sorted
+  }
 
   def viewDoc(root: String, db: String, name: String): Option[ViewDoc] =
     readViews(root).getOrElse(db, Map.empty).get(name)

@@ -1414,18 +1414,25 @@ object IcebergLite {
     // any unknown per-file count poison to -1 — a wrong small total
     // is worse than an honest unknown.
     def listExtras(path: String): String = {
+      def derived(fs: Seq[DataFile]): (Long, Long) =
+        if (fs.exists(f => f.recordCount < 0 || f.fileSizeBytes < 0)) (-1L, -1L)
+        else (fs.map(_.recordCount).sum, fs.map(_.fileSizeBytes).sum)
       val ((rows, bytes), summaryJson) =
         (knownSummaryJson.get(path), parentRefs.get(path)) match {
-          case (Some(body), _) =>
-            (knownTotals.getOrElse(path, (-1L, -1L)), Some(body))
+          case (Some(body), parentRef) =>
+            // a caller-provided summary without matching totals still
+            // falls back to the parent carry (or a parse) — a summary
+            // hand-off must not silently degrade the snapshot to
+            // unknown-size
+            (knownTotals.getOrElse(path,
+              parentRef.map(r => (r.totalRecords, r.totalBytes))
+                .getOrElse(derived(manifestFiles(tablePath, path)))),
+              Some(body))
           case (None, Some(ref)) =>
             ((ref.totalRecords, ref.totalBytes), ref.summaries.map(summaryBody))
           case (None, None) =>
             val fs = manifestFiles(tablePath, path)
-            val t = if (fs.exists(f => f.recordCount < 0 || f.fileSizeBytes < 0))
-              (-1L, -1L)
-            else (fs.map(_.recordCount).sum, fs.map(_.fileSizeBytes).sum)
-            (t, Some(summaryBody(partitionSummary(fs))))
+            (derived(fs), Some(summaryBody(partitionSummary(fs))))
         }
       val tf = if (rows < 0 || bytes < 0) "" // unknown: absent, parses as -1
         else s""", "total_records": $rows, "total_bytes": $bytes"""

@@ -568,6 +568,45 @@ class SqlCatalogSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 21.0)
   }
 
+  test("views scope to the reader's catalog name, respect CTE shadowing, drop with their namespace") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.vx")
+    spark.sql("CREATE TABLE sqlcat.vx.t (x BIGINT)")
+    spark.sql("INSERT INTO sqlcat.vx.t VALUES (1), (2)")
+    spark.sql("CREATE VIEW sqlcat.vx.v AS SELECT x FROM t")
+    // the SAME root registered under a second name must serve the view
+    // (scoping uses the reader's catalog, not the creation-time name)
+    spark.conf.set("spark.sql.catalog.sqlcat2",
+      classOf[graft.plans.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.sqlcat2.root", root)
+    assert(spark.sql("SELECT sum(x) AS s FROM sqlcat2.vx.v")
+      .collect().head.getLong(0) == 3L)
+    // a CTE named like the view itself shadows it (SQL scoping) — the
+    // cycle check must not refuse this legal OR REPLACE
+    spark.sql("""CREATE OR REPLACE VIEW sqlcat.vx.v AS
+      WITH v AS (SELECT CAST(10 AS BIGINT) AS x) SELECT x FROM v""")
+    assert(spark.sql("SELECT x FROM sqlcat.vx.v").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L))
+    // a CTE in a nested scope must NOT shadow a same-named real table
+    // used elsewhere in the body (lexical, not global, exemption)
+    spark.sql("""CREATE VIEW sqlcat.vx.mixed AS
+      SELECT a.x + b.q AS x
+      FROM t AS a JOIN (WITH t AS (SELECT 100 AS q) SELECT q FROM t) AS b""")
+    assert(spark.sql("SELECT sum(x) AS s FROM sqlcat.vx.mixed")
+      .collect().head.getLong(0) == 203L)
+    // DROP NAMESPACE: views block a non-cascade drop and die with a
+    // cascade — no orphaned document may keep resolving afterward
+    val notEmpty = intercept[Exception](
+      spark.sql("DROP NAMESPACE sqlcat.vx"))
+    assert(notEmpty.getMessage.contains("not empty"))
+    spark.sql("DROP NAMESPACE sqlcat.vx CASCADE")
+    intercept[Exception](spark.sql("SELECT * FROM sqlcat.vx.v"))
+    spark.sql("CREATE NAMESPACE sqlcat.vx")
+    // the name is free again: no zombie view blocks a same-named table
+    spark.sql("CREATE TABLE sqlcat.vx.v (y BIGINT)")
+    spark.sql("DROP NAMESPACE sqlcat.vx CASCADE")
+  }
+
   test("unfiltered COUNT(*) answers from manifest-list totals, never a scan") {
     root
     spark.sql("CREATE NAMESPACE sqlcat.cnt")

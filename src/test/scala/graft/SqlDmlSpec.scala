@@ -436,6 +436,18 @@ class SqlDmlSpec extends AnyFunSuite {
     val bad = intercept[Exception](spark.sql("""DELETE FROM dml.db.din2
       WHERE (a + 1) IN (SELECT 1)"""))
     assert(bad.getMessage.contains("plain key columns"))
+    // a typo'd key column must refuse BEFORE committing: an eq-delete
+    // file keyed on a nonexistent column would fail every later read
+    val snapBefore = graft.sources.IcebergLite.currentSnapshotId(
+      graft.sources.Catalog.tablePath(root, "db", "din2"))
+    val typo = intercept[Exception](spark.sql("""DELETE FROM dml.db.din2
+      WHERE aa IN (SELECT 1)"""))
+    assert(typo.getMessage.contains("not in the table"))
+    assert(graft.sources.IcebergLite.currentSnapshotId(
+      graft.sources.Catalog.tablePath(root, "db", "din2")) == snapBefore,
+      "the refused delete must not commit")
+    assert(spark.sql("SELECT count(*) AS c FROM dml.db.din2")
+      .collect().head.getLong(0) == 2L)
   }
 
   test("a source column named 'matched' is DATA, not the join marker") {
@@ -507,9 +519,14 @@ class SqlDmlSpec extends AnyFunSuite {
     root
     spark.sql("CREATE TABLE dml.db.r (id BIGINT, v STRING)")
     spark.sql("INSERT INTO dml.db.r VALUES (1, 'a')")
+    // IN (subquery) is supported (equality-delete route); OTHER
+    // subquery shapes still refuse with the pointer message
     val sub = intercept[Exception](spark.sql(
-      "DELETE FROM dml.db.r WHERE id IN (SELECT 1)"))
+      "DELETE FROM dml.db.r WHERE EXISTS (SELECT 1)"))
     assert(sub.getMessage.contains("subqueries"))
+    val notIn = intercept[Exception](spark.sql(
+      "DELETE FROM dml.db.r WHERE id NOT IN (SELECT 1)"))
+    assert(notIn.getMessage.contains("subqueries"))
     val nmbs = intercept[Exception](spark.sql("""
       MERGE INTO dml.db.r AS t USING (SELECT 1 AS id, 'x' AS v) AS s
       ON t.id = s.id
