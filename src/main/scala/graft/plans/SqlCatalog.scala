@@ -346,7 +346,27 @@ object GraftViewStatements {
             sv.pattern, sv.output)
         case _ => sv
       }
+    case org.apache.spark.sql.catalyst.plans.logical.AlterViewAs(
+        GraftViewAddress(root, cat, db, name), originalText, _) =>
+      GraftAlterViewAsCommand(root, cat, db, name, originalText)
+    case org.apache.spark.sql.catalyst.plans.logical.SetViewProperties(
+        GraftViewAddress(root, _, db, name), props) =>
+      GraftViewPropertiesCommand(root, db, name, props, Nil, ifExists = true)
+    case org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties(
+        GraftViewAddress(root, _, db, name), keys, ifExists) =>
+      GraftViewPropertiesCommand(root, db, name, Map.empty, keys, ifExists)
     case other => other
+  }
+
+  /** ALTER VIEW statements address the view via UnresolvedView. */
+  private object GraftViewAddress {
+    def unapply(p: LogicalPlan): Option[(String, String, String, String)] =
+      p match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedView(
+            parts, _, _, _) if parts.length == 3 =>
+          graftRoot(parts.head).map((_, parts.head, parts(1), parts(2)))
+        case _ => None
+      }
   }
 }
 
@@ -380,6 +400,48 @@ case class GraftCreateViewCommand(root: String, catalogName: String,
         f.copy(name = a) })
     Catalog.createView(root, db, viewName, Catalog.ViewDoc(
       sqlText, catalogName, aliases, comment, properties, schema.json), replace)
+    Nil
+  }
+}
+
+/** ALTER VIEW ... AS: a new body under the same name — the stored
+  * comment and properties survive, the column-alias list does not
+  * (the new query defines the columns, Spark's own semantics). Same
+  * write-time validation as CREATE: analyze now, refuse cycles. */
+case class GraftAlterViewAsCommand(root: String, catalogName: String,
+    db: String, viewName: String, sqlText: String) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    val old = Catalog.viewDoc(root, db, viewName).getOrElse(
+      throw new IllegalArgumentException(s"view $db.$viewName does not exist"))
+    val closure = GraftViews.viewClosure(spark, root, catalogName, db, sqlText)
+    require(!closure.contains((db, viewName)),
+      s"cyclic view reference through $db.$viewName")
+    val scoped = GraftViews.rescope(
+      spark.sessionState.sqlParser.parsePlan(sqlText), catalogName, db)
+    val schema = org.apache.spark.sql.GraftColumnBridge.toDF(spark, scoped).schema
+    Catalog.createView(root, db, viewName, old.copy(sql = sqlText,
+      aliases = Nil, schemaJson = schema.json), replace = true)
+    Nil
+  }
+}
+
+/** ALTER VIEW ... SET/UNSET TBLPROPERTIES over the stored document. */
+case class GraftViewPropertiesCommand(root: String, db: String,
+    viewName: String, set: Map[String, String], unset: Seq[String],
+    ifExists: Boolean) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    val old = Catalog.viewDoc(root, db, viewName).getOrElse(
+      throw new IllegalArgumentException(s"view $db.$viewName does not exist"))
+    val missing = unset.filterNot(old.properties.contains)
+    require(ifExists || missing.isEmpty,
+      s"properties not set on $db.$viewName: ${missing.mkString(", ")} " +
+        "(use IF EXISTS to ignore)")
+    Catalog.createView(root, db, viewName,
+      old.copy(properties = old.properties ++ set -- unset), replace = true)
     Nil
   }
 }
@@ -736,6 +798,17 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       LocalRelation(output, tuples.map(t =>
         org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(t))))
+    // SHOW CREATE TABLE on a VIEW: the stored declaration, re-runnable
+    case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+        UnresolvedTableOrView(parts, _, _), _, output)
+        if GraftSqlCatalog.resolveView(spark, parts).isDefined =>
+      val (_, doc) = GraftSqlCatalog.resolveView(spark, parts).get
+      val aliasList =
+        if (doc.aliases.isEmpty) ""
+        else doc.aliases.mkString(" (", ", ", ")")
+      LocalRelation(output, Seq(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"CREATE VIEW ${parts.mkString(".")}$aliasList AS\n${doc.sql}"))))
     // SHOW CREATE TABLE renders a re-runnable declaration from
     // metadata: logical shape, partition transforms, set properties
     case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(

@@ -550,6 +550,27 @@ class SqlCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("totals"))
     assert(spark.sql("SELECT count(*) AS c FROM sqlcat.vw.t")
       .collect().head.getLong(0) == 4L)
+    // ALTER VIEW AS: new body, properties survive, aliases reset
+    spark.sql("ALTER VIEW sqlcat.vw.totals SET TBLPROPERTIES ('team' = 'data')")
+    spark.sql("""ALTER VIEW sqlcat.vw.totals AS
+      SELECT region, count(*) AS total FROM t GROUP BY region""")
+    assert(spark.sql("SELECT total FROM sqlcat.vw.totals WHERE region='west'")
+      .collect().head.getLong(0) == 2L)
+    // UNSET with a missing key refuses without IF EXISTS; SET survived
+    // the AS-rewrite
+    val noKey = intercept[Exception](spark.sql(
+      "ALTER VIEW sqlcat.vw.totals UNSET TBLPROPERTIES ('nope')"))
+    assert(noKey.getMessage.contains("not set"))
+    spark.sql("ALTER VIEW sqlcat.vw.totals UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    spark.sql("ALTER VIEW sqlcat.vw.totals UNSET TBLPROPERTIES ('team')")
+    // SHOW CREATE TABLE renders the re-runnable view declaration
+    val decl = spark.sql("SHOW CREATE TABLE sqlcat.vw.totals")
+      .collect().head.getString(0)
+    assert(decl.startsWith("CREATE VIEW sqlcat.vw.totals") &&
+      decl.contains("count(*)"))
+    // restore the original body for the assertions below
+    spark.sql("""ALTER VIEW sqlcat.vw.totals AS
+      SELECT region, sum(amt) AS total FROM t GROUP BY region""")
     // DESCRIBE serves the stored schema plus the original text
     val desc = spark.sql("DESCRIBE TABLE sqlcat.vw.totals").collect()
       .map(r => (r.getString(0), r.getString(1)))
