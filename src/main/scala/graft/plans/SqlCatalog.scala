@@ -723,6 +723,29 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftDeleteCommand(path,
         org.apache.spark.sql.GraftColumnBridge.toCol(bare(cond)),
         noCondition = cond == Literal.TrueLiteral)
+    // UPDATE ... WHERE keys IN (subquery): the update-only expr-merge
+    // with the subquery result as the key set (same routing rationale
+    // as the IN-delete above)
+    case UpdateTable(GraftTarget(path, _, branch), assignments,
+        Some(in: org.apache.spark.sql.catalyst.expressions.InSubquery)) =>
+      require(branch.isEmpty, "UPDATE on a branch is unsupported; " +
+        "route changes through MERGE INTO the branch")
+      val keyCols = in.values.map {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+        case other => throw new IllegalArgumentException(
+          s"UPDATE ... IN (subquery) supports plain key columns, got ${other.sql}")
+      }
+      val assigns = assignments.map { case Assignment(key, value) =>
+        val name = key match {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+          case other => throw new IllegalArgumentException(
+            s"unsupported SET target $other (nested fields are not updatable)")
+        }
+        (name, org.apache.spark.sql.GraftColumnBridge.toCol(bare(value)))
+      }
+      GraftUpdateInCommand(path, keyCols, assigns, GraftPlanBox(in.query.plan))
     case UpdateTable(GraftTarget(path, _, branch), assignments, condOpt) =>
       require(branch.isEmpty, "UPDATE on a branch is unsupported; " +
         "route changes through MERGE INTO the branch")
@@ -1317,6 +1340,33 @@ case class GraftDeleteInCommand(tablePath: String, keyCols: Seq[String],
       s"IN subquery produces ${keys.columns.length} columns for " +
         s"${keyCols.length} key columns")
     IcebergLite.deleteEquality(spark, tablePath, keys.toDF(keyCols: _*))
+    Nil
+  }
+}
+
+/** `UPDATE t SET col = expr WHERE (k, ...) IN (subquery)` → the
+  * update-only expr-merge: the subquery result is the key set, the
+  * SET expressions transform matched rows in place (target columns
+  * bare), unmatched keys no-op, and the rewrite stays scoped to
+  * key-touched files. Duplicate subquery keys dedupe first (IN is a
+  * set-membership test; the merge primitive rejects ambiguous
+  * duplicate sources). */
+case class GraftUpdateInCommand(tablePath: String, keyCols: Seq[String],
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    subquery: GraftPlanBox) extends RunnableCommand {
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+  override def run(spark: SparkSession): Seq[Row] = {
+    val shape = IcebergLite.logicalShape(tablePath, None)
+    val unknown = keyCols.filterNot(shape.fieldNames.contains)
+    require(shape.isEmpty || unknown.isEmpty,
+      s"UPDATE ... IN key columns not in the table: ${unknown.mkString(", ")}")
+    val keys = org.apache.spark.sql.GraftColumnBridge.toDF(spark, subquery.plan)
+    require(keys.columns.length == keyCols.length,
+      s"IN subquery produces ${keys.columns.length} columns for " +
+        s"${keyCols.length} key columns")
+    IcebergLite.merge(spark, tablePath, keys.toDF(keyCols: _*).distinct(),
+      keyCols, updateAssigns = Some(assignments), insertUnmatched = false)
     Nil
   }
 }

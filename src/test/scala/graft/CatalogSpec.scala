@@ -86,10 +86,12 @@ class CatalogSpec extends AnyFunSuite {
     // text+schema, unqualified names scope to the view's database,
     // views nest and track the live table) → 218, and the
     // iceberg_sql_delete_in row (DELETE WHERE key IN (subquery) as a
-    // merge-on-read equality delete: no target scan, no rewrite) → 219.
+    // merge-on-read equality delete: no target scan, no rewrite) → 219,
+    // and the iceberg_sql_update_in row (UPDATE WHERE key IN (subquery)
+    // as the update-only expr-merge, duplicate keys deduped) → 220.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 219 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 219 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 220 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 220 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -450,6 +450,27 @@ class SqlDmlSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("UPDATE WHERE key IN (subquery) routes to the update-only expr-merge") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("""CREATE TABLE dml.db.uin (id BIGINT, amt DOUBLE, note STRING)""")
+    spark.sql("""INSERT INTO dml.db.uin VALUES
+      (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')""")
+    spark.sql("CREATE TABLE dml.db.bump (id BIGINT)")
+    // duplicate keys in the subquery: IN is set membership, not a join
+    spark.sql("INSERT INTO dml.db.bump VALUES (1), (1), (3), (99)")
+    spark.sql("""UPDATE dml.db.uin SET amt = amt * 2, note = upper(note)
+      WHERE id IN (SELECT id FROM dml.db.bump)""")
+    assert(spark.sql("SELECT id, amt, note FROM dml.db.uin ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ==
+      Seq((1L, 20.0, "A"), (2L, 20.0, "b"), (3L, 60.0, "C")))
+    // typo'd key refuses before any commit
+    val typo = intercept[Exception](spark.sql("""UPDATE dml.db.uin SET amt = 0
+      WHERE idd IN (SELECT id FROM dml.db.bump)"""))
+    assert(typo.getMessage.contains("not in the table"))
+  }
+
   test("a source column named 'matched' is DATA, not the join marker") {
     root
     val s = spark
