@@ -399,7 +399,8 @@ case class GraftCreateViewCommand(root: String, catalogName: String,
       else StructType(schema0.fields.zip(aliases).map { case (f, a) =>
         f.copy(name = a) })
     Catalog.createView(root, db, viewName, Catalog.ViewDoc(
-      sqlText, catalogName, aliases, comment, properties, schema.json), replace)
+      sqlText, catalogName, aliases, comment, properties, schema.json),
+      replace, allowExisting)
     Nil
   }
 }
@@ -463,9 +464,14 @@ case class GraftShowViewsCommand(root: String, db: String,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
-    // SHOW VIEWS patterns are glob-ish: '*' any, '|' alternation
+    // SHOW VIEWS patterns are glob-ish: '*' any, '|' alternation —
+    // everything else is LITERAL (quote it, as Spark's
+    // StringUtils.filterPattern does: 'a.b' must not match 'axb',
+    // and '[' must not throw PatternSyntaxException)
     val rx = pattern.map(p => p.toLowerCase(java.util.Locale.ROOT)
-      .split("\\|").map(_.replace("*", ".*")).mkString("(", ")|(", ")"))
+      .split("\\|").map(_.split("\\*", -1)
+        .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+        .mkString(".*")).mkString("(", ")|(", ")"))
     Catalog.listViews(root, db)
       .filter(n => rx.forall(n.toLowerCase(java.util.Locale.ROOT).matches))
       .map(n => Row(db, n, false))
@@ -1020,6 +1026,15 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // as __graft_s_<name> — the disambiguation the expr-merge's
     // touched-row join uses (source keys are renamed first, so a
     // reference to the source key lands on its target name)
+    val sourceColsLower = source.output.map(_.name.toLowerCase).toSet
+    val targetColsLower: Set[String] = {
+      val shape = IcebergLite.logicalShape(path, None) match {
+        case s if s.nonEmpty => s
+        case _ => GraftSqlCatalog.declaredSchema(path)
+          .getOrElse(new org.apache.spark.sql.types.StructType())
+      }
+      shape.fieldNames.map(_.toLowerCase).toSet
+    }
     def assignVal(e: Expression): org.apache.spark.sql.Column = {
       require(!e.exists(_.isInstanceOf[PlanExpression[_]]) &&
         !e.exists(_.isInstanceOf[SubqueryExpression]),
@@ -1033,7 +1048,19 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
               sourceNames.contains(a.nameParts.init.last.toLowerCase) =>
           UnresolvedAttribute.quoted("__graft_s_" +
             keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
-        case a: UnresolvedAttribute => UnresolvedAttribute.quoted(a.nameParts.last)
+        case a: UnresolvedAttribute =>
+          // an unqualified name that lives on BOTH sides must not
+          // silently prefer the target (Spark raises
+          // AMBIGUOUS_REFERENCE here; `SET v = v` meaning source.v
+          // would otherwise self-assign and commit unchanged data)
+          if (a.nameParts.length == 1 &&
+              sourceColsLower.contains(a.nameParts.head.toLowerCase) &&
+              targetColsLower.contains(a.nameParts.head.toLowerCase))
+            throw new IllegalArgumentException(
+              s"reference `${a.nameParts.head}` in MERGE UPDATE SET is " +
+                "ambiguous (a column of that name exists on both the " +
+                "target and the source); qualify it with the table alias")
+          UnresolvedAttribute.quoted(a.nameParts.last)
       })
     }
     def assignTarget(key: Expression): String = side(key) match {
@@ -1125,6 +1152,11 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         "ordered-upsert condition (those are replace-semantics forms)")
     require(insertAssigns.isEmpty || tombstone.isEmpty,
       "column-level INSERT cannot combine with a DELETE arm")
+    require(tombstone.isEmpty || hasUpdate,
+      "a flag-tombstone arm (WHEN MATCHED AND source.flag THEN DELETE) " +
+        "combines only with WHEN MATCHED THEN UPDATE SET * (the CDC " +
+        "replace form); for delete-only routing pre-filter the source " +
+        "and use a bare WHEN MATCHED THEN DELETE")
     require(insertAssigns.isEmpty || !hasUpdate || updateAssigns.nonEmpty,
       "column-level INSERT combines with column-level UPDATE SET " +
         "assignments (or stands alone), not with UPDATE SET *")

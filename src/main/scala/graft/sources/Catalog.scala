@@ -243,17 +243,21 @@ object Catalog {
 
   /** Register a view. Refuses a name a TABLE already holds (one
     * namespace, like every real metastore); `replace` overwrites an
-    * existing view, otherwise an existing name refuses. */
+    * existing view, `allowExisting` no-ops on an existing view
+    * (the IF NOT EXISTS decision must live INSIDE the commit lock —
+    * a pre-check outside it races a concurrent CREATE), otherwise an
+    * existing name refuses. */
   def createView(root: String, db: String, name: String, doc: ViewDoc,
-      replace: Boolean = false): Unit =
+      replace: Boolean = false, allowExisting: Boolean = false): Unit =
     IcebergLite.withCommitLock(root) {
       val all = readAll(root)
       require(all.contains(db), s"database $db does not exist")
       require(!all(db).contains(name),
         s"table $db.$name already exists (views and tables share the namespace)")
       val views = readViews(root)
-      require(replace || !views.getOrElse(db, Map.empty).contains(name),
-        s"view $db.$name already exists")
+      val exists = views.getOrElse(db, Map.empty).contains(name)
+      if (exists && allowExisting && !replace) return
+      require(replace || !exists, s"view $db.$name already exists")
       writeViews(root, views + (db -> (views.getOrElse(db, Map.empty) + (name -> doc))))
     }
 

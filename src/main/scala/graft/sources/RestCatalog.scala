@@ -172,8 +172,18 @@ object RestCatalog {
         }
       case ("POST", "branch" :: branch :: "table" :: db :: t :: "commit" :: Nil) =>
         val q = qparams(query)
-        val snap = q.get("snapshot").map(_.toLong).getOrElse(
-          return (400, """{"error": "snapshot parameter required"}"""))
+        // malformed numbers are the CLIENT's permanent error — answer
+        // 400, never let NumberFormatException surface as a retryable
+        // 500 the client backs off through before failing anyway
+        val snap = q.get("snapshot") match {
+          case None => return (400, """{"error": "snapshot parameter required"}""")
+          case Some(raw) => raw.toLongOption.getOrElse(
+            return (400, s"""{"error": ${jstr(s"snapshot must be a number, got $raw")}}"""))
+        }
+        val expectedHead = q.get("expected_head").map { raw =>
+          raw.toLongOption.getOrElse(
+            return (400, """{"error": "expected_head must be a number"}"""))
+        }
         if (!Catalog.listDatabases(root).contains(db) ||
             !Catalog.listTables(root, db).contains(t))
           return (404, s"""{"error": "table $db.$t not found"}""")
@@ -185,7 +195,7 @@ object RestCatalog {
         IcebergLite.withCommitLock(p) {
           val current = IcebergLite.branches(p).get(branch).getOrElse(
             return (404, s"""{"error": "branch $branch not found on $db.$t"}"""))
-          q.get("expected_head").map(_.toLong).foreach { exp =>
+          expectedHead.foreach { exp =>
             if (exp != current)
               return (409, s"""{"error": "concurrent change on $db.$t: branch """ +
                 s"""$branch is at $current, expected $exp"}""")
