@@ -96,6 +96,13 @@ object Similarity {
     * corpus). Returns (cellIds, cellVecs) ordered by id. */
   def fitCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCells: Int): (Seq[Long], Seq[Seq[Double]]) = {
+    // driver-memory contract: the fit COLLECTS nCells vectors and the
+    // plan ships them as a literal to every task — a careless caller
+    // must not be able to turn this into a corpus-sized collect
+    require(nCells >= 1 && nCells <= 65536,
+      s"nCells must be in [1, 65536] (got $nCells): the centroid fit " +
+        "collects nCells vectors to the driver and broadcasts them " +
+        "inside the plan; partition the corpus and fit per shard instead")
     val cent = corpus
       .select(col(corpusId).cast("long").as("cell_id"),
         col(corpusVec).cast("array<double>").as("cell_vec"))
@@ -304,6 +311,12 @@ object Similarity {
     * estimate either way), exactly like the IVF centroids. */
   def pqFit(corpus: DataFrame, corpusId: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 1): Seq[Seq[Seq[Double]]] = {
+    // driver-memory contract: seeds collect ksub full vectors and each
+    // Lloyd round collects m·ksub·dsub partial means — bounded only if
+    // ksub is (256 codes/byte is the PQ norm; 65536 is already 2-byte)
+    require(ksub >= 1 && ksub <= 65536,
+      s"ksub must be in [1, 65536] (got $ksub): the codebook fit " +
+        "collects ksub seed vectors and m*ksub*dsub means to the driver")
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val dsub = dim / m

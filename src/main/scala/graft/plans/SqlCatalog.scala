@@ -465,9 +465,11 @@ case class GraftShowViewsCommand(root: String, db: String,
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
     // SHOW VIEWS patterns are glob-ish: '*' any, '|' alternation —
-    // everything else is LITERAL (quote it, as Spark's
-    // StringUtils.filterPattern does: 'a.b' must not match 'axb',
-    // and '[' must not throw PatternSyntaxException)
+    // everything else is LITERAL. This deliberately DIVERGES from
+    // Spark's StringUtils.filterPattern, which only swaps '*' for
+    // '.*' and so lets regex metachars leak through ('a.b' matches
+    // 'axb'; '[' silently yields an empty result). Quoting gives the
+    // safer glob semantics: 'a.b' matches only 'a.b', '[' is literal.
     val rx = pattern.map(p => p.toLowerCase(java.util.Locale.ROOT)
       .split("\\|").map(_.split("\\*", -1)
         .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
@@ -1028,11 +1030,17 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // reference to the source key lands on its target name)
     val sourceColsLower = source.output.map(_.name.toLowerCase).toSet
     val targetColsLower: Set[String] = {
-      val shape = IcebergLite.logicalShape(path, None) match {
-        case s if s.nonEmpty => s
-        case _ => GraftSqlCatalog.declaredSchema(path)
+      // align to the branch head the MERGE actually targets (branch
+      // schema may have evolved past main), and only pay logicalShape
+      // when the snapshot tracks a schema — adopted schema-less tables
+      // would otherwise trigger its O(files) legacy-partition manifest
+      // walk at ANALYSIS time, which run() deliberately guards against
+      val snap = toBranch.map(IcebergLite.resolveRef(path, _))
+      val shape =
+        if (IcebergLite.tableSchema(path, snap).isDefined)
+          IcebergLite.logicalShape(path, snap)
+        else GraftSqlCatalog.declaredSchema(path)
           .getOrElse(new org.apache.spark.sql.types.StructType())
-      }
       shape.fieldNames.map(_.toLowerCase).toSet
     }
     def assignVal(e: Expression): org.apache.spark.sql.Column = {
@@ -1052,15 +1060,23 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           // an unqualified name that lives on BOTH sides must not
           // silently prefer the target (Spark raises
           // AMBIGUOUS_REFERENCE here; `SET v = v` meaning source.v
-          // would otherwise self-assign and commit unchanged data)
-          if (a.nameParts.length == 1 &&
-              sourceColsLower.contains(a.nameParts.head.toLowerCase) &&
-              targetColsLower.contains(a.nameParts.head.toLowerCase))
+          // would otherwise self-assign and commit unchanged data);
+          // a name that lives ONLY on the source resolves to the
+          // source (it is about to be renamed to __graft_s_<name>,
+          // so the bare name would dangle) — but only when the target
+          // shape is KNOWN: with an unknowable target schema the bare
+          // name stays target-side, the pre-existing contract
+          val onSource = a.nameParts.length == 1 &&
+            sourceColsLower.contains(a.nameParts.head.toLowerCase)
+          if (onSource && targetColsLower.contains(a.nameParts.head.toLowerCase))
             throw new IllegalArgumentException(
               s"reference `${a.nameParts.head}` in MERGE UPDATE SET is " +
                 "ambiguous (a column of that name exists on both the " +
                 "target and the source); qualify it with the table alias")
-          UnresolvedAttribute.quoted(a.nameParts.last)
+          if (onSource && targetColsLower.nonEmpty)
+            UnresolvedAttribute.quoted("__graft_s_" +
+              keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
+          else UnresolvedAttribute.quoted(a.nameParts.last)
       })
     }
     def assignTarget(key: Expression): String = side(key) match {

@@ -252,11 +252,15 @@ object Catalog {
     IcebergLite.withCommitLock(root) {
       val all = readAll(root)
       require(all.contains(db), s"database $db does not exist")
+      val views = readViews(root)
+      val exists = views.getOrElse(db, Map.empty).contains(name) ||
+        all(db).contains(name)
+      // IF NOT EXISTS no-ops on ANY existing name — view OR table —
+      // before the table-namespace refusal, matching Spark's
+      // CreateViewCommand (allowExisting is checked first there too)
+      if (exists && allowExisting && !replace) return
       require(!all(db).contains(name),
         s"table $db.$name already exists (views and tables share the namespace)")
-      val views = readViews(root)
-      val exists = views.getOrElse(db, Map.empty).contains(name)
-      if (exists && allowExisting && !replace) return
       require(replace || !exists, s"view $db.$name already exists")
       writeViews(root, views + (db -> (views.getOrElse(db, Map.empty) + (name -> doc))))
     }

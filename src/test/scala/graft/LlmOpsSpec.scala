@@ -642,4 +642,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaCodec.collect().map(_.toString).sorted
       .sameElements(viaExpr.collect().map(_.toString).sorted))
   }
+
+  test("ANN fit collects are bounded: oversized nCells/ksub refuse up front") {
+    // the fits collect nCells (resp. ksub) vectors to the driver and
+    // broadcast them inside the plan — a caller must not be able to
+    // turn that into a corpus-sized collect
+    val s = spark
+    import s.implicits._
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.fitCentroids(emb, "vec_id", "embedding", nCells = 65537))
+    assert(e1.getMessage.contains("nCells"))
+    intercept[IllegalArgumentException](
+      Similarity.fitCentroids(emb, "vec_id", "embedding", nCells = 0))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.pqFit(emb, "vec_id", "embedding", m = 2, ksub = 65537))
+    assert(e2.getMessage.contains("ksub"))
+    // the refusal happens BEFORE any job runs, and in-bound fits work
+    val (ids, vecs) = Similarity.fitCentroids(emb, "vec_id", "embedding", 2)
+    assert(ids == Seq(0L, 1L) && vecs.length == 2)
+  }
 }

@@ -225,4 +225,46 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(!IcebergLite.branches(pu).contains("rel"))
     IcebergLite.dropTag(pu, "rel")
   }
+
+  test("malformed commit numbers answer 400; the client treats 400 as permanent") {
+    val (_, server) = wfixture
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val http = HttpClient.newHttpClient()
+    def post(url: String): HttpResponse[String] = http.send(
+      HttpRequest.newBuilder(java.net.URI.create(url))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val base = s"${server.baseUrl}/branch/main/table/wh/t/commit"
+    // a malformed number is the CLIENT's error: 400 with the reason,
+    // never a NumberFormatException-turned-500 the client retries
+    val bad = post(s"$base?snapshot=abc")
+    assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+    assert(bad.body().contains("must be a number"))
+    assert(post(base).statusCode() == 400) // missing entirely
+    val badHead = post(s"$base?snapshot=1&expected_head=xyz")
+    assert(badHead.statusCode() == 400 && badHead.body().contains("expected_head"))
+    // client side of the contract: 400 is PERMANENT — it must surface
+    // immediately, never enter the 5xx/transport backoff loop (a stub
+    // that always answers 400, with a backoff long enough that even
+    // one retry sleep would trip the timing assert)
+    val stub = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    stub.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = """{"error": "bad request"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(400, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    stub.start()
+    try {
+      val c = new RestCatalog.Client(
+        s"http://127.0.0.1:${stub.getAddress.getPort}",
+        maxRetries = 3, retryDelayMs = 2000)
+      val t0 = System.nanoTime()
+      val e = intercept[RuntimeException](c.listDatabases())
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage.contains("HTTP 400"), e.getMessage)
+      assert(!e.getMessage.contains("max retries"))
+      assert(elapsedMs < 2000, s"400 must not back off (took ${elapsedMs}ms)")
+    } finally stub.stop(0)
+  }
 }

@@ -656,4 +656,62 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) AS c FROM sqlcat.cnt.t VERSION AS OF $snap1")
       .collect().head.getLong(0) == 3L)
   }
+
+  test("SHOW VIEWS patterns: metachars are literal, '*' globs, '|' alternates") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.vpat")
+    spark.sql("CREATE VIEW sqlcat.vpat.axb AS SELECT 1 AS one")
+    spark.sql("CREATE VIEW sqlcat.vpat.ayb AS SELECT 2 AS two")
+    def shown(like: String): Seq[String] =
+      spark.sql(s"SHOW VIEWS IN sqlcat.vpat LIKE '$like'").collect()
+        .map(_.getString(1)).sorted.toSeq
+    // '.' is a LITERAL dot, not regex any-char: 'a.b' must match nothing
+    assert(shown("a.b") == Nil)
+    // regex metachars must not throw PatternSyntaxException
+    assert(shown("[") == Nil)
+    assert(shown("a(b") == Nil)
+    // the two documented metacharacters still work
+    assert(shown("a*") == Seq("axb", "ayb"))
+    assert(shown("axb|nope") == Seq("axb"))
+    assert(shown("*x*") == Seq("axb"))
+  }
+
+  test("CREATE VIEW IF NOT EXISTS: no-ops on view AND table names, races cleanly") {
+    root
+    spark.sql("CREATE NAMESPACE sqlcat.vine")
+    spark.sql("CREATE TABLE sqlcat.vine.base (x BIGINT)")
+    // Spark parity (CreateViewCommand checks allowExisting FIRST): IF
+    // NOT EXISTS over a name a TABLE holds no-ops, it does not throw
+    spark.sql("CREATE VIEW IF NOT EXISTS sqlcat.vine.base AS SELECT 1 AS one")
+    assert(spark.sql("SHOW VIEWS IN sqlcat.vine").collect().isEmpty)
+    // without IF NOT EXISTS the table-namespace refusal stands, and OR
+    // REPLACE must not replace a TABLE either
+    assert(intercept[Exception](spark.sql(
+      "CREATE VIEW sqlcat.vine.base AS SELECT 1")).getMessage
+      .contains("already exists"))
+    assert(intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW sqlcat.vine.base AS SELECT 1")).getMessage
+      .contains("already exists"))
+    // concurrent CREATE VIEW IF NOT EXISTS: the exists decision lives
+    // INSIDE the commit lock, so every racer either creates or no-ops —
+    // none may observe the half-state and throw
+    val doc = Catalog.ViewDoc("SELECT 1 AS one", "sqlcat", Nil, None,
+      Map.empty, new org.apache.spark.sql.types.StructType()
+        .add("one", org.apache.spark.sql.types.IntegerType).json)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val results = (1 to 8).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Option[String]] {
+        def call(): Option[String] =
+          try { Catalog.createView(root, "vine", "racev", doc,
+            replace = false, allowExisting = true); None }
+          catch { case e: Exception => Some(e.getMessage) }
+      })
+    }.map(_.get())
+    pool.shutdown()
+    assert(results.forall(_.isEmpty), s"IF NOT EXISTS racers must not throw: $results")
+    assert(spark.sql("SHOW VIEWS IN sqlcat.vine").collect()
+      .map(_.getString(1)).toSeq == Seq("racev"))
+    assert(spark.sql("SELECT one FROM sqlcat.vine.racev").collect()
+      .head.getInt(0) == 1)
+  }
 }

@@ -556,4 +556,108 @@ class SqlDmlSpec extends AnyFunSuite {
       WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
     assert(nmbs.getMessage.contains("NOT MATCHED BY SOURCE"))
   }
+
+  test("MERGE SET refuses an unqualified name that lives on both sides") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.amb (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO dml.db.amb VALUES (1, 1.0)")
+    Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("amb_src")
+    // `SET v = v` with v on BOTH sides would silently self-assign the
+    // target column and commit unchanged data — Spark raises
+    // AMBIGUOUS_REFERENCE here and so do we
+    val amb = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.amb AS t USING amb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET v = v"""))
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    // nothing committed by the refused statement
+    assert(spark.sql("SELECT v FROM dml.db.amb").collect().head.getDouble(0) == 1.0)
+    // qualifying both sides resolves it
+    spark.sql("""
+      MERGE INTO dml.db.amb AS t USING amb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET t.v = src.v""")
+    assert(spark.sql("SELECT v FROM dml.db.amb").collect().head.getDouble(0) == 2.0)
+    // a source-ONLY unqualified name is not ambiguous (analyzer
+    // resolves it to the source before the check runs)
+    Seq((1L, 5.0)).toDF("id", "delta").createOrReplaceTempView("amb_src2")
+    spark.sql("""
+      MERGE INTO dml.db.amb AS t USING amb_src2 AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET t.v = delta""")
+    assert(spark.sql("SELECT v FROM dml.db.amb").collect().head.getDouble(0) == 5.0)
+  }
+
+  test("MERGE ambiguity check sees the BRANCH head's evolved schema") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.bramb (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO dml.db.bramb VALUES (1, 1.0)")
+    val path = Catalog.tablePath(root, "db", "bramb")
+    IcebergLite.createBranch(path, "dev")
+    // branch-only schema evolution: column `w` exists on dev, not main
+    IcebergLite.append(spark, path,
+      Seq((2L, 2.0, 9.0)).toDF("id", "v", "w"), toBranch = Some("dev"))
+    Seq((1L, 7.0)).toDF("id", "w").createOrReplaceTempView("bramb_src")
+    // an unqualified `w` is on both the BRANCH target and the source;
+    // a main-shape check would miss it and silently self-assign
+    val amb = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.bramb.branch_dev AS t USING bramb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET w = w"""))
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    // the same statement against MAIN (no `w` there) refuses too —
+    // but for the right reason: `w` is not a main column at all
+    intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.bramb AS t USING bramb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET w = w"""))
+    // qualified, the branch MERGE lands on the branch head
+    spark.sql("""
+      MERGE INTO dml.db.bramb.branch_dev AS t USING bramb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET t.w = src.w""")
+    assert(spark.sql(
+      "SELECT w FROM dml.db.bramb.branch_dev WHERE id = 1")
+      .collect().head.getDouble(0) == 7.0)
+    // main never saw branch work
+    assert(!spark.sql("SELECT * FROM dml.db.bramb").columns.contains("w"))
+  }
+
+  test("a flag-tombstone arm without an UPDATE arm refuses with the routing hint") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.tmb (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO dml.db.tmb VALUES (1, 1.0)")
+    Seq((1L, 2.0, true)).toDF("id", "v", "dead")
+      .createOrReplaceTempView("tmb_src")
+    val tmb = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.tmb AS t USING tmb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED AND src.dead THEN DELETE"""))
+    assert(tmb.getMessage.contains("flag-tombstone"), tmb.getMessage)
+    assert(tmb.getMessage.contains("pre-filter"), tmb.getMessage)
+    // the two supported routings both work: CDC replace form...
+    spark.sql("""
+      MERGE INTO dml.db.tmb AS t USING tmb_src AS src
+      ON t.id = src.id
+      WHEN MATCHED AND src.dead THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) AS c FROM dml.db.tmb")
+      .collect().head.getLong(0) == 0L)
+    // ...and delete-only with a pre-filtered source
+    spark.sql("INSERT INTO dml.db.tmb VALUES (5, 5.0)")
+    spark.sql("""
+      MERGE INTO dml.db.tmb AS t
+      USING (SELECT id FROM tmb_src WHERE dead) AS src
+      ON t.id = src.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT id FROM dml.db.tmb").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+  }
 }
