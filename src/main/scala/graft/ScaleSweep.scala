@@ -136,6 +136,10 @@ object ScaleSweep {
       statsSweep(spark, nDocs, filesPer); spark.stop(); return
     }
     if (mode == "writemeta") { writeMetaSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "stream") {
+      val replicas = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      streamSweep(spark, replicas); spark.stop(); return
+    }
     if (mode == "eqdel") { eqDeleteSweep(spark, nDocs); spark.stop(); return }
     if (mode == "eqdelk") { eqdelKSweep(spark, nDocs); spark.stop(); return }
     if (mode == "lakehouse") { lakehouseSweep(spark); spark.stop(); return }
@@ -1578,5 +1582,163 @@ object ScaleSweep {
       s""""ivfRows":$ivfRows,"recallVsExact":${math.round(recall * 1000) / 1000.0},""" +
       s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
       s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** STREAMING scale sweep (`SPARK_GRAFT_SF_DIR=... runMain
+    * graft.ScaleSweep stream 10`): a synthetic `replicas`× events feed
+    * (the sf events table key-offset per replica, so event/user
+    * cardinality scales with volume) written as 20 TIME-ORDERED chunk
+    * files and streamed with `maxFilesPerTrigger=2` — the stateful
+    * operators cross ~10 real micro-batch boundaries instead of the
+    * catalog rows' single batch. Four operators, each with a batch
+    * witness so the anchor prices CORRECT incremental plans:
+    *  - windowedCounts (watermarked tumbling agg, append): streamed
+    *    output must EQUAL the batch aggregate under the append-mode
+    *    flush rule (window end <= ms-trunc(max ts) - delay — the rule
+    *    WatermarkBoundarySpec pins);
+    *  - sessionize (mapGroupsWithState custom state, update): the
+    *    update log must cover exactly the feed's user set;
+    *  - dedupStream over the feed unioned with itself (2× input):
+    *    exactly-once output — every event_id once, none twice;
+    *  - clickViewJoin (watermarked stream-stream range join): match
+    *    count must equal the batch range self-join's.
+    * Feed prep (the global ntile sort) is harness-side, not a measured
+    * operator. State sizes come from StateOperatorProgress.numRowsTotal
+    * — the 100 TB predictor: windowed-agg state is O(open windows ×
+    * types), dedup state O(ids within the watermark horizon), session
+    * state O(users) — all bounded, none O(stream length). */
+  private def streamSweep(spark: org.apache.spark.sql.SparkSession,
+      replicas: Int): Unit = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types.TimestampType
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = Engine.t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val mx = base.agg(max("event_id"), max("user_id"), count(lit(1))).head
+    val (maxEvent, maxUser, baseRows) = (mx.getLong(0) + 1, mx.getLong(1) + 1, mx.getLong(2))
+    val nEvents = baseRows * replicas
+    val feed = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("event_id") + col("rep") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sweep").toString
+    val feedDir = s"$dir/feed"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
+    val chunks = 20
+    val tPrep = System.nanoTime()
+    val chunked = feed.withColumn("chunk",
+      ntile(chunks).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // written SEQUENTIALLY so file mtimes follow event time — the file
+    // source's arrival order IS the time order, and no row is ever
+    // late (chunk k+1's min ts >= chunk k's max ts > its watermark)
+    (1 to chunks).foreach { c =>
+      val tmp = s"$dir/tmp-$c"
+      chunked.filter(col("chunk") === c).drop("chunk")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(feedDir, f"chunk-$c%02d.parquet"))
+    }
+    chunked.unpersist()
+    val prepWall = (System.nanoTime() - tPrep) / 1e9
+    val batchFeed = spark.read.parquet(feedDir)
+    val feedSchema = batchFeed.schema
+    def stream(): DataFrame = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "2").parquet(feedDir)
+    // drive to completion; return (wall, peak state rows, data batches)
+    def drive(df: DataFrame, name: String, mode: OutputMode): (Double, Long, Long) = {
+      spark.catalog.dropTempView(name)
+      val t0 = System.nanoTime()
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .maxOption.getOrElse(0L)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+      q.stop()
+      (wall, stateRows, dataBatches)
+    }
+    def r2(d: Double) = math.round(d * 100) / 100.0
+
+    // 1) watermarked tumbling windowed agg, append mode
+    val (winWall, winState, winBatches) =
+      drive(streaming.EventStream.windowedCounts(stream()), "sw_win", OutputMode.Append)
+    val streamedWin = spark.table("sw_win")
+    val maxTs = batchFeed.select(max(col("ts").cast(TimestampType))).head.getTimestamp(0)
+    val wmark = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val batchWin = batchFeed
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 6))).as("sum_value"))
+      .filter(col("window.end") <= lit(wmark))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val winOk = streamedWin.exceptAll(batchWin).isEmpty &&
+      batchWin.exceptAll(streamedWin).isEmpty
+    require(winOk, "streamed windowed agg diverged from the batch witness")
+
+    // 2) custom mapGroupsWithState sessionization, update mode
+    val sEv = {
+      val s2 = spark
+      import s2.implicits._
+      stream().select(col("user_id"),
+        col("ts").cast(TimestampType).as("ts"), col("event_type"))
+        .as[streaming.EventStream.Event]
+    }
+    val (sesWall, sesState, _) = drive(
+      streaming.EventStream.sessionize(sEv, gapMs = 30L * 60 * 1000).toDF(),
+      "sw_ses", OutputMode.Update)
+    val sesUsers = spark.table("sw_ses").select("userId").distinct().count()
+    val feedUsers = batchFeed.select("user_id").distinct().count()
+    require(sesUsers == feedUsers,
+      s"session updates covered $sesUsers users, feed has $feedUsers")
+
+    // 3) exactly-once streaming dedup on the doubled feed
+    val (ddWall, ddState, _) = drive(
+      streaming.EventStream.dedupStream(stream().union(stream()))
+        .select("event_id"), "sw_dd", OutputMode.Append)
+    val ddTotal = spark.table("sw_dd").count()
+    val ddDistinct = spark.table("sw_dd").select("event_id").distinct().count()
+    require(ddTotal == nEvents && ddDistinct == nEvents,
+      s"dedup must emit each of $nEvents ids exactly once, got " +
+        s"$ddTotal rows / $ddDistinct distinct")
+
+    // 4) watermarked stream-stream range join
+    val (jWall, jState, _) = drive(
+      streaming.EventStream.clickViewJoin(stream()).select("click_id", "view_id"),
+      "sw_join", OutputMode.Append)
+    val jRows = spark.table("sw_join").count()
+    val ts = col("ts").cast(TimestampType)
+    val bClicks = batchFeed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), ts.as("c_ts"))
+    val bViews = batchFeed.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), ts.as("v_ts"))
+    val jBatch = bClicks.join(bViews,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 minutes")).count()
+    require(jRows == jBatch,
+      s"stream-stream join emitted $jRows matches, batch witness says $jBatch")
+
+    println(s"""{"sweep":"stream","events":$nEvents,"replicas":$replicas,""" +
+      s""""chunks":$chunks,"prepWallSec":${r2(prepWall)},""" +
+      s""""windowWallSec":${r2(winWall)},"windowRowsPerSec":${(nEvents / winWall).toLong},""" +
+      s""""windowStateRows":$winState,"windowBatches":$winBatches,""" +
+      s""""sessionWallSec":${r2(sesWall)},"sessionRowsPerSec":${(nEvents / sesWall).toLong},""" +
+      s""""sessionStateRows":$sesState,""" +
+      s""""dedupWallSec":${r2(ddWall)},"dedupRowsPerSec":${(2 * nEvents / ddWall).toLong},""" +
+      s""""dedupStateRows":$ddState,""" +
+      s""""joinWallSec":${r2(jWall)},"joinRowsPerSec":${(nEvents / jWall).toLong},""" +
+      s""""joinStateRows":$jState,"joinMatches":$jRows,""" +
+      s""""witnesses":true}""")
   }
 }
