@@ -312,8 +312,9 @@ object Similarity {
   def pqFit(corpus: DataFrame, corpusId: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 1): Seq[Seq[Seq[Double]]] = {
     // driver-memory contract: seeds collect ksub full vectors and each
-    // Lloyd round collects m·ksub·dsub partial means — bounded only if
-    // ksub is (256 codes/byte is the PQ norm; 65536 is already 2-byte)
+    // Lloyd round collects m·ksub·dsub partial means — bounded only
+    // while ksub stays small (256 codes = 1-byte codes is the PQ norm;
+    // 65536 is already the 2-byte extreme)
     require(ksub >= 1 && ksub <= 65536,
       s"ksub must be in [1, 65536] (got $ksub): the codebook fit " +
         "collects ksub seed vectors and m*ksub*dsub means to the driver")

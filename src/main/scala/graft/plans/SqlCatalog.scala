@@ -1031,31 +1031,41 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     val sourceColsLower = source.output.map(_.name.toLowerCase).toSet
     val targetColsLower: Set[String] = {
       // align to the branch head the MERGE actually targets (branch
-      // schema may have evolved past main), and only pay logicalShape
-      // when the snapshot tracks a schema — adopted schema-less tables
-      // would otherwise trigger its O(files) legacy-partition manifest
-      // walk at ANALYSIS time, which run() deliberately guards against
+      // schema may have evolved past main). Schema-tracking snapshots
+      // and declared schemas answer from one metadata doc; ONLY the
+      // rare adopted pre-tracking table (no tracked schema, no
+      // declaration) pays logicalShape's O(files) legacy-partition
+      // manifest walk — the ambiguity refusal must still see its
+      // partition columns, so silently skipping the shape there would
+      // reopen the silent-self-assign hole for exactly that class
       val snap = toBranch.map(IcebergLite.resolveRef(path, _))
       val shape =
         if (IcebergLite.tableSchema(path, snap).isDefined)
           IcebergLite.logicalShape(path, snap)
         else GraftSqlCatalog.declaredSchema(path)
-          .getOrElse(new org.apache.spark.sql.types.StructType())
+          .getOrElse(IcebergLite.logicalShape(path, snap))
       shape.fieldNames.map(_.toLowerCase).toSet
     }
+    // renamed-source-key lookup is CASE-INSENSITIVE like Spark's
+    // resolver: `SET v = SID` must land on the same __graft_s_<target>
+    // column `SET v = sid` does (the rename map is keyed by the
+    // ON-clause spelling, the reference by the user's)
+    val keyRenamesLower: Map[String, String] =
+      keyRenames.map { case (sn, tn) => sn.toLowerCase -> tn }
+    def srcRef(name: String): UnresolvedAttribute =
+      UnresolvedAttribute.quoted(
+        "__graft_s_" + keyRenamesLower.getOrElse(name.toLowerCase, name))
     def assignVal(e: Expression): org.apache.spark.sql.Column = {
       require(!e.exists(_.isInstanceOf[PlanExpression[_]]) &&
         !e.exists(_.isInstanceOf[SubqueryExpression]),
         "subqueries in MERGE assignments are not supported for graft tables")
       org.apache.spark.sql.GraftColumnBridge.toCol(e.transform {
         case a: AttributeReference if source.outputSet.contains(a) =>
-          UnresolvedAttribute.quoted(
-            "__graft_s_" + keyRenames.getOrElse(a.name, a.name))
+          srcRef(a.name)
         case a: UnresolvedAttribute
             if a.nameParts.length > 1 &&
               sourceNames.contains(a.nameParts.init.last.toLowerCase) =>
-          UnresolvedAttribute.quoted("__graft_s_" +
-            keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
+          srcRef(a.nameParts.last)
         case a: UnresolvedAttribute =>
           // an unqualified name that lives on BOTH sides must not
           // silently prefer the target (Spark raises
@@ -1063,9 +1073,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           // would otherwise self-assign and commit unchanged data);
           // a name that lives ONLY on the source resolves to the
           // source (it is about to be renamed to __graft_s_<name>,
-          // so the bare name would dangle) — but only when the target
-          // shape is KNOWN: with an unknowable target schema the bare
-          // name stays target-side, the pre-existing contract
+          // so the bare name would dangle)
           val onSource = a.nameParts.length == 1 &&
             sourceColsLower.contains(a.nameParts.head.toLowerCase)
           if (onSource && targetColsLower.contains(a.nameParts.head.toLowerCase))
@@ -1073,9 +1081,7 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
               s"reference `${a.nameParts.head}` in MERGE UPDATE SET is " +
                 "ambiguous (a column of that name exists on both the " +
                 "target and the source); qualify it with the table alias")
-          if (onSource && targetColsLower.nonEmpty)
-            UnresolvedAttribute.quoted("__graft_s_" +
-              keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
+          if (onSource) srcRef(a.nameParts.last)
           else UnresolvedAttribute.quoted(a.nameParts.last)
       })
     }
@@ -1126,12 +1132,13 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         "subqueries in MERGE assignments are not supported for graft tables")
       org.apache.spark.sql.GraftColumnBridge.toCol(e.transform {
         case a: AttributeReference if source.outputSet.contains(a) =>
-          UnresolvedAttribute.quoted(keyRenames.getOrElse(a.name, a.name))
+          UnresolvedAttribute.quoted(
+            keyRenamesLower.getOrElse(a.name.toLowerCase, a.name))
         case a: UnresolvedAttribute
             if a.nameParts.length > 1 &&
               sourceNames.contains(a.nameParts.init.last.toLowerCase) =>
-          UnresolvedAttribute.quoted(
-            keyRenames.getOrElse(a.nameParts.last, a.nameParts.last))
+          UnresolvedAttribute.quoted(keyRenamesLower.getOrElse(
+            a.nameParts.last.toLowerCase, a.nameParts.last))
         case a: UnresolvedAttribute => throw new IllegalArgumentException(
           s"INSERT values may reference source columns only, got ${a.sql}")
       })

@@ -588,6 +588,40 @@ class SqlDmlSpec extends AnyFunSuite {
       ON t.id = src.id
       WHEN MATCHED THEN UPDATE SET t.v = delta""")
     assert(spark.sql("SELECT v FROM dml.db.amb").collect().head.getDouble(0) == 5.0)
+    // case-variant references land like Spark's resolver would:
+    // DELTA = delta, and a case-variant spelling of a RENAMED source
+    // key still routes through the rename (O_KEY -> target name id)
+    Seq((1L, 9.0)).toDF("o_key", "delta").createOrReplaceTempView("amb_src3")
+    spark.sql("""
+      MERGE INTO dml.db.amb AS t USING amb_src3 AS src
+      ON t.id = src.o_key
+      WHEN MATCHED THEN UPDATE SET t.v = DELTA + O_KEY""")
+    assert(spark.sql("SELECT v FROM dml.db.amb").collect().head.getDouble(0) == 10.0)
+  }
+
+  test("MERGE ambiguity check sees ADOPTED schema-less tables' legacy partition columns") {
+    root
+    val s = spark
+    import s.implicits._
+    // pre-tracking table: a carried manifest with hive partition
+    // values, NO tracked snapshot schema, NO declaration — the
+    // manifest walk is the only source of the target's column set,
+    // so skipping it would let `SET p = p` silently self-assign
+    val path = Catalog.createTable(root, "db", "leg")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/metadata/manifest-legacy.json"),
+      """{"entries": [{"data_file": {"file_path": "data/p=a/f1.parquet",
+        | "file_format": "PARQUET", "partition": {"p": "a"},
+        | "record_count": 1, "sequence_number": 1}}]}""".stripMargin)
+    IcebergLite.commitSnapshot(path, None, entries = Nil,
+      carriedManifests = Seq("metadata/manifest-legacy.json"))
+    assert(IcebergLite.tableSchema(path).isEmpty, "fixture must stay pre-tracking")
+    Seq(("a", 1L)).toDF("p", "k").createOrReplaceTempView("leg_src")
+    val amb = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.leg AS t USING leg_src AS src
+      ON t.p = src.p
+      WHEN MATCHED THEN UPDATE SET p = p"""))
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
   }
 
   test("MERGE ambiguity check sees the BRANCH head's evolved schema") {
