@@ -114,6 +114,11 @@ object ScaleSweep {
     if (mode == "ann-clustered") {
       annClusteredSweep(spark, nDocs); spark.stop(); return
     }
+    if (mode == "semdedup") {
+      semDedupSweep(spark, listener,
+        args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L))
+      spark.stop(); return
+    }
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
@@ -440,6 +445,102 @@ object ScaleSweep {
     println(
       s"""{"sweep":"ann_clustered","docs":$nDocs,"dim":$dim,"nCells":$nCells,""" +
       s""""naturalClusters":200,"k":$k,"recallVsNProbe":$curveJson}""")
+  }
+
+  /** Clustered embeddings with PLANTED near-dups: every id ≡ 1 (mod 20)
+    * vector is its id-1 partner's vector with dimension 0 nudged by
+    * +0.01 — cosine vs the partner > 0.9999 (vector norms ≈ 4.2), while
+    * unplanted pairs top out far below 0.99 (cluster-mates share only
+    * the center term: expected cosine ≈ 0.61). Pure hash functions of
+    * the id, bit-reproducible like the other synthetic corpora. */
+  private def semDedupEmbeddingsDf(spark: org.apache.spark.sql.SparkSession,
+      nDocs: Long, dim: Int, nNatural: Int): DataFrame = {
+    val planted = pmod(col("id"), lit(20L)) === 1
+    val eff = when(planted, col("id") - 1).otherwise(col("id"))
+    val c = eff % nNatural
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d => (
+        ((pmod(xxhash64(c * 977 + d), lit(2001L)) - 1000L) / 1000.0) +
+          ((pmod(xxhash64(eff * 131 + d), lit(2001L)) - 1000L) / 1250.0) +
+          when(planted && d === 0, lit(0.01)).otherwise(lit(0.0)))
+        .cast("float")).as("vec"))
+  }
+
+  /** SemDeDup sweep — the measured anchor for `Similarity.semanticDedup`
+    * at 100 TB: the k-means fit is bounded collects only, the assignment
+    * never shuffles the corpus, and the quadratic pair scan is confined
+    * to cells (per-cell cost c²/2 — `nCells` here scales as docs/2000 so
+    * cells stay ~2k rows, exactly the paper's discipline of growing the
+    * cluster count with the corpus). Witnesses: one output verdict per
+    * input vector; every emitted (dup_of, id) witness re-verified
+    * cosine ≥ τ distributedly (must be ALL); planted-pair recall
+    * reported (a planted dup is only findable if the pair lands in one
+    * cell — the paper's documented miss mode is boundary straddle, so
+    * recall is expected near, not at, 1.0).
+    *
+    *   sbt -batch "runMain graft.ScaleSweep semdedup [nDocs]"
+    */
+  private def semDedupSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val dim = 32
+    val tau = 0.99
+    val nCells = math.max(64, (nDocs / 2000).toInt)
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_semdedup").resolve("emb").toString
+    semDedupEmbeddingsDf(spark, nDocs, dim, nNatural = 200)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+
+    val tFit0 = System.nanoTime()
+    val index = operators.Similarity.kmeansCentroids(
+      corpus, "doc_id", "vec", nCells = nCells, iters = 2)
+    val fitSec = (System.nanoTime() - tFit0) / 1e9
+
+    val s0 = listener.snapshot()
+    val t0 = System.nanoTime()
+    val verdicts = operators.Similarity.semanticDedup(
+        corpus, "doc_id", "vec", nCells = nCells, iters = 2,
+        threshold = tau, centroids = Some(index))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsOut = verdicts.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val dups = verdicts.filter(col("dup_of").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupCount = dups.count()
+    val plantedFound = dups
+      .filter(pmod(col("doc_id"), lit(20L)) === 1 && col("dup_of") === col("doc_id") - 1)
+      .count()
+    val plantedPairs = nDocs / 20
+    // every emitted witness must be a TRUE >= tau pair: join the pairs
+    // back to both vectors and re-check the cosine (distributed; the
+    // dup set is the only thing that moves)
+    val vecs = corpus.select(col("doc_id"), col("vec"))
+    val violations = dups.select(col("doc_id"), col("dup_of"))
+      .join(vecs.withColumnsRenamed(Map("doc_id" -> "doc_id_a", "vec" -> "va")),
+        col("doc_id") === col("doc_id_a"))
+      .join(vecs.withColumnsRenamed(Map("doc_id" -> "doc_id_b", "vec" -> "vb")),
+        col("dup_of") === col("doc_id_b"))
+      .filter(operators.Similarity.cosine(col("va"), col("vb")) < tau)
+      .count()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"semdedup","docs":$nDocs,"dim":$dim,"nCells":$nCells,"tau":$tau,""" +
+      s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
+      s""""dedupSec":${math.round(wall * 10) / 10.0},""" +
+      s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""rowsOut":$rowsOut,"oneVerdictPerVector":${rowsOut == nDocs},""" +
+      s""""dupCount":$dupCount,"plantedPairs":$plantedPairs,""" +
+      s""""plantedFound":$plantedFound,""" +
+      s""""plantedRecall":${math.round(plantedFound * 10000.0 / plantedPairs) / 10000.0},""" +
+      s""""witnessViolations":$violations,""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
   }
 
   /** ANN sweep at 10⁶ vectors — the measured anchor for the similarity

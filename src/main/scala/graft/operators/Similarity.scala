@@ -159,10 +159,17 @@ object Similarity {
       var (ids, vecs) = fitCentroids(train, corpusId, corpusVec, nCells)
       (1 to iters).foreach { _ =>
         val assigned = ivfAssignWith(train, corpusId, corpusVec, ids, vecs)
+        // means quantized to 9 decimals: a distributed avg sums partials
+        // in partition order, so the raw double wobbles in the last ulp
+        // run-to-run; snapping to a decimal grid makes the fitted index
+        // REPRODUCIBLE (same data → bit-identical centroids regardless
+        // of parallelism) and lets an external re-derivation (the DuckDB
+        // oracle) land on the same centroids. 1e-9 is ~6 orders below
+        // any observed assignment margin, so clustering is unaffected.
         val means = assigned
           .select(col("cell_id"), posexplode(col(corpusVec).cast("array<double>")))
           .groupBy(col("cell_id"), col("pos"))
-          .agg(avg(col("col")).as("m"))
+          .agg(round(avg(col("col")), 9).as("m"))
           .collect()
         val byCell = means.groupBy(_.getLong(0))
         vecs = ids.zipWithIndex.map { case (id, i) =>
@@ -478,5 +485,46 @@ object Similarity {
       .withColumn("cos_sim", cosine(col("a_vec"), col("b_vec")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** K-means cluster assignment as a first-class operator: Lloyd-refined
+    * centroids ([[kmeansCentroids]] — bounded fit collects, quantized
+    * means) followed by the zero-shuffle argmax projection. Output is
+    * `(idCol, vecCol, cell_id)`; the fit is reproducible, so the same
+    * data yields the same clustering at any parallelism. */
+  def kmeansAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCells: Int, iters: Int): DataFrame = {
+    val (ids, vecs) = kmeansCentroids(corpus, corpusId, corpusVec, nCells, iters)
+    ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings with k-means, then compare pairs ONLY within
+    * a cluster — near-duplicate pairs land in the same cell, so the
+    * quadratic pair generation is confined to cells instead of the
+    * corpus. A vector is a duplicate if a LOWER-id vector in its cell
+    * has cosine >= threshold; `dup_of` names the smallest such witness
+    * (NULL = kept). At 100 TB, `nCells` scales with the corpus (SemDeDup
+    * uses ~100k clusters) so cells stay small and the per-cell self-join
+    * is bounded; the assignment itself never shuffles the corpus — only
+    * the cell-keyed pair join does. */
+  def semanticDedup(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCells: Int, iters: Int, threshold: Double,
+      centroids: Option[(Seq[Long], Seq[Seq[Double]])] = None): DataFrame = {
+    // `centroids` = a prefitted index (production shape: fit once via
+    // kmeansCentroids, then dedup many batches against the same cells)
+    val (ids, vecs) = centroids.getOrElse(
+      kmeansCentroids(corpus, corpusId, corpusVec, nCells, iters))
+    val assigned = ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
+    val a = assigned.select(col(corpusId).as("__a_id"), col(corpusVec).as("__a_vec"),
+      col("cell_id"))
+    val b = assigned.select(col(corpusId).as("__b_id"), col(corpusVec).as("__b_vec"),
+      col("cell_id").as("__b_cell"))
+    a.join(b,
+        col("cell_id") === col("__b_cell") && col("__b_id") < col("__a_id") &&
+          cosine(col("__a_vec"), col("__b_vec")) >= threshold,
+        "left")
+      .groupBy(col("__a_id").as(corpusId), col("cell_id"))
+      .agg(min(col("__b_id")).as("dup_of"))
   }
 }

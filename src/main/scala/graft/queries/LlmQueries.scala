@@ -259,6 +259,82 @@ object LlmQueries extends QueryCatalog {
           threshold = 0.35, lsh = false)
         .orderBy(col("a_id"), col("b_id")))
 
+  /** DuckDB re-derivation of the engine's k-means fit (nCells=8,
+    * iters=2), unrolled: seeds = the 8 lowest-id vectors; each Lloyd
+    * round = argmax-cosine assignment (tie → lowest centroid index,
+    * matching the engine's struct-max) + per-dimension means snapped to
+    * 9 decimals (the engine quantizes its means identically, which is
+    * what makes the two independent fits land on the same centroids);
+    * an emptied cell keeps its PREVIOUS centroid. The minimum
+    * best-vs-second assignment margin on this data is ~7e-5 at every
+    * SF — six orders above cross-engine float noise. Ends with `af` =
+    * (vec_id, v, cell_id). */
+  private val kmeansDuck = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, vec_id AS cell_id, v AS cv
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      a1 AS (SELECT vec_id, v, cell_id FROM (
+               SELECT e.vec_id, e.v, c.cell_id,
+                      row_number() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                  c.idx) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      m1 AS (SELECT cell_id, list(m ORDER BY i) AS mv FROM (
+               SELECT a1.cell_id, g.i, round(avg(a1.v[g.i]), 9) AS m
+               FROM a1, generate_series(1, 64) g(i) GROUP BY a1.cell_id, g.i)
+             GROUP BY cell_id),
+      c1 AS (SELECT c0.idx, c0.cell_id, coalesce(m1.mv, c0.cv) AS cv
+             FROM c0 LEFT JOIN m1 USING (cell_id)),
+      a2 AS (SELECT vec_id, v, cell_id FROM (
+               SELECT e.vec_id, e.v, c.cell_id,
+                      row_number() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                  c.idx) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      m2 AS (SELECT cell_id, list(m ORDER BY i) AS mv FROM (
+               SELECT a2.cell_id, g.i, round(avg(a2.v[g.i]), 9) AS m
+               FROM a2, generate_series(1, 64) g(i) GROUP BY a2.cell_id, g.i)
+             GROUP BY cell_id),
+      c2 AS (SELECT c1.idx, c1.cell_id, coalesce(m2.mv, c1.cv) AS cv
+             FROM c1 LEFT JOIN m2 USING (cell_id)),
+      af AS (SELECT vec_id, v, cell_id FROM (
+               SELECT e.vec_id, e.v, c.cell_id,
+                      row_number() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                  c.idx) AS rn
+               FROM e CROSS JOIN c2 c) WHERE rn = 1)"""
+
+  /** Lloyd-refined k-means assignment as a catalog row — the clustering
+    * primitive under IVF and SemDeDup, oracle-checked end-to-end (the
+    * DuckDB side re-runs the whole fit + assignment independently). */
+  private val clusterKmeans = Q(
+    "cluster_kmeans",
+    Some(s"""$kmeansDuck
+      SELECT vec_id, cell_id FROM af ORDER BY vec_id"""),
+    (s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 8, iters = 2)
+        .select(col("vec_id"), col("cell_id"))
+        .orderBy(col("vec_id")))
+
+  /** SemDeDup: k-means cells confine the quadratic pair scan; a vector
+    * is dropped if a lower-id cell-mate has cosine >= 0.35 (`dup_of` =
+    * smallest witness, NULL = kept). Same 0.35 threshold as
+    * `dedup_embedding`, whose margin analysis carries over. */
+  private val dedupSemantic = Q(
+    "dedup_semantic",
+    Some(s"""$kmeansDuck
+      SELECT a.vec_id AS vec_id, a.cell_id AS cell_id, min(b.vec_id) AS dup_of
+      FROM af a LEFT JOIN af b
+        ON b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+       AND list_cosine_similarity(a.v, b.v) >= 0.35
+      GROUP BY a.vec_id, a.cell_id
+      ORDER BY vec_id"""),
+    (s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 8, iters = 2, threshold = 0.35)
+        .orderBy(col("vec_id")))
+
   /** Exact top-k oracle — shared by the brute-force baseline AND the
     * full-probe ANN variants (probing every cell/band reduces ANN to
     * exact search, so the same SQL applies verbatim). */
@@ -1415,6 +1491,7 @@ object LlmQueries extends QueryCatalog {
   override def defs: Seq[Q] = Seq(
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
+    clusterKmeans, dedupSemantic,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     pqEncodeQ, annPqFull, annPq,

@@ -89,9 +89,13 @@ class CatalogSpec extends AnyFunSuite {
     // merge-on-read equality delete: no target scan, no rewrite) → 219,
     // and the iceberg_sql_update_in row (UPDATE WHERE key IN (subquery)
     // as the update-only expr-merge, duplicate keys deduped) → 220.
+    // round 13 added the cluster_kmeans Lloyd-assignment row (DuckDB
+    // re-runs the whole quantized-mean fit) → 221, and the
+    // dedup_semantic SemDeDup row (within-cell cosine dedup with
+    // smallest lower-id witness) → 222.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 220 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 220 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 222 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 222 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -257,6 +257,77 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(km == brute3)
   }
 
+  test("kmeansAssign: total single assignment, agrees with driver-side argmax, no Exchange") {
+    val emb = Engine.t(spark, sf0001, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    val rows = assigned.collect()
+    assert(rows.length == n) // every vector assigned exactly once
+    val (ids, vecs) = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toSeq
+      val best = ids.indices.maxBy(i => cos(v, vecs(i))) // stable: first max wins ties
+      assert(r.getAs[Long]("cell_id") == ids(best),
+        s"vec ${r.getLong(0)} assigned ${r.getAs[Long]("cell_id")}, expected ${ids(best)}")
+    }
+    // the assignment itself is a pure projection over the scan — the
+    // corpus never shuffles (the fit's jobs already ran above)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kmeansAssign must not shuffle the corpus:\n$plan")
+  }
+
+  test("kmeansAssign fixture: two planted clusters separate; fit is reproducible") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.02f)), (1L, Seq(0.9f, -0.03f)), (2L, Seq(1.1f, 0.01f)),
+      (3L, Seq(0.01f, 1.0f)), (4L, Seq(-0.02f, 0.95f)), (5L, Seq(0.03f, 1.05f))
+    ).toDF("vec_id", "embedding")
+    val byCell = Similarity.kmeansAssign(emb, "vec_id", "embedding", nCells = 2, iters = 2)
+      .collect().groupBy(_.getAs[Long]("cell_id")).map { case (c, rs) =>
+        c -> rs.map(_.getLong(0)).toSet
+      }
+    // seeds are ids 0 and 1 (both x-axis); two Lloyd rounds pull the
+    // y-axis group onto its own centroid and re-collect the x group
+    assert(byCell.values.toSet == Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L)),
+      s"unexpected clustering: $byCell")
+    // reproducibility: a second independent fit lands on identical centroids
+    val f1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 2, 2)
+    val f2 = Similarity.kmeansCentroids(emb.repartition(7), "vec_id", "embedding", 2, 2)
+    assert(f1 == f2, "quantized means must make the fit partition-order independent")
+  }
+
+  test("semanticDedup: witnesses are valid, kept set is sound, subset of exact pairs") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+    val tau = 0.35
+    val dd = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, threshold = tau).collect()
+    assert(dd.length == emb.count()) // one verdict per vector
+    val cellOf = dd.map(r => r.getLong(0) -> r.getAs[Long]("cell_id")).toMap
+    val dups = dd.filter(!_.isNullAt(2))
+    assert(dups.nonEmpty, "sf0.001 has within-cell pairs >= 0.35 (84 measured)")
+    // exact global pairs at the same threshold (the dedup_embedding truth)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", tau, lsh = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dups.foreach { r =>
+      val (id, w) = (r.getLong(0), r.getAs[Long]("dup_of"))
+      assert(w < id, "witness must be the lower id")
+      assert(cellOf(w) == cellOf(id), "witness must share the cell")
+      assert(exact.contains((w, id)), s"($w,$id) must be a true cosine>=$tau pair")
+    }
+    // soundness of keeps: a kept vector has NO lower-id cell-mate at >= tau
+    val dupIds = dups.map(_.getLong(0)).toSet
+    exact.foreach { case (a, b) =>
+      if (cellOf(a) == cellOf(b)) assert(dupIds.contains(b),
+        s"in-cell pair ($a,$b) at >=$tau must mark $b as dup")
+    }
+  }
+
   test("SQ8: quantize/dequantize bounds error, full oversample = brute force, practical recall") {
     val emb = Engine.t(spark, sf0001, "embeddings")
     val (los, his) = Similarity.sq8Bounds(emb, "embedding")
