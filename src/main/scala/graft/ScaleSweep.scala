@@ -390,13 +390,28 @@ object ScaleSweep {
     * actually works, vs the uniform-random corpus of the main ann
     * sweep, which is IVF's documented worst case. */
   private def clusteredEmbeddingsDf(spark: org.apache.spark.sql.SparkSession,
-      nDocs: Long, dim: Int, nNatural: Int): DataFrame = {
-    val c = col("id") % nNatural
+      nDocs: Long, dim: Int, nNatural: Int,
+      plantedDups: Boolean = false): DataFrame = {
+    // plantedDups: every id ≡ 1 (mod 20) vector becomes its id-1
+    // partner's vector with dimension 0 nudged by +0.01 — cosine vs
+    // the partner > 0.9999 (norms ≈ 4.2) while unplanted pairs top
+    // out far below (cluster-mates share only the center term:
+    // expected cosine ≈ 0.61). With plantedDups=false the expression
+    // is EXACTLY the historical one — the ann-clustered corpus is
+    // unchanged bit-for-bit.
+    val planted = pmod(col("id"), lit(20L)) === 1
+    val eff = if (plantedDups) when(planted, col("id") - 1).otherwise(col("id"))
+      else col("id")
+    val c = eff % nNatural
     spark.range(nDocs).select(col("id").as("doc_id"),
-      transform(sequence(lit(0), lit(dim - 1)), d => (
-        ((pmod(xxhash64(c * 977 + d), lit(2001L)) - 1000L) / 1000.0) +
-          ((pmod(xxhash64(col("id") * 131 + d), lit(2001L)) - 1000L) / 1250.0))
-        .cast("float")).as("vec"))
+      transform(sequence(lit(0), lit(dim - 1)), d => {
+        val base =
+          ((pmod(xxhash64(c * 977 + d), lit(2001L)) - 1000L) / 1000.0) +
+            ((pmod(xxhash64(eff * 131 + d), lit(2001L)) - 1000L) / 1250.0)
+        (if (plantedDups)
+          base + when(planted && d === 0, lit(0.01)).otherwise(lit(0.0))
+         else base).cast("float")
+      }).as("vec"))
   }
 
   /** Recall-vs-nProbe curve for IVF on a clustered corpus (r5 verdict
@@ -447,25 +462,6 @@ object ScaleSweep {
       s""""naturalClusters":200,"k":$k,"recallVsNProbe":$curveJson}""")
   }
 
-  /** Clustered embeddings with PLANTED near-dups: every id ≡ 1 (mod 20)
-    * vector is its id-1 partner's vector with dimension 0 nudged by
-    * +0.01 — cosine vs the partner > 0.9999 (vector norms ≈ 4.2), while
-    * unplanted pairs top out far below 0.99 (cluster-mates share only
-    * the center term: expected cosine ≈ 0.61). Pure hash functions of
-    * the id, bit-reproducible like the other synthetic corpora. */
-  private def semDedupEmbeddingsDf(spark: org.apache.spark.sql.SparkSession,
-      nDocs: Long, dim: Int, nNatural: Int): DataFrame = {
-    val planted = pmod(col("id"), lit(20L)) === 1
-    val eff = when(planted, col("id") - 1).otherwise(col("id"))
-    val c = eff % nNatural
-    spark.range(nDocs).select(col("id").as("doc_id"),
-      transform(sequence(lit(0), lit(dim - 1)), d => (
-        ((pmod(xxhash64(c * 977 + d), lit(2001L)) - 1000L) / 1000.0) +
-          ((pmod(xxhash64(eff * 131 + d), lit(2001L)) - 1000L) / 1250.0) +
-          when(planted && d === 0, lit(0.01)).otherwise(lit(0.0)))
-        .cast("float")).as("vec"))
-  }
-
   /** SemDeDup sweep — the measured anchor for `Similarity.semanticDedup`
     * at 100 TB: the k-means fit is bounded collects only, the assignment
     * never shuffles the corpus, and the quadratic pair scan is confined
@@ -484,10 +480,13 @@ object ScaleSweep {
       listener: StageListener, nDocs: Long): Unit = {
     val dim = 32
     val tau = 0.99
-    val nCells = math.max(64, (nDocs / 2000).toInt)
+    // cells ~2k rows until the fit guard's 131072-cell ceiling (the
+    // plan-literal bound); past ~262M docs, cells grow instead —
+    // shard-fitting is the documented path beyond that
+    val nCells = math.min(131072, math.max(64, (nDocs / 2000).toInt))
     val corpusPath = java.nio.file.Files
       .createTempDirectory("graft_semdedup").resolve("emb").toString
-    semDedupEmbeddingsDf(spark, nDocs, dim, nNatural = 200)
+    clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200, plantedDups = true)
       .write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

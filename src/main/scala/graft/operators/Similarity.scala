@@ -97,10 +97,14 @@ object Similarity {
   def fitCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCells: Int): (Seq[Long], Seq[Seq[Double]]) = {
     // driver-memory contract: the fit COLLECTS nCells vectors and the
-    // plan ships them as a literal to every task — a careless caller
-    // must not be able to turn this into a corpus-sized collect
-    require(nCells >= 1 && nCells <= 65536,
-      s"nCells must be in [1, 65536] (got $nCells): the centroid fit " +
+    // plan ships them as a literal to every task (nCells×dim doubles)
+    // — a careless caller must not be able to turn this into a
+    // corpus-sized collect. 131072 covers SemDeDup's ~100k-cluster
+    // discipline at moderate dims (~67 MB at dim 64); beyond it — or
+    // at high dims — shard the corpus and fit per shard, or cluster
+    // hierarchically (cells of cells)
+    require(nCells >= 1 && nCells <= 131072,
+      s"nCells must be in [1, 131072] (got $nCells): the centroid fit " +
         "collects nCells vectors to the driver and broadcasts them " +
         "inside the plan; partition the corpus and fit per shard instead")
     val cent = corpus
@@ -493,8 +497,10 @@ object Similarity {
     * `(idCol, vecCol, cell_id)`; the fit is reproducible, so the same
     * data yields the same clustering at any parallelism. */
   def kmeansAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
-      nCells: Int, iters: Int): DataFrame = {
-    val (ids, vecs) = kmeansCentroids(corpus, corpusId, corpusVec, nCells, iters)
+      nCells: Int, iters: Int,
+      centroids: Option[(Seq[Long], Seq[Seq[Double]])] = None): DataFrame = {
+    val (ids, vecs) = centroids.getOrElse(
+      kmeansCentroids(corpus, corpusId, corpusVec, nCells, iters))
     ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
   }
 

@@ -1020,31 +1020,36 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     val keyRenames: Map[String, String] =
       keyPairs.filter { case (tn, sn) => tn != sn }
         .map { case (tn, sn) => sn -> tn }.toMap
-    require(keyPairs.map(_._1).distinct.size == keyPairs.size,
+    // duplicate detection is CASE-INSENSITIVE like Spark's resolver:
+    // `ON t.a = s.k AND t.b = s.K` names the same source column twice
+    require(keyPairs.map(_._1.toLowerCase).distinct.size == keyPairs.size,
       "MERGE ON equates the same target key column twice")
-    require(keyPairs.map(_._2).distinct.size == keyPairs.size,
+    require(keyPairs.map(_._2.toLowerCase).distinct.size == keyPairs.size,
       "MERGE ON uses the same source column for two target keys")
     // an assignment VALUE sees target columns bare and source columns
     // as __graft_s_<name> — the disambiguation the expr-merge's
     // touched-row join uses (source keys are renamed first, so a
     // reference to the source key lands on its target name)
     val sourceColsLower = source.output.map(_.name.toLowerCase).toSet
-    val targetColsLower: Set[String] = {
-      // align to the branch head the MERGE actually targets (branch
-      // schema may have evolved past main). Schema-tracking snapshots
-      // and declared schemas answer from one metadata doc; ONLY the
-      // rare adopted pre-tracking table (no tracked schema, no
-      // declaration) pays logicalShape's O(files) legacy-partition
-      // manifest walk — the ambiguity refusal must still see its
-      // partition columns, so silently skipping the shape there would
-      // reopen the silent-self-assign hole for exactly that class
+    // LAZY: only a bare single-part SET value needs the target shape —
+    // qualified and star assignments (the common forms) never pay this
+    // probe, which on a SPEC-LESS table includes logicalShape's
+    // manifest walk for adopted legacy partition columns. When the
+    // probe does run it must be sound: the walk is the only witness of
+    // legacy partition columns (a declaration alone cannot rule them
+    // out — an adopted root can carry BOTH a declared-schema.json and
+    // schema-less hive manifests — so the declared fields are UNIONED
+    // with the shape, never substituted for it). Aligned to the branch
+    // head the MERGE actually targets (branch schema may have evolved
+    // past main).
+    lazy val targetColsLower: Set[String] = {
       val snap = toBranch.map(IcebergLite.resolveRef(path, _))
-      val shape =
-        if (IcebergLite.tableSchema(path, snap).isDefined)
-          IcebergLite.logicalShape(path, snap)
+      val declared =
+        if (IcebergLite.tableSchema(path, snap).isDefined) Nil
         else GraftSqlCatalog.declaredSchema(path)
-          .getOrElse(IcebergLite.logicalShape(path, snap))
-      shape.fieldNames.map(_.toLowerCase).toSet
+          .map(_.fieldNames.toSeq).getOrElse(Nil)
+      (IcebergLite.logicalShape(path, snap).fieldNames.toSeq ++ declared)
+        .map(_.toLowerCase).toSet
     }
     // renamed-source-key lookup is CASE-INSENSITIVE like Spark's
     // resolver: `SET v = SID` must land on the same __graft_s_<target>
@@ -1081,7 +1086,12 @@ case class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
               s"reference `${a.nameParts.head}` in MERGE UPDATE SET is " +
                 "ambiguous (a column of that name exists on both the " +
                 "target and the source); qualify it with the table alias")
-          if (onSource) srcRef(a.nameParts.last)
+          // an UNKNOWABLE target shape (empty: no tracked schema, no
+          // declaration, no files) keeps the bare name target-side —
+          // fail-safe: a genuinely-target name resolves, a dangling
+          // one errors as UNRESOLVED_COLUMN instead of silently
+          // rewriting the target with the source column
+          if (onSource && targetColsLower.nonEmpty) srcRef(a.nameParts.last)
           else UnresolvedAttribute.quoted(a.nameParts.last)
       })
     }
@@ -1463,14 +1473,22 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     val src0 =
       if (keyRenames.isEmpty) srcRaw
       else {
-        keyRenames.foreach { case (sn, tn) =>
-          require(srcRaw.columns.contains(sn),
-            s"MERGE ON names source column $sn which the source lacks")
-          require(!srcRaw.columns.contains(tn),
+        // the ON-clause spelling of a source key resolves against the
+        // actual source columns CASE-INSENSITIVELY (Spark's resolver
+        // accepts `ON t.id = src.O_KEY` for column o_key); the rename
+        // map must then be keyed by the ACTUAL name, or
+        // withColumnsRenamed silently no-ops on the case mismatch
+        val resolved = keyRenames.map { case (sn, tn) =>
+          val actual = srcRaw.columns.find(_.equalsIgnoreCase(sn)).getOrElse(
+            throw new IllegalArgumentException(
+              s"MERGE ON names source column $sn which the source lacks"))
+          require(!srcRaw.columns.exists(c =>
+              !c.equalsIgnoreCase(actual) && c.equalsIgnoreCase(tn)),
             s"cannot rename source key $sn to $tn: the source already has " +
               s"a column named $tn")
+          actual -> tn
         }
-        srcRaw.withColumnsRenamed(keyRenames)
+        srcRaw.withColumnsRenamed(resolved)
       }
     // same cast discipline as INSERT: table-schema columns align to
     // their live types — the WRITE TARGET's head (branch merges align

@@ -622,6 +622,43 @@ class SqlDmlSpec extends AnyFunSuite {
       ON t.p = src.p
       WHEN MATCHED THEN UPDATE SET p = p"""))
     assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    // a DECLARATION on the same adopted root must not mask the legacy
+    // partition column: the declared fields are unioned with the
+    // manifest-walk shape, never substituted for it
+    graft.plans.GraftSqlCatalog.declareSchema(path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    val amb2 = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.leg AS t USING leg_src AS src
+      ON t.p = src.p
+      WHEN MATCHED THEN UPDATE SET p = p"""))
+    assert(amb2.getMessage.contains("ambiguous"), amb2.getMessage)
+  }
+
+  test("MERGE ON resolves a case-variant source-key spelling; duplicate keys refuse case-insensitively") {
+    root
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TABLE dml.db.ckey (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO dml.db.ckey VALUES (1, 1.0)")
+    Seq((1L, 3.0)).toDF("o_key", "w").createOrReplaceTempView("ckey_src")
+    // the ON clause spells the source key O_KEY; the source has o_key —
+    // Spark's resolver is case-insensitive, so the rename routes too
+    spark.sql("""
+      MERGE INTO dml.db.ckey AS t USING ckey_src AS src
+      ON t.id = src.O_KEY
+      WHEN MATCHED THEN UPDATE SET t.v = src.w""")
+    assert(spark.sql("SELECT v FROM dml.db.ckey").collect().head.getDouble(0) == 3.0)
+    // two case-variant spellings of ONE source column for two target
+    // keys is the same column twice — refuse, don't last-wins the map
+    spark.sql("CREATE TABLE dml.db.ckey2 (a BIGINT, b BIGINT, v DOUBLE)")
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("ckey2_src")
+    val dup = intercept[Exception](spark.sql("""
+      MERGE INTO dml.db.ckey2 AS t USING ckey2_src AS src
+      ON t.a = src.k AND t.b = src.K
+      WHEN MATCHED THEN UPDATE SET t.v = src.v"""))
+    assert(dup.getMessage.contains("same source column"), dup.getMessage)
   }
 
   test("MERGE ambiguity check sees the BRANCH head's evolved schema") {
