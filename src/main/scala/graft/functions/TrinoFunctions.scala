@@ -77,6 +77,10 @@ object TrinoFunctions {
     reg("is_infinite") { e => IsInfinite(e(0)) }
     reg("human_readable_seconds") { e => HumanReadableSeconds(e(0)) }
     reg("parse_data_size") { e => ParseDataSize(e(0)) }
+    // declared-but-NotImplemented in the reference executor
+    // (filter.rs:4529, :3999) — implemented here, exceeding it
+    reg("murmur3") { e => Murmur3(e(0)) }
+    reg("parse_duration") { e => ParseDuration(e(0)) }
     reg("truncate") { e =>
       if (e.size == 1) TruncateNumber(Cast(e(0), DoubleType), Literal(0))
       else TruncateNumber(Cast(e(0), DoubleType), Cast(e(1), IntegerType))

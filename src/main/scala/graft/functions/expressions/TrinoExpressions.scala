@@ -325,6 +325,78 @@ case class ParseDataSize(child: Expression) extends UnaryExpression with Codegen
   override def prettyName: String = "parse_data_size"
 }
 
+/** MURMUR3(x) — canonical MurmurHash3 x86_32 (Austin Appleby, public
+  * domain), seed 0, over UTF-8 (string) or raw (binary) bytes.
+  * Declared by the reference as Int32 (logical_expr.rs:450-451) but
+  * NotImplemented in its executor (filter.rs:4529-4534) — implemented
+  * here, pinned by the independently-generated
+  * data/hash_expected.parquet fixture (scripts/gen_hash_expected.py,
+  * which asserts the algorithm's published verification vectors). */
+case class Murmur3(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = 0
+    val n = bytes.length
+    var i = 0
+    while (i + 4 <= n) {
+      var k = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    val rem = n & 3
+    if (rem >= 3) k ^= (bytes(i + 2) & 0xff) << 16
+    if (rem >= 2) k ^= (bytes(i + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k ^= bytes(i) & 0xff
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= n
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "murmur3"
+}
+
+/** PARSE_DURATION('5m') — Trino's duration grammar (decimal value +
+  * unit ns|us|ms|s|m|h|d, optional space) as a day-time interval.
+  * Declared by the reference as Interval(DayTime)
+  * (logical_expr.rs:1267-1269) but NotImplemented (filter.rs:3999) —
+  * implemented here at microsecond precision (DayTimeIntervalType's
+  * native unit; nanoseconds round half up). */
+case class ParseDuration(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DayTimeIntervalType()
+  private val Pat = """\s*(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)\s*""".r
+  override def nullSafeEval(v: Any): Any =
+    v.asInstanceOf[UTF8String].toString match {
+      case Pat(num, unit) =>
+        val perUnitMicros = unit match {
+          case "ns" => BigDecimal(1) / 1000
+          case "us" => BigDecimal(1)
+          case "ms" => BigDecimal(1000)
+          case "s" => BigDecimal(1000000L)
+          case "m" => BigDecimal(60000000L)
+          case "h" => BigDecimal(3600000000L)
+          case "d" => BigDecimal(86400000000L)
+        }
+        (BigDecimal(num) * perUnitMicros)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLongExact
+      case other => throw new IllegalArgumentException(
+        s"parse_duration: invalid duration literal '$other' " +
+          "(expected <decimal><ns|us|ms|s|m|h|d>)")
+    }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "parse_duration"
+}
+
 /** Trino TRUNCATE(x[, n]) — round toward zero. */
 case class TruncateNumber(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

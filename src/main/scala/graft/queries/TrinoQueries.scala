@@ -359,8 +359,45 @@ object TrinoQueries extends QueryCatalog {
                     AND count(DISTINCT l_partkey) * 1.15) AS sketch_in_band
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** murmur3 + parse_duration — declared by the reference but
+    * NotImplemented in its executor (filter.rs:4529, :3999);
+    * implemented here and pinned by a COMMITTED-CONSTANTS oracle
+    * (scripts/gen_hash_expected.py: an independent pure-Python
+    * canonical MurmurHash3 x86_32 — asserted against the algorithm's
+    * published verification vectors — and an independent duration
+    * parse). Inputs are constants derived from doc_id, covering every
+    * murmur3 tail class (lengths 0..441, all mod-4 residues) and every
+    * whole-second duration unit; sub-second parse_duration precision
+    * is pinned in FunctionValuesSpec. */
+  private val trinoHashDuration = Q(
+    "trino_hash_duration",
+    Some("""
+      SELECT doc_id, slen, mm3, dur, dur_sec
+      FROM '/root/repo/data/hash_expected.parquet'
+      ORDER BY doc_id"""),
+    (s, dir) => sql(s, dir)("""
+      SELECT doc_id, slen,
+             murmur3(substring(
+               repeat('The quick brown fox jumps over the lazy dog. ', 10),
+               1, slen)) AS mm3,
+             dur,
+             CAST(parse_duration(dur) AS BIGINT) AS dur_sec
+      FROM (
+        SELECT doc_id,
+               element_at(array(0,1,2,3,4,5,7,8,11,15,16,23,31,32,45,63,
+                                64,95,127,128,191,192,255,320,441),
+                          cast(doc_id as int) + 1) AS slen,
+               element_at(array('90s','5m','1.5h','2d','36h','45s','720m',
+                                '3h','1d','0s','600s','2.5m','12h','7d',
+                                '30s','15m','0.5h','4d','100s','25m','6h',
+                                '10d','1s','59m','23h'),
+                          cast(doc_id as int) + 1) AS dur
+        FROM documents WHERE doc_id < 25)
+      ORDER BY doc_id"""))
+
   override def defs: Seq[Q] = Seq(
     trinoCosine, trinoDatetime, trinoStrings, trinoEncoding, trinoMath,
     trinoAggFns, trinoChecksum, trinoCustomFns, trinoStatisticalFns,
-    trinoStatsClosedForm, trinoApproxPctlSketch, trinoApproxNdvSketch)
+    trinoStatsClosedForm, trinoApproxPctlSketch, trinoApproxNdvSketch,
+    trinoHashDuration)
 }

@@ -92,10 +92,13 @@ class CatalogSpec extends AnyFunSuite {
     // round 13 added the cluster_kmeans Lloyd-assignment row (DuckDB
     // re-runs the whole quantized-mean fit) → 221, and the
     // dedup_semantic SemDeDup row (within-cell cosine dedup with
-    // smallest lower-id witness) → 222.
+    // smallest lower-id witness) → 222, and the trino_hash_duration
+    // row (murmur3 + parse_duration — declared-but-NotImplemented in
+    // the reference, implemented here against an independent Python
+    // fixture) → 223.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 222 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 222 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 223 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 223 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

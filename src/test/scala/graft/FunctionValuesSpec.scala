@@ -233,6 +233,36 @@ class FunctionValuesSpec extends AnyFunSuite {
       "localtime() BETWEEN 0 AND 86399999999" -> "true"))
   }
 
+  test("murmur3 matches the published x86_32 verification vectors; parse_duration sub-second") {
+    check(Seq(
+      // the same vectors scripts/gen_hash_expected.py asserts —
+      // 0x248bfa47 and 0x2e4ff723, canonical MurmurHash3 x86_32 seed 0
+      "murmur3('')" -> "0",
+      "murmur3('hello')" -> 0x248bfa47.toString,
+      "murmur3('The quick brown fox jumps over the lazy dog')" ->
+        0x2e4ff723.toString,
+      "murmur3(CAST('hello' AS BINARY))" -> 0x248bfa47.toString,
+      "murmur3(CAST(NULL AS STRING))" -> "null",
+      // micros precision through the interval: 1500ns rounds half-up
+      // to 2us; 750us and 1.5ms land exactly
+      "CAST(parse_duration('1500ns') AS STRING)" ->
+        "INTERVAL '0 00:00:00.000002' DAY TO SECOND",
+      "CAST(parse_duration('750us') AS STRING)" ->
+        "INTERVAL '0 00:00:00.00075' DAY TO SECOND",
+      "CAST(parse_duration('1.5ms') AS STRING)" ->
+        "INTERVAL '0 00:00:00.0015' DAY TO SECOND",
+      "CAST(parse_duration('2.5m') AS STRING)" ->
+        "INTERVAL '0 00:02:30' DAY TO SECOND",
+      "CAST(parse_duration(' 1.5 h ') AS STRING)" ->
+        "INTERVAL '0 01:30:00' DAY TO SECOND",
+      "CAST(parse_duration('2d') AS BIGINT)" -> "172800"))
+    // invalid literal refuses like Trino (not null, not zero)
+    Engine.registerDir(spark, sf0001)
+    val bad = intercept[Exception](
+      spark.sql("SELECT parse_duration('5 parsecs')").collect())
+    assert(bad.getMessage.contains("invalid duration"), bad.getMessage)
+  }
+
   test("json_object error semantics: NULL key is a runtime error, odd arity an analysis error") {
     Engine.registerDir(spark, sf0001)
     // NULL key: Trino/reference raise; silently mapping to "" would
