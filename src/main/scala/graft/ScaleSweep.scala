@@ -480,10 +480,12 @@ object ScaleSweep {
       listener: StageListener, nDocs: Long): Unit = {
     val dim = 32
     val tau = 0.99
-    // cells ~2k rows until the fit guard's 131072-cell ceiling (the
+    // cells ~2k rows until the fit guard's MaxFitCells ceiling (the
     // plan-literal bound); past ~262M docs, cells grow instead —
-    // shard-fitting is the documented path beyond that
-    val nCells = math.min(131072, math.max(64, (nDocs / 2000).toInt))
+    // shard-fitting is the documented path beyond that. Clamp on Long
+    // BEFORE narrowing: docs/2000 can overflow Int at absurd nDocs
+    val nCells = math.min(operators.Similarity.MaxFitCells.toLong,
+      math.max(64L, nDocs / 2000)).toInt
     val corpusPath = java.nio.file.Files
       .createTempDirectory("graft_semdedup").resolve("emb").toString
     clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200, plantedDups = true)

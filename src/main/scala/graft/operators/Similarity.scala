@@ -20,6 +20,13 @@ import graft.functions.expressions.{CosineSimilarity, HyperplaneLsh, PqAdcDot, P
   */
 object Similarity {
 
+  /** Ceiling on centroid/codebook fit sizes: the fit collects this
+    * many vectors to the driver and ships them inside the plan as a
+    * literal (MaxFitCells×dim doubles). Covers SemDeDup's ~100k-cell
+    * discipline at moderate dims; shard the corpus and fit per shard
+    * (or cluster hierarchically) beyond it. */
+  val MaxFitCells: Int = 131072
+
   def cosine(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
   /** Signature column: 64-bit hyperplane LSH fingerprint. */
@@ -96,16 +103,11 @@ object Similarity {
     * corpus). Returns (cellIds, cellVecs) ordered by id. */
   def fitCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCells: Int): (Seq[Long], Seq[Seq[Double]]) = {
-    // driver-memory contract: the fit COLLECTS nCells vectors and the
-    // plan ships them as a literal to every task (nCells×dim doubles)
-    // — a careless caller must not be able to turn this into a
-    // corpus-sized collect. 131072 covers SemDeDup's ~100k-cluster
-    // discipline at moderate dims (~67 MB at dim 64); beyond it — or
-    // at high dims — shard the corpus and fit per shard, or cluster
-    // hierarchically (cells of cells)
-    require(nCells >= 1 && nCells <= 131072,
-      s"nCells must be in [1, 131072] (got $nCells): the centroid fit " +
-        "collects nCells vectors to the driver and broadcasts them " +
+    // driver-memory contract: a careless caller must not be able to
+    // turn the fit into a corpus-sized collect — see [[MaxFitCells]]
+    require(nCells >= 1 && nCells <= MaxFitCells,
+      s"nCells must be in [1, $MaxFitCells] (got $nCells): the centroid " +
+        "fit collects nCells vectors to the driver and broadcasts them " +
         "inside the plan; partition the corpus and fit per shard instead")
     val cent = corpus
       .select(col(corpusId).cast("long").as("cell_id"),

@@ -1505,12 +1505,22 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
       if (IcebergLite.tableSchema(tablePath, alignSnap).isDefined)
         IcebergLite.logicalShape(tablePath, alignSnap)
       else IcebergLite.read(spark, tablePath, alignSnap).schema
+    // alignment matches CASE-INSENSITIVELY (the rename above may have
+    // used the ON clause's spelling of the target key) and ALIASES to
+    // the schema's own casing, so the aligned frame carries the
+    // table's canonical column names whatever the statement spelled
     val src =
       if (live.isEmpty) src0
-      else src0.select(
-        (live.fields.toSeq.filter(f => src0.columns.contains(f.name))
-          .map(f => col(f.name).cast(f.dataType).as(f.name)) ++
-          src0.columns.toSeq.filterNot(live.fieldNames.contains).map(col)): _*)
+      else {
+        def actual(name: String): Option[String] =
+          src0.columns.find(_.equalsIgnoreCase(name))
+        src0.select(
+          (live.fields.toSeq.flatMap(f =>
+            actual(f.name).map(c => col(c).cast(f.dataType).as(f.name))) ++
+            src0.columns.toSeq
+              .filterNot(c => live.fieldNames.exists(_.equalsIgnoreCase(c)))
+              .map(col)): _*)
+      }
     val (df, tomb) =
       if (deleteAll) (src.withColumn("__graft_tombstone", lit(true)),
         Some("__graft_tombstone"))

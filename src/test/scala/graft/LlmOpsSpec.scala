@@ -723,7 +723,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException](
-      Similarity.fitCentroids(emb, "vec_id", "embedding", nCells = 131073))
+      Similarity.fitCentroids(emb, "vec_id", "embedding",
+        nCells = Similarity.MaxFitCells + 1))
     assert(e1.getMessage.contains("nCells"))
     intercept[IllegalArgumentException](
       Similarity.fitCentroids(emb, "vec_id", "embedding", nCells = 0))

@@ -650,6 +650,18 @@ class SqlDmlSpec extends AnyFunSuite {
       ON t.id = src.O_KEY
       WHEN MATCHED THEN UPDATE SET t.v = src.w""")
     assert(spark.sql("SELECT v FROM dml.db.ckey").collect().head.getDouble(0) == 3.0)
+    // a case-variant spelling of the TARGET key must not dodge the
+    // cast alignment: the renamed key takes the ON spelling ('ID'),
+    // and alignment must still find it against schema field 'id',
+    // cast the STRING source key to the target's BIGINT, and emit the
+    // schema's own casing
+    Seq(("1", 8.5)).toDF("o_key", "w").createOrReplaceTempView("ckey_src2")
+    spark.sql("""
+      MERGE INTO dml.db.ckey AS t USING ckey_src2 AS src
+      ON t.ID = src.o_key
+      WHEN MATCHED THEN UPDATE SET t.v = src.w""")
+    val r = spark.sql("SELECT id, v FROM dml.db.ckey").collect().head
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 8.5)
     // two case-variant spellings of ONE source column for two target
     // keys is the same column twice — refuse, don't last-wins the map
     spark.sql("CREATE TABLE dml.db.ckey2 (a BIGINT, b BIGINT, v DOUBLE)")
