@@ -1311,11 +1311,21 @@ case class GraftRenameColumnCommand(tablePath: String,
     (IcebergLite.currentSnapshotId(tablePath),
         GraftSqlCatalog.declaredSchema(tablePath)) match {
       case (None, Some(d)) =>
-        require(d.fieldNames.contains(from), s"column $from does not exist")
-        require(!d.fieldNames.contains(to), s"column $to already exists")
+        // the FROM spelling resolves case-insensitively like Spark's
+        // resolver; TO collides case-insensitively too (two columns
+        // differing only in case would be ambiguous to every reader) —
+        // except against the renamed column itself (re-casing is fine)
+        val actual = d.fieldNames.find(_.equalsIgnoreCase(from)).getOrElse(
+          throw new IllegalArgumentException(s"column $from does not exist"))
+        require(!d.fieldNames.exists(n =>
+            !n.equalsIgnoreCase(actual) && n.equalsIgnoreCase(to)),
+          s"column $to already exists")
         GraftSqlCatalog.declareSchema(tablePath, StructType(d.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f)))
-      case _ => IcebergLite.renameColumn(tablePath, from, to)
+          if (f.name == actual) f.copy(name = to) else f)))
+      case _ =>
+        val actual = IcebergLite.logicalShape(tablePath, None).fieldNames
+          .find(_.equalsIgnoreCase(from)).getOrElse(from)
+        IcebergLite.renameColumn(tablePath, actual, to)
     }
     Nil
   }
@@ -1396,15 +1406,21 @@ case class GraftDeleteInCommand(tablePath: String, keyCols: Seq[String],
     // read (the delete-application join fails), where the plain-DELETE
     // path fails before committing — validate against the logical
     // shape, the same metadata-only truth INSERT aligns to
+    // key spellings resolve CASE-INSENSITIVELY like Spark's resolver,
+    // and the eq-delete is keyed by the shape's canonical casing — a
+    // wrong-case key column in the delete file would silently fail to
+    // apply on a case-sensitive store
     val shape = IcebergLite.logicalShape(tablePath, None)
-    val unknown = keyCols.filterNot(shape.fieldNames.contains)
+    val resolved = keyCols.map(k =>
+      shape.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k))
+    val unknown = resolved.filterNot(shape.fieldNames.contains)
     require(shape.isEmpty || unknown.isEmpty,
       s"DELETE ... IN key columns not in the table: ${unknown.mkString(", ")}")
     val keys = org.apache.spark.sql.GraftColumnBridge.toDF(spark, subquery.plan)
     require(keys.columns.length == keyCols.length,
       s"IN subquery produces ${keys.columns.length} columns for " +
         s"${keyCols.length} key columns")
-    IcebergLite.deleteEquality(spark, tablePath, keys.toDF(keyCols: _*))
+    IcebergLite.deleteEquality(spark, tablePath, keys.toDF(resolved: _*))
     Nil
   }
 }
@@ -1422,16 +1438,19 @@ case class GraftUpdateInCommand(tablePath: String, keyCols: Seq[String],
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
+    // same case-insensitive key resolution as the DELETE ... IN route
     val shape = IcebergLite.logicalShape(tablePath, None)
-    val unknown = keyCols.filterNot(shape.fieldNames.contains)
+    val resolved = keyCols.map(k =>
+      shape.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k))
+    val unknown = resolved.filterNot(shape.fieldNames.contains)
     require(shape.isEmpty || unknown.isEmpty,
       s"UPDATE ... IN key columns not in the table: ${unknown.mkString(", ")}")
     val keys = org.apache.spark.sql.GraftColumnBridge.toDF(spark, subquery.plan)
     require(keys.columns.length == keyCols.length,
       s"IN subquery produces ${keys.columns.length} columns for " +
         s"${keyCols.length} key columns")
-    IcebergLite.merge(spark, tablePath, keys.toDF(keyCols: _*).distinct(),
-      keyCols, updateAssigns = Some(assignments), insertUnmatched = false)
+    IcebergLite.merge(spark, tablePath, keys.toDF(resolved: _*).distinct(),
+      resolved, updateAssigns = Some(assignments), insertUnmatched = false)
     Nil
   }
 }
@@ -1684,14 +1703,18 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
         require(src.columns.length == userCols.length,
           s"INSERT column list has ${userCols.length} names but the query " +
             s"produces ${src.columns.length} columns")
-        require(userCols.distinct.length == userCols.length,
+        // list names resolve case-insensitively (Spark's resolver) and
+        // normalize to the schema's own casing before alignment
+        val resolvedUser = userCols.map(u =>
+          schema.fieldNames.find(_.equalsIgnoreCase(u)).getOrElse(u))
+        require(resolvedUser.map(_.toLowerCase).distinct.length == userCols.length,
           s"INSERT column list names a column twice: ${userCols.mkString(", ")}")
-        val unknown = userCols.filterNot(schema.fieldNames.contains)
+        val unknown = resolvedUser.filterNot(schema.fieldNames.contains)
         require(unknown.isEmpty,
           s"INSERT column list names absent from the table: ${unknown.mkString(", ")}")
-        val listed = src.toDF(userCols: _*)
+        val listed = src.toDF(resolvedUser: _*)
         listed.select(schema.fields.toSeq.map { f =>
-          (if (userCols.contains(f.name)) col(f.name)
+          (if (resolvedUser.contains(f.name)) col(f.name)
            else org.apache.spark.sql.functions.lit(null))
             .cast(f.dataType).as(f.name)
         }: _*)
@@ -1700,7 +1723,8 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
           s"INSERT column count ${src.columns.length} != table ${schema.length}")
         val positioned =
           if (byName) {
-            val missing = schema.fieldNames.filterNot(src.columns.contains)
+            val missing = schema.fieldNames
+              .filterNot(n => src.columns.exists(_.equalsIgnoreCase(n)))
             require(missing.isEmpty, s"BY NAME insert missing ${missing.mkString(", ")}")
             src.select(schema.fieldNames.toSeq.map(col): _*)
           } else src.toDF(schema.fieldNames.toSeq: _*)

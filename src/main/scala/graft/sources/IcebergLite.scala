@@ -4172,11 +4172,17 @@ object IcebergLite {
     require(!specNames.contains(oldName) && !specNames.contains(newName),
       s"cannot rename $oldName -> $newName: partition-spec source/field names are fixed")
     val parentMap = renames(tablePath, parentId)
-    // the current logical column set, recovered from metadata alone
-    // (manifest bounds + partition keys name every column data files
-    // carry) — used to refuse collisions and renames of nothing
+    // the current logical column set, recovered from metadata alone:
+    // manifest bounds + partition keys name every column data files
+    // carry, UNIONED with the tracked snapshot schema (physical names)
+    // — bounds alone miss all-NULL columns (no stats recorded), which
+    // both made them un-renameable and let another column be renamed
+    // ONTO their name
+    val schemaCols = tableSchema(tablePath, parentId)
+      .map(_.fieldNames.toSet).getOrElse(Set.empty)
     val physCols = dataFiles(tablePath).flatMap(f =>
-      f.lowerBounds.keys ++ f.upperBounds.keys ++ f.partition.keys).toSet
+      f.lowerBounds.keys ++ f.upperBounds.keys ++ f.partition.keys).toSet ++
+      schemaCols
     val logicalNow = physCols.map(p => parentMap.getOrElse(p, p)) ++ parentMap.values
     require(!logicalNow.contains(newName),
       s"column name $newName is already in use")

@@ -710,6 +710,44 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!spark.sql("SELECT * FROM dml.db.bramb").columns.contains("w"))
   }
 
+  test("case-variant identifier spellings resolve like Spark across INSERT/IN-DML/RENAME") {
+    root
+    spark.sql("CREATE TABLE dml.db.civ (id BIGINT, v DOUBLE, tag STRING)")
+    // column-list INSERT: spellings resolve and normalize; unlisted null-fill
+    spark.sql("INSERT INTO dml.db.civ (ID, V) VALUES (1, 1.5), (2, 2.5)")
+    val r0 = spark.sql("SELECT id, v, tag FROM dml.db.civ ORDER BY id").collect()
+    assert(r0.map(_.getLong(0)).toSeq == Seq(1L, 2L) && r0.forall(_.isNullAt(2)))
+    // case-variant duplicate in the list is the same column twice
+    val dup = intercept[Exception](
+      spark.sql("INSERT INTO dml.db.civ (id, ID) VALUES (3, 4)"))
+    assert(dup.getMessage.contains("twice"), dup.getMessage)
+    // UPDATE ... IN with a case-variant key spelling
+    spark.sql("UPDATE dml.db.civ SET v = v + 10 WHERE ID IN (SELECT 1)")
+    assert(spark.sql("SELECT v FROM dml.db.civ WHERE id = 1")
+      .collect().head.getDouble(0) == 11.5)
+    // DELETE ... IN with a case-variant key spelling (eq-delete route)
+    spark.sql("DELETE FROM dml.db.civ WHERE ID IN (SELECT 2)")
+    assert(spark.sql("SELECT count(*) FROM dml.db.civ").collect().head.getLong(0) == 1)
+    // RENAME COLUMN with a case-variant FROM spelling — works even for
+    // an all-NULL column (no file bounds: the tracked schema is the
+    // witness of its existence)
+    spark.sql("ALTER TABLE dml.db.civ RENAME COLUMN TAG TO label")
+    assert(spark.sql("SELECT label FROM dml.db.civ").collect().head.isNullAt(0))
+    // ...and an all-NULL column's name is OCCUPIED: renaming another
+    // column onto it refuses (previously the bounds-derived column set
+    // missed stats-less columns and allowed the collision)
+    val occupied = intercept[Exception](
+      spark.sql("ALTER TABLE dml.db.civ RENAME COLUMN v TO label"))
+    assert(occupied.getMessage.contains("already in use"), occupied.getMessage)
+    // declared-only table (no snapshot yet): same resolution, and a
+    // TO colliding only by case refuses
+    spark.sql("CREATE TABLE dml.db.civ2 (a BIGINT, b DOUBLE)")
+    spark.sql("ALTER TABLE dml.db.civ2 RENAME COLUMN A TO c")
+    val clash = intercept[Exception](
+      spark.sql("ALTER TABLE dml.db.civ2 RENAME COLUMN b TO C"))
+    assert(clash.getMessage.contains("already exists"), clash.getMessage)
+  }
+
   test("a flag-tombstone arm without an UPDATE arm refuses with the routing hint") {
     root
     val s = spark
