@@ -138,6 +138,14 @@ object GraftRelation {
 }
 
 object GraftSqlCatalog {
+  /** Spark's case-insensitive column resolution: the schema's
+    * canonical spelling for a user-written name, if any. EVERY
+    * user-facing identifier on the SQL surface resolves through this
+    * before reaching the table layer (whose rename maps and physical
+    * names are exact-case). */
+  def resolveColumn(fieldNames: Iterable[String], name: String): Option[String] =
+    fieldNames.find(_.equalsIgnoreCase(name))
+
   /** Catalog root for `name` iff `name` is registered as a graft
     * catalog in this session. */
   def rootFor(spark: SparkSession, name: String): Option[String] =
@@ -1315,7 +1323,7 @@ case class GraftRenameColumnCommand(tablePath: String,
         // resolver; TO collides case-insensitively too (two columns
         // differing only in case would be ambiguous to every reader) —
         // except against the renamed column itself (re-casing is fine)
-        val actual = d.fieldNames.find(_.equalsIgnoreCase(from)).getOrElse(
+        val actual = GraftSqlCatalog.resolveColumn(d.fieldNames, from).getOrElse(
           throw new IllegalArgumentException(s"column $from does not exist"))
         require(!d.fieldNames.exists(n =>
             !n.equalsIgnoreCase(actual) && n.equalsIgnoreCase(to)),
@@ -1323,8 +1331,8 @@ case class GraftRenameColumnCommand(tablePath: String,
         GraftSqlCatalog.declareSchema(tablePath, StructType(d.fields.map(f =>
           if (f.name == actual) f.copy(name = to) else f)))
       case _ =>
-        val actual = IcebergLite.logicalShape(tablePath, None).fieldNames
-          .find(_.equalsIgnoreCase(from)).getOrElse(from)
+        val actual = GraftSqlCatalog.resolveColumn(
+          IcebergLite.logicalShape(tablePath, None).fieldNames, from).getOrElse(from)
         IcebergLite.renameColumn(tablePath, actual, to)
     }
     Nil
@@ -1412,7 +1420,10 @@ case class GraftDeleteInCommand(tablePath: String, keyCols: Seq[String],
     // apply on a case-sensitive store
     val shape = IcebergLite.logicalShape(tablePath, None)
     val resolved = keyCols.map(k =>
-      shape.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k))
+      GraftSqlCatalog.resolveColumn(shape.fieldNames, k).getOrElse(k))
+    // two case-variant spellings of one column are the same key twice
+    require(resolved.map(_.toLowerCase).distinct.length == resolved.length,
+      s"DELETE ... IN names a key column twice: ${keyCols.mkString(", ")}")
     val unknown = resolved.filterNot(shape.fieldNames.contains)
     require(shape.isEmpty || unknown.isEmpty,
       s"DELETE ... IN key columns not in the table: ${unknown.mkString(", ")}")
@@ -1441,7 +1452,9 @@ case class GraftUpdateInCommand(tablePath: String, keyCols: Seq[String],
     // same case-insensitive key resolution as the DELETE ... IN route
     val shape = IcebergLite.logicalShape(tablePath, None)
     val resolved = keyCols.map(k =>
-      shape.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k))
+      GraftSqlCatalog.resolveColumn(shape.fieldNames, k).getOrElse(k))
+    require(resolved.map(_.toLowerCase).distinct.length == resolved.length,
+      s"UPDATE ... IN names a key column twice: ${keyCols.mkString(", ")}")
     val unknown = resolved.filterNot(shape.fieldNames.contains)
     require(shape.isEmpty || unknown.isEmpty,
       s"UPDATE ... IN key columns not in the table: ${unknown.mkString(", ")}")
@@ -1498,7 +1511,7 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
         // map must then be keyed by the ACTUAL name, or
         // withColumnsRenamed silently no-ops on the case mismatch
         val resolved = keyRenames.map { case (sn, tn) =>
-          val actual = srcRaw.columns.find(_.equalsIgnoreCase(sn)).getOrElse(
+          val actual = GraftSqlCatalog.resolveColumn(srcRaw.columns, sn).getOrElse(
             throw new IllegalArgumentException(
               s"MERGE ON names source column $sn which the source lacks"))
           require(!srcRaw.columns.exists(c =>
@@ -1527,19 +1540,31 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     // alignment matches CASE-INSENSITIVELY (the rename above may have
     // used the ON clause's spelling of the target key) and ALIASES to
     // the schema's own casing, so the aligned frame carries the
-    // table's canonical column names whatever the statement spelled
+    // table's canonical column names whatever the statement spelled.
+    // Extra source columns (tombstone/precedence riders) are the ones
+    // the alignment did not CONSUME — a rider that happens to be a
+    // case variant of a consumed column still rides along untouched
     val src =
       if (live.isEmpty) src0
       else {
         def actual(name: String): Option[String] =
-          src0.columns.find(_.equalsIgnoreCase(name))
+          GraftSqlCatalog.resolveColumn(src0.columns, name)
+        val consumed = live.fields.toSeq.flatMap(f => actual(f.name)).toSet
         src0.select(
           (live.fields.toSeq.flatMap(f =>
             actual(f.name).map(c => col(c).cast(f.dataType).as(f.name))) ++
-            src0.columns.toSeq
-              .filterNot(c => live.fieldNames.exists(_.equalsIgnoreCase(c)))
-              .map(col)): _*)
+            src0.columns.toSeq.filterNot(consumed.contains).map(col)): _*)
       }
+    // user spellings of the ON keys and SET/INSERT target columns
+    // resolve to the live schema's canonical casing BEFORE the merge
+    // primitive: its logical→physical rename translation is an
+    // exact-case map, so a case-variant spelling of a RENAMED column
+    // would otherwise pass through untranslated
+    def canon(n: String): String =
+      GraftSqlCatalog.resolveColumn(live.fieldNames, n).getOrElse(n)
+    val keyColsC = keyCols.map(canon)
+    val updateAssignsC = updateAssigns.map(_.map { case (n, c) => (canon(n), c) })
+    val insertAssignsC = insertAssigns.map(_.map { case (n, c) => (canon(n), c) })
     val (df, tomb) =
       if (deleteAll) (src.withColumn("__graft_tombstone", lit(true)),
         Some("__graft_tombstone"))
@@ -1549,11 +1574,11 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     // contract — mergeFor requires the INSERT * there)
     val exprStatement = updateAssigns.nonEmpty || insertAssigns.nonEmpty ||
       insertOnly || deleteUnmatchedTarget
-    IcebergLite.merge(spark, tablePath, df, keyCols,
+    IcebergLite.merge(spark, tablePath, df, keyColsC,
       precedence = precedence, tombstoneCol = tomb, toBranch = toBranch,
-      updateAssigns = updateAssigns,
+      updateAssigns = updateAssignsC,
       insertUnmatched = if (exprStatement) insertAll else true,
-      insertAssigns = insertAssigns, insertOnly = insertOnly,
+      insertAssigns = insertAssignsC, insertOnly = insertOnly,
       deleteUnmatchedTarget = deleteUnmatchedTarget)
     Nil
   }
@@ -1706,7 +1731,7 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
         // list names resolve case-insensitively (Spark's resolver) and
         // normalize to the schema's own casing before alignment
         val resolvedUser = userCols.map(u =>
-          schema.fieldNames.find(_.equalsIgnoreCase(u)).getOrElse(u))
+          GraftSqlCatalog.resolveColumn(schema.fieldNames, u).getOrElse(u))
         require(resolvedUser.map(_.toLowerCase).distinct.length == userCols.length,
           s"INSERT column list names a column twice: ${userCols.mkString(", ")}")
         val unknown = resolvedUser.filterNot(schema.fieldNames.contains)
@@ -1724,7 +1749,7 @@ case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
         val positioned =
           if (byName) {
             val missing = schema.fieldNames
-              .filterNot(n => src.columns.exists(_.equalsIgnoreCase(n)))
+              .filterNot(n => GraftSqlCatalog.resolveColumn(src.columns, n).isDefined)
             require(missing.isEmpty, s"BY NAME insert missing ${missing.mkString(", ")}")
             src.select(schema.fieldNames.toSeq.map(col): _*)
           } else src.toDF(schema.fieldNames.toSeq: _*)

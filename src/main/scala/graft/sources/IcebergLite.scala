@@ -4184,7 +4184,12 @@ object IcebergLite {
       f.lowerBounds.keys ++ f.upperBounds.keys ++ f.partition.keys).toSet ++
       schemaCols
     val logicalNow = physCols.map(p => parentMap.getOrElse(p, p)) ++ parentMap.values
-    require(!logicalNow.contains(newName),
+    // collision checks are CASE-INSENSITIVE: readers resolve names
+    // case-insensitively, so two columns differing only in case are
+    // ambiguous to every query. Re-casing the renamed column itself
+    // (old/new differ only in case) is the one legal overlap.
+    require(!logicalNow.exists(n =>
+        n.equalsIgnoreCase(newName) && !n.equalsIgnoreCase(oldName)),
       s"column name $newName is already in use")
     require(logicalNow.contains(oldName) || physCols.isEmpty,
       s"column $oldName does not exist")
@@ -4194,7 +4199,7 @@ object IcebergLite {
     // physically-read column onto a live one (duplicate columns in
     // every subsequent rewrite). Renaming a column back to its own
     // physical name (phys == newName) is the one legal overlap.
-    require(!(physCols - phys).contains(newName),
+    require(!(physCols - phys).exists(_.equalsIgnoreCase(newName)),
       s"column name $newName shadows another column's physical name")
     val newMap =
       if (phys == newName) parentMap - phys

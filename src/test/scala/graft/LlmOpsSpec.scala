@@ -302,6 +302,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(f1 == f2, "quantized means must make the fit partition-order independent")
   }
 
+  test("prefitted-centroids seam: kmeansAssign/semanticDedup with an index match the internal fit") {
+    val emb = Engine.t(spark, sf0001, "embeddings").select(col("vec_id"), col("embedding"))
+    val idx = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getAs[Long]("cell_id"))).sortBy(_._1).toSeq
+    val internal = key(Similarity.kmeansAssign(emb, "vec_id", "embedding", 8, 2)
+      .select(col("vec_id"), col("cell_id")).collect())
+    val prefit = key(Similarity.kmeansAssign(emb, "vec_id", "embedding", 8, 2,
+        centroids = Some(idx))
+      .select(col("vec_id"), col("cell_id")).collect())
+    assert(internal == prefit) // fit-once-serve-many equals refit (reproducible fit)
+    val ddInternal = Similarity.semanticDedup(emb, "vec_id", "embedding", 8, 2, 0.35)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cell_id"),
+        Option(r.get(2)))).sortBy(_._1).toSeq
+    val ddPrefit = Similarity.semanticDedup(emb, "vec_id", "embedding", 8, 2, 0.35,
+        centroids = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cell_id"),
+        Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(ddInternal == ddPrefit)
+  }
+
   test("semanticDedup: witnesses are valid, kept set is sound, subset of exact pairs") {
     val emb = Engine.t(spark, sf0001, "embeddings")
     val tau = 0.35
