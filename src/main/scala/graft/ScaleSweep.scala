@@ -119,6 +119,11 @@ object ScaleSweep {
         args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L))
       spark.stop(); return
     }
+    if (mode == "semdedup2") {
+      semDedupTwoLevelSweep(spark, listener,
+        args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L))
+      spark.stop(); return
+    }
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
@@ -532,6 +537,77 @@ object ScaleSweep {
     def mb(b: Long): Double = math.round(b / 1e5) / 10.0
     println(
       s"""{"sweep":"semdedup","docs":$nDocs,"dim":$dim,"nCells":$nCells,"tau":$tau,""" +
+      s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
+      s""""dedupSec":${math.round(wall * 10) / 10.0},""" +
+      s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""rowsOut":$rowsOut,"oneVerdictPerVector":${rowsOut == nDocs},""" +
+      s""""dupCount":$dupCount,"plantedPairs":$plantedPairs,""" +
+      s""""plantedFound":$plantedFound,""" +
+      s""""plantedRecall":${math.round(plantedFound * 10000.0 / plantedPairs) / 10000.0},""" +
+      s""""witnessViolations":$violations,""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** Two-level SemDeDup sweep — measures the IMI-style remedy for the
+    * flat sweep's O(docs·nCells) assignment law at the SAME total cell
+    * count (nSuper = nSub = √cells): assignment cost per row drops to
+    * O(2√cells) cosines, so the 1M→5M trend should return to near-
+    * linear. Same corpus, same witnesses as `semdedup`.
+    *
+    *   sbt -batch "runMain graft.ScaleSweep semdedup2 [nDocs]"
+    */
+  private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long): Unit = {
+    val dim = 32
+    val tau = 0.99
+    val cells = math.min(operators.Similarity.MaxFitCells.toLong,
+      math.max(64L, nDocs / 2000)).toInt
+    val side = math.max(8, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft_semdedup2").resolve("emb").toString
+    clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200, plantedDups = true)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+
+    val tFit0 = System.nanoTime()
+    val index = operators.Similarity.kmeansTwoLevel(
+      corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side, iters = 2)
+    val fitSec = (System.nanoTime() - tFit0) / 1e9
+
+    val s0 = listener.snapshot()
+    val t0 = System.nanoTime()
+    val verdicts = operators.Similarity.semanticDedupTwoLevel(
+        corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side,
+        iters = 2, threshold = tau, index = Some(index))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsOut = verdicts.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val dups = verdicts.filter(col("dup_of").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupCount = dups.count()
+    val plantedFound = dups
+      .filter(pmod(col("doc_id"), lit(20L)) === 1 && col("dup_of") === col("doc_id") - 1)
+      .count()
+    val plantedPairs = nDocs / 20
+    val vecs = corpus.select(col("doc_id"), col("vec"))
+    val violations = dups.select(col("doc_id"), col("dup_of"))
+      .join(vecs.withColumnsRenamed(Map("doc_id" -> "doc_id_a", "vec" -> "va")),
+        col("doc_id") === col("doc_id_a"))
+      .join(vecs.withColumnsRenamed(Map("doc_id" -> "doc_id_b", "vec" -> "vb")),
+        col("dup_of") === col("doc_id_b"))
+      .filter(operators.Similarity.cosine(col("va"), col("vb")) < tau)
+      .count()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"semdedup2","docs":$nDocs,"dim":$dim,""" +
+      s""""nSuper":$side,"nSubPerCell":$side,"tau":$tau,""" +
       s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
       s""""dedupSec":${math.round(wall * 10) / 10.0},""" +
       s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +

@@ -506,6 +506,133 @@ object Similarity {
     ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
   }
 
+  /** Score a DYNAMIC per-row centroid array (vs [[scoredCells]]' global
+    * literal): same struct-max tie discipline (best sim, tie → lowest
+    * index). */
+  private def scoredCellsDyn(cellsCol: Column, vec: Column): Column =
+    transform(cellsCol, (c, i) =>
+      struct(cosine(vec, c).as("sim"), (-i - 1).as("negidx")))
+
+  private def bestIdxDyn(cellsCol: Column, vec: Column): Column =
+    -array_max(scoredCellsDyn(cellsCol, vec)).getField("negidx") - 1
+
+  /** Two-level (IMI-style) k-means index — the remedy for the flat
+    * assignment's O(docs·nCells) cost law (SCALE.md r13 anchor):
+    * `nSuper` Lloyd-refined super-centroids partition the corpus, then
+    * every super-cell gets up to `nSubPerCell` sub-centroids, seeded
+    * from its lowest-id members and refined with `iters` Lloyd rounds
+    * run over ALL sub-cells at once (one zero-shuffle two-argmax
+    * projection + one bounded partial aggregate per round). Assignment
+    * cost per row is O(nSuper + nSubPerCell) cosines instead of
+    * O(nSuper·nSubPerCell) — √nCells shape when both dials are √nCells.
+    * All collects are index-sized (≤ nSuper·nSubPerCell vectors —
+    * guarded by [[MaxFitCells]] like the flat fit); means quantized to
+    * 1e-9 like [[kmeansCentroids]], so the fit is reproducible at any
+    * parallelism. Returns (superVecs, subVecs) where subVecs(s) are
+    * super-cell s's sub-centroids (possibly fewer than nSubPerCell for
+    * small cells). */
+  def kmeansTwoLevel(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nSuper: Int, nSubPerCell: Int, iters: Int):
+      (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    require(nSuper >= 1 && nSubPerCell >= 1 &&
+        nSuper.toLong * nSubPerCell <= MaxFitCells,
+      s"nSuper*nSubPerCell must be in [1, $MaxFitCells] " +
+        s"(got $nSuper*$nSubPerCell): the two-level fit collects one " +
+        "vector per sub-cell; shard the corpus beyond that")
+    import org.apache.spark.sql.functions.{avg, posexplode, row_number}
+    val train = corpus.select(col(corpusId), col(corpusVec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (_, superVecs) =
+        kmeansCentroids(train, corpusId, corpusVec, nSuper, iters)
+      val superIdx = bestIdxDyn(typedlit(superVecs), col(corpusVec)).as("__s")
+      // sub seeds: each super cell's lowest-id members (bounded collect)
+      val w = Window.partitionBy(col("__s")).orderBy(col(corpusId))
+      val seedRows = train.select(col(corpusId), col(corpusVec), superIdx)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nSubPerCell)
+        .select(col("__s"), col("__rn"),
+          col(corpusVec).cast("array<double>").as("__v"))
+        .collect()
+      var subVecs: Seq[Seq[Seq[Double]]] = (0 until nSuper).map { s =>
+        seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toSeq).toSeq
+      }
+      val nSubMax = nSubPerCell.toLong
+      (1 to iters).foreach { _ =>
+        // one two-argmax projection assigns (super, sub); the global
+        // sub key feeds the same bounded mean aggregate the flat fit
+        // uses. Ragged sub arrays are fine: the dynamic argmax scores
+        // whatever the row's super cell actually has.
+        val s = bestIdxDyn(typedlit(superVecs), col(corpusVec))
+        val sub = bestIdxDyn(
+          element_at(typedlit(subVecs), s.cast("int") + 1), col(corpusVec))
+        val assigned = train.select(
+          (s.cast("long") * nSubMax + sub.cast("long")).as("__cell"),
+          col(corpusVec))
+        val means = assigned
+          .select(col("__cell"), posexplode(col(corpusVec).cast("array<double>")))
+          .groupBy(col("__cell"), col("pos"))
+          .agg(round(avg(col("col")), 9).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getLong(0))
+        subVecs = subVecs.zipWithIndex.map { case (cells, si) =>
+          cells.zipWithIndex.map { case (prev, bi) =>
+            byCell.get(si.toLong * nSubMax + bi) match {
+              case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+              case None => prev // emptied sub-cell keeps its centroid
+            }
+          }
+        }
+      }
+      (superVecs, subVecs)
+    } finally train.unpersist(false)
+  }
+
+  /** Two-level assignment: two map-side argmaxes, zero shuffles of the
+    * corpus. `cell_id` = superIdx·nSubPerCell + subIdx (a composite
+    * long — the join key for cell-confined work). */
+  def twoLevelAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
+      index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): DataFrame = {
+    val (superVecs, subVecs) = index
+    val nSubMax = subVecs.map(_.size).max.max(1).toLong
+    val s = bestIdxDyn(typedlit(superVecs), col(corpusVec))
+    val sub = bestIdxDyn(
+      element_at(typedlit(subVecs), s.cast("int") + 1), col(corpusVec))
+    corpus.select(col(corpusId), col(corpusVec),
+      (s.cast("long") * nSubMax + sub.cast("long")).as("cell_id"))
+  }
+
+  /** [[semanticDedup]] over the two-level index: same output contract
+    * ((id, vec) → cell_id, dup_of), but assignment is
+    * O(nSuper + nSubPerCell) per row — the shape that holds the
+    * SemDeDup discipline (cells ∝ corpus) linear at 100 TB. */
+  def semanticDedupTwoLevel(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nSuper: Int, nSubPerCell: Int, iters: Int, threshold: Double,
+      index: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None): DataFrame = {
+    val idx = index.getOrElse(
+      kmeansTwoLevel(corpus, corpusId, corpusVec, nSuper, nSubPerCell, iters))
+    dedupWithinCells(twoLevelAssign(corpus, corpusId, corpusVec, idx),
+      corpusId, corpusVec, threshold)
+  }
+
+  /** The cell-confined pair scan shared by both semantic-dedup
+    * variants: a vector is a duplicate of the smallest lower-id
+    * cell-mate with cosine >= threshold. */
+  private def dedupWithinCells(assigned: DataFrame, corpusId: String,
+      corpusVec: String, threshold: Double): DataFrame = {
+    val a = assigned.select(col(corpusId).as("__a_id"), col(corpusVec).as("__a_vec"),
+      col("cell_id"))
+    val b = assigned.select(col(corpusId).as("__b_id"), col(corpusVec).as("__b_vec"),
+      col("cell_id").as("__b_cell"))
+    a.join(b,
+        col("cell_id") === col("__b_cell") && col("__b_id") < col("__a_id") &&
+          cosine(col("__a_vec"), col("__b_vec")) >= threshold,
+        "left")
+      .groupBy(col("__a_id").as(corpusId), col("cell_id"))
+      .agg(min(col("__b_id")).as("dup_of"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embeddings with k-means, then compare pairs ONLY within
     * a cluster — near-duplicate pairs land in the same cell, so the
@@ -523,16 +650,7 @@ object Similarity {
     // kmeansCentroids, then dedup many batches against the same cells)
     val (ids, vecs) = centroids.getOrElse(
       kmeansCentroids(corpus, corpusId, corpusVec, nCells, iters))
-    val assigned = ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
-    val a = assigned.select(col(corpusId).as("__a_id"), col(corpusVec).as("__a_vec"),
-      col("cell_id"))
-    val b = assigned.select(col(corpusId).as("__b_id"), col(corpusVec).as("__b_vec"),
-      col("cell_id").as("__b_cell"))
-    a.join(b,
-        col("cell_id") === col("__b_cell") && col("__b_id") < col("__a_id") &&
-          cosine(col("__a_vec"), col("__b_vec")) >= threshold,
-        "left")
-      .groupBy(col("__a_id").as(corpusId), col("cell_id"))
-      .agg(min(col("__b_id")).as("dup_of"))
+    dedupWithinCells(ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs),
+      corpusId, corpusVec, threshold)
   }
 }

@@ -323,6 +323,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ddInternal == ddPrefit)
   }
 
+  test("two-level k-means: total assignment, sound within-cell dedup, reproducible fit") {
+    val emb = Engine.t(spark, sf0001, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val idx = Similarity.kmeansTwoLevel(emb, "vec_id", "embedding",
+      nSuper = 4, nSubPerCell = 3, iters = 2)
+    assert(idx._1.size == 4 && idx._2.size == 4 && idx._2.forall(_.size <= 3))
+    val assigned = Similarity.twoLevelAssign(emb, "vec_id", "embedding", idx)
+    val rows = assigned.collect()
+    assert(rows.length == n) // every vector assigned exactly once
+    // assignment is a pure projection — the corpus never shuffles
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"two-level assign must not shuffle:\n$plan")
+    // dedup over the composite cells: one verdict per vector, every
+    // witness a true in-cell >= tau lower-id pair
+    val tau = 0.35
+    val dd = Similarity.semanticDedupTwoLevel(emb, "vec_id", "embedding",
+      nSuper = 4, nSubPerCell = 3, iters = 2, threshold = tau,
+      index = Some(idx)).collect()
+    assert(dd.length == n)
+    val cellOf = dd.map(r => r.getLong(0) -> r.getAs[Long]("cell_id")).toMap
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", tau, lsh = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dups = dd.filter(!_.isNullAt(2))
+    assert(dups.nonEmpty)
+    dups.foreach { r =>
+      val (id, w) = (r.getLong(0), r.getAs[Long]("dup_of"))
+      assert(w < id && cellOf(w) == cellOf(id))
+      assert(exact.contains((w, id)), s"($w,$id) must be a true cosine>=$tau pair")
+    }
+    // reproducibility: refit on a repartitioned corpus is bit-identical
+    val idx2 = Similarity.kmeansTwoLevel(emb.repartition(7), "vec_id", "embedding",
+      nSuper = 4, nSubPerCell = 3, iters = 2)
+    assert(idx == idx2, "quantized means must make the two-level fit deterministic")
+    // index-size guard
+    val big = intercept[IllegalArgumentException](
+      Similarity.kmeansTwoLevel(emb, "vec_id", "embedding",
+        nSuper = 1024, nSubPerCell = 1024, iters = 0))
+    assert(big.getMessage.contains("nSuper"))
+  }
+
   test("semanticDedup: witnesses are valid, kept set is sound, subset of exact pairs") {
     val emb = Engine.t(spark, sf0001, "embeddings")
     val tau = 0.35
