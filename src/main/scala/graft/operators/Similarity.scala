@@ -554,9 +554,14 @@ object Similarity {
         .select(col("__s"), col("__rn"),
           col(corpusVec).cast("array<double>").as("__v"))
         .collect()
+      // a super cell that owns zero vectors at seed time still gets ONE
+      // sub-centroid (its super centroid): a later batch assigned
+      // against the prefitted index could land there, and an empty sub
+      // list would give it a null cell_id instead of a cell
       var subVecs: Seq[Seq[Seq[Double]]] = (0 until nSuper).map { s =>
-        seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        val seeds = seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
           .map(_.getSeq[Double](2).toSeq).toSeq
+        if (seeds.nonEmpty) seeds else Seq(superVecs(s))
       }
       val nSubMax = nSubPerCell.toLong
       (1 to iters).foreach { _ =>
