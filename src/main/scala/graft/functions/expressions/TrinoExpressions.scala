@@ -334,6 +334,16 @@ case class ParseDataSize(child: Expression) extends UnaryExpression with Codegen
   * which asserts the algorithm's published verification vectors). */
 case class Murmur3(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
+  // typed ANALYSIS error on murmur3(123) — the reference raises a
+  // typed QueryError for its hash functions, not a runtime MatchError
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"murmur3 expects string or binary, got $t")
+    }
   override def nullSafeEval(v: Any): Any = {
     val bytes = v match {
       case s: UTF8String => s.getBytes

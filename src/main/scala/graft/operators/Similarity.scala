@@ -27,6 +27,22 @@ object Similarity {
     * (or cluster hierarchically) beyond it. */
   val MaxFitCells: Int = 131072
 
+  /** Ceiling on the PER-ROUND Lloyd mean-collect, in scalar elements
+    * (cells × dim): [[MaxFitCells]] bounds the cell count but the
+    * per-round centroid collect grows with dimension too — 131k cells
+    * × 768 dims would put ~100M doubles on the driver. 2^24 elements
+    * ≈ 128 MB boxed, comfortably inside any driver. Beyond it, fit on
+    * a sample with fewer cells, shard the corpus and fit per shard, or
+    * reduce dimension before clustering. */
+  val MaxFitElements: Long = 1L << 24
+
+  private def requireFitElements(nCells: Long, dim: Int, what: String): Unit =
+    require(nCells * dim <= MaxFitElements,
+      s"$what collects nCells*dim = $nCells*$dim doubles per Lloyd " +
+        s"round (limit $MaxFitElements): fit on a sample with fewer " +
+        "cells, shard the corpus and fit per shard, or reduce the " +
+        "embedding dimension before clustering")
+
   def cosine(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
 
   /** Signature column: 64-bit hyperplane LSH fingerprint. */
@@ -139,7 +155,9 @@ object Similarity {
   /** Lloyd (k-means) refinement of the centroid set: each iteration is
     * one map-side assignment pass (the same zero-shuffle argmax
     * expression the final assignment uses) + a tiny (cell, dim) partial
-    * aggregate + a bounded nCells×dim collect. Cells that lose all
+    * aggregate + a bounded collect of nCells GROUPED mean vectors
+    * ([[collectCellMeans]] — nCells rows, guarded by [[MaxFitElements]]
+    * on nCells×dim total scalars). Cells that lose all
     * members keep their previous centroid. The plan shape per
     * iteration is scan → project → two-phase agg — nothing quadratic,
     * nothing resident on the driver beyond the centroids themselves.
@@ -155,7 +173,6 @@ object Similarity {
     * persist then caches the sample, not the corpus. */
   def kmeansCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCells: Int, iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
-    import org.apache.spark.sql.functions.{avg, posexplode}
     if (iters == 0) return fitCentroids(corpus, corpusId, corpusVec, nCells)
     val train = corpus.select(col(corpusId), col(corpusVec))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -163,6 +180,10 @@ object Similarity {
       // seed from the persisted pruned frame so the seeding action is
       // the scan that populates the cache (one storage scan total)
       var (ids, vecs) = fitCentroids(train, corpusId, corpusVec, nCells)
+      // conservative (requested nCells, not the possibly-smaller seeded
+      // count): fires BEFORE any Lloyd round is paid for
+      requireFitElements(nCells,
+        vecs.headOption.map(_.size).getOrElse(0), "kmeansCentroids")
       (1 to iters).foreach { _ =>
         val assigned = ivfAssignWith(train, corpusId, corpusVec, ids, vecs)
         // means quantized to 9 decimals: a distributed avg sums partials
@@ -172,21 +193,35 @@ object Similarity {
         // of parallelism) and lets an external re-derivation (the DuckDB
         // oracle) land on the same centroids. 1e-9 is ~6 orders below
         // any observed assignment margin, so clustering is unaffected.
-        val means = assigned
-          .select(col("cell_id"), posexplode(col(corpusVec).cast("array<double>")))
-          .groupBy(col("cell_id"), col("pos"))
-          .agg(round(avg(col("col")), 9).as("m"))
-          .collect()
-        val byCell = means.groupBy(_.getLong(0))
+        val byCell = collectCellMeans(assigned, "cell_id", corpusVec)
         vecs = ids.zipWithIndex.map { case (id, i) =>
-          byCell.get(id) match {
-            case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-            case None => vecs(i) // empty cell: keep previous centroid
-          }
+          byCell.getOrElse(id, vecs(i)) // empty cell: keep prev centroid
         }
       }
       (ids, vecs)
     } finally train.unpersist(false)
+  }
+
+  /** One Lloyd round's per-cell means, collected GROUPED — one row per
+    * cell carrying the whole mean vector (array<double>) — instead of
+    * one (cell, pos, m) row per scalar: same bytes on the driver, but
+    * nCells rows instead of nCells×dim, so the cost is array storage
+    * rather than per-row object overhead. Means round to 1e-9 (the
+    * reproducibility contract documented at the call sites). */
+  private def collectCellMeans(assigned: DataFrame, cellCol: String,
+      vecCol: String): Map[Long, Seq[Double]] = {
+    import org.apache.spark.sql.functions.{avg, collect_list, posexplode, sort_array}
+    assigned
+      .select(col(cellCol), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg(round(avg(col("col")), 9).as("m"))
+      .groupBy(col(cellCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("mv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .toMap
   }
 
   /** Nearest-centroid assignment as a PURE PROJECTION — argmax over the
@@ -539,12 +574,16 @@ object Similarity {
       s"nSuper*nSubPerCell must be in [1, $MaxFitCells] " +
         s"(got $nSuper*$nSubPerCell): the two-level fit collects one " +
         "vector per sub-cell; shard the corpus beyond that")
-    import org.apache.spark.sql.functions.{avg, posexplode, row_number}
+    import org.apache.spark.sql.functions.row_number
     val train = corpus.select(col(corpusId), col(corpusVec))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (_, superVecs) =
         kmeansCentroids(train, corpusId, corpusVec, nSuper, iters)
+      // the sub-refinement rounds collect means for ALL sub-cells at
+      // once — bound that collect by total cells × dim like the flat fit
+      requireFitElements(nSuper.toLong * nSubPerCell,
+        superVecs.headOption.map(_.size).getOrElse(0), "kmeansTwoLevel")
       val superIdx = bestIdxDyn(typedlit(superVecs), col(corpusVec)).as("__s")
       // sub seeds: each super cell's lowest-id members (bounded collect)
       val w = Window.partitionBy(col("__s")).orderBy(col(corpusId))
@@ -563,7 +602,7 @@ object Similarity {
           .map(_.getSeq[Double](2).toSeq).toSeq
         if (seeds.nonEmpty) seeds else Seq(superVecs(s))
       }
-      val nSubMax = nSubPerCell.toLong
+      val nSubMax = subStride(subVecs)
       (1 to iters).foreach { _ =>
         // one two-argmax projection assigns (super, sub); the global
         // sub key feeds the same bounded mean aggregate the flat fit
@@ -575,18 +614,11 @@ object Similarity {
         val assigned = train.select(
           (s.cast("long") * nSubMax + sub.cast("long")).as("__cell"),
           col(corpusVec))
-        val means = assigned
-          .select(col("__cell"), posexplode(col(corpusVec).cast("array<double>")))
-          .groupBy(col("__cell"), col("pos"))
-          .agg(round(avg(col("col")), 9).as("m"))
-          .collect()
-        val byCell = means.groupBy(_.getLong(0))
+        val byCell = collectCellMeans(assigned, "__cell", corpusVec)
         subVecs = subVecs.zipWithIndex.map { case (cells, si) =>
           cells.zipWithIndex.map { case (prev, bi) =>
-            byCell.get(si.toLong * nSubMax + bi) match {
-              case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-              case None => prev // emptied sub-cell keeps its centroid
-            }
+            // emptied sub-cell keeps its centroid
+            byCell.getOrElse(si.toLong * nSubMax + bi, prev)
           }
         }
       }
@@ -594,13 +626,23 @@ object Similarity {
     } finally train.unpersist(false)
   }
 
+  /** The composite-cell-id stride shared by the two-level fit and
+    * [[twoLevelAssign]]: the max actual sub-cell count of the index
+    * (sub lists can be ragged — small super cells seed fewer than
+    * nSubPerCell sub-centroids). A pure function of the index, so any
+    * two assignments against the same fitted index agree on cell ids. */
+  private def subStride(subVecs: Seq[Seq[Seq[Double]]]): Long =
+    subVecs.map(_.size).max.max(1).toLong
+
   /** Two-level assignment: two map-side argmaxes, zero shuffles of the
-    * corpus. `cell_id` = superIdx·nSubPerCell + subIdx (a composite
-    * long — the join key for cell-confined work). */
+    * corpus. `cell_id` = superIdx·stride + subIdx (a composite long —
+    * the join key for cell-confined work), where stride =
+    * [[subStride]] of the fitted index — the SAME stride the fit's
+    * Lloyd rounds key on, NOT the nSubPerCell the fit was asked for. */
   def twoLevelAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
       index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): DataFrame = {
     val (superVecs, subVecs) = index
-    val nSubMax = subVecs.map(_.size).max.max(1).toLong
+    val nSubMax = subStride(subVecs)
     val s = bestIdxDyn(typedlit(superVecs), col(corpusVec))
     val sub = bestIdxDyn(
       element_at(typedlit(subVecs), s.cast("int") + 1), col(corpusVec))

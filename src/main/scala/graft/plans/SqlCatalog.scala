@@ -144,7 +144,11 @@ object GraftSqlCatalog {
     * before reaching the table layer (whose rename maps and physical
     * names are exact-case). */
   def resolveColumn(fieldNames: Iterable[String], name: String): Option[String] =
-    fieldNames.find(_.equalsIgnoreCase(name))
+    // exact-case first: on a legacy table that already holds case-twin
+    // columns (predating the collision guards) an exactly-spelled
+    // identifier must resolve to its own twin, never the other one
+    fieldNames.find(_ == name)
+      .orElse(fieldNames.find(_.equalsIgnoreCase(name)))
 
   /** Catalog root for `name` iff `name` is registered as a graft
     * catalog in this session. */
@@ -1462,8 +1466,13 @@ case class GraftUpdateInCommand(tablePath: String, keyCols: Seq[String],
     require(keys.columns.length == keyCols.length,
       s"IN subquery produces ${keys.columns.length} columns for " +
         s"${keyCols.length} key columns")
+    // SET target spellings canonicalize like MERGE's (the merge
+    // primitive's rename translation and badAssign check are
+    // exact-case): `SET V = 1` on column v must update v, not fail
+    val assignsC = assignments.map { case (n, c) =>
+      (GraftSqlCatalog.resolveColumn(shape.fieldNames, n).getOrElse(n), c) }
     IcebergLite.merge(spark, tablePath, keys.toDF(resolved: _*).distinct(),
-      resolved, updateAssigns = Some(assignments), insertUnmatched = false)
+      resolved, updateAssigns = Some(assignsC), insertUnmatched = false)
     Nil
   }
 }
@@ -1477,7 +1486,13 @@ case class GraftUpdateCommand(tablePath: String,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
   override def run(spark: SparkSession): Seq[Row] = {
-    IcebergLite.updateWhere(spark, tablePath, condition, assignments)
+    // SET target spellings resolve case-insensitively against the
+    // logical shape (metadata-only) before updateWhere's exact-case
+    // assignment validation, mirroring the MERGE/UPDATE-IN routes
+    val shape = IcebergLite.logicalShape(tablePath, None)
+    val assignsC = assignments.map { case (n, c) =>
+      (GraftSqlCatalog.resolveColumn(shape.fieldNames, n).getOrElse(n), c) }
+    IcebergLite.updateWhere(spark, tablePath, condition, assignsC)
     Nil
   }
 }

@@ -261,6 +261,12 @@ class FunctionValuesSpec extends AnyFunSuite {
     val bad = intercept[Exception](
       spark.sql("SELECT parse_duration('5 parsecs')").collect())
     assert(bad.getMessage.contains("invalid duration"), bad.getMessage)
+    // murmur3 over a non-string/binary input is a typed ANALYSIS error
+    // (the reference raises a typed QueryError for its hash functions),
+    // not a runtime MatchError mid-job
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT murmur3(123)").collect())
+    assert(typeErr.getMessage.contains("string or binary"), typeErr.getMessage)
   }
 
   test("json_object error semantics: NULL key is a runtime error, odd arity an analysis error") {

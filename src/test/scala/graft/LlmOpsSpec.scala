@@ -796,4 +796,60 @@ class LlmOpsSpec extends AnyFunSuite {
     val (ids, vecs) = Similarity.fitCentroids(emb, "vec_id", "embedding", 2)
     assert(ids == Seq(0L, 1L) && vecs.length == 2)
   }
+
+  test("Lloyd mean-collect is bounded by cells×dim, not just cells (r13 verdict)") {
+    // MaxFitCells bounds the cell count; the per-round mean collect
+    // also grows with DIMENSION — 131k cells × 768 dims would be ~100M
+    // driver doubles. The guard is conservative (requested nCells ×
+    // actual dim) so it fires before any Lloyd round runs.
+    val s = spark
+    import s.implicits._
+    val dim = 2048
+    val hi = Seq.tabulate(3)(i =>
+      (i.toLong, Seq.fill(dim)(i.toDouble))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kmeansCentroids(hi, "vec_id", "embedding",
+        nCells = 16384, iters = 1)) // 16384*2048 = 33.5M > 2^24
+    assert(e.getMessage.contains("nCells*dim"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.kmeansTwoLevel(hi, "vec_id", "embedding",
+        nSuper = 2, nSubPerCell = 8192, iters = 1)) // 2*8192*2048 > 2^24
+    assert(e2.getMessage.contains("nCells*dim"), e2.getMessage)
+    // in-bound high-dim fits still run (3 cells × 2048 dims)
+    val (_, vecs3) = Similarity.kmeansCentroids(hi, "vec_id", "embedding",
+      nCells = 3, iters = 1)
+    assert(vecs3.length == 3 && vecs3.forall(_.length == dim))
+  }
+
+  test("twoLevelAssign stride matches the fit's Lloyd stride on a ragged index (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    // 2 far-apart super clusters with UNEQUAL populations: the small
+    // one seeds fewer than nSubPerCell sub-centroids, so the index is
+    // ragged and the stride (max actual sub count) < nSubPerCell
+    val rows =
+      Seq.tabulate(8)(i => (i.toLong, Seq(10.0 + (i % 4) * 0.1, 0.0, 1.0))) ++
+      Seq((100L, Seq(-10.0, 0.2, 1.0)), (101L, Seq(-10.0, 0.1, 1.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.kmeansTwoLevel(emb, "vec_id", "embedding",
+      nSuper = 2, nSubPerCell = 4, iters = 2)
+    val stride = idx._2.map(_.size).max
+    assert(stride <= 4)
+    val assigned = Similarity.twoLevelAssign(emb, "vec_id", "embedding", idx)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cell_id")).toMap
+    // cell ids decompose under the INDEX's stride: super = cell/stride
+    // is a valid super index, sub = cell%stride indexes that super's
+    // actual sub list (the documented contract — NOT nSubPerCell)
+    assigned.values.foreach { cell =>
+      val sup = (cell / stride).toInt; val sub = (cell % stride).toInt
+      assert(sup >= 0 && sup < idx._2.size, s"super $sup out of range")
+      assert(sub >= 0 && sub < idx._2(sup).size,
+        s"sub $sub exceeds super $sup's actual ${idx._2(sup).size} sub-cells")
+    }
+    // two batches assigned against the same index agree on cell ids
+    val again = Similarity.twoLevelAssign(emb.repartition(3), "vec_id",
+      "embedding", idx).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cell_id")).toMap
+    assert(again == assigned)
+  }
 }

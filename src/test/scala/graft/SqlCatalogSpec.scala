@@ -714,4 +714,17 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT one FROM sqlcat.vine.racev").collect()
       .head.getInt(0) == 1)
   }
+
+  test("resolveColumn prefers an exact-case match over the first case-twin (r13 advice)") {
+    import graft.plans.GraftSqlCatalog.resolveColumn
+    // legacy tables created before the collision guards can hold
+    // case-twin columns; an exactly-spelled identifier must resolve to
+    // its own twin regardless of schema order
+    assert(resolveColumn(Seq("V", "v"), "v") == Some("v"))
+    assert(resolveColumn(Seq("V", "v"), "V") == Some("V"))
+    assert(resolveColumn(Seq("v", "V"), "V") == Some("V"))
+    // no exact twin → case-insensitive resolution, first match
+    assert(resolveColumn(Seq("Value", "other"), "VALUE") == Some("Value"))
+    assert(resolveColumn(Seq("a", "b"), "c") == None)
+  }
 }

@@ -821,4 +821,37 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM dml.db.tmb").collect()
       .map(_.getLong(0)).toSeq == Seq(5L))
   }
+
+  test("UPDATE SET targets resolve case-insensitively on both routes (r13 advice)") {
+    root
+    spark.sql("CREATE TABLE dml.db.ucase (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.ucase VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // plain-WHERE route (updateWhere): SET V on column v
+    spark.sql("UPDATE dml.db.ucase SET V = 'A' WHERE id = 1")
+    // IN-subquery route (update-only merge): SET V keyed by case-variant ID
+    spark.sql("""UPDATE dml.db.ucase SET V = upper(v)
+                 WHERE ID IN (SELECT 2 AS k)""")
+    assert(rows("SELECT id, v, v FROM dml.db.ucase ORDER BY id")
+      .map(t => (t._1, t._2)) == Seq((1L, "A"), (2L, "B"), (3L, "c")))
+    // the live schema keeps its original casing — resolution, not rename
+    assert(spark.sql("SELECT * FROM dml.db.ucase").columns.toSeq ==
+      Seq("id", "v"))
+    // a genuinely unknown SET target still fails loudly on both routes
+    val bad = intercept[Exception](
+      spark.sql("UPDATE dml.db.ucase SET nope = 'x' WHERE id = 1"))
+    assert(bad.getMessage.toLowerCase.contains("nope"), bad.getMessage)
+  }
+
+  test("UPDATE SET resolves case-variant targets of a RENAMED column") {
+    root
+    spark.sql("CREATE TABLE dml.db.uren (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.db.uren VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE dml.db.uren RENAME COLUMN v TO label")
+    // the rename map is exact-case in the table layer; a case-variant
+    // spelling of the LOGICAL name must canonicalize before it
+    spark.sql("UPDATE dml.db.uren SET LABEL = 'z' WHERE id = 2")
+    assert(spark.sql("SELECT id, label FROM dml.db.uren ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "z")))
+  }
 }
