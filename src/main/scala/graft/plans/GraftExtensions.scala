@@ -118,5 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // WHERE clauses in the operator-optimization batch
     e.injectResolutionRule(session => GraftSqlResolution(session))
     e.injectOptimizerRule(session => GraftMetadataPrune(session))
+    // SQL faces for the relation-producing LLM operators (TVFs)
+    LlmTableFunctions.register(e)
   }
 }

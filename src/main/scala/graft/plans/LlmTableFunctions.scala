@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftColumnBridge.toCol
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, Similarity}
+
+/** SQL faces for the LLM-pipeline operators — TABLE-VALUED FUNCTIONS
+  * (`SELECT * FROM graft_semantic_dedup('emb', 'id', 'vec', 8, 2,
+  * 0.35)`), registered through `SparkSessionExtensions
+  * .injectTableFunction` so the result is a LOGICAL PLAN the outer
+  * query composes with (joins, filters, CTAS) — never a driver-side
+  * collect. This is the relation-producing complement to the
+  * maintenance CALL procedures ([[GraftProcedures]]), whose LocalScan
+  * row results are right for metadata work but wrong for operators
+  * whose output is corpus-sized.
+  *
+  * The reference has no comparable surface (its binder is a closed
+  * scalar-function enum, `src/planner/binder.rs:1504+`); these follow
+  * Trino's polymorphic-table-function idiom instead. Table arguments
+  * are names resolved through `SparkSession.active.table` — temp
+  * views, catalog tables, and graft 3-part names all work. Fit-backed
+  * operators (semantic dedup) run their bounded fit at PLAN time, the
+  * same fit-then-broadcast shape the library API uses; the returned
+  * relation itself stays fully distributed and lazy.
+  */
+object LlmTableFunctions {
+
+  private def table(name: String): DataFrame = SparkSession.active.table(name)
+
+  /** Evaluate a foldable argument (SQL literal or constant expression)
+    * to a Scala value, with a usage-carrying error otherwise. */
+  private def const(e: Expression, what: String, usage: String): Any = {
+    require(e.foldable, s"$what must be a constant — usage: $usage")
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL — usage: $usage")
+    v
+  }
+  private def str(e: Expression, what: String, usage: String): String =
+    const(e, what, usage).toString
+  private def int(e: Expression, what: String, usage: String): Int =
+    const(e, what, usage) match {
+      case n: java.lang.Number => n.intValue()
+      case v => sys.error(s"$what must be an integer (got $v) — usage: $usage")
+    }
+  private def dbl(e: Expression, what: String, usage: String): Double =
+    const(e, what, usage) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: java.math.BigDecimal => d.doubleValue()
+      case v => sys.error(s"$what must be numeric (got $v) — usage: $usage")
+    }
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private val dedupExactUsage =
+    "graft_dedup_exact(table_name, 'key_sql_expr', 'id_sql_expr')"
+
+  /** Exact dedup: groups by a digest of the key expression, keeps
+    * min(id) per group. The key/id are SQL expression STRINGS parsed at
+    * plan time (the analyzer resolves TVF arguments before the builder
+    * runs, so a bare column reference can't ride through as an
+    * expression argument — same reason Trino's PTFs take descriptor
+    * strings). Returns (dup_key, keep_id, group_size). */
+  private[plans] def dedupExact(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3, s"usage: $dedupExactUsage")
+    val df = table(str(args(0), "table_name", dedupExactUsage))
+    val parser = SparkSession.active.sessionState.sqlParser
+    plan(Dedup.exact(df,
+      toCol(parser.parseExpression(str(args(1), "key_sql_expr", dedupExactUsage))),
+      toCol(parser.parseExpression(str(args(2), "id_sql_expr", dedupExactUsage)))))
+  }
+
+  private val semanticDedupUsage =
+    "graft_semantic_dedup(table_name, id_col, vec_col, n_cells, iters, threshold)"
+
+  /** SemDeDup semantic dedup (see [[Similarity.semanticDedup]]): the
+    * k-means fit runs at plan time (bounded, [[Similarity.MaxFitCells]]
+    * / MaxFitElements guarded); the returned relation is the lazy
+    * cell-confined pair scan. Returns (id, cell_id, dup_of). */
+  private[plans] def semanticDedup(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6, s"usage: $semanticDedupUsage")
+    def s(i: Int, w: String) = str(args(i), w, semanticDedupUsage)
+    plan(Similarity.semanticDedup(table(s(0, "table_name")),
+      s(1, "id_col"), s(2, "vec_col"),
+      nCells = int(args(3), "n_cells", semanticDedupUsage),
+      iters = int(args(4), "iters", semanticDedupUsage),
+      threshold = dbl(args(5), "threshold", semanticDedupUsage)))
+  }
+
+  private val annTopkUsage =
+    "graft_ann_topk(corpus_table, query_table, id_col, vec_col, k)"
+
+  /** Exact brute-force cosine top-k of each query-table row against the
+    * corpus table (both named relations sharing `id_col`/`vec_col`
+    * layout; make the query side a temp view over any SELECT). The
+    * query side broadcasts — corpus never shuffles. Returns
+    * (query_id, rank, neighbor_id, cos_sim). */
+  private[plans] def annTopk(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5, s"usage: $annTopkUsage")
+    def s(i: Int, w: String) = str(args(i), w, annTopkUsage)
+    val (idCol, vecCol) = (s(2, "id_col"), s(3, "vec_col"))
+    val corpus = table(s(0, "corpus_table")).select(col(idCol), col(vecCol))
+    val queries = table(s(1, "query_table"))
+      .select(col(idCol).as("__q_id"), col(vecCol).as("__q_vec"))
+    plan(Similarity.bruteForceTopK(corpus, queries, idCol, vecCol,
+      "__q_id", "__q_vec", k = int(args(4), "k", annTopkUsage)))
+  }
+
+  def register(e: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) = new ExpressionInfo(
+      LlmTableFunctions.getClass.getCanonicalName, null, name, usage,
+      "", "", "", "table_funcs", "4.0.0", "", "internal")
+    e.injectTableFunction((FunctionIdentifier("graft_dedup_exact"),
+      info("graft_dedup_exact", dedupExactUsage), dedupExact _))
+    e.injectTableFunction((FunctionIdentifier("graft_semantic_dedup"),
+      info("graft_semantic_dedup", semanticDedupUsage), semanticDedup _))
+    e.injectTableFunction((FunctionIdentifier("graft_ann_topk"),
+      info("graft_ann_topk", annTopkUsage), annTopk _))
+  }
+}

@@ -1488,7 +1488,49 @@ object LlmQueries extends QueryCatalog {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         queryTerms = Seq("spark", "vector", "merge"), k = 10))
 
+  /** The TVF SQL faces (plans/LlmTableFunctions.scala), each under the
+    * SAME oracle as its library-API row — proving the SQL surface is
+    * resolution sugar over the identical distributed plan, not a
+    * second implementation. The `documents`/`embeddings` views are
+    * registered by Engine.t before the SQL runs. */
+  private val tvfDedupExact = Q(
+    "sql_tvf_dedup_exact",
+    dedupExact.oracle,
+    (s, dir) => {
+      t(s, dir, "documents")
+      s.sql("""
+        SELECT * FROM graft_dedup_exact('documents',
+          'array_join(array_sort(array_distinct(split(text, \' \'))), \' \')',
+          'doc_id')
+        ORDER BY keep_id""")
+    })
+
+  private val tvfSemanticDedup = Q(
+    "sql_tvf_semantic_dedup",
+    dedupSemantic.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""
+        SELECT * FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
+                                           8, 2, 0.35D)
+        ORDER BY vec_id""")
+    })
+
+  private val tvfAnnTopk = Q(
+    "sql_tvf_ann_topk",
+    annBrute.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_ann_queries AS
+               SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5""")
+      s.sql("""
+        SELECT * FROM graft_ann_topk('embeddings', 'tvf_ann_queries',
+                                     'vec_id', 'embedding', 5)
+        ORDER BY query_id, rank""")
+    })
+
   override def defs: Seq[Q] = Seq(
+    tvfDedupExact, tvfSemanticDedup, tvfAnnTopk,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     clusterKmeans, dedupSemantic,
