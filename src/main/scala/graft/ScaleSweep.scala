@@ -120,8 +120,14 @@ object ScaleSweep {
       spark.stop(); return
     }
     if (mode == "semdedup2") {
+      // optional 2nd numeric arg = TARGET TOTAL CELLS (overrides the
+      // docs/2000 sizing): "semdedup2 20000000 50176" prices the
+      // two-level path at the SemDeDup discipline's real cell count
+      val cellsOverride = args.filter(_.forall(_.isDigit)).drop(1).headOption
+        .map(_.toInt)
       semDedupTwoLevelSweep(spark, listener,
-        args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L))
+        args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L),
+        cellsOverride)
       spark.stop(); return
     }
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
@@ -558,11 +564,13 @@ object ScaleSweep {
     *   sbt -batch "runMain graft.ScaleSweep semdedup2 [nDocs]"
     */
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,
-      listener: StageListener, nDocs: Long): Unit = {
+      listener: StageListener, nDocs: Long,
+      cellsOverride: Option[Int] = None): Unit = {
     val dim = 32
     val tau = 0.99
-    val cells = math.min(operators.Similarity.MaxFitCells.toLong,
-      math.max(64L, nDocs / 2000)).toInt
+    val cells = cellsOverride.getOrElse(
+      math.min(operators.Similarity.MaxFitCells.toLong,
+        math.max(64L, nDocs / 2000)).toInt)
     val side = math.max(8, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val corpusPath = java.nio.file.Files
       .createTempDirectory("graft_semdedup2").resolve("emb").toString
@@ -930,7 +938,10 @@ object ScaleSweep {
     * dominated by Spark's fixed per-query job floor — cannot. */
   private def tpchScaleUp(spark: org.apache.spark.sql.SparkSession, replicas: Int): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_TPCH_SRC", "/root/testdata/sf0.1")
-    val out = "/tmp/graft_sf1"
+    // 10 replicas of sf0.1 → /tmp/graft_sf1 (the documented r12/r13
+    // anchor path); 100 → /tmp/graft_sf10, etc.
+    val out = if (replicas == 10) "/tmp/graft_sf1"
+      else s"/tmp/graft_sf${math.max(1, replicas / 10)}"
     Engine.deleteRecursively(java.nio.file.Paths.get(out))
     val stride = 100000000L // > any sf0.1 key; replica keys never collide
     val keyCols: Seq[(String, Seq[String])] = Seq(
