@@ -91,6 +91,66 @@ object LlmTableFunctions {
       threshold = dbl(args(5), "threshold", semanticDedupUsage)))
   }
 
+  private def parseCol(e: Expression, what: String, usage: String) =
+    toCol(SparkSession.active.sessionState.sqlParser
+      .parseExpression(str(e, what, usage)))
+
+  private val minhashPairsUsage =
+    "graft_minhash_pairs(table_name, 'id_sql_expr', 'text_sql_expr', " +
+      "n, bands, rows_per_band, threshold)"
+
+  /** MinHash+LSH near-dup pairs (see [[Dedup.minhashLshPairs]]):
+    * banding generates candidates, exact Jaccard verifies. Returns
+    * (a_id, b_id, jaccard) — the same distributed
+    * shingle→signature→band→bucket-join plan as the library API. */
+  private[plans] def minhashPairs(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7, s"usage: $minhashPairsUsage")
+    def c(i: Int, w: String) = parseCol(args(i), w, minhashPairsUsage)
+    plan(Dedup.minhashLshPairs(
+      table(str(args(0), "table_name", minhashPairsUsage)),
+      c(1, "id_sql_expr"), c(2, "text_sql_expr"),
+      n = int(args(3), "n", minhashPairsUsage),
+      bands = int(args(4), "bands", minhashPairsUsage),
+      rowsPerBand = int(args(5), "rows_per_band", minhashPairsUsage),
+      threshold = dbl(args(6), "threshold", minhashPairsUsage)))
+  }
+
+  private val simhashPairsUsage =
+    "graft_simhash_pairs(table_name, 'id_sql_expr', 'text_sql_expr', " +
+      "max_hamming, chunks)"
+
+  /** SimHash near-dup pairs (see [[Dedup.simhashPairs]]): pigeonhole
+    * banding over the 64-bit fingerprint — exact recall for
+    * max_hamming < chunks. Returns (a_id, b_id, hamming). */
+  private[plans] def simhashPairs(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5, s"usage: $simhashPairsUsage")
+    def c(i: Int, w: String) = parseCol(args(i), w, simhashPairsUsage)
+    plan(Dedup.simhashPairs(
+      table(str(args(0), "table_name", simhashPairsUsage)),
+      c(1, "id_sql_expr"), c(2, "text_sql_expr"),
+      maxHamming = int(args(3), "max_hamming", simhashPairsUsage),
+      chunks = int(args(4), "chunks", simhashPairsUsage)))
+  }
+
+  private val dedupClustersUsage =
+    "graft_dedup_clusters(table_name, 'id_sql_expr', 'text_sql_expr', " +
+      "n, threshold)"
+
+  /** Near-dup CLUSTERS (see [[Dedup.clusters]]): exact n-gram Jaccard
+    * pairs → connected components → (doc_id, cluster_id, cluster_size,
+    * is_canonical). NOTE: the component iteration runs its per-round
+    * convergence actions at PLAN time (like the semantic-dedup fit);
+    * the returned relation is the final label join, fully distributed. */
+  private[plans] def dedupClusters(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5, s"usage: $dedupClustersUsage")
+    def c(i: Int, w: String) = parseCol(args(i), w, dedupClustersUsage)
+    plan(Dedup.clusters(
+      table(str(args(0), "table_name", dedupClustersUsage)),
+      c(1, "id_sql_expr"), c(2, "text_sql_expr"),
+      n = int(args(3), "n", dedupClustersUsage),
+      threshold = dbl(args(4), "threshold", dedupClustersUsage)))
+  }
+
   private val annTopkUsage =
     "graft_ann_topk(corpus_table, query_table, id_col, vec_col, k)"
 
@@ -120,5 +180,11 @@ object LlmTableFunctions {
       info("graft_semantic_dedup", semanticDedupUsage), semanticDedup _))
     e.injectTableFunction((FunctionIdentifier("graft_ann_topk"),
       info("graft_ann_topk", annTopkUsage), annTopk _))
+    e.injectTableFunction((FunctionIdentifier("graft_minhash_pairs"),
+      info("graft_minhash_pairs", minhashPairsUsage), minhashPairs _))
+    e.injectTableFunction((FunctionIdentifier("graft_simhash_pairs"),
+      info("graft_simhash_pairs", simhashPairsUsage), simhashPairs _))
+    e.injectTableFunction((FunctionIdentifier("graft_dedup_clusters"),
+      info("graft_dedup_clusters", dedupClustersUsage), dedupClusters _))
   }
 }

@@ -1529,8 +1529,42 @@ object LlmQueries extends QueryCatalog {
         ORDER BY query_id, rank""")
     })
 
+  private val tvfMinhashPairs = Q(
+    "sql_tvf_minhash_pairs",
+    dedupMinhash.oracle,
+    (s, dir) => {
+      t(s, dir, "documents")
+      s.sql("""
+        SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text',
+                                          3, 16, 4, 0.5D)
+        ORDER BY a_id, b_id""")
+    })
+
+  private val tvfSimhashPairs = Q(
+    "sql_tvf_simhash_pairs",
+    dedupSimhash.oracle,
+    (s, dir) => {
+      t(s, dir, "documents")
+      s.sql("""
+        SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+        FROM graft_simhash_pairs('documents', 'doc_id', 'text', 7, 8)
+        ORDER BY a_id, b_id""")
+    })
+
+  private val tvfDedupClusters = Q(
+    "sql_tvf_dedup_clusters",
+    dedupCluster.oracle,
+    (s, dir) => {
+      t(s, dir, "documents")
+      s.sql("""
+        SELECT doc_id, cluster_id, cluster_size, is_canonical
+        FROM graft_dedup_clusters('documents', 'doc_id', 'text', 3, 0.5D)
+        ORDER BY doc_id""")
+    })
+
   override def defs: Seq[Q] = Seq(
     tvfDedupExact, tvfSemanticDedup, tvfAnnTopk,
+    tvfMinhashPairs, tvfSimhashPairs, tvfDedupClusters,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     clusterKmeans, dedupSemantic,

@@ -69,6 +69,50 @@ class TvfSpec extends AnyFunSuite {
     assert(sql.length == 12) // 3 queries × top-4
   }
 
+  test("graft_minhash_pairs TVF == Dedup.minhashLshPairs") {
+    registered()
+    val sql = spark.sql("""
+      SELECT * FROM graft_minhash_pairs('documents', 'doc_id', 'text',
+                                        3, 16, 4, 0.5D)
+      ORDER BY a_id, b_id""").collect()
+    val lib = Dedup.minhashLshPairs(Engine.t(spark, sf0001, "documents"),
+        col("doc_id"), col("text"), n = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id")).collect()
+    assert(sql.toSeq == lib.toSeq)
+    assert(sql.nonEmpty)
+  }
+
+  test("graft_simhash_pairs TVF == Dedup.simhashPairs") {
+    registered()
+    val sql = spark.sql("""
+      SELECT * FROM graft_simhash_pairs('documents', 'doc_id', 'text', 7, 8)
+      ORDER BY a_id, b_id""").collect()
+    val lib = Dedup.simhashPairs(Engine.t(spark, sf0001, "documents"),
+        col("doc_id"), col("text"), maxHamming = 7, chunks = 8)
+      .orderBy(col("a_id"), col("b_id")).collect()
+    assert(sql.toSeq == lib.toSeq)
+    assert(sql.nonEmpty)
+  }
+
+  test("graft_dedup_clusters TVF == Dedup.clusters and composes in SQL") {
+    registered()
+    val sql = spark.sql("""
+      SELECT * FROM graft_dedup_clusters('documents', 'doc_id', 'text',
+                                         3, 0.5D)
+      ORDER BY doc_id""").collect()
+    val lib = Dedup.clusters(Engine.t(spark, sf0001, "documents"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(sql.toSeq == lib.toSeq)
+    // composes: canonical docs per cluster of size >= 2
+    val canon = spark.sql("""
+      SELECT count(*) AS c
+      FROM graft_dedup_clusters('documents', 'doc_id', 'text', 3, 0.5D)
+      WHERE is_canonical = 1 AND cluster_size >= 2""").collect().head.getLong(0)
+    assert(canon > 0)
+  }
+
   test("TVF misuse fails with usage-carrying errors, not MatchErrors") {
     registered()
     val wrongArity = intercept[Exception](
