@@ -109,7 +109,17 @@ object Engine {
       .master(s"local[$cores]")
       .appName("graft")
       .withExtensions(new plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cores)
+      // Shuffle parallelism defaults to the core count (right for the
+      // test SFs, where 32 partitions ≈ task-per-core with no spill)
+      // but is independently overridable: partition count is a DATA
+      // dial, not a core dial — at sf10 the suite's largest shuffles
+      // reach ~90 MB compressed per partition at 32 and start
+      // spilling, so a scaled run sizes partitions up (docs/
+      // BENCH_NOTES.md records both readings). On a real cluster this
+      // is the `spark.sql.shuffle.partitions ≈ input / 128 MB` sizing
+      // rule; AQE coalesces back any excess on the small stages.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // ANSI "quoted identifiers" (the reference accepts `AS "select"`,
