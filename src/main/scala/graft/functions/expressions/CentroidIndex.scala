@@ -1,0 +1,151 @@
+package graft.functions.expressions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Broadcast-backed centroid indexes for the k-means / IVF / SemDeDup
+  * assignment paths.
+  *
+  * WHY NOT A PLAN LITERAL: embedding the centroid matrix as a
+  * `typedlit(Seq[Seq[Double]])` puts it in every task binary — at the
+  * SemDeDup discipline's real index size (50k cells × 32+ dims) that is
+  * a ~22 MiB serialized closure which EVERY concurrent task
+  * deserializes into boxed nested arrays (~40 bytes per element), and a
+  * self-join stage carries it once per join side: 32 local tasks × 2
+  * sides OOMed an 8 GiB heap at 20M docs (r14 measured). A
+  * `Broadcast` deserializes ONCE per executor JVM into flat primitive
+  * `Array[Double]` (8 bytes per element) shared by all its tasks — the
+  * same torrent mechanism a 1000-executor cluster uses for map-side
+  * join sides. The argmax itself becomes one fused primitive loop per
+  * row instead of per-cell struct allocations.
+  *
+  * SEMANTICS ARE PINNED to the plan-literal form they replace
+  * (`array_max` over `struct(cosine_similarity(vec, c), -i-1)`):
+  *   - cosine = dot/(‖x‖·‖y‖) accumulated in ascending element order
+  *     (bit-identical to [[CosineSimilarity.nullSafeEval]]);
+  *   - zero-norm side → that cell's sim is NULL, and NULL loses to any
+  *     non-NULL sim (Spark struct ordering);
+  *   - ties (including all-NULL and a NULL input vector) resolve to the
+  *     LOWEST cell index; NaN compares greatest; -0.0 == 0.0
+  *     (SQLOrderingUtil double semantics).
+  */
+final case class FlatCentroids(dim: Int, flat: Array[Double]) {
+  def n: Int = if (dim == 0) 0 else flat.length / dim
+}
+
+/** Two-level (IMI-style) index flattened for broadcast: super-cell s's
+  * sub-centroids are `subFlat` vectors `[subOffsets(s),
+  * subOffsets(s)+subCounts(s))`; composite cell id = s·stride + sub. */
+final case class TwoLevelFlatIndex(
+    dim: Int,
+    stride: Long,
+    superFlat: Array[Double],
+    nSuper: Int,
+    subFlat: Array[Double],
+    subOffsets: Array[Int],
+    subCounts: Array[Int])
+
+private[graft] object CentroidKernel {
+  /** Argmax centroid index in `flat[(from+c)*dim ..)` for c in
+    * [0, count) under the pinned ordering above; `vec` may not be null
+    * (callers map a NULL input to index 0, the all-NULL-sims tie). */
+  def argmax(vec: ArrayData, isFloat: Boolean, dim: Int,
+      flat: Array[Double], from: Int, count: Int): Int = {
+    val vLen = vec.numElements()
+    val n = math.min(vLen, dim)
+    var best = 0
+    var bestSim = 0.0
+    var bestValid = false
+    var c = 0
+    while (c < count) {
+      val base = (from + c) * dim
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val yi = flat(base + i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      if (nx != 0.0 && ny != 0.0) {
+        // + 0.0 normalizes -0.0 to 0.0 (Spark compares them equal)
+        val sim = dot / (math.sqrt(nx) * math.sqrt(ny)) + 0.0
+        val better =
+          if (!bestValid) true
+          else if (java.lang.Double.isNaN(sim)) !java.lang.Double.isNaN(bestSim)
+          else if (java.lang.Double.isNaN(bestSim)) false
+          else sim > bestSim
+        if (better) { best = c; bestSim = sim; bestValid = true }
+      }
+      c += 1
+    }
+    best
+  }
+
+  def checkVecType(dt: DataType, what: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$what expects array<float|double>, got $other")
+  }
+}
+
+/** 0-based index of the nearest centroid of the broadcast flat matrix
+  * (never null: a NULL/empty input vector resolves to 0, the all-NULL
+  * tie — matching the literal form's `negidx` fallback). */
+case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidKernel.checkVecType(child.dataType, prettyName)
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else {
+      val idx = index.value
+      CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
+        idx.dim, idx.flat, 0, idx.n)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** Composite two-level cell id (super·stride + sub) against the
+  * broadcast two-level index: the two argmaxes of
+  * [[graft.operators.Similarity.twoLevelAssign]] fused into one
+  * per-row call — O(nSuper + subCounts(s)) cosines, no plan literal. */
+case class TwoLevelNearestCell(child: Expression,
+    index: Broadcast[TwoLevelFlatIndex])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidKernel.checkVecType(child.dataType, prettyName)
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L // s=0, sub=0: the all-NULL-sims tie at both levels
+    else {
+      val idx = index.value
+      val vec = v.asInstanceOf[ArrayData]
+      val s = CentroidKernel.argmax(vec, isFloat, idx.dim,
+        idx.superFlat, 0, idx.nSuper)
+      val sub = CentroidKernel.argmax(vec, isFloat, idx.dim,
+        idx.subFlat, idx.subOffsets(s), idx.subCounts(s))
+      s.toLong * idx.stride + sub
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "two_level_nearest_cell"
+}

@@ -5,7 +5,9 @@ import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{CosineSimilarity, HyperplaneLsh, PqAdcDot, PqEncode}
+import graft.functions.expressions.{CosineSimilarity, FlatCentroids,
+  HyperplaneLsh, NearestCentroid, PqAdcDot, PqEncode, TwoLevelFlatIndex,
+  TwoLevelNearestCell}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -21,10 +23,12 @@ import graft.functions.expressions.{CosineSimilarity, HyperplaneLsh, PqAdcDot, P
 object Similarity {
 
   /** Ceiling on centroid/codebook fit sizes: the fit collects this
-    * many vectors to the driver and ships them inside the plan as a
-    * literal (MaxFitCells×dim doubles). Covers SemDeDup's ~100k-cell
-    * discipline at moderate dims; shard the corpus and fit per shard
-    * (or cluster hierarchically) beyond it. */
+    * many vectors to the driver and ships them to executors as a
+    * BROADCAST of flat primitive arrays (MaxFitCells×dim doubles —
+    * deserialized once per executor, not per task; see
+    * [[graft.functions.expressions.NearestCentroid]]). Covers
+    * SemDeDup's ~100k-cell discipline at moderate dims; shard the
+    * corpus and fit per shard (or cluster hierarchically) beyond it. */
   val MaxFitCells: Int = 131072
 
   /** Ceiling on the PER-ROUND Lloyd mean-collect, in scalar elements
@@ -233,11 +237,45 @@ object Similarity {
     ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
   }
 
+  /** Flatten a centroid set into the broadcast form: one primitive
+    * Array[Double] (8 bytes/element — vs ~40 boxed in a plan literal),
+    * deserialized once per executor instead of once per task. */
+  private def broadcastFlat(df: DataFrame, vecs: Seq[Seq[Double]]) = {
+    val dim = vecs.headOption.map(_.size).getOrElse(0)
+    val flat = new Array[Double](vecs.size * dim)
+    vecs.zipWithIndex.foreach { case (v, c) =>
+      var i = 0; while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
+    }
+    df.sparkSession.sparkContext.broadcast(FlatCentroids(dim, flat))
+  }
+
+  private def broadcastTwoLevel(df: DataFrame,
+      index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])) = {
+    val (superVecs, subVecs) = index
+    val dim = superVecs.headOption.map(_.size).getOrElse(0)
+    val superFlat = new Array[Double](superVecs.size * dim)
+    superVecs.zipWithIndex.foreach { case (v, c) =>
+      var i = 0; while (i < dim) { superFlat(c * dim + i) = v(i); i += 1 }
+    }
+    val counts = subVecs.map(_.size).toArray
+    val offsets = counts.scanLeft(0)(_ + _).dropRight(1)
+    val subFlat = new Array[Double](counts.sum * dim)
+    var pos = 0
+    subVecs.foreach(_.foreach { v =>
+      var i = 0; while (i < dim) { subFlat(pos * dim + i) = v(i); i += 1 }
+      pos += 1
+    })
+    df.sparkSession.sparkContext.broadcast(TwoLevelFlatIndex(
+      dim, subStride(subVecs), superFlat, superVecs.size,
+      subFlat, offsets, counts))
+  }
+
   private def ivfAssignWith(corpus: DataFrame, corpusId: String, corpusVec: String,
       cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): DataFrame = {
-    import org.apache.spark.sql.functions.array_max
+    val bc = broadcastFlat(corpus, cellVecs)
+    val idx = toCol(NearestCentroid(toExpr(col(corpusVec)), bc))
     corpus.select(col(corpusId), col(corpusVec),
-      cellOf(cellIds, array_max(scoredCells(cellVecs, col(corpusVec)))).as("cell_id"))
+      element_at(typedlit(cellIds), idx + lit(1)).as("cell_id"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
@@ -541,16 +579,6 @@ object Similarity {
     ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
   }
 
-  /** Score a DYNAMIC per-row centroid array (vs [[scoredCells]]' global
-    * literal): same struct-max tie discipline (best sim, tie → lowest
-    * index). */
-  private def scoredCellsDyn(cellsCol: Column, vec: Column): Column =
-    transform(cellsCol, (c, i) =>
-      struct(cosine(vec, c).as("sim"), (-i - 1).as("negidx")))
-
-  private def bestIdxDyn(cellsCol: Column, vec: Column): Column =
-    -array_max(scoredCellsDyn(cellsCol, vec)).getField("negidx") - 1
-
   /** Two-level (IMI-style) k-means index — the remedy for the flat
     * assignment's O(docs·nCells) cost law (SCALE.md r13 anchor):
     * `nSuper` Lloyd-refined super-centroids partition the corpus, then
@@ -584,7 +612,8 @@ object Similarity {
       // once — bound that collect by total cells × dim like the flat fit
       requireFitElements(nSuper.toLong * nSubPerCell,
         superVecs.headOption.map(_.size).getOrElse(0), "kmeansTwoLevel")
-      val superIdx = bestIdxDyn(typedlit(superVecs), col(corpusVec)).as("__s")
+      val superIdx = toCol(NearestCentroid(toExpr(col(corpusVec)),
+        broadcastFlat(train, superVecs))).as("__s")
       // sub seeds: each super cell's lowest-id members (bounded collect)
       val w = Window.partitionBy(col("__s")).orderBy(col(corpusId))
       val seedRows = train.select(col(corpusId), col(corpusVec), superIdx)
@@ -606,13 +635,13 @@ object Similarity {
       (1 to iters).foreach { _ =>
         // one two-argmax projection assigns (super, sub); the global
         // sub key feeds the same bounded mean aggregate the flat fit
-        // uses. Ragged sub arrays are fine: the dynamic argmax scores
-        // whatever the row's super cell actually has.
-        val s = bestIdxDyn(typedlit(superVecs), col(corpusVec))
-        val sub = bestIdxDyn(
-          element_at(typedlit(subVecs), s.cast("int") + 1), col(corpusVec))
+        // uses. Ragged sub arrays are fine: the fused argmax scores
+        // whatever the row's super cell actually has. The index ships
+        // as a broadcast of flat primitive arrays, NOT a plan literal —
+        // see [[graft.functions.expressions.TwoLevelNearestCell]].
         val assigned = train.select(
-          (s.cast("long") * nSubMax + sub.cast("long")).as("__cell"),
+          toCol(TwoLevelNearestCell(toExpr(col(corpusVec)),
+            broadcastTwoLevel(train, (superVecs, subVecs)))).as("__cell"),
           col(corpusVec))
         val byCell = collectCellMeans(assigned, "__cell", corpusVec)
         subVecs = subVecs.zipWithIndex.map { case (cells, si) =>
@@ -640,15 +669,10 @@ object Similarity {
     * [[subStride]] of the fitted index — the SAME stride the fit's
     * Lloyd rounds key on, NOT the nSubPerCell the fit was asked for. */
   def twoLevelAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
-      index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): DataFrame = {
-    val (superVecs, subVecs) = index
-    val nSubMax = subStride(subVecs)
-    val s = bestIdxDyn(typedlit(superVecs), col(corpusVec))
-    val sub = bestIdxDyn(
-      element_at(typedlit(subVecs), s.cast("int") + 1), col(corpusVec))
+      index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): DataFrame =
     corpus.select(col(corpusId), col(corpusVec),
-      (s.cast("long") * nSubMax + sub.cast("long")).as("cell_id"))
-  }
+      toCol(TwoLevelNearestCell(toExpr(col(corpusVec)),
+        broadcastTwoLevel(corpus, index))).as("cell_id"))
 
   /** [[semanticDedup]] over the two-level index: same output contract
     * ((id, vec) → cell_id, dup_of), but assignment is
