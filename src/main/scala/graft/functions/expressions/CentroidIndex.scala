@@ -119,6 +119,84 @@ case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** Top-`n` nearest centroid indexes (best first) of the broadcast flat
+  * matrix — the probe-side complement of [[NearestCentroid]], replacing
+  * `slice(sort_array(struct(cosine, -i-1) …), 1, n)` over a plan
+  * literal with one insertion-selection loop per row. Ordering is the
+  * same pinned comparator: sim desc (NaN greatest, -0.0 == 0.0),
+  * NULL-sim cells rank below every non-NULL one, ties → lower index
+  * first. Returns min(n, nCentroids) entries; a NULL input vector
+  * yields indexes 0..min(n,nCentroids)-1 (the all-NULL-sims tie). */
+case class NearestCentroids(child: Expression, index: Broadcast[FlatCentroids],
+    n: Int) extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1 (got $n)")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidKernel.checkVecType(child.dataType, prettyName)
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def eval(input: InternalRow): Any = {
+    val idx = index.value
+    val total = idx.n
+    val keep = math.min(n, total)
+    val v = child.eval(input)
+    if (v == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate(keep)(i => i: Any))
+    val vec = v.asInstanceOf[ArrayData]
+    val vLen = vec.numElements()
+    val dim = idx.dim
+    val m = math.min(vLen, dim)
+    // parallel arrays of the current top `keep`, best first
+    val topIdx = new Array[Int](keep)
+    val topSim = new Array[Double](keep)
+    val topValid = new Array[Boolean](keep)
+    var size = 0
+    var c = 0
+    while (c < total) {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < m) {
+        val xi = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val yi = idx.flat(c * dim + i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val valid = nx != 0.0 && ny != 0.0
+      val sim = if (valid) dot / (math.sqrt(nx) * math.sqrt(ny)) + 0.0 else 0.0
+      // find insertion point: strictly-better-than position (iterating
+      // ascending c, strict comparison keeps lower index first on ties)
+      var pos = size
+      while (pos > 0 && better(valid, sim, topValid(pos - 1), topSim(pos - 1)))
+        pos -= 1
+      if (pos < keep) {
+        val last = math.min(size, keep - 1)
+        var j = last; while (j > pos) {
+          topIdx(j) = topIdx(j - 1); topSim(j) = topSim(j - 1)
+          topValid(j) = topValid(j - 1); j -= 1
+        }
+        topIdx(pos) = c; topSim(pos) = sim; topValid(pos) = valid
+        if (size < keep) size += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      topIdx.take(size).map(i => i: Any))
+  }
+  // is (aValid, aSim) strictly better than (bValid, bSim)?
+  private def better(aValid: Boolean, aSim: Double,
+      bValid: Boolean, bSim: Double): Boolean =
+    if (aValid != bValid) aValid
+    else if (!aValid) false
+    else if (java.lang.Double.isNaN(aSim)) !java.lang.Double.isNaN(bSim)
+    else if (java.lang.Double.isNaN(bSim)) false
+    else aSim > bSim
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** Composite two-level cell id (super·stride + sub) against the
   * broadcast two-level index: the two argmaxes of
   * [[graft.operators.Similarity.twoLevelAssign]] fused into one

@@ -6,8 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{CosineSimilarity, FlatCentroids,
-  HyperplaneLsh, NearestCentroid, PqAdcDot, PqEncode, TwoLevelFlatIndex,
-  TwoLevelNearestCell}
+  HyperplaneLsh, NearestCentroid, NearestCentroids, PqAdcDot, PqEncode,
+  TwoLevelFlatIndex, TwoLevelNearestCell}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -135,26 +135,6 @@ object Similarity {
       .orderBy(col("cell_id")).limit(nCells).collect()
     (cent.map(_.getLong(0)).toSeq, cent.map(_.getSeq[Double](1)).toSeq)
   }
-
-  /** All cells scored against `vec` as array<struct<sim,negidx>> —
-    * computed entirely map-side against the centroid literal: struct
-    * ordering makes max = (highest sim, tie → lowest cell index). */
-  private def scoredCells(cellVecs: Seq[Seq[Double]], vec: Column): Column = {
-    import org.apache.spark.sql.functions.{struct, transform, typedlit}
-    transform(typedlit(cellVecs), (c, i) =>
-      struct(cosine(vec, c).as("sim"), (-i - 1).as("negidx")))
-  }
-
-  /** The `n` nearest cells of `vec`, best first (sort of an
-    * nCells-element in-memory array — still pure map-side). */
-  private def bestCells(cellVecs: Seq[Seq[Double]], vec: Column, n: Int): Column = {
-    import org.apache.spark.sql.functions.slice
-    slice(sort_array(scoredCells(cellVecs, vec), asc = false), 1, n)
-  }
-
-  private def cellOf(cellIds: Seq[Long], scoredEntry: Column): Column =
-    org.apache.spark.sql.functions.element_at(
-      org.apache.spark.sql.functions.typedlit(cellIds), -scoredEntry.getField("negidx"))
 
   /** Lloyd (k-means) refinement of the centroid set: each iteration is
     * one map-side assignment pass (the same zero-shuffle argmax
@@ -291,10 +271,13 @@ object Similarity {
     }
     val assigned = ivfAssignWith(corpus, corpusId, corpusVec, cellIds, cellVecs)
 
-    // each query probes its nProbe nearest cells — also pure map-side
+    // each query probes its nProbe nearest cells — also pure map-side,
+    // against the same broadcast index the corpus assignment uses
     val probes = queries.select(col(queryId), col(queryVec),
-        explode(bestCells(cellVecs, col(queryVec), nProbe)).as("probe"))
-      .select(col(queryId), col(queryVec), cellOf(cellIds, col("probe")).as("cell_id"))
+        explode(toCol(NearestCentroids(toExpr(col(queryVec)),
+          broadcastFlat(queries, cellVecs), nProbe))).as("pidx"))
+      .select(col(queryId), col(queryVec),
+        element_at(typedlit(cellIds), col("pidx") + lit(1)).as("cell_id"))
 
     // probes (queries × nProbe, broadcast-small) join the assigned
     // corpus on cell_id: the corpus side stays un-shuffled; only the
