@@ -335,6 +335,114 @@ object LlmQueries extends QueryCatalog {
           nCells = 8, iters = 2, threshold = 0.35)
         .orderBy(col("vec_id")))
 
+  /** DuckDB re-derivation of the ENTIRE two-level (IMI-style) fit —
+    * the same discipline as [[kmeansDuck]] extended one level down:
+    * super fit (3 seeds by lowest vec_id, 2 Lloyd rounds, 1e-9-
+    * quantized means), per-vector super assignment against the FINAL
+    * super centroids, sub seeds = first 3 members by vec_id per super
+    * cell (super centroid fallback for empty cells), stride = max
+    * actual sub count, 2 composite-cell Lloyd rounds (emptied sub-cell
+    * keeps its centroid), then the two-argmax assignment and the
+    * within-cell lower-id witness. Every tie breaks (sim DESC, index
+    * ASC) exactly as [[graft.functions.expressions.CentroidKernel]]
+    * pins them. */
+  private val twoLevelDuck = """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 3)),
+      sa1 AS (SELECT vec_id, v, idx FROM (
+               SELECT e.vec_id, e.v, c.idx,
+                      row_number() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                  c.idx) AS rn
+               FROM e CROSS JOIN s0 c) WHERE rn = 1),
+      sm1 AS (SELECT idx, list(m ORDER BY i) AS mv FROM (
+               SELECT sa1.idx, g.i, round(avg(sa1.v[g.i]), 9) AS m
+               FROM sa1, generate_series(1, 64) g(i) GROUP BY sa1.idx, g.i)
+             GROUP BY idx),
+      s1 AS (SELECT s0.idx, coalesce(sm1.mv, s0.cv) AS cv
+             FROM s0 LEFT JOIN sm1 USING (idx)),
+      sa2 AS (SELECT vec_id, v, idx FROM (
+               SELECT e.vec_id, e.v, c.idx,
+                      row_number() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                  c.idx) AS rn
+               FROM e CROSS JOIN s1 c) WHERE rn = 1),
+      sm2 AS (SELECT idx, list(m ORDER BY i) AS mv FROM (
+               SELECT sa2.idx, g.i, round(avg(sa2.v[g.i]), 9) AS m
+               FROM sa2, generate_series(1, 64) g(i) GROUP BY sa2.idx, g.i)
+             GROUP BY idx),
+      s2 AS (SELECT s1.idx, coalesce(sm2.mv, s1.cv) AS cv
+             FROM s1 LEFT JOIN sm2 USING (idx)),
+      sv AS (SELECT vec_id, v, idx AS s FROM (
+               SELECT e.vec_id, e.v, c.idx,
+                      row_number() OVER (PARTITION BY e.vec_id
+                                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                                  c.idx) AS rn
+               FROM e CROSS JOIN s2 c) WHERE rn = 1),
+      b0 AS (SELECT s, rn - 1 AS b, v AS cv FROM (
+               SELECT s, vec_id, v,
+                      row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+               FROM sv) WHERE rn <= 3),
+      b0f AS (SELECT * FROM b0
+              UNION ALL
+              SELECT s2.idx AS s, 0 AS b, s2.cv FROM s2
+              WHERE s2.idx NOT IN (SELECT DISTINCT s FROM b0)),
+      st AS (SELECT greatest(max(cnt), 1) AS stride FROM
+               (SELECT s, count(*) AS cnt FROM b0f GROUP BY s)),
+      ba1 AS (SELECT vec_id, v, s, b FROM (
+               SELECT sv.vec_id, sv.v, sv.s, c.b,
+                      row_number() OVER (PARTITION BY sv.vec_id
+                                         ORDER BY list_cosine_similarity(sv.v, c.cv) DESC,
+                                                  c.b) AS rn
+               FROM sv JOIN b0f c ON c.s = sv.s) WHERE rn = 1),
+      bm1 AS (SELECT s, b, list(m ORDER BY i) AS mv FROM (
+               SELECT ba1.s, ba1.b, g.i, round(avg(ba1.v[g.i]), 9) AS m
+               FROM ba1, generate_series(1, 64) g(i) GROUP BY ba1.s, ba1.b, g.i)
+             GROUP BY s, b),
+      b1 AS (SELECT b0f.s, b0f.b, coalesce(bm1.mv, b0f.cv) AS cv
+             FROM b0f LEFT JOIN bm1 USING (s, b)),
+      ba2 AS (SELECT vec_id, v, s, b FROM (
+               SELECT sv.vec_id, sv.v, sv.s, c.b,
+                      row_number() OVER (PARTITION BY sv.vec_id
+                                         ORDER BY list_cosine_similarity(sv.v, c.cv) DESC,
+                                                  c.b) AS rn
+               FROM sv JOIN b1 c ON c.s = sv.s) WHERE rn = 1),
+      bm2 AS (SELECT s, b, list(m ORDER BY i) AS mv FROM (
+               SELECT ba2.s, ba2.b, g.i, round(avg(ba2.v[g.i]), 9) AS m
+               FROM ba2, generate_series(1, 64) g(i) GROUP BY ba2.s, ba2.b, g.i)
+             GROUP BY s, b),
+      b2 AS (SELECT b1.s, b1.b, coalesce(bm2.mv, b1.cv) AS cv
+             FROM b1 LEFT JOIN bm2 USING (s, b)),
+      af2 AS (SELECT vec_id, v, s, b FROM (
+               SELECT sv.vec_id, sv.v, sv.s, c.b,
+                      row_number() OVER (PARTITION BY sv.vec_id
+                                         ORDER BY list_cosine_similarity(sv.v, c.cv) DESC,
+                                                  c.b) AS rn
+               FROM sv JOIN b2 c ON c.s = sv.s) WHERE rn = 1),
+      cells AS (SELECT vec_id, v,
+                       s * (SELECT stride FROM st) + b AS cell_id FROM af2)"""
+
+  /** Two-level SemDeDup as a full-oracle catalog row: the DuckDB side
+    * independently re-runs the whole IMI-style fit (super Lloyd, sub
+    * seeding, composite-cell Lloyd, ragged-aware stride) and the
+    * cell-confined witness scan — closing the oracle gap on the scale
+    * path the 20M/50k-cell SCALE.md anchor exercises. */
+  private val dedupSemantic2 = Q(
+    "dedup_semantic2",
+    Some(s"""$twoLevelDuck
+      SELECT a.vec_id AS vec_id, a.cell_id AS cell_id, min(b.vec_id) AS dup_of
+      FROM cells a LEFT JOIN cells b
+        ON b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+       AND list_cosine_similarity(a.v, b.v) >= 0.35
+      GROUP BY a.vec_id, a.cell_id
+      ORDER BY vec_id"""),
+    (s, dir) =>
+      Similarity.semanticDedupTwoLevel(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nSuper = 3, nSubPerCell = 3, iters = 2,
+          threshold = 0.35)
+        .orderBy(col("vec_id")))
+
   /** Exact top-k oracle — shared by the brute-force baseline AND the
     * full-probe ANN variants (probing every cell/band reduces ANN to
     * exact search, so the same SQL applies verbatim). */
@@ -1567,7 +1675,7 @@ object LlmQueries extends QueryCatalog {
     tvfMinhashPairs, tvfSimhashPairs, tvfDedupClusters,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
-    clusterKmeans, dedupSemantic,
+    clusterKmeans, dedupSemantic, dedupSemantic2,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     pqEncodeQ, annPqFull, annPq,

@@ -101,10 +101,12 @@ class CatalogSpec extends AnyFunSuite {
     // sql_tvf_semantic_dedup, sql_tvf_ann_topk — each under the SAME
     // oracle as its library-API row → 226; then the remaining
     // relation-producing dedup paths (sql_tvf_minhash_pairs,
-    // sql_tvf_simhash_pairs, sql_tvf_dedup_clusters) → 229.
+    // sql_tvf_simhash_pairs, sql_tvf_dedup_clusters) → 229; then
+    // dedup_semantic2 (two-level SemDeDup with the full IMI fit
+    // re-derived in DuckDB) → 230.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 229 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 229 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 230 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 230 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }
