@@ -95,6 +95,42 @@ object LlmTableFunctions {
     toCol(SparkSession.active.sessionState.sqlParser
       .parseExpression(str(e, what, usage)))
 
+  private val semanticDedup2Usage =
+    "graft_semantic_dedup2(table_name, id_col, vec_col, n_super, " +
+      "n_sub_per_cell, iters, threshold)"
+
+  /** Two-level (IMI-style) SemDeDup (see
+    * [[Similarity.semanticDedupTwoLevel]]): same contract as
+    * graft_semantic_dedup but assignment is O(√cells) per row — the
+    * SQL face of the scale path. The fit runs at plan time (bounded
+    * collects); the relation is the lazy cell-confined pair scan. */
+  private[plans] def semanticDedup2(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7, s"usage: $semanticDedup2Usage")
+    def s(i: Int, w: String) = str(args(i), w, semanticDedup2Usage)
+    plan(Similarity.semanticDedupTwoLevel(table(s(0, "table_name")),
+      s(1, "id_col"), s(2, "vec_col"),
+      nSuper = int(args(3), "n_super", semanticDedup2Usage),
+      nSubPerCell = int(args(4), "n_sub_per_cell", semanticDedup2Usage),
+      iters = int(args(5), "iters", semanticDedup2Usage),
+      threshold = dbl(args(6), "threshold", semanticDedup2Usage)))
+  }
+
+  private val kmeansAssignUsage =
+    "graft_kmeans_assign(table_name, id_col, vec_col, n_cells, iters)"
+
+  /** Lloyd-refined k-means assignment (see [[Similarity.kmeansAssign]]):
+    * the clustering primitive under IVF/SemDeDup as a SQL relation —
+    * (id, vec, cell_id), the assignment a pure zero-shuffle projection
+    * against the broadcast index fitted at plan time. */
+  private[plans] def kmeansAssign(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5, s"usage: $kmeansAssignUsage")
+    def s(i: Int, w: String) = str(args(i), w, kmeansAssignUsage)
+    plan(Similarity.kmeansAssign(table(s(0, "table_name")),
+      s(1, "id_col"), s(2, "vec_col"),
+      nCells = int(args(3), "n_cells", kmeansAssignUsage),
+      iters = int(args(4), "iters", kmeansAssignUsage)))
+  }
+
   private val minhashPairsUsage =
     "graft_minhash_pairs(table_name, 'id_sql_expr', 'text_sql_expr', " +
       "n, bands, rows_per_band, threshold)"
@@ -186,5 +222,9 @@ object LlmTableFunctions {
       info("graft_simhash_pairs", simhashPairsUsage), simhashPairs _))
     e.injectTableFunction((FunctionIdentifier("graft_dedup_clusters"),
       info("graft_dedup_clusters", dedupClustersUsage), dedupClusters _))
+    e.injectTableFunction((FunctionIdentifier("graft_semantic_dedup2"),
+      info("graft_semantic_dedup2", semanticDedup2Usage), semanticDedup2 _))
+    e.injectTableFunction((FunctionIdentifier("graft_kmeans_assign"),
+      info("graft_kmeans_assign", kmeansAssignUsage), kmeansAssign _))
   }
 }

@@ -1670,9 +1670,32 @@ object LlmQueries extends QueryCatalog {
         ORDER BY doc_id""")
     })
 
+  private val tvfSemanticDedup2 = Q(
+    "sql_tvf_semantic_dedup2",
+    dedupSemantic2.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""
+        SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                            'embedding', 3, 3, 2, 0.35D)
+        ORDER BY vec_id""")
+    })
+
+  private val tvfKmeansAssign = Q(
+    "sql_tvf_kmeans_assign",
+    clusterKmeans.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""
+        SELECT vec_id, cell_id
+        FROM graft_kmeans_assign('embeddings', 'vec_id', 'embedding', 8, 2)
+        ORDER BY vec_id""")
+    })
+
   override def defs: Seq[Q] = Seq(
     tvfDedupExact, tvfSemanticDedup, tvfAnnTopk,
     tvfMinhashPairs, tvfSimhashPairs, tvfDedupClusters,
+    tvfSemanticDedup2, tvfKmeansAssign,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     clusterKmeans, dedupSemantic, dedupSemantic2,

@@ -103,10 +103,11 @@ class CatalogSpec extends AnyFunSuite {
     // relation-producing dedup paths (sql_tvf_minhash_pairs,
     // sql_tvf_simhash_pairs, sql_tvf_dedup_clusters) → 229; then
     // dedup_semantic2 (two-level SemDeDup with the full IMI fit
-    // re-derived in DuckDB) → 230.
+    // re-derived in DuckDB) plus its TVF face and the kmeans-assign
+    // TVF face (sql_tvf_semantic_dedup2, sql_tvf_kmeans_assign) → 232.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 230 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 230 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 232 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 232 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

@@ -113,6 +113,34 @@ class TvfSpec extends AnyFunSuite {
     assert(canon > 0)
   }
 
+  test("graft_semantic_dedup2 TVF == Similarity.semanticDedupTwoLevel") {
+    registered()
+    val sql = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D)
+      ORDER BY vec_id""").collect()
+    val lib = Similarity.semanticDedupTwoLevel(
+        Engine.t(spark, sf0001, "embeddings"), "vec_id", "embedding",
+        nSuper = 3, nSubPerCell = 3, iters = 2, threshold = 0.35)
+      .orderBy(col("vec_id")).collect()
+    assert(sql.toSeq == lib.toSeq)
+    assert(sql.nonEmpty)
+  }
+
+  test("graft_kmeans_assign TVF == Similarity.kmeansAssign") {
+    registered()
+    val sql = spark.sql("""
+      SELECT vec_id, cell_id
+      FROM graft_kmeans_assign('embeddings', 'vec_id', 'embedding', 8, 2)
+      ORDER BY vec_id""").collect()
+    val lib = Similarity.kmeansAssign(Engine.t(spark, sf0001, "embeddings"),
+        "vec_id", "embedding", nCells = 8, iters = 2)
+      .select(col("vec_id"), col("cell_id"))
+      .orderBy(col("vec_id")).collect()
+    assert(sql.toSeq == lib.toSeq)
+    assert(sql.nonEmpty)
+  }
+
   test("TVF misuse fails with usage-carrying errors, not MatchErrors") {
     registered()
     val wrongArity = intercept[Exception](
