@@ -939,9 +939,11 @@ object ScaleSweep {
   private def tpchScaleUp(spark: org.apache.spark.sql.SparkSession, replicas: Int): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_TPCH_SRC", "/root/testdata/sf0.1")
     // 10 replicas of sf0.1 → /tmp/graft_sf1 (the documented r12/r13
-    // anchor path); 100 → /tmp/graft_sf10, etc.
-    val out = if (replicas == 10) "/tmp/graft_sf1"
-      else s"/tmp/graft_sf${math.max(1, replicas / 10)}"
+    // anchor path); 100 → /tmp/graft_sf10. Non-decade replica counts
+    // get their own dir so an sf0.5 corpus can't masquerade as (or
+    // clobber) a documented anchor.
+    val out = if (replicas % 10 == 0) s"/tmp/graft_sf${replicas / 10}"
+      else s"/tmp/graft_sf0r$replicas"
     Engine.deleteRecursively(java.nio.file.Paths.get(out))
     val stride = 100000000L // > any sf0.1 key; replica keys never collide
     val keyCols: Seq[(String, Seq[String])] = Seq(

@@ -34,8 +34,11 @@ import org.apache.spark.sql.types._
   *     LOWEST cell index; NaN compares greatest; -0.0 == 0.0
   *     (SQLOrderingUtil double semantics).
   */
-final case class FlatCentroids(dim: Int, flat: Array[Double]) {
+final case class FlatCentroids(dim: Int, flat: Array[Double],
+    ids: Array[Long]) {
   def n: Int = if (dim == 0) 0 else flat.length / dim
+  require(ids.length == n,
+    s"ids (${ids.length}) must match centroid count ($n)")
 }
 
 /** Two-level (IMI-style) index flattened for broadcast: super-cell s's
@@ -117,6 +120,43 @@ case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** Cell ID of the nearest centroid — [[NearestCentroid]] composed with
+  * the broadcast's `ids` lookup, so cell ids never ship as a plan
+  * literal either (at MaxFitCells a `typedlit(cellIds)` is ~131k boxed
+  * Longs re-deserialized per task — the 1/dim-scale remnant of the
+  * vector-literal pathology). A NULL input resolves to ids(0). */
+case class NearestCentroidId(child: Expression, index: Broadcast[FlatCentroids])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidKernel.checkVecType(child.dataType, prettyName)
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def eval(input: InternalRow): Any = {
+    val idx = index.value
+    val v = child.eval(input)
+    if (v == null) idx.ids(0)
+    else idx.ids(CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
+      idx.dim, idx.flat, 0, idx.n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid_id"
+}
+
+/** Maps a positional centroid index (e.g. one exploded from
+  * [[NearestCentroids]]) to its cell id through the broadcast. */
+case class CentroidIdAt(child: Expression, index: Broadcast[FlatCentroids])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(pos: Any): Any =
+    index.value.ids(pos.asInstanceOf[Int])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "centroid_id_at"
 }
 
 /** Top-`n` nearest centroid indexes (best first) of the broadcast flat

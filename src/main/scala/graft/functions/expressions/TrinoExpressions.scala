@@ -338,7 +338,9 @@ case class Murmur3(child: Expression) extends UnaryExpression with CodegenFallba
   // typed QueryError for its hash functions, not a runtime MatchError
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType | BinaryType =>
+      // NullType: a bare murmur3(NULL) must stay NULL (the null
+      // short-circuit), not an analysis error
+      case StringType | BinaryType | NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -5,9 +5,10 @@ import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{CosineSimilarity, FlatCentroids,
-  HyperplaneLsh, NearestCentroid, NearestCentroids, PqAdcDot, PqEncode,
-  TwoLevelFlatIndex, TwoLevelNearestCell}
+import graft.functions.expressions.{CentroidIdAt, CosineSimilarity,
+  FlatCentroids, HyperplaneLsh, NearestCentroid, NearestCentroidId,
+  NearestCentroids, PqAdcDot, PqEncode, TwoLevelFlatIndex,
+  TwoLevelNearestCell}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -129,6 +130,14 @@ object Similarity {
       s"nCells must be in [1, $MaxFitCells] (got $nCells): the centroid " +
         "fit collects nCells vectors to the driver and broadcasts them " +
         "inside the plan; partition the corpus and fit per shard instead")
+    // the elements guard (cells × dim) needs the dimension, which the
+    // schema doesn't carry for arrays — one single-row probe job BEFORE
+    // the nCells-vector collect, so an iters=0 fit (ivfAssign/ivfTopK
+    // default) is bounded exactly like the Lloyd path
+    val probe = corpus
+      .select(coalesce(size(col(corpusVec)), lit(0)).as("d")).take(1)
+    requireFitElements(nCells,
+      probe.headOption.map(_.getInt(0)).getOrElse(0), "fitCentroids")
     val cent = corpus
       .select(col(corpusId).cast("long").as("cell_id"),
         col(corpusVec).cast("array<double>").as("cell_vec"))
@@ -169,7 +178,8 @@ object Similarity {
       requireFitElements(nCells,
         vecs.headOption.map(_.size).getOrElse(0), "kmeansCentroids")
       (1 to iters).foreach { _ =>
-        val assigned = ivfAssignWith(train, corpusId, corpusVec, ids, vecs)
+        val bc = broadcastFlat(train, vecs, ids)
+        val assigned = ivfAssignWithBc(train, corpusId, corpusVec, bc)
         // means quantized to 9 decimals: a distributed avg sums partials
         // in partition order, so the raw double wobbles in the last ulp
         // run-to-run; snapping to a decimal grid makes the fitted index
@@ -178,6 +188,10 @@ object Similarity {
         // oracle) land on the same centroids. 1e-9 is ~6 orders below
         // any observed assignment margin, so clustering is unaffected.
         val byCell = collectCellMeans(assigned, "cell_id", corpusVec)
+        // this round's index is consumed (the collect above was its
+        // only action) — free executor/driver blocks now instead of
+        // leaving iters stale broadcasts to the ContextCleaner
+        bc.destroy()
         vecs = ids.zipWithIndex.map { case (id, i) =>
           byCell.getOrElse(id, vecs(i)) // empty cell: keep prev centroid
         }
@@ -219,14 +233,19 @@ object Similarity {
 
   /** Flatten a centroid set into the broadcast form: one primitive
     * Array[Double] (8 bytes/element — vs ~40 boxed in a plan literal),
-    * deserialized once per executor instead of once per task. */
-  private def broadcastFlat(df: DataFrame, vecs: Seq[Seq[Double]]) = {
+    * deserialized once per executor instead of once per task. `ids`
+    * ride in the same broadcast (positional 0..n-1 when omitted) so
+    * cell ids never ship as a plan literal either. */
+  private def broadcastFlat(df: DataFrame, vecs: Seq[Seq[Double]],
+      ids: Seq[Long] = Nil) = {
     val dim = vecs.headOption.map(_.size).getOrElse(0)
     val flat = new Array[Double](vecs.size * dim)
     vecs.zipWithIndex.foreach { case (v, c) =>
       var i = 0; while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
     }
-    df.sparkSession.sparkContext.broadcast(FlatCentroids(dim, flat))
+    val idArr =
+      if (ids.isEmpty) Array.tabulate(vecs.size)(_.toLong) else ids.toArray
+    df.sparkSession.sparkContext.broadcast(FlatCentroids(dim, flat, idArr))
   }
 
   private def broadcastTwoLevel(df: DataFrame,
@@ -237,6 +256,12 @@ object Similarity {
     superVecs.zipWithIndex.foreach { case (v, c) =>
       var i = 0; while (i < dim) { superFlat(c * dim + i) = v(i); i += 1 }
     }
+    // kmeansTwoLevel guarantees >= 1 sub-centroid per super cell; a
+    // caller-built index must too — an empty list would silently
+    // resolve to sub 0 (a cell that does not exist) instead of failing
+    require(subVecs.forall(_.nonEmpty),
+      "every super cell needs at least one sub-centroid (use the super " +
+        "centroid itself for empty cells, as kmeansTwoLevel does)")
     val counts = subVecs.map(_.size).toArray
     val offsets = counts.scanLeft(0)(_ + _).dropRight(1)
     val subFlat = new Array[Double](counts.sum * dim)
@@ -251,12 +276,15 @@ object Similarity {
   }
 
   private def ivfAssignWith(corpus: DataFrame, corpusId: String, corpusVec: String,
-      cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): DataFrame = {
-    val bc = broadcastFlat(corpus, cellVecs)
-    val idx = toCol(NearestCentroid(toExpr(col(corpusVec)), bc))
+      cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): DataFrame =
+    ivfAssignWithBc(corpus, corpusId, corpusVec,
+      broadcastFlat(corpus, cellVecs, cellIds))
+
+  private def ivfAssignWithBc(corpus: DataFrame, corpusId: String,
+      corpusVec: String,
+      bc: org.apache.spark.broadcast.Broadcast[FlatCentroids]): DataFrame =
     corpus.select(col(corpusId), col(corpusVec),
-      element_at(typedlit(cellIds), idx + lit(1)).as("cell_id"))
-  }
+      toCol(NearestCentroidId(toExpr(col(corpusVec)), bc)).as("cell_id"))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
@@ -269,15 +297,18 @@ object Similarity {
       if (kmeansIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, nCells, kmeansIters)
       else fitCentroids(corpus, corpusId, corpusVec, nCells)
     }
-    val assigned = ivfAssignWith(corpus, corpusId, corpusVec, cellIds, cellVecs)
+    // ONE broadcast of the index, shared by the corpus assignment and
+    // the query-side probe (at the fit ceiling the matrix is ~128 MB —
+    // shipping it twice would double executor storage for nothing)
+    val bc = broadcastFlat(corpus, cellVecs, cellIds)
+    val assigned = ivfAssignWithBc(corpus, corpusId, corpusVec, bc)
 
-    // each query probes its nProbe nearest cells — also pure map-side,
-    // against the same broadcast index the corpus assignment uses
+    // each query probes its nProbe nearest cells — also pure map-side
     val probes = queries.select(col(queryId), col(queryVec),
-        explode(toCol(NearestCentroids(toExpr(col(queryVec)),
-          broadcastFlat(queries, cellVecs), nProbe))).as("pidx"))
+        explode(toCol(NearestCentroids(toExpr(col(queryVec)), bc,
+          nProbe))).as("pidx"))
       .select(col(queryId), col(queryVec),
-        element_at(typedlit(cellIds), col("pidx") + lit(1)).as("cell_id"))
+        toCol(CentroidIdAt(toExpr(col("pidx")), bc)).as("cell_id"))
 
     // probes (queries × nProbe, broadcast-small) join the assigned
     // corpus on cell_id: the corpus side stays un-shuffled; only the
@@ -595,8 +626,9 @@ object Similarity {
       // once — bound that collect by total cells × dim like the flat fit
       requireFitElements(nSuper.toLong * nSubPerCell,
         superVecs.headOption.map(_.size).getOrElse(0), "kmeansTwoLevel")
+      val seedBc = broadcastFlat(train, superVecs)
       val superIdx = toCol(NearestCentroid(toExpr(col(corpusVec)),
-        broadcastFlat(train, superVecs))).as("__s")
+        seedBc)).as("__s")
       // sub seeds: each super cell's lowest-id members (bounded collect)
       val w = Window.partitionBy(col("__s")).orderBy(col(corpusId))
       val seedRows = train.select(col(corpusId), col(corpusVec), superIdx)
@@ -605,10 +637,11 @@ object Similarity {
         .select(col("__s"), col("__rn"),
           col(corpusVec).cast("array<double>").as("__v"))
         .collect()
+      seedBc.destroy() // consumed by the seed collect above
       // a super cell that owns zero vectors at seed time still gets ONE
       // sub-centroid (its super centroid): a later batch assigned
       // against the prefitted index could land there, and an empty sub
-      // list would give it a null cell_id instead of a cell
+      // list is refused by the index broadcast (fail-fast)
       var subVecs: Seq[Seq[Seq[Double]]] = (0 until nSuper).map { s =>
         val seeds = seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
           .map(_.getSeq[Double](2).toSeq).toSeq
@@ -622,11 +655,12 @@ object Similarity {
         // whatever the row's super cell actually has. The index ships
         // as a broadcast of flat primitive arrays, NOT a plan literal —
         // see [[graft.functions.expressions.TwoLevelNearestCell]].
+        val bc = broadcastTwoLevel(train, (superVecs, subVecs))
         val assigned = train.select(
-          toCol(TwoLevelNearestCell(toExpr(col(corpusVec)),
-            broadcastTwoLevel(train, (superVecs, subVecs)))).as("__cell"),
+          toCol(TwoLevelNearestCell(toExpr(col(corpusVec)), bc)).as("__cell"),
           col(corpusVec))
         val byCell = collectCellMeans(assigned, "__cell", corpusVec)
+        bc.destroy() // this round's index is consumed by the collect
         subVecs = subVecs.zipWithIndex.map { case (cells, si) =>
           cells.zipWithIndex.map { case (prev, bi) =>
             // emptied sub-cell keeps its centroid

@@ -45,12 +45,16 @@ object LlmTableFunctions {
   private def int(e: Expression, what: String, usage: String): Int =
     const(e, what, usage) match {
       case n: java.lang.Number => n.intValue()
+      // unsuffixed SQL literals like 8 in a wider context / 0.35 parse
+      // as DecimalType; Literal.eval yields Spark's Decimal, which is
+      // NOT a java.lang.Number
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
       case v => sys.error(s"$what must be an integer (got $v) — usage: $usage")
     }
   private def dbl(e: Expression, what: String, usage: String): Double =
     const(e, what, usage) match {
       case n: java.lang.Number => n.doubleValue()
-      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case v => sys.error(s"$what must be numeric (got $v) — usage: $usage")
     }
 

@@ -54,7 +54,8 @@ class CentroidIndexSpec extends AnyFunSuite {
 
   private def flat(cells: Seq[Seq[Double]]): FlatCentroids = {
     val dim = cells.head.size
-    FlatCentroids(dim, cells.flatten.toArray)
+    FlatCentroids(dim, cells.flatten.toArray,
+      Array.tabulate(cells.size)(_.toLong))
   }
 
   for (asFloat <- Seq(false, true)) {
@@ -123,6 +124,27 @@ class CentroidIndexSpec extends AnyFunSuite {
       (r.getLong(0), si.toLong * stride + one)
     }
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("an index with an empty sub-cell list is refused, not silently mapped to sub 0") {
+    val superVecs: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val subVecs: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(1.0, 0.1)), Seq())
+    val df = spark.range(3).select(col("id"),
+      array(lit(1.0), lit(0.5)).as("vec"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.twoLevelAssign(df, "id", "vec", (superVecs, subVecs)))
+    assert(e.getMessage.contains("sub-centroid"), e.getMessage)
+  }
+
+  test("the cells×dim guard fires on the iters=0 fit path too (ivfAssign default)") {
+    // 131072 cells × 200 dims = 26M elements > MaxFitElements (2^24):
+    // the single-row dim probe must reject BEFORE the big collect
+    val df = spark.range(10).select(col("id"),
+      transform(sequence(lit(0), lit(199)),
+        i => (col("id") + i).cast("double")).as("vec"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.fitCentroids(df, "id", "vec", nCells = 131072))
+    assert(e.getMessage.contains("fitCentroids"), e.getMessage)
   }
 
   test("twoLevelAssign against the 20M-shape dials stays a broadcast plan (no typedlit blow-up)") {

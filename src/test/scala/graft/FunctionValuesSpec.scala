@@ -243,6 +243,9 @@ class FunctionValuesSpec extends AnyFunSuite {
         0x2e4ff723.toString,
       "murmur3(CAST('hello' AS BINARY))" -> 0x248bfa47.toString,
       "murmur3(CAST(NULL AS STRING))" -> "null",
+      // bare untyped NULL (NullType) must null-short-circuit, not be
+      // rejected by the input-type check
+      "murmur3(NULL)" -> "null",
       // micros precision through the interval: 1500ns rounds half-up
       // to 2us; 750us and 1.5ms land exactly
       "CAST(parse_duration('1500ns') AS STRING)" ->

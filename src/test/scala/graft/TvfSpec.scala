@@ -141,6 +141,21 @@ class TvfSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("TVF numeric args accept unsuffixed SQL literals (DecimalType)") {
+    registered()
+    // 0.35 with no D suffix parses as DECIMAL; the arg coercion must
+    // take Spark's Decimal, not just java.lang.Number
+    val dec = spark.sql("""
+      SELECT count(*) AS n
+      FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
+                                8, 2, 0.35)""").collect().head.getLong(0)
+    val sufx = spark.sql("""
+      SELECT count(*) AS n
+      FROM graft_semantic_dedup('embeddings', 'vec_id', 'embedding',
+                                8, 2, 0.35D)""").collect().head.getLong(0)
+    assert(dec == sufx && dec > 0)
+  }
+
   test("TVF misuse fails with usage-carrying errors, not MatchErrors") {
     registered()
     val wrongArity = intercept[Exception](
