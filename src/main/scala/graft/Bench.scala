@@ -147,7 +147,11 @@ object Bench {
     // the padded views. One untimed warm pass (codegen compile), one
     // timed pass. Skipped silently when no reference checkout is
     // mounted. Emitted BEFORE the contract line, which must stay last.
-    if (queries.RefManifest.available) {
+    // SKIP_GOLDEN: scaled anchors (sf>=10 replica dirs) time only the
+    // TPC-H suite — the golden pass would triple the window for a
+    // number BENCH_NOTES tracks separately.
+    if (queries.RefManifest.available &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_GOLDEN")) {
       try {
         queries.RefManifest.padViews(spark)
         val golden = queries.RefManifest.loadAll()
@@ -156,9 +160,36 @@ object Bench {
           catch { case _: Throwable => false }
         }
         runAll() // warm
+        // timed pass records PER-QUERY walls: the r14 lesson is that
+        // the suite TOTAL swings 25.7–34.5 s across machine windows on
+        // identical code, so a regression inside the total is
+        // invisible — per-query walls localize it (the same reason
+        // Bench reports per-query TPC-H walls).
         val g0 = System.nanoTime()
-        val ok = runAll()
+        var ok = 0
+        val perQ = golden.map { case (name, sql) =>
+          val q0 = System.nanoTime()
+          val good =
+            try { spark.sql(sql).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          if (good) ok += 1
+          name -> (if (good) r4((System.nanoTime() - q0) / 1e9) else -1.0)
+        }
         val gWall = (System.nanoTime() - g0) / 1e9
+        // slowest-first detail line (diagnostics; full map would be
+        // ~4 KB and risk crowding the driver's capture window), then
+        // the compact golden total
+        val slow = perQ.sortBy(-_._2).take(20)
+          .map { case (n, w) => s""""$n":$w""" }.mkString("{", ",", "}")
+        println(s"""{"golden_detail_top20":$slow,"sf":"$sfDir"}""")
+        // the FULL per-query map goes to a file (it is ~4 KB — too big
+        // for the driver's stdout tail window, which must keep the
+        // contract line)
+        val full = perQ.map { case (n, w) => s""""$n":$w""" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/graft_golden_perq.json"),
+          s"""{"golden_per_query":$full,"totalSec":${r4(gWall)},"sf":"$sfDir"}""")
         println(s"""{"metric":"golden_suite","value":${r4(gWall)},"unit":"sec","queries":${golden.size},"succeeded":$ok,"sf":"$sfDir"}""")
         queries.RefManifest.restoreViews(spark, sfDir)
       } catch { case _: Throwable => }

@@ -585,11 +585,15 @@ object ScaleSweep {
       corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side, iters = 2)
     val fitSec = (System.nanoTime() - tFit0) / 1e9
 
+    // SPARK_GRAFT_SEMDEDUP2_UNION=1 prices the LSH-union recall
+    // recovery at the same dials (SCALE.md r14 named it as the remedy
+    // for the fine grid's boundary-straddle recall cost)
+    val union = sys.env.get("SPARK_GRAFT_SEMDEDUP2_UNION").contains("1")
     val s0 = listener.snapshot()
     val t0 = System.nanoTime()
     val verdicts = operators.Similarity.semanticDedupTwoLevel(
         corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side,
-        iters = 2, threshold = tau, index = Some(index))
+        iters = 2, threshold = tau, index = Some(index), lshUnion = union)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsOut = verdicts.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -615,7 +619,7 @@ object ScaleSweep {
     def mb(b: Long): Double = math.round(b / 1e5) / 10.0
     println(
       s"""{"sweep":"semdedup2","docs":$nDocs,"dim":$dim,""" +
-      s""""nSuper":$side,"nSubPerCell":$side,"tau":$tau,""" +
+      s""""nSuper":$side,"nSubPerCell":$side,"tau":$tau,"lshUnion":$union,""" +
       s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
       s""""dedupSec":${math.round(wall * 10) / 10.0},""" +
       s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +

@@ -39,6 +39,16 @@ final case class FlatCentroids(dim: Int, flat: Array[Double],
   def n: Int = if (dim == 0) 0 else flat.length / dim
   require(ids.length == n,
     s"ids (${ids.length}) must match centroid count ($n)")
+  /** Fail-fast for the degenerate index the NULL-input fallbacks can't
+    * serve: `ids(0)` / argmax's `best=0` on an EMPTY centroid set would
+    * surface as a bare ArrayIndexOutOfBounds deep in a task. The
+    * library fits refuse to build an empty index ([[graft.operators
+    * .Similarity]] broadcastFlat), so this only trips a caller handing
+    * a hand-built empty index to a prefitted-index API. */
+  def requireNonEmpty(what: String): Unit =
+    require(n > 0, s"$what was given an EMPTY centroid index (0 " +
+      "centroids): fit on a non-empty corpus, or pass a non-empty " +
+      "prefitted centroid set")
 }
 
 /** Two-level (IMI-style) index flattened for broadcast: super-cell s's
@@ -109,13 +119,12 @@ case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
+    val idx = index.value
+    idx.requireNonEmpty(prettyName)
     val v = child.eval(input)
     if (v == null) 0
-    else {
-      val idx = index.value
-      CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
-        idx.dim, idx.flat, 0, idx.n)
-    }
+    else CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
+      idx.dim, idx.flat, 0, idx.n)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -137,6 +146,7 @@ case class NearestCentroidId(child: Expression, index: Broadcast[FlatCentroids])
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
     val idx = index.value
+    idx.requireNonEmpty(prettyName)
     val v = child.eval(input)
     if (v == null) idx.ids(0)
     else idx.ids(CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
@@ -251,6 +261,11 @@ case class TwoLevelNearestCell(child: Expression,
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
+    // same fail-fast as FlatCentroids.requireNonEmpty: an empty super
+    // set would send argmax's best=0 into subOffsets(0) out of bounds
+    require(index.value.nSuper > 0, s"$prettyName was given an EMPTY " +
+      "two-level index (0 super-centroids): fit on a non-empty corpus, " +
+      "or pass a non-empty prefitted index")
     val v = child.eval(input)
     if (v == null) 0L // s=0, sub=0: the all-NULL-sims tie at both levels
     else {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,6 +9,47 @@ import graft.functions.expressions.{CentroidIdAt, CosineSimilarity,
   FlatCentroids, HyperplaneLsh, NearestCentroid, NearestCentroidId,
   NearestCentroids, PqAdcDot, PqEncode, TwoLevelFlatIndex,
   TwoLevelNearestCell}
+
+/** A fitted FLAT centroid index broadcast ONCE and reusable across any
+  * number of assign/dedup/top-k calls — the fit-once-serve-many handle.
+  * The plain `kmeansAssign(nCells, iters)`-style entry points are
+  * self-contained (fit + one internal broadcast per call) but cannot
+  * destroy that broadcast — the returned relation is lazy, so each call
+  * parks one index copy on the executors until the ContextCleaner GCs
+  * it. A long session assigning many batches should fit ONE handle
+  * ([[Similarity.fitIndex]] / [[Similarity.indexOf]]), pass it to every
+  * batch, and [[destroy]] it when no query built on it will run again.
+  */
+final class CentroidIndexHandle private[operators] (
+    private[operators] val bc: org.apache.spark.broadcast.Broadcast[FlatCentroids]) {
+  /** Driver-side views of the fitted index (the broadcast's local
+    * value — no copy): `cellIds(i)`/`cellVecs(i)` is centroid i. */
+  def cellIds: Seq[Long] = bc.value.ids.toSeq
+  def cellVecs: Seq[Seq[Double]] = {
+    val v = bc.value
+    (0 until v.n).map(c => v.flat.slice(c * v.dim, (c + 1) * v.dim).toSeq)
+  }
+  def nCells: Int = bc.value.n
+  def dim: Int = bc.value.dim
+  /** The SparkContext broadcast id — lets a caller (or spec) correlate
+    * the handle with executor storage. */
+  def broadcastId: Long = bc.id
+  /** Release the executor + driver blocks NOW. Any not-yet-executed
+    * query built on this handle will fail afterwards — destroy only
+    * once every consumer has run. */
+  def destroy(): Unit = bc.destroy()
+}
+
+/** Two-level (IMI-style) twin of [[CentroidIndexHandle]] — one
+  * broadcast of the composite index, explicit [[destroy]]. */
+final class TwoLevelIndexHandle private[operators] (
+    private[operators] val bc: org.apache.spark.broadcast.Broadcast[TwoLevelFlatIndex]) {
+  def nSuper: Int = bc.value.nSuper
+  def stride: Long = bc.value.stride
+  def dim: Int = bc.value.dim
+  def broadcastId: Long = bc.id
+  def destroy(): Unit = bc.destroy()
+}
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -133,9 +174,12 @@ object Similarity {
     // the elements guard (cells × dim) needs the dimension, which the
     // schema doesn't carry for arrays — one single-row probe job BEFORE
     // the nCells-vector collect, so an iters=0 fit (ivfAssign/ivfTopK
-    // default) is bounded exactly like the Lloyd path
+    // default) is bounded exactly like the Lloyd path. The probe skips
+    // NULL vectors: a NULL in row 1 must not read as dim=0 and bypass
+    // the MaxFitElements bound the real rows are subject to.
     val probe = corpus
-      .select(coalesce(size(col(corpusVec)), lit(0)).as("d")).take(1)
+      .select(size(col(corpusVec)).as("d"))
+      .where(col(corpusVec).isNotNull).take(1)
     requireFitElements(nCells,
       probe.headOption.map(_.getInt(0)).getOrElse(0), "fitCentroids")
     val cent = corpus
@@ -178,7 +222,7 @@ object Similarity {
       requireFitElements(nCells,
         vecs.headOption.map(_.size).getOrElse(0), "kmeansCentroids")
       (1 to iters).foreach { _ =>
-        val bc = broadcastFlat(train, vecs, ids)
+        val bc = broadcastFlat(train.sparkSession, vecs, ids)
         val assigned = ivfAssignWithBc(train, corpusId, corpusVec, bc)
         // means quantized to 9 decimals: a distributed avg sums partials
         // in partition order, so the raw double wobbles in the last ulp
@@ -236,26 +280,55 @@ object Similarity {
     * deserialized once per executor instead of once per task. `ids`
     * ride in the same broadcast (positional 0..n-1 when omitted) so
     * cell ids never ship as a plan literal either. */
-  private def broadcastFlat(df: DataFrame, vecs: Seq[Seq[Double]],
+  /** How many index broadcasts this JVM has built — the observable the
+    * fit-once-serve-many specs count (N handle-reusing assigns must
+    * build exactly one; the self-contained entry points build one per
+    * call by construction). */
+  private[graft] val indexBroadcastBuilds =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def broadcastFlat(spark: SparkSession, vecs: Seq[Seq[Double]],
       ids: Seq[Long] = Nil) = {
-    val dim = vecs.headOption.map(_.size).getOrElse(0)
-    val flat = new Array[Double](vecs.size * dim)
-    vecs.zipWithIndex.foreach { case (v, c) =>
-      var i = 0; while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
-    }
+    require(vecs.nonEmpty,
+      "cannot build a centroid index from zero centroids (empty fit — " +
+        "is the corpus empty, or the prefitted centroid set?)")
+    val dim = vecs.head.size
+    val flat = flattenChecked(vecs, dim,
+      c => s"centroid ${if (ids.isEmpty) c.toString else s"id=${ids(c)}"}")
     val idArr =
       if (ids.isEmpty) Array.tabulate(vecs.size)(_.toLong) else ids.toArray
-    df.sparkSession.sparkContext.broadcast(FlatCentroids(dim, flat, idArr))
+    indexBroadcastBuilds.incrementAndGet()
+    spark.sparkContext.broadcast(FlatCentroids(dim, flat, idArr))
   }
 
-  private def broadcastTwoLevel(df: DataFrame,
+  /** Flatten `vecs` (all expected `dim`-long) row-major into one
+    * primitive array, REJECTING null or wrong-length vectors with a
+    * message naming the offender: the flat kernel indexes `c*dim + i`
+    * blindly, so a NULL/short vector that the plan-literal form would
+    * have degraded to a NULL sim would here read out of bounds (or NPE)
+    * mid-fit. A NULL embedding among the fit's seed rows is corrupt
+    * input either way — fail it loudly at fit time, not per-task. */
+  private def flattenChecked(vecs: Seq[Seq[Double]], dim: Int,
+      name: Int => String): Array[Double] = {
+    val flat = new Array[Double](vecs.size * dim)
+    vecs.zipWithIndex.foreach { case (v, c) =>
+      require(v != null && v.size == dim,
+        s"${name(c)} is ${if (v == null) "NULL" else s"${v.size}-dimensional"} " +
+          s"but the index dimension is $dim: drop or repair NULL/ragged " +
+          "embeddings before fitting (e.g. filter(col(vec).isNotNull))")
+      var i = 0; while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
+    }
+    flat
+  }
+
+  private def broadcastTwoLevel(spark: SparkSession,
       index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])) = {
     val (superVecs, subVecs) = index
-    val dim = superVecs.headOption.map(_.size).getOrElse(0)
-    val superFlat = new Array[Double](superVecs.size * dim)
-    superVecs.zipWithIndex.foreach { case (v, c) =>
-      var i = 0; while (i < dim) { superFlat(c * dim + i) = v(i); i += 1 }
-    }
+    require(superVecs.nonEmpty,
+      "cannot build a two-level index from zero super-centroids " +
+        "(empty fit — is the corpus empty, or the prefitted index?)")
+    val dim = superVecs.head.size
+    val superFlat = flattenChecked(superVecs, dim, c => s"super-centroid $c")
     // kmeansTwoLevel guarantees >= 1 sub-centroid per super cell; a
     // caller-built index must too — an empty list would silently
     // resolve to sub 0 (a cell that does not exist) instead of failing
@@ -264,21 +337,18 @@ object Similarity {
         "centroid itself for empty cells, as kmeansTwoLevel does)")
     val counts = subVecs.map(_.size).toArray
     val offsets = counts.scanLeft(0)(_ + _).dropRight(1)
-    val subFlat = new Array[Double](counts.sum * dim)
-    var pos = 0
-    subVecs.foreach(_.foreach { v =>
-      var i = 0; while (i < dim) { subFlat(pos * dim + i) = v(i); i += 1 }
-      pos += 1
-    })
-    df.sparkSession.sparkContext.broadcast(TwoLevelFlatIndex(
+    val subFlat = flattenChecked(subVecs.flatten, dim,
+      c => s"sub-centroid $c (flat order)")
+    indexBroadcastBuilds.incrementAndGet()
+    spark.sparkContext.broadcast(TwoLevelFlatIndex(
       dim, subStride(subVecs), superFlat, superVecs.size,
       subFlat, offsets, counts))
   }
 
-  private def ivfAssignWith(corpus: DataFrame, corpusId: String, corpusVec: String,
+  private[graft] def ivfAssignWith(corpus: DataFrame, corpusId: String, corpusVec: String,
       cellIds: Seq[Long], cellVecs: Seq[Seq[Double]]): DataFrame =
     ivfAssignWithBc(corpus, corpusId, corpusVec,
-      broadcastFlat(corpus, cellVecs, cellIds))
+      broadcastFlat(corpus.sparkSession, cellVecs, cellIds))
 
   private def ivfAssignWithBc(corpus: DataFrame, corpusId: String,
       corpusVec: String,
@@ -286,11 +356,60 @@ object Similarity {
     corpus.select(col(corpusId), col(corpusVec),
       toCol(NearestCentroidId(toExpr(col(corpusVec)), bc)).as("cell_id"))
 
+  // ─────────────── fit-once-serve-many index handles ────────────────
+  // The self-contained entry points below (kmeansAssign(nCells, iters),
+  // semanticDedup(...), ivfTopK(...)) each build ONE internal index
+  // broadcast they can never destroy — the relation they return is
+  // lazy, so the broadcast must outlive the call. One batch, one
+  // broadcast: fine. A long-lived session serving MANY batches against
+  // the same fitted index should instead fit a handle once and pass it
+  // everywhere — one broadcast total, destroyed explicitly when done.
+
+  /** Fit a flat k-means index once and broadcast it: `iters = 0` is the
+    * deterministic lowest-id seed fit, `iters > 0` Lloyd-refines it.
+    * Serve any number of [[kmeansAssign]] / [[semanticDedup]] /
+    * [[ivfTopK]] batches from the same handle, then `destroy()` it. */
+  def fitIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCells: Int, iters: Int = 0): CentroidIndexHandle =
+    indexOf(corpus.sparkSession,
+      kmeansCentroids(corpus, corpusId, corpusVec, nCells, iters))
+
+  /** Wrap an already-fitted centroid set (e.g. loaded from a previous
+    * session's materialized fit) as a broadcast index handle. */
+  def indexOf(spark: SparkSession,
+      centroids: (Seq[Long], Seq[Seq[Double]])): CentroidIndexHandle = {
+    val (ids, vecs) = centroids
+    require(ids.size == vecs.size,
+      s"cell ids (${ids.size}) and centroid vectors (${vecs.size}) must align")
+    new CentroidIndexHandle(broadcastFlat(spark, vecs, ids))
+  }
+
+  /** Nearest-centroid assignment against a prefitted handle — the
+    * zero-shuffle projection, ZERO new broadcasts (reuses the
+    * handle's). */
+  def kmeansAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
+      index: CentroidIndexHandle): DataFrame =
+    ivfAssignWithBc(corpus, corpusId, corpusVec, index.bc)
+
+  /** [[semanticDedup]] against a prefitted handle: assignment reuses
+    * the handle's broadcast; only the cell-confined pair scan runs. */
+  def semanticDedup(corpus: DataFrame, corpusId: String, corpusVec: String,
+      threshold: Double, index: CentroidIndexHandle): DataFrame =
+    dedupWithinCells(ivfAssignWithBc(corpus, corpusId, corpusVec, index.bc),
+      corpusId, corpusVec, threshold)
+
+  /** [[ivfTopK]] against a prefitted handle — serve many query batches
+    * from one fit + one broadcast. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nProbe: Int, index: CentroidIndexHandle): DataFrame =
+    ivfTopKWithBc(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      k, nProbe, index.bc)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0,
       centroids: Option[(Seq[Long], Seq[Seq[Double]])] = None): DataFrame = {
-    import org.apache.spark.sql.functions.explode
     // `centroids` = a precomputed index (production shape: fit once —
     // kmeansCentroids — then serve many query batches without re-fitting)
     val (cellIds, cellVecs) = centroids.getOrElse {
@@ -300,7 +419,15 @@ object Similarity {
     // ONE broadcast of the index, shared by the corpus assignment and
     // the query-side probe (at the fit ceiling the matrix is ~128 MB —
     // shipping it twice would double executor storage for nothing)
-    val bc = broadcastFlat(corpus, cellVecs, cellIds)
+    ivfTopKWithBc(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      k, nProbe, broadcastFlat(corpus.sparkSession, cellVecs, cellIds))
+  }
+
+  private def ivfTopKWithBc(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int, nProbe: Int,
+      bc: org.apache.spark.broadcast.Broadcast[FlatCentroids]): DataFrame = {
+    import org.apache.spark.sql.functions.explode
     val assigned = ivfAssignWithBc(corpus, corpusId, corpusVec, bc)
 
     // each query probes its nProbe nearest cells — also pure map-side
@@ -626,7 +753,7 @@ object Similarity {
       // once — bound that collect by total cells × dim like the flat fit
       requireFitElements(nSuper.toLong * nSubPerCell,
         superVecs.headOption.map(_.size).getOrElse(0), "kmeansTwoLevel")
-      val seedBc = broadcastFlat(train, superVecs)
+      val seedBc = broadcastFlat(train.sparkSession, superVecs)
       val superIdx = toCol(NearestCentroid(toExpr(col(corpusVec)),
         seedBc)).as("__s")
       // sub seeds: each super cell's lowest-id members (bounded collect)
@@ -655,7 +782,7 @@ object Similarity {
         // whatever the row's super cell actually has. The index ships
         // as a broadcast of flat primitive arrays, NOT a plan literal —
         // see [[graft.functions.expressions.TwoLevelNearestCell]].
-        val bc = broadcastTwoLevel(train, (superVecs, subVecs))
+        val bc = broadcastTwoLevel(train.sparkSession, (superVecs, subVecs))
         val assigned = train.select(
           toCol(TwoLevelNearestCell(toExpr(col(corpusVec)), bc)).as("__cell"),
           col(corpusVec))
@@ -689,25 +816,107 @@ object Similarity {
       index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): DataFrame =
     corpus.select(col(corpusId), col(corpusVec),
       toCol(TwoLevelNearestCell(toExpr(col(corpusVec)),
-        broadcastTwoLevel(corpus, index))).as("cell_id"))
+        broadcastTwoLevel(corpus.sparkSession, index))).as("cell_id"))
+
+  /** Fit a two-level index once and broadcast it — the two-level twin
+    * of [[fitIndex]]; serve many [[twoLevelAssign]] /
+    * [[semanticDedupTwoLevel]] batches, then `destroy()`. */
+  def fitTwoLevelIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nSuper: Int, nSubPerCell: Int, iters: Int): TwoLevelIndexHandle =
+    twoLevelIndexOf(corpus.sparkSession,
+      kmeansTwoLevel(corpus, corpusId, corpusVec, nSuper, nSubPerCell, iters))
+
+  /** Wrap an already-fitted two-level index as a broadcast handle. */
+  def twoLevelIndexOf(spark: SparkSession,
+      index: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])): TwoLevelIndexHandle =
+    new TwoLevelIndexHandle(broadcastTwoLevel(spark, index))
+
+  /** Two-level assignment against a prefitted handle — ZERO new
+    * broadcasts (reuses the handle's; the tuple-index overload above
+    * must build one per call because its return value is lazy). */
+  def twoLevelAssign(corpus: DataFrame, corpusId: String, corpusVec: String,
+      index: TwoLevelIndexHandle): DataFrame =
+    corpus.select(col(corpusId), col(corpusVec),
+      toCol(TwoLevelNearestCell(toExpr(col(corpusVec)), index.bc))
+        .as("cell_id"))
+
+  /** [[semanticDedupTwoLevel]] against a prefitted handle. */
+  def semanticDedupTwoLevel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, threshold: Double, index: TwoLevelIndexHandle,
+      lshUnion: Boolean): DataFrame =
+    dedupMaybeUnion(twoLevelAssign(corpus, corpusId, corpusVec, index),
+      corpusId, corpusVec, threshold, lshUnion)
 
   /** [[semanticDedup]] over the two-level index: same output contract
     * ((id, vec) → cell_id, dup_of), but assignment is
     * O(nSuper + nSubPerCell) per row — the shape that holds the
-    * SemDeDup discipline (cells ∝ corpus) linear at 100 TB. */
+    * SemDeDup discipline (cells ∝ corpus) linear at 100 TB.
+    *
+    * `lshUnion = true` is the recall-recovery dial for FINE grids
+    * (SCALE.md r14: 50k cells cost ~0.4% recall to cell-boundary
+    * straddle): near-dup pairs that k-means split across cells are
+    * recovered by a SECOND candidate source — banded hyperplane-LSH
+    * collisions over the same corpus — and a vector's `dup_of` is the
+    * smallest witness from EITHER source. Both sources are
+    * candidate-confined (cell-mates / band-mates), so nothing
+    * quadratic appears; the union costs one extra banding pass +
+    * band-join, each shuffle-bounded by collision counts. */
   def semanticDedupTwoLevel(corpus: DataFrame, corpusId: String, corpusVec: String,
       nSuper: Int, nSubPerCell: Int, iters: Int, threshold: Double,
-      index: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None): DataFrame = {
+      index: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
+      lshUnion: Boolean = false,
+      lshBits: Int = 64, lshBands: Int = 16, lshSeed: Long = 42L): DataFrame = {
     val idx = index.getOrElse(
       kmeansTwoLevel(corpus, corpusId, corpusVec, nSuper, nSubPerCell, iters))
-    dedupWithinCells(twoLevelAssign(corpus, corpusId, corpusVec, idx),
-      corpusId, corpusVec, threshold)
+    dedupMaybeUnion(twoLevelAssign(corpus, corpusId, corpusVec, idx),
+      corpusId, corpusVec, threshold, lshUnion, lshBits, lshBands, lshSeed)
+  }
+
+  private def dedupMaybeUnion(assigned: DataFrame, corpusId: String,
+      corpusVec: String, threshold: Double, lshUnion: Boolean,
+      bits: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val base = dedupWithinCells(assigned, corpusId, corpusVec, threshold)
+    if (!lshUnion) base
+    else {
+      // dup_of = min(cell witness, LSH witness). MIN absorbs the
+      // overlap between the two candidate sources, so no distinct —
+      // each source independently reduces to its own min witness and
+      // `least` (null-skipping) merges them.
+      val wit = lshWitnesses(assigned, corpusId, corpusVec, threshold,
+        bits, bands, seed)
+      base.join(wit, Seq(corpusId), "left")
+        .select(col(corpusId), col("cell_id"),
+          least(col("dup_of"), col("__lsh_dup_of")).as("dup_of"))
+    }
+  }
+
+  /** Per-vector smallest lower-id LSH-candidate witness with cosine >=
+    * threshold: the banding of [[cosinePairs]] reduced straight to a
+    * min — band collisions never materialize as a deduplicated pair
+    * set (duplicate candidates across bands can't change a MIN). */
+  private def lshWitnesses(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int, bands: Int, seed: Long): DataFrame = {
+    val width = bits / bands
+    val sigd = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__sig", lshSignature(col("__vec"), bits, seed))
+    val chunks = (0 until bands).map(c =>
+      shiftrightunsigned(col("__sig"), c * width).bitwiseAND(lit((1L << width) - 1)))
+    val banded = sigd.select(col("__id"), col("__vec"),
+      posexplode(array(chunks: _*)))
+    banded.select(col("pos"), col("col"), col("__id").as("__a_id"),
+        col("__vec").as("__a_vec"))
+      .join(banded.select(col("pos"), col("col"), col("__id").as("__b_id"),
+        col("__vec").as("__b_vec")), Seq("pos", "col"))
+      .filter(col("__b_id") < col("__a_id") &&
+        cosine(col("__a_vec"), col("__b_vec")) >= threshold)
+      .groupBy(col("__a_id").as(idCol))
+      .agg(min(col("__b_id")).as("__lsh_dup_of"))
   }
 
   /** The cell-confined pair scan shared by both semantic-dedup
     * variants: a vector is a duplicate of the smallest lower-id
     * cell-mate with cosine >= threshold. */
-  private def dedupWithinCells(assigned: DataFrame, corpusId: String,
+  private[graft] def dedupWithinCells(assigned: DataFrame, corpusId: String,
       corpusVec: String, threshold: Double): DataFrame = {
     val a = assigned.select(col(corpusId).as("__a_id"), col(corpusVec).as("__a_vec"),
       col("cell_id"))

@@ -42,15 +42,27 @@ object LlmTableFunctions {
   }
   private def str(e: Expression, what: String, usage: String): String =
     const(e, what, usage).toString
-  private def int(e: Expression, what: String, usage: String): Int =
+  private def int(e: Expression, what: String, usage: String): Int = {
+    def exact(bd: BigDecimal): Int = {
+      // integral-and-in-range only: iters=2.9 (or 2.9e9) must raise the
+      // usage error, not silently truncate to 2 (or wrap)
+      require(bd.isValidInt,
+        s"$what must be an integer (got $bd) — usage: $usage")
+      bd.toIntExact
+    }
     const(e, what, usage) match {
-      case n: java.lang.Number => n.intValue()
+      case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer) =>
+        n.asInstanceOf[java.lang.Number].intValue()
+      case l: java.lang.Long => exact(BigDecimal(l))
+      case f: java.lang.Float => exact(BigDecimal.decimal(f))
+      case d: java.lang.Double => exact(BigDecimal(d))
       // unsuffixed SQL literals like 8 in a wider context / 0.35 parse
       // as DecimalType; Literal.eval yields Spark's Decimal, which is
       // NOT a java.lang.Number
-      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case d: org.apache.spark.sql.types.Decimal => exact(d.toBigDecimal)
       case v => sys.error(s"$what must be an integer (got $v) — usage: $usage")
     }
+  }
   private def dbl(e: Expression, what: String, usage: String): Double =
     const(e, what, usage) match {
       case n: java.lang.Number => n.doubleValue()
@@ -59,6 +71,60 @@ object LlmTableFunctions {
     }
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  // ─────────────────────────── fit cache ────────────────────────────
+  // Fit-backed TVFs (semantic dedup, kmeans assign/fit, dedup
+  // clusters) run their bounded fit / convergence ACTIONS at plan
+  // time. Resolution is not execution: re-running the same SQL text,
+  // EXPLAIN over it, or a view built on it re-resolves the TVF — and
+  // without a cache each re-resolution refits from scratch (135 s at
+  // the r14 20M-doc anchor). The cache is SESSION-scoped (WeakHashMap
+  // on the SparkSession — dies with the session) and keyed on
+  // (function, evaluated args, canonicalized analyzed plans of every
+  // table argument) — so the same call text over a RE-POINTED temp
+  // view (different path/plan) refits rather than serving stale
+  // centroids. What it cannot see is in-place mutation behind an
+  // unchanged plan (files appended to the same directory): after such
+  // a write, call [[clearFitCache]] (or re-create the view).
+  private val MaxCachedFits = 64
+  private val fitCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.LinkedHashMap[(String, Seq[Any], Int), LogicalPlan]]
+
+  /** How many fits this JVM has actually BUILT (cache misses) — the
+    * observable TvfSpec counts to prove a second resolution is free. */
+  private[graft] val fitBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Drop every cached fit for `spark` — call after mutating a table's
+    * data in place behind an unchanged plan. */
+  def clearFitCache(spark: SparkSession): Unit =
+    fitCache.synchronized { fitCache.remove(spark) }
+
+  private def cached(fn: String, argv: Seq[Any], tables: Seq[String])(
+      build: => LogicalPlan): LogicalPlan = {
+    val spark = SparkSession.active
+    val tblHash = tables.map(t =>
+      spark.table(t).queryExecution.analyzed.canonicalized.hashCode()).hashCode()
+    val key = (fn, argv, tblHash)
+    // the whole lookup-or-build is under one lock: concurrent sessions
+    // are rare at plan time, and a duplicated 135 s fit is worse than a
+    // briefly-held monitor
+    fitCache.synchronized {
+      var m = fitCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.LinkedHashMap.empty
+        fitCache.put(spark, m)
+      }
+      m.get(key) match {
+        case Some(p) => p
+        case None =>
+          fitBuilds.incrementAndGet()
+          val p = build
+          if (m.size >= MaxCachedFits) m.remove(m.head._1) // FIFO bound
+          m.put(key, p)
+          p
+      }
+    }
+  }
 
   private val dedupExactUsage =
     "graft_dedup_exact(table_name, 'key_sql_expr', 'id_sql_expr')"
@@ -88,11 +154,15 @@ object LlmTableFunctions {
   private[plans] def semanticDedup(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 6, s"usage: $semanticDedupUsage")
     def s(i: Int, w: String) = str(args(i), w, semanticDedupUsage)
-    plan(Similarity.semanticDedup(table(s(0, "table_name")),
-      s(1, "id_col"), s(2, "vec_col"),
-      nCells = int(args(3), "n_cells", semanticDedupUsage),
-      iters = int(args(4), "iters", semanticDedupUsage),
-      threshold = dbl(args(5), "threshold", semanticDedupUsage)))
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val nCells = int(args(3), "n_cells", semanticDedupUsage)
+    val iters = int(args(4), "iters", semanticDedupUsage)
+    val threshold = dbl(args(5), "threshold", semanticDedupUsage)
+    cached("graft_semantic_dedup", Seq(tbl, id, vec, nCells, iters, threshold),
+        Seq(tbl)) {
+      plan(Similarity.semanticDedup(table(tbl), id, vec,
+        nCells = nCells, iters = iters, threshold = threshold))
+    }
   }
 
   private def parseCol(e: Expression, what: String, usage: String) =
@@ -111,12 +181,17 @@ object LlmTableFunctions {
   private[plans] def semanticDedup2(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 7, s"usage: $semanticDedup2Usage")
     def s(i: Int, w: String) = str(args(i), w, semanticDedup2Usage)
-    plan(Similarity.semanticDedupTwoLevel(table(s(0, "table_name")),
-      s(1, "id_col"), s(2, "vec_col"),
-      nSuper = int(args(3), "n_super", semanticDedup2Usage),
-      nSubPerCell = int(args(4), "n_sub_per_cell", semanticDedup2Usage),
-      iters = int(args(5), "iters", semanticDedup2Usage),
-      threshold = dbl(args(6), "threshold", semanticDedup2Usage)))
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val nSuper = int(args(3), "n_super", semanticDedup2Usage)
+    val nSub = int(args(4), "n_sub_per_cell", semanticDedup2Usage)
+    val iters = int(args(5), "iters", semanticDedup2Usage)
+    val threshold = dbl(args(6), "threshold", semanticDedup2Usage)
+    cached("graft_semantic_dedup2",
+        Seq(tbl, id, vec, nSuper, nSub, iters, threshold), Seq(tbl)) {
+      plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec,
+        nSuper = nSuper, nSubPerCell = nSub, iters = iters,
+        threshold = threshold))
+    }
   }
 
   private val kmeansAssignUsage =
@@ -129,10 +204,103 @@ object LlmTableFunctions {
   private[plans] def kmeansAssign(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 5, s"usage: $kmeansAssignUsage")
     def s(i: Int, w: String) = str(args(i), w, kmeansAssignUsage)
-    plan(Similarity.kmeansAssign(table(s(0, "table_name")),
-      s(1, "id_col"), s(2, "vec_col"),
-      nCells = int(args(3), "n_cells", kmeansAssignUsage),
-      iters = int(args(4), "iters", kmeansAssignUsage)))
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val nCells = int(args(3), "n_cells", kmeansAssignUsage)
+    val iters = int(args(4), "iters", kmeansAssignUsage)
+    cached("graft_kmeans_assign", Seq(tbl, id, vec, nCells, iters), Seq(tbl)) {
+      plan(Similarity.kmeansAssign(table(tbl), id, vec,
+        nCells = nCells, iters = iters))
+    }
+  }
+
+  private val kmeansFitUsage =
+    "graft_kmeans_fit(table_name, id_col, vec_col, n_cells, iters)"
+
+  /** The FIT alone, materialized as a relation `(cell_id BIGINT,
+    * centroid ARRAY<DOUBLE>)` — the fit-once-serve-many seam in SQL:
+    * CTAS / CACHE TABLE the result once, then feed it to
+    * [[kmeansAssignWith]] / [[semanticDedupWith]] for any number of
+    * batches; no downstream call ever refits. The same Lloyd fit as
+    * `graft_kmeans_assign` ([[Similarity.kmeansCentroids]]: lowest-id
+    * seeds, 1e-9-quantized means, reproducible at any parallelism). */
+  private[plans] def kmeansFit(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5, s"usage: $kmeansFitUsage")
+    def s(i: Int, w: String) = str(args(i), w, kmeansFitUsage)
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val nCells = int(args(3), "n_cells", kmeansFitUsage)
+    val iters = int(args(4), "iters", kmeansFitUsage)
+    cached("graft_kmeans_fit", Seq(tbl, id, vec, nCells, iters), Seq(tbl)) {
+      val (ids, vecs) =
+        Similarity.kmeansCentroids(table(tbl), id, vec, nCells, iters)
+      val spark = SparkSession.active
+      import spark.implicits._
+      plan(ids.zip(vecs).toDF("cell_id", "centroid"))
+    }
+  }
+
+  /** Collect a centroids relation (the [[kmeansFit]] contract:
+    * cell_id + centroid columns) back into the bounded driver-side
+    * form the assignment broadcast needs. Ordered by cell_id so the
+    * argmax tie-break (lowest INDEX) is a function of the centroid
+    * SET, not of the table's row order — and so a fit round-tripped
+    * through [[kmeansFit]] (which emits in index order = ascending
+    * seed id) reproduces the original assignment exactly. */
+  private def collectCentroids(name: String, usage: String)
+      : (Seq[Long], Seq[Seq[Double]]) = {
+    val df = table(name)
+    require(df.columns.contains("cell_id") && df.columns.contains("centroid"),
+      s"centroids_table '$name' must have cell_id and centroid columns " +
+        s"(the graft_kmeans_fit contract) — usage: $usage")
+    val rows = df
+      .select(col("cell_id").cast("long"), col("centroid").cast("array<double>"))
+      .orderBy(col("cell_id")).limit(Similarity.MaxFitCells + 1).collect()
+    require(rows.length <= Similarity.MaxFitCells,
+      s"centroids_table '$name' exceeds MaxFitCells = " +
+        s"${Similarity.MaxFitCells} — usage: $usage")
+    require(rows.nonEmpty,
+      s"centroids_table '$name' is empty — usage: $usage")
+    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  private val kmeansAssignWithUsage =
+    "graft_kmeans_assign_with(table_name, id_col, vec_col, centroids_table)"
+
+  /** Assignment against a PREFITTED centroids relation (from
+    * [[kmeansFit]], materialized or any relation honoring its schema):
+    * collects the bounded centroid set (≤ MaxFitCells rows — never the
+    * corpus), broadcasts it once, and returns the zero-shuffle argmax
+    * projection. No fit runs — ever. */
+  private[plans] def kmeansAssignWith(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4, s"usage: $kmeansAssignWithUsage")
+    def s(i: Int, w: String) = str(args(i), w, kmeansAssignWithUsage)
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val centTbl = s(3, "centroids_table")
+    cached("graft_kmeans_assign_with", Seq(tbl, id, vec, centTbl),
+        Seq(tbl, centTbl)) {
+      plan(Similarity.kmeansAssign(table(tbl), id, vec,
+        Similarity.indexOf(SparkSession.active,
+          collectCentroids(centTbl, kmeansAssignWithUsage))))
+    }
+  }
+
+  private val semanticDedupWithUsage =
+    "graft_semantic_dedup_with(table_name, id_col, vec_col, " +
+      "centroids_table, threshold)"
+
+  /** [[semanticDedup]] against a prefitted centroids relation — same
+    * contract (id, cell_id, dup_of), zero fit jobs. */
+  private[plans] def semanticDedupWith(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5, s"usage: $semanticDedupWithUsage")
+    def s(i: Int, w: String) = str(args(i), w, semanticDedupWithUsage)
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val centTbl = s(3, "centroids_table")
+    val threshold = dbl(args(4), "threshold", semanticDedupWithUsage)
+    cached("graft_semantic_dedup_with", Seq(tbl, id, vec, centTbl, threshold),
+        Seq(tbl, centTbl)) {
+      plan(Similarity.semanticDedup(table(tbl), id, vec, threshold,
+        Similarity.indexOf(SparkSession.active,
+          collectCentroids(centTbl, semanticDedupWithUsage))))
+    }
   }
 
   private val minhashPairsUsage =
@@ -184,11 +352,17 @@ object LlmTableFunctions {
   private[plans] def dedupClusters(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 5, s"usage: $dedupClustersUsage")
     def c(i: Int, w: String) = parseCol(args(i), w, dedupClustersUsage)
-    plan(Dedup.clusters(
-      table(str(args(0), "table_name", dedupClustersUsage)),
-      c(1, "id_sql_expr"), c(2, "text_sql_expr"),
-      n = int(args(3), "n", dedupClustersUsage),
-      threshold = dbl(args(4), "threshold", dedupClustersUsage)))
+    val tbl = str(args(0), "table_name", dedupClustersUsage)
+    val idSql = str(args(1), "id_sql_expr", dedupClustersUsage)
+    val textSql = str(args(2), "text_sql_expr", dedupClustersUsage)
+    val n = int(args(3), "n", dedupClustersUsage)
+    val threshold = dbl(args(4), "threshold", dedupClustersUsage)
+    cached("graft_dedup_clusters", Seq(tbl, idSql, textSql, n, threshold),
+        Seq(tbl)) {
+      plan(Dedup.clusters(table(tbl),
+        c(1, "id_sql_expr"), c(2, "text_sql_expr"),
+        n = n, threshold = threshold))
+    }
   }
 
   private val annTopkUsage =
@@ -230,5 +404,11 @@ object LlmTableFunctions {
       info("graft_semantic_dedup2", semanticDedup2Usage), semanticDedup2 _))
     e.injectTableFunction((FunctionIdentifier("graft_kmeans_assign"),
       info("graft_kmeans_assign", kmeansAssignUsage), kmeansAssign _))
+    e.injectTableFunction((FunctionIdentifier("graft_kmeans_fit"),
+      info("graft_kmeans_fit", kmeansFitUsage), kmeansFit _))
+    e.injectTableFunction((FunctionIdentifier("graft_kmeans_assign_with"),
+      info("graft_kmeans_assign_with", kmeansAssignWithUsage), kmeansAssignWith _))
+    e.injectTableFunction((FunctionIdentifier("graft_semantic_dedup_with"),
+      info("graft_semantic_dedup_with", semanticDedupWithUsage), semanticDedupWith _))
   }
 }

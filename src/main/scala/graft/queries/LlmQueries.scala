@@ -443,6 +443,65 @@ object LlmQueries extends QueryCatalog {
           threshold = 0.35)
         .orderBy(col("vec_id")))
 
+  /** Banded hyperplane-LSH signature chunks, re-derived in DuckDB from
+    * the engine's own MD5-Rademacher construction (64 bits → 16 width-4
+    * band chunks, seed 42) — expects a CTE `e` = (vec_id, v DOUBLE[])
+    * in scope; yields `chunks` = (vec_id, chunk, cval). Shared by the
+    * partial-probe ANN oracle and the semdedup LSH-union oracle. */
+  private val lshChunksDuck = """
+      bi AS (SELECT b.b, i.i
+             FROM (SELECT unnest(generate_series(0, 63)) AS b) b
+             CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+      planes AS (SELECT b,
+                        list(CASE WHEN substr(md5('graft-lsh:42:' || b || ':' || i), 2, 1)
+                                       IN ('0','2','4','6','8','a','c','e')
+                                  THEN 1.0 ELSE -1.0 END ORDER BY i) AS pw
+                 FROM bi GROUP BY b),
+      dots AS (SELECT e.vec_id, p.b,
+                      list_sum([e.v[i] * p.pw[i] FOR i IN generate_series(1, 64)]) AS dot
+               FROM e CROSS JOIN planes p),
+      chunks AS (SELECT vec_id, b // 4 AS chunk,
+                        sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END
+                            * CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS cval
+                 FROM dots GROUP BY vec_id, b // 4)"""
+
+  /** Two-level SemDeDup with the LSH-UNION recall recovery
+    * (`lshUnion = true`): near-dup pairs that the fine k-means grid
+    * splits across cell boundaries are recovered through a second,
+    * band-confined candidate source — hyperplane-LSH chunk collisions —
+    * and `dup_of` is the smallest witness from EITHER source. The
+    * oracle re-derives BOTH sources independently: the entire two-level
+    * fit ([[twoLevelDuck]]) for the cell witness, and the engine's
+    * MD5-Rademacher signatures ([[lshChunksDuck]]) for the LSH witness,
+    * then merges them with the same null-skipping `least`. */
+  private val dedupSemantic2Union = Q(
+    "dedup_semantic2_union",
+    Some(s"""$twoLevelDuck,
+      $lshChunksDuck,
+      cellwit AS (
+        SELECT a.vec_id, a.cell_id, min(b.vec_id) AS dup_of
+        FROM cells a LEFT JOIN cells b
+          ON b.cell_id = a.cell_id AND b.vec_id < a.vec_id
+         AND list_cosine_similarity(a.v, b.v) >= 0.35
+        GROUP BY a.vec_id, a.cell_id),
+      lshwit AS (
+        SELECT ca.vec_id AS a_id, min(cb.vec_id) AS lsh_dup_of
+        FROM chunks ca
+        JOIN chunks cb ON cb.chunk = ca.chunk AND cb.cval = ca.cval
+                      AND cb.vec_id < ca.vec_id
+        JOIN e ea ON ea.vec_id = ca.vec_id
+        JOIN e eb ON eb.vec_id = cb.vec_id
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+        GROUP BY ca.vec_id)
+      SELECT c.vec_id, c.cell_id, least(c.dup_of, l.lsh_dup_of) AS dup_of
+      FROM cellwit c LEFT JOIN lshwit l ON l.a_id = c.vec_id
+      ORDER BY vec_id"""),
+    (s, dir) =>
+      Similarity.semanticDedupTwoLevel(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nSuper = 3, nSubPerCell = 3, iters = 2,
+          threshold = 0.35, lshUnion = true)
+        .orderBy(col("vec_id")))
+
   /** Exact top-k oracle — shared by the brute-force baseline AND the
     * full-probe ANN variants (probing every cell/band reduces ANN to
     * exact search, so the same SQL applies verbatim). */
@@ -485,23 +544,9 @@ object LlmQueries extends QueryCatalog {
     * the output is hash-exact (closes the r7 `no_oracle` gap). */
   private val annLsh = Q(
     "ann_lsh_topk",
-    Some("""
+    Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      bi AS (SELECT b.b, i.i
-             FROM (SELECT unnest(generate_series(0, 63)) AS b) b
-             CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
-      planes AS (SELECT b,
-                        list(CASE WHEN substr(md5('graft-lsh:42:' || b || ':' || i), 2, 1)
-                                       IN ('0','2','4','6','8','a','c','e')
-                                  THEN 1.0 ELSE -1.0 END ORDER BY i) AS pw
-                 FROM bi GROUP BY b),
-      dots AS (SELECT e.vec_id, p.b,
-                      list_sum([e.v[i] * p.pw[i] FOR i IN generate_series(1, 64)]) AS dot
-               FROM e CROSS JOIN planes p),
-      chunks AS (SELECT vec_id, b // 4 AS chunk,
-                        sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END
-                            * CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS cval
-                 FROM dots GROUP BY vec_id, b // 4),
+      $lshChunksDuck,
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
       cands AS (SELECT DISTINCT qc.query_id, cc.vec_id AS c_id
                 FROM (SELECT q.query_id, ch.chunk, ch.cval
@@ -1692,13 +1737,68 @@ object LlmQueries extends QueryCatalog {
         ORDER BY vec_id""")
     })
 
+  /** The fit-once-serve-many seam in SQL: `graft_kmeans_fit`
+    * materializes the Lloyd fit as a (cell_id, centroid) relation —
+    * the oracle re-runs the whole fit in DuckDB and must land on the
+    * SAME centroids (the 1e-9 mean quantization is what makes two
+    * independent fits bit-agree). */
+  private val tvfKmeansFit = Q(
+    "sql_tvf_kmeans_fit",
+    Some(s"""$kmeansDuck
+      SELECT cell_id, cv AS centroid FROM c2 ORDER BY cell_id"""),
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""
+        SELECT cell_id, centroid
+        FROM graft_kmeans_fit('embeddings', 'vec_id', 'embedding', 8, 2)
+        ORDER BY cell_id""")
+    })
+
+  /** Assignment against the PREFITTED centroids relation: fit feeds
+    * a temp view, `graft_kmeans_assign_with` assigns against it — and
+    * the result must be IDENTICAL to the self-contained
+    * `graft_kmeans_assign` (same oracle), proving the fit→materialize→
+    * serve round trip loses nothing. */
+  private val tvfKmeansAssignWith = Q(
+    "sql_tvf_kmeans_assign_with",
+    clusterKmeans.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_centroids AS
+               SELECT * FROM graft_kmeans_fit('embeddings', 'vec_id',
+                                              'embedding', 8, 2)""")
+      s.sql("""
+        SELECT vec_id, cell_id
+        FROM graft_kmeans_assign_with('embeddings', 'vec_id', 'embedding',
+                                      'tvf_centroids')
+        ORDER BY vec_id""")
+    })
+
+  /** SemDeDup against the prefitted centroids relation — same oracle
+    * as the self-contained `graft_semantic_dedup`. */
+  private val tvfSemanticDedupWith = Q(
+    "sql_tvf_semantic_dedup_with",
+    dedupSemantic.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_centroids_sd AS
+               SELECT * FROM graft_kmeans_fit('embeddings', 'vec_id',
+                                              'embedding', 8, 2)""")
+      s.sql("""
+        SELECT * FROM graft_semantic_dedup_with('embeddings', 'vec_id',
+                                                'embedding',
+                                                'tvf_centroids_sd', 0.35D)
+        ORDER BY vec_id""")
+    })
+
   override def defs: Seq[Q] = Seq(
     tvfDedupExact, tvfSemanticDedup, tvfAnnTopk,
     tvfMinhashPairs, tvfSimhashPairs, tvfDedupClusters,
     tvfSemanticDedup2, tvfKmeansAssign,
+    tvfKmeansFit, tvfKmeansAssignWith, tvfSemanticDedupWith,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
-    clusterKmeans, dedupSemantic, dedupSemantic2,
+    clusterKmeans, dedupSemantic, dedupSemantic2, dedupSemantic2Union,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     pqEncodeQ, annPqFull, annPq,

@@ -165,4 +165,59 @@ class CentroidIndexSpec extends AnyFunSuite {
     assert(planStr.contains("two_level_nearest_cell"), planStr.take(500))
     assert(planStr.length < 20000, s"plan unexpectedly large: ${planStr.length}")
   }
+
+  // ── r15 guards: corrupt centroid sets fail loudly at FIT time ──
+
+  test("a NULL centroid among the fitted set is rejected naming the offending id") {
+    // the flat kernel indexes c*dim+i blindly, so a NULL seed (a NULL
+    // embedding row among the lowest ids) must be refused at index
+    // build, not NPE mid-task
+    val e = intercept[IllegalArgumentException](
+      Similarity.indexOf(spark, (Seq(1L, 2L), Seq(Seq(1.0, 2.0), null))))
+    assert(e.getMessage.contains("id=2") && e.getMessage.contains("NULL"),
+      e.getMessage)
+  }
+
+  test("a short (ragged) centroid is rejected naming its length and the index dim") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.indexOf(spark, (Seq(1L, 2L), Seq(Seq(1.0, 2.0), Seq(3.0)))))
+    assert(e.getMessage.contains("1-dimensional") &&
+      e.getMessage.contains("dimension is 2"), e.getMessage)
+  }
+
+  test("an EMPTY centroid set is refused at index build, and the expressions fail-fast too") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.indexOf(spark, (Seq.empty[Long], Seq.empty[Seq[Double]])))
+    assert(e.getMessage.contains("zero centroids"), e.getMessage)
+    // defense-in-depth: a hand-built empty broadcast must produce the
+    // descriptive error, not a bare ArrayIndexOutOfBounds on ids(0)
+    val bc = spark.sparkContext.broadcast(
+      FlatCentroids(0, Array.empty[Double], Array.empty[Long]))
+    val df = spark.range(1).select(
+      array(lit(1.0), lit(0.5)).cast("array<double>").as("vec"))
+    val err = intercept[Exception] {
+      import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+      df.select(toCol(graft.functions.expressions.NearestCentroidId(
+        toExpr(col("vec")), bc))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("EMPTY centroid index")),
+      chain(err).mkString(" | "))
+    bc.destroy()
+  }
+
+  test("the iters=0 dim probe skips NULL vectors (a NULL row must not bypass the elements guard)") {
+    // corpus: one NULL-vec row + dim-200 rows; 131072 cells × 200 dims
+    // exceeds MaxFitElements, and the guard must fire even if the
+    // probe's first-seen row is the NULL one
+    val df = spark.range(10).select(col("id"),
+      when(col("id") === 0, lit(null))
+        .otherwise(transform(sequence(lit(0), lit(199)),
+          i => (col("id") + i).cast("double"))).as("vec")
+    ).coalesce(1).orderBy(col("id"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.fitCentroids(df, "id", "vec", nCells = 131072))
+    assert(e.getMessage.contains("fitCentroids"), e.getMessage)
+  }
 }

@@ -168,4 +168,152 @@ class TvfSpec extends AnyFunSuite {
         .collect())
     assert(nonConst.getMessage.contains("constant"), nonConst.getMessage)
   }
+
+  // every TVF × every misuse class: the usage string must reach the
+  // user (the reference's typed binder errors, binder.rs:1504+, are
+  // this surface's equivalent). `valid` is a known-good argument vector
+  // each misuse is derived from.
+  private val tvfCalls: Seq[(String, Seq[String])] = Seq(
+    "graft_dedup_exact" -> Seq("'documents'", "'doc_id'", "'doc_id'"),
+    "graft_semantic_dedup" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "8", "2", "0.35D"),
+    "graft_semantic_dedup2" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "3", "3", "2", "0.35D"),
+    "graft_kmeans_assign" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "8", "2"),
+    "graft_kmeans_fit" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "8", "2"),
+    "graft_ann_topk" ->
+      Seq("'embeddings'", "'embeddings'", "'vec_id'", "'embedding'", "4"),
+    "graft_minhash_pairs" ->
+      Seq("'documents'", "'doc_id'", "'text'", "3", "16", "4", "0.5D"),
+    "graft_simhash_pairs" ->
+      Seq("'documents'", "'doc_id'", "'text'", "7", "8"),
+    "graft_dedup_clusters" ->
+      Seq("'documents'", "'doc_id'", "'text'", "3", "0.5D"),
+    "graft_kmeans_assign_with" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_cents'"),
+    "graft_semantic_dedup_with" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_cents'", "0.35D"))
+
+  test("every TVF rejects wrong arity / NULL arg / non-constant arg with its usage string") {
+    registered()
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_neg_cents AS
+                 SELECT * FROM graft_kmeans_fit('embeddings', 'vec_id',
+                                                'embedding', 4, 1)""")
+    tvfCalls.foreach { case (fn, valid) =>
+      def run(args: Seq[String]): Unit =
+        spark.sql(s"SELECT * FROM $fn(${args.mkString(", ")})").collect()
+      // wrong arity: drop the last argument
+      val arity = intercept[Exception](run(valid.dropRight(1)))
+      assert(arity.getMessage.contains(s"$fn("), s"$fn arity: ${arity.getMessage}")
+      // NULL argument
+      val nul = intercept[Exception](run(valid.dropRight(1) :+ "NULL"))
+      assert(nul.getMessage.contains("NULL") &&
+        nul.getMessage.contains(s"$fn("), s"$fn null: ${nul.getMessage}")
+      // non-constant argument
+      val nc = intercept[Exception](run(valid.dropRight(1) :+ "rand()"))
+      assert(nc.getMessage.contains("constant") &&
+        nc.getMessage.contains(s"$fn("), s"$fn non-const: ${nc.getMessage}")
+      // unknown table name (first arg)
+      val unk = intercept[Exception](run("'tvf_no_such_table'" +: valid.tail))
+      assert(unk.getMessage.contains("tvf_no_such_table"),
+        s"$fn unknown table: ${unk.getMessage}")
+    }
+  }
+
+  test("integer TVF args reject fractional values instead of truncating") {
+    registered()
+    // 2.9 parses as DECIMAL — the old coercion silently ran iters=2
+    val frac = intercept[Exception](
+      spark.sql("""SELECT * FROM graft_semantic_dedup('embeddings',
+                   'vec_id', 'embedding', 8, 2.9, 0.35D)""").collect())
+    assert(frac.getMessage.contains("integer") &&
+      frac.getMessage.contains("2.9"), frac.getMessage)
+    // and a fractional DOUBLE is rejected the same way
+    val fracD = intercept[Exception](
+      spark.sql("""SELECT * FROM graft_semantic_dedup('embeddings',
+                   'vec_id', 'embedding', CAST(8.5 AS DOUBLE), 2, 0.35D)""").collect())
+    assert(fracD.getMessage.contains("integer"), fracD.getMessage)
+  }
+
+  test("fit-backed TVFs cache their fit: re-resolving the same call builds zero new fits") {
+    registered()
+    // unique args so this test's first resolution is a genuine miss
+    val sqlText = """SELECT * FROM graft_semantic_dedup('embeddings',
+                     'vec_id', 'embedding', 8, 2, 0.41D) ORDER BY vec_id"""
+    val b0 = graft.plans.LlmTableFunctions.fitBuilds.get
+    val first = spark.sql(sqlText).collect()
+    val b1 = graft.plans.LlmTableFunctions.fitBuilds.get
+    assert(b1 == b0 + 1, s"first resolution must fit exactly once ($b0 -> $b1)")
+    // second resolution: same text — EXECUTION may run jobs, but the
+    // RESOLUTION must not refit (spark.sql analyzes eagerly, so the
+    // TVF builder has run by the time sql() returns)
+    val re = spark.sql(sqlText)
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b1,
+      "second resolution refit instead of hitting the cache")
+    assert(re.collect().toSeq == first.toSeq)
+    // EXPLAIN over the call is also resolution — also free
+    spark.sql(s"EXPLAIN $sqlText").collect()
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b1,
+      "EXPLAIN refit instead of hitting the cache")
+  }
+
+  test("the fit cache keys on the table's resolved plan: a re-pointed view refits") {
+    registered()
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_cache_probe AS
+                 SELECT * FROM embeddings WHERE vec_id < 400""")
+    val call = """SELECT count(*) AS n FROM graft_kmeans_assign(
+                  'tvf_cache_probe', 'vec_id', 'embedding', 4, 1)"""
+    val b0 = graft.plans.LlmTableFunctions.fitBuilds.get
+    spark.sql(call).collect()
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 1)
+    // same SQL text, same view NAME — but the view now resolves to a
+    // different plan: serving the cached fit would be stale
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_cache_probe AS
+                 SELECT * FROM embeddings WHERE vec_id < 300""")
+    val n = spark.sql(call).collect().head.getLong(0)
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 2,
+      "re-pointed view must refit, not serve the stale fit")
+    assert(n == 300)
+    // clearFitCache drops the session's entries: next call refits
+    graft.plans.LlmTableFunctions.clearFitCache(spark)
+    spark.sql(call).collect()
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 3)
+  }
+
+  test("graft_kmeans_assign_with round-trips the fit: == graft_kmeans_assign, zero fit jobs") {
+    registered()
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_rt_cents AS
+                 SELECT * FROM graft_kmeans_fit('embeddings', 'vec_id',
+                                                'embedding', 8, 2)""")
+    val direct = spark.sql("""
+      SELECT vec_id, cell_id
+      FROM graft_kmeans_assign('embeddings', 'vec_id', 'embedding', 8, 2)
+      ORDER BY vec_id""").collect()
+    val viaFit = spark.sql("""
+      SELECT vec_id, cell_id
+      FROM graft_kmeans_assign_with('embeddings', 'vec_id', 'embedding',
+                                    'tvf_rt_cents')
+      ORDER BY vec_id""").collect()
+    assert(viaFit.toSeq == direct.toSeq)
+    // a centroids table violating the (cell_id, centroid) contract is
+    // refused with the contract named
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_bad_cents AS
+                 SELECT 1 AS foo, 2 AS bar""")
+    val bad = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_kmeans_assign_with('embeddings', 'vec_id',
+                                             'embedding', 'tvf_bad_cents')""")
+      .collect())
+    assert(bad.getMessage.contains("cell_id") &&
+      bad.getMessage.contains("centroid"), bad.getMessage)
+    // an EMPTY centroids table is refused, not served as a 0-cell index
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_empty_cents AS
+                 SELECT * FROM tvf_rt_cents WHERE cell_id < 0""")
+    val empty = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_kmeans_assign_with('embeddings', 'vec_id',
+                                             'embedding', 'tvf_empty_cents')""")
+      .collect())
+    assert(empty.getMessage.contains("empty"), empty.getMessage)
+  }
 }
