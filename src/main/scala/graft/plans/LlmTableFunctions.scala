@@ -171,26 +171,37 @@ object LlmTableFunctions {
 
   private val semanticDedup2Usage =
     "graft_semantic_dedup2(table_name, id_col, vec_col, n_super, " +
-      "n_sub_per_cell, iters, threshold)"
+      "n_sub_per_cell, iters, threshold[, lsh_union])"
 
   /** Two-level (IMI-style) SemDeDup (see
     * [[Similarity.semanticDedupTwoLevel]]): same contract as
     * graft_semantic_dedup but assignment is O(√cells) per row — the
     * SQL face of the scale path. The fit runs at plan time (bounded
     * collects); the relation is the lazy cell-confined pair scan. */
+  private def bool(e: Expression, what: String, usage: String): Boolean =
+    const(e, what, usage) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case v => sys.error(s"$what must be a boolean (got $v) — usage: $usage")
+    }
+
   private[plans] def semanticDedup2(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 7, s"usage: $semanticDedup2Usage")
+    // optional trailing lsh_union (default false) = the recall-recovery
+    // dial for fine grids ([[Similarity.semanticDedupTwoLevel]])
+    require(args.length == 7 || args.length == 8,
+      s"usage: $semanticDedup2Usage")
     def s(i: Int, w: String) = str(args(i), w, semanticDedup2Usage)
     val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
     val nSuper = int(args(3), "n_super", semanticDedup2Usage)
     val nSub = int(args(4), "n_sub_per_cell", semanticDedup2Usage)
     val iters = int(args(5), "iters", semanticDedup2Usage)
     val threshold = dbl(args(6), "threshold", semanticDedup2Usage)
+    val union =
+      args.length == 8 && bool(args(7), "lsh_union", semanticDedup2Usage)
     cached("graft_semantic_dedup2",
-        Seq(tbl, id, vec, nSuper, nSub, iters, threshold), Seq(tbl)) {
+        Seq(tbl, id, vec, nSuper, nSub, iters, threshold, union), Seq(tbl)) {
       plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec,
         nSuper = nSuper, nSubPerCell = nSub, iters = iters,
-        threshold = threshold))
+        threshold = threshold, lshUnion = union))
     }
   }
 

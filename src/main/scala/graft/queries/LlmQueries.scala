@@ -1737,6 +1737,20 @@ object LlmQueries extends QueryCatalog {
         ORDER BY vec_id""")
     })
 
+  /** The union-recall dial through SQL: same oracle as the library's
+    * `dedup_semantic2_union` row. */
+  private val tvfSemanticDedup2Union = Q(
+    "sql_tvf_semantic_dedup2_union",
+    dedupSemantic2Union.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""
+        SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                            'embedding', 3, 3, 2, 0.35D,
+                                            true)
+        ORDER BY vec_id""")
+    })
+
   /** The fit-once-serve-many seam in SQL: `graft_kmeans_fit`
     * materializes the Lloyd fit as a (cell_id, centroid) relation —
     * the oracle re-runs the whole fit in DuckDB and must land on the
@@ -1796,6 +1810,7 @@ object LlmQueries extends QueryCatalog {
     tvfMinhashPairs, tvfSimhashPairs, tvfDedupClusters,
     tvfSemanticDedup2, tvfKmeansAssign,
     tvfKmeansFit, tvfKmeansAssignWith, tvfSemanticDedupWith,
+    tvfSemanticDedup2Union,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     clusterKmeans, dedupSemantic, dedupSemantic2, dedupSemantic2Union,

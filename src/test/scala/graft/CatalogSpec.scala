@@ -105,9 +105,17 @@ class CatalogSpec extends AnyFunSuite {
     // dedup_semantic2 (two-level SemDeDup with the full IMI fit
     // re-derived in DuckDB) plus its TVF face and the kmeans-assign
     // TVF face (sql_tvf_semantic_dedup2, sql_tvf_kmeans_assign) → 232.
+    // round 15 added the fit-once-serve-many seam (sql_tvf_kmeans_fit
+    // materializing the Lloyd fit as a relation, plus
+    // sql_tvf_kmeans_assign_with / sql_tvf_semantic_dedup_with serving
+    // the prefitted centroids under the self-contained rows' oracles)
+    // → 235, and the LSH-union recall-recovery pair
+    // (dedup_semantic2_union + sql_tvf_semantic_dedup2_union, both
+    // re-deriving the two-level fit AND the MD5-Rademacher LSH
+    // witnesses in DuckDB) → 237.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 232 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 232 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 237 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 237 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

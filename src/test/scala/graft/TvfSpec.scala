@@ -127,6 +127,27 @@ class TvfSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("graft_semantic_dedup2 optional lsh_union arg == library lshUnion = true") {
+    registered()
+    val sql = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D, true)
+      ORDER BY vec_id""").collect()
+    val lib = Similarity.semanticDedupTwoLevel(
+        Engine.t(spark, sf0001, "embeddings"), "vec_id", "embedding",
+        nSuper = 3, nSubPerCell = 3, iters = 2, threshold = 0.35,
+        lshUnion = true)
+      .orderBy(col("vec_id")).collect()
+    assert(sql.toSeq == lib.toSeq)
+    // a non-boolean lsh_union is refused with the usage string
+    val bad = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D, 1)""")
+      .collect())
+    assert(bad.getMessage.contains("boolean") &&
+      bad.getMessage.contains("graft_semantic_dedup2("), bad.getMessage)
+  }
+
   test("graft_kmeans_assign TVF == Similarity.kmeansAssign") {
     registered()
     val sql = spark.sql("""
