@@ -314,6 +314,124 @@ object LlmTableFunctions {
     }
   }
 
+  private val kmeansFit2Usage =
+    "graft_kmeans_fit2(table_name, id_col, vec_col, n_super, " +
+      "n_sub_per_cell, iters)"
+
+  /** The TWO-LEVEL fit materialized as a relation — the scale path's
+    * fit-once-serve-many seam (`(super_id INT, sub_id INT, centroid
+    * ARRAY<DOUBLE>)`; `sub_id = -1` rows carry the super centroids,
+    * `sub_id >= 0` rows super cell `super_id`'s sub-centroids in fit
+    * order). CTAS/cache once, then serve [[kmeansAssign2With]] /
+    * [[semanticDedup2With]] batches without ever refitting. */
+  private[plans] def kmeansFit2(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6, s"usage: $kmeansFit2Usage")
+    def s(i: Int, w: String) = str(args(i), w, kmeansFit2Usage)
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val nSuper = int(args(3), "n_super", kmeansFit2Usage)
+    val nSub = int(args(4), "n_sub_per_cell", kmeansFit2Usage)
+    val iters = int(args(5), "iters", kmeansFit2Usage)
+    cached("graft_kmeans_fit2", Seq(tbl, id, vec, nSuper, nSub, iters),
+        Seq(tbl)) {
+      val (supers, subs) =
+        Similarity.kmeansTwoLevel(table(tbl), id, vec, nSuper, nSub, iters)
+      val rows = supers.zipWithIndex.map { case (v, sIdx) => (sIdx, -1, v) } ++
+        subs.zipWithIndex.flatMap { case (cells, sIdx) =>
+          cells.zipWithIndex.map { case (v, b) => (sIdx, b, v) }
+        }
+      val spark = SparkSession.active
+      import spark.implicits._
+      plan(rows.toDF("super_id", "sub_id", "centroid"))
+    }
+  }
+
+  /** Reconstruct a two-level index from a [[kmeansFit2]]-shaped
+    * relation (bounded collect — index rows, never the corpus). The
+    * rebuilt index reproduces the original composite cell ids exactly:
+    * sub order within a super cell is `sub_id` order (the fit order
+    * the stride keys on). */
+  private def collectTwoLevel(name: String, usage: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val df = table(name)
+    require(Seq("super_id", "sub_id", "centroid").forall(df.columns.contains),
+      s"index_table '$name' must have super_id, sub_id and centroid " +
+        s"columns (the graft_kmeans_fit2 contract) — usage: $usage")
+    val cap = 2 * Similarity.MaxFitCells
+    val rows = df
+      .select(col("super_id").cast("int"), col("sub_id").cast("int"),
+        col("centroid").cast("array<double>"))
+      .orderBy(col("super_id"), col("sub_id")).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"index_table '$name' exceeds ${cap} rows — usage: $usage")
+    require(rows.nonEmpty, s"index_table '$name' is empty — usage: $usage")
+    val bySuper = rows.groupBy(_.getInt(0))
+    val nSuper = bySuper.keys.max + 1
+    require(bySuper.keys.min == 0 && bySuper.size == nSuper,
+      s"index_table '$name' super_id values must be contiguous " +
+        s"0..${nSuper - 1} — usage: $usage")
+    val supers = (0 until nSuper).map { sIdx =>
+      val sup = bySuper(sIdx).filter(_.getInt(1) == -1)
+      require(sup.length == 1,
+        s"index_table '$name' super cell $sIdx needs exactly one " +
+          s"sub_id = -1 (super centroid) row, found ${sup.length} — " +
+          s"usage: $usage")
+      sup.head.getSeq[Double](2).toSeq
+    }
+    val subs = (0 until nSuper).map { sIdx =>
+      val cells = bySuper(sIdx).filter(_.getInt(1) >= 0)
+        .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      require(cells.nonEmpty,
+        s"index_table '$name' super cell $sIdx has no sub-centroids — " +
+          s"usage: $usage")
+      cells
+    }
+    (supers, subs)
+  }
+
+  private val kmeansAssign2WithUsage =
+    "graft_kmeans_assign2_with(table_name, id_col, vec_col, index_table)"
+
+  /** Two-level assignment against a PREFITTED [[kmeansFit2]] relation:
+    * one broadcast, zero fit jobs, zero shuffles of the corpus —
+    * returns (id, vec, cell_id) with the composite super·stride+sub
+    * cell id. */
+  private[plans] def kmeansAssign2With(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4, s"usage: $kmeansAssign2WithUsage")
+    def s(i: Int, w: String) = str(args(i), w, kmeansAssign2WithUsage)
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val idxTbl = s(3, "index_table")
+    cached("graft_kmeans_assign2_with", Seq(tbl, id, vec, idxTbl),
+        Seq(tbl, idxTbl)) {
+      plan(Similarity.twoLevelAssign(table(tbl), id, vec,
+        Similarity.twoLevelIndexOf(SparkSession.active,
+          collectTwoLevel(idxTbl, kmeansAssign2WithUsage))))
+    }
+  }
+
+  private val semanticDedup2WithUsage =
+    "graft_semantic_dedup2_with(table_name, id_col, vec_col, " +
+      "index_table, threshold[, lsh_union])"
+
+  /** Two-level SemDeDup against a prefitted [[kmeansFit2]] relation —
+    * same contract as graft_semantic_dedup2, zero fit jobs; optional
+    * trailing lsh_union enables the recall-recovery union. */
+  private[plans] def semanticDedup2With(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5 || args.length == 6,
+      s"usage: $semanticDedup2WithUsage")
+    def s(i: Int, w: String) = str(args(i), w, semanticDedup2WithUsage)
+    val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
+    val idxTbl = s(3, "index_table")
+    val threshold = dbl(args(4), "threshold", semanticDedup2WithUsage)
+    val union =
+      args.length == 6 && bool(args(5), "lsh_union", semanticDedup2WithUsage)
+    cached("graft_semantic_dedup2_with",
+        Seq(tbl, id, vec, idxTbl, threshold, union), Seq(tbl, idxTbl)) {
+      plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec, threshold,
+        Similarity.twoLevelIndexOf(SparkSession.active,
+          collectTwoLevel(idxTbl, semanticDedup2WithUsage)), union))
+    }
+  }
+
   private val minhashPairsUsage =
     "graft_minhash_pairs(table_name, 'id_sql_expr', 'text_sql_expr', " +
       "n, bands, rows_per_band, threshold)"
@@ -421,5 +539,11 @@ object LlmTableFunctions {
       info("graft_kmeans_assign_with", kmeansAssignWithUsage), kmeansAssignWith _))
     e.injectTableFunction((FunctionIdentifier("graft_semantic_dedup_with"),
       info("graft_semantic_dedup_with", semanticDedupWithUsage), semanticDedupWith _))
+    e.injectTableFunction((FunctionIdentifier("graft_kmeans_fit2"),
+      info("graft_kmeans_fit2", kmeansFit2Usage), kmeansFit2 _))
+    e.injectTableFunction((FunctionIdentifier("graft_kmeans_assign2_with"),
+      info("graft_kmeans_assign2_with", kmeansAssign2WithUsage), kmeansAssign2With _))
+    e.injectTableFunction((FunctionIdentifier("graft_semantic_dedup2_with"),
+      info("graft_semantic_dedup2_with", semanticDedup2WithUsage), semanticDedup2With _))
   }
 }

@@ -1751,6 +1751,64 @@ object LlmQueries extends QueryCatalog {
         ORDER BY vec_id""")
     })
 
+  /** The TWO-LEVEL fit materialized as a relation (`graft_kmeans_fit2`
+    * — the scale path's fit-once-serve-many seam): the oracle re-runs
+    * the ENTIRE two-level fit ([[twoLevelDuck]]) and must land on the
+    * same super (`sub_id = -1`) and sub centroids in fit order. */
+  private val tvfKmeansFit2 = Q(
+    "sql_tvf_kmeans_fit2",
+    Some(s"""$twoLevelDuck
+      SELECT super_id, sub_id, centroid FROM (
+        SELECT CAST(idx AS INTEGER) AS super_id, -1 AS sub_id,
+               cv AS centroid FROM s2
+        UNION ALL
+        SELECT CAST(s AS INTEGER) AS super_id, CAST(b AS INTEGER) AS sub_id,
+               cv AS centroid FROM b2)
+      ORDER BY super_id, sub_id"""),
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""
+        SELECT super_id, sub_id, centroid
+        FROM graft_kmeans_fit2('embeddings', 'vec_id', 'embedding', 3, 3, 2)
+        ORDER BY super_id, sub_id""")
+    })
+
+  /** Two-level assignment against the prefitted index relation — the
+    * oracle is the two-argmax composite assignment from the
+    * independently re-derived fit. */
+  private val tvfKmeansAssign2With = Q(
+    "sql_tvf_kmeans_assign2_with",
+    Some(s"""$twoLevelDuck
+      SELECT vec_id, cell_id FROM cells ORDER BY vec_id"""),
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_idx2 AS
+               SELECT * FROM graft_kmeans_fit2('embeddings', 'vec_id',
+                                               'embedding', 3, 3, 2)""")
+      s.sql("""
+        SELECT vec_id, cell_id
+        FROM graft_kmeans_assign2_with('embeddings', 'vec_id', 'embedding',
+                                       'tvf_idx2')
+        ORDER BY vec_id""")
+    })
+
+  /** Two-level SemDeDup against the prefitted index relation — same
+    * oracle as the self-contained `graft_semantic_dedup2`. */
+  private val tvfSemanticDedup2With = Q(
+    "sql_tvf_semantic_dedup2_with",
+    dedupSemantic2.oracle,
+    (s, dir) => {
+      t(s, dir, "embeddings")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_idx2_sd AS
+               SELECT * FROM graft_kmeans_fit2('embeddings', 'vec_id',
+                                               'embedding', 3, 3, 2)""")
+      s.sql("""
+        SELECT * FROM graft_semantic_dedup2_with('embeddings', 'vec_id',
+                                                 'embedding', 'tvf_idx2_sd',
+                                                 0.35D)
+        ORDER BY vec_id""")
+    })
+
   /** The fit-once-serve-many seam in SQL: `graft_kmeans_fit`
     * materializes the Lloyd fit as a (cell_id, centroid) relation —
     * the oracle re-runs the whole fit in DuckDB and must land on the
@@ -1811,6 +1869,7 @@ object LlmQueries extends QueryCatalog {
     tvfSemanticDedup2, tvfKmeansAssign,
     tvfKmeansFit, tvfKmeansAssignWith, tvfSemanticDedupWith,
     tvfSemanticDedup2Union,
+    tvfKmeansFit2, tvfKmeansAssign2With, tvfSemanticDedup2With,
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     clusterKmeans, dedupSemantic, dedupSemantic2, dedupSemantic2Union,

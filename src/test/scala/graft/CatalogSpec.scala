@@ -112,10 +112,13 @@ class CatalogSpec extends AnyFunSuite {
     // → 235, and the LSH-union recall-recovery pair
     // (dedup_semantic2_union + sql_tvf_semantic_dedup2_union, both
     // re-deriving the two-level fit AND the MD5-Rademacher LSH
-    // witnesses in DuckDB) → 237.
+    // witnesses in DuckDB) → 237, and the TWO-LEVEL fit-once seam
+    // (sql_tvf_kmeans_fit2 materializing the IMI fit as a relation,
+    // sql_tvf_kmeans_assign2_with / sql_tvf_semantic_dedup2_with
+    // serving it) → 240.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 237 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 237 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 240 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 240 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }

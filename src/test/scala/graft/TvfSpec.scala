@@ -215,13 +215,22 @@ class TvfSpec extends AnyFunSuite {
     "graft_kmeans_assign_with" ->
       Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_cents'"),
     "graft_semantic_dedup_with" ->
-      Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_cents'", "0.35D"))
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_cents'", "0.35D"),
+    "graft_kmeans_fit2" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "3", "3", "1"),
+    "graft_kmeans_assign2_with" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_idx2'"),
+    "graft_semantic_dedup2_with" ->
+      Seq("'embeddings'", "'vec_id'", "'embedding'", "'tvf_neg_idx2'", "0.35D"))
 
   test("every TVF rejects wrong arity / NULL arg / non-constant arg with its usage string") {
     registered()
     spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_neg_cents AS
                  SELECT * FROM graft_kmeans_fit('embeddings', 'vec_id',
                                                 'embedding', 4, 1)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_neg_idx2 AS
+                 SELECT * FROM graft_kmeans_fit2('embeddings', 'vec_id',
+                                                 'embedding', 2, 2, 1)""")
     tvfCalls.foreach { case (fn, valid) =>
       def run(args: Seq[String]): Unit =
         spark.sql(s"SELECT * FROM $fn(${args.mkString(", ")})").collect()
@@ -301,6 +310,39 @@ class TvfSpec extends AnyFunSuite {
     graft.plans.LlmTableFunctions.clearFitCache(spark)
     spark.sql(call).collect()
     assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 3)
+  }
+
+  test("graft_kmeans_fit2/assign2_with round-trip the TWO-LEVEL fit: == graft_semantic_dedup2") {
+    registered()
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_rt_idx2 AS
+                 SELECT * FROM graft_kmeans_fit2('embeddings', 'vec_id',
+                                                 'embedding', 3, 3, 2)""")
+    val direct = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D)
+      ORDER BY vec_id""").collect()
+    val viaFit = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2_with('embeddings', 'vec_id',
+                                               'embedding', 'tvf_rt_idx2',
+                                               0.35D)
+      ORDER BY vec_id""").collect()
+    assert(viaFit.toSeq == direct.toSeq)
+    // assignment face agrees too (same composite cell ids)
+    val a = spark.sql("""
+      SELECT vec_id, cell_id
+      FROM graft_kmeans_assign2_with('embeddings', 'vec_id', 'embedding',
+                                     'tvf_rt_idx2')
+      ORDER BY vec_id""").collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      direct.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // contract violations are named: missing super row for a cell
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_bad_idx2 AS
+                 SELECT * FROM tvf_rt_idx2 WHERE sub_id >= 0""")
+    val bad = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_kmeans_assign2_with('embeddings', 'vec_id',
+                                              'embedding', 'tvf_bad_idx2')""")
+      .collect())
+    assert(bad.getMessage.contains("sub_id = -1"), bad.getMessage)
   }
 
   test("graft_kmeans_assign_with round-trips the fit: == graft_kmeans_assign, zero fit jobs") {
