@@ -587,13 +587,21 @@ object ScaleSweep {
 
     // SPARK_GRAFT_SEMDEDUP2_UNION=1 prices the LSH-union recall
     // recovery at the same dials (SCALE.md r14 named it as the remedy
-    // for the fine grid's boundary-straddle recall cost)
+    // for the fine grid's boundary-straddle recall cost). Banding at
+    // THIS scale is 2×32-bit: the corpus's background similarity is
+    // the cluster-mate cosine ≈ 0.61 (per-bit sign agreement 0.71, so
+    // a 32-bit chunk collides with p = 0.71^32 ≈ 1.8e-5 → ~tens of
+    // millions of candidate pairs at 20M docs), while a ≥0.99 dup
+    // agrees on 32 bits with p ≈ 0.87 (→ LSH-source recall ≈ 0.98
+    // over 2 bands). The default 16×4-bit banding has 16 bucket
+    // values per band — quadratic at any real corpus size.
     val union = sys.env.get("SPARK_GRAFT_SEMDEDUP2_UNION").contains("1")
     val s0 = listener.snapshot()
     val t0 = System.nanoTime()
     val verdicts = operators.Similarity.semanticDedupTwoLevel(
         corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side,
-        iters = 2, threshold = tau, index = Some(index), lshUnion = union)
+        iters = 2, threshold = tau, index = Some(index), lshUnion = union,
+        lshBands = 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsOut = verdicts.count()
     val wall = (System.nanoTime() - t0) / 1e9

@@ -890,25 +890,59 @@ object Similarity {
     }
   }
 
+  /** Cap on LSH band-bucket size for the union-recall path: a bucket
+    * (band, value) holding more than this many vectors is dropped from
+    * candidate generation — the same hot-key discipline as Dedup's
+    * dfGuard. A hot bucket means the band is too coarse to be
+    * discriminative there (its pairs are mostly background-similar,
+    * and the WITHIN-CELL source already covers dense regions); keeping
+    * it would make the band join quadratic in the bucket. No-op at
+    * every catalog test SF (worst observed bucket ≈ 3k at sf0.1). */
+  val LshBucketCap: Int = 10000
+
   /** Per-vector smallest lower-id LSH-candidate witness with cosine >=
-    * threshold: the banding of [[cosinePairs]] reduced straight to a
-    * min — band collisions never materialize as a deduplicated pair
-    * set (duplicate candidates across bands can't change a MIN). */
+    * threshold — the recall-recovery source of the semdedup union.
+    * Scale discipline (the r15 first cut shuffled corpus×bands WITH
+    * the vectors — 96 GB at 20M docs — and died on disk; this shape
+    * replaced it):
+    *  1. band explode carries (band, value, id) ONLY — never the
+    *     vector, so the exploded frame is bands× the corpus's ID
+    *     column, not bands× its payload;
+    *  2. hot buckets above [[LshBucketCap]] are dropped (see above);
+    *  3. candidate pairs are DISTINCT'd as bare (a, b) longs before
+    *     vectors re-attach via two id-joins — a MIN would absorb the
+    *     band duplicates anyway, but each duplicate would re-pay the
+    *     vector join and the cosine;
+    *  4. the cosine filter and min-witness reduce the pair set.
+    * Band width is the precision dial: at high thresholds on a large
+    * clustered corpus use FEW, WIDE bands (2×32 bits: a background
+    * 0.6-cosine pair agrees on 32 bits with p≈1.8e-5, a 0.99-dup
+    * with p≈0.87), and the default 16×4-bit banding only for small
+    * corpora (16 bucket values per band go quadratic fast). */
   private def lshWitnesses(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int, bands: Int, seed: Long): DataFrame = {
+      threshold: Double, bits: Int, bands: Int, seed: Long,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     val width = bits / bands
-    val sigd = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__sig", lshSignature(col("__vec"), bits, seed))
+    val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
+    val sigd = df.select(col(idCol).as("__id"),
+      lshSignature(col(vecCol), bits, seed).as("__sig"))
     val chunks = (0 until bands).map(c =>
-      shiftrightunsigned(col("__sig"), c * width).bitwiseAND(lit((1L << width) - 1)))
-    val banded = sigd.select(col("__id"), col("__vec"),
-      posexplode(array(chunks: _*)))
-    banded.select(col("pos"), col("col"), col("__id").as("__a_id"),
-        col("__vec").as("__a_vec"))
-      .join(banded.select(col("pos"), col("col"), col("__id").as("__b_id"),
-        col("__vec").as("__b_vec")), Seq("pos", "col"))
-      .filter(col("__b_id") < col("__a_id") &&
-        cosine(col("__a_vec"), col("__b_vec")) >= threshold)
+      shiftrightunsigned(col("__sig"), c * width).bitwiseAND(mask))
+    val banded = sigd.select(col("__id"), posexplode(array(chunks: _*)))
+    val cool = banded.groupBy(col("pos"), col("col"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= bucketCap)
+      .select(col("pos"), col("col"))
+    val pruned = banded.join(cool, Seq("pos", "col"))
+    val cands = pruned.select(col("pos"), col("col"), col("__id").as("__a_id"))
+      .join(pruned.select(col("pos"), col("col"), col("__id").as("__b_id")),
+        Seq("pos", "col"))
+      .filter(col("__b_id") < col("__a_id"))
+      .select(col("__a_id"), col("__b_id"))
+      .distinct()
+    val va = df.select(col(idCol).as("__a_id"), col(vecCol).as("__a_vec"))
+    val vb = df.select(col(idCol).as("__b_id"), col(vecCol).as("__b_vec"))
+    cands.join(va, Seq("__a_id")).join(vb, Seq("__b_id"))
+      .filter(cosine(col("__a_vec"), col("__b_vec")) >= threshold)
       .groupBy(col("__a_id").as(idCol))
       .agg(min(col("__b_id")).as("__lsh_dup_of"))
   }

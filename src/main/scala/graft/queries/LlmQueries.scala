@@ -484,10 +484,16 @@ object LlmQueries extends QueryCatalog {
           ON b.cell_id = a.cell_id AND b.vec_id < a.vec_id
          AND list_cosine_similarity(a.v, b.v) >= 0.35
         GROUP BY a.vec_id, a.cell_id),
+      cool AS (
+        SELECT chunk, cval FROM chunks
+        GROUP BY chunk, cval HAVING count(*) <= 10000),
+      pruned AS (
+        SELECT c.vec_id, c.chunk, c.cval
+        FROM chunks c JOIN cool USING (chunk, cval)),
       lshwit AS (
         SELECT ca.vec_id AS a_id, min(cb.vec_id) AS lsh_dup_of
-        FROM chunks ca
-        JOIN chunks cb ON cb.chunk = ca.chunk AND cb.cval = ca.cval
+        FROM pruned ca
+        JOIN pruned cb ON cb.chunk = ca.chunk AND cb.cval = ca.cval
                       AND cb.vec_id < ca.vec_id
         JOIN e ea ON ea.vec_id = ca.vec_id
         JOIN e eb ON eb.vec_id = cb.vec_id
