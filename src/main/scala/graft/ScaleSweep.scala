@@ -103,6 +103,19 @@ object ScaleSweep {
         d => ((pmod(xxhash64(col("id") * 131 + d), lit(2001L)) - 1000L) / 1000.0)
           .cast("float")).as("vec"))
 
+  /** Temp dir that self-cleans at JVM exit: sweeps materialize their
+    * synthetic corpora here, and before r15 every run LEAKED its
+    * corpus (29 GB of /tmp accumulated across the r14/r15 anchor
+    * sessions — found when the 40M union run hit disk-full). Shutdown
+    * hook, not try/finally: the JSON result line prints before
+    * spark.stop, and several sweeps return early. */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try Engine.deleteRecursively(p) catch { case _: Throwable => () }))
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filterNot(_.forall(_.isDigit)).getOrElse("dedup")
     val nDocs = args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(1000000L)
@@ -438,8 +451,7 @@ object ScaleSweep {
     val dim = 32
     val k = 10
     val nCells = 64
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("graft_ann_clustered").resolve("emb").toString
+    val corpusPath = tempDir("graft_ann_clustered").resolve("emb").toString
     clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200)
       .write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
@@ -497,8 +509,7 @@ object ScaleSweep {
     // BEFORE narrowing: docs/2000 can overflow Int at absurd nDocs
     val nCells = math.min(operators.Similarity.MaxFitCells.toLong,
       math.max(64L, nDocs / 2000)).toInt
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("graft_semdedup").resolve("emb").toString
+    val corpusPath = tempDir("graft_semdedup").resolve("emb").toString
     clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200, plantedDups = true)
       .write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
@@ -572,8 +583,7 @@ object ScaleSweep {
       math.min(operators.Similarity.MaxFitCells.toLong,
         math.max(64L, nDocs / 2000)).toInt)
     val side = math.max(8, math.ceil(math.sqrt(cells.toDouble)).toInt)
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("graft_semdedup2").resolve("emb").toString
+    val corpusPath = tempDir("graft_semdedup2").resolve("emb").toString
     clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200, plantedDups = true)
       .write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
@@ -596,12 +606,25 @@ object ScaleSweep {
     // over 2 bands). The default 16×4-bit banding has 16 bucket
     // values per band — quadratic at any real corpus size.
     val union = sys.env.get("SPARK_GRAFT_SEMDEDUP2_UNION").contains("1")
+    // Width dial (bands of 64/bands bits): 2 at 20M recovers ~all
+    // straddlers; at 40M the corpus's similarity TAIL makes 32-bit
+    // buckets produce quadratically many medium-bucket pairs (the
+    // bucket cap cannot bind on volume spread across millions of
+    // 100–1000-doc buckets — measured: >55 GB of candidate pairs,
+    // disk-dead), so the ceiling anchor runs 1×64-bit — background
+    // collisions ~0.71^64 ≈ 3e-10 while a ≥0.9999 dup still matches
+    // all 64 bits with p ≈ 0.75.
+    val unionBands = sys.env.get("SPARK_GRAFT_SEMDEDUP2_UNION_BANDS")
+      .flatMap(_.toIntOption).getOrElse(2)
     val s0 = listener.snapshot()
     val t0 = System.nanoTime()
     val verdicts = operators.Similarity.semanticDedupTwoLevel(
         corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side,
         iters = 2, threshold = tau, index = Some(index), lshUnion = union,
-        lshBands = 2)
+        // tight bucket cap on top of the width dial above: 1024 bounds
+        // any single bucket to ~0.5M pairs; dense regions it drops are
+        // exactly the regions the within-cell source owns
+        lshBands = unionBands, lshBucketCap = 1024)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsOut = verdicts.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -666,8 +689,7 @@ object ScaleSweep {
       listener: StageListener, nDocs: Long): Unit = {
     val dim = 32
     val k = 10
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("graft_pq_sweep").resolve("emb").toString
+    val corpusPath = tempDir("graft_pq_sweep").resolve("emb").toString
     embeddingsDf(spark, nDocs, dim).write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -746,8 +768,7 @@ object ScaleSweep {
     */
   private def icebergSweep(spark: org.apache.spark.sql.SparkSession,
       nRows: Long): Unit = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_iceberg_sweep").resolve("t").toString
+    val root = tempDir("graft_iceberg_sweep").resolve("t").toString
     sources.IcebergLite.createTable(root)
     val nParts = 32
     val perPart = nRows / nParts
@@ -798,10 +819,8 @@ object ScaleSweep {
     // each micro-batch commit may touch only its target partition's
     // files, every other file carried path-identical.
     val cdcTargets = Seq(3, 11, 11, 27)
-    val stageDir = java.nio.file.Files
-      .createTempDirectory("graft_cdc_stage").toString
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("graft_cdc_ckpt").toString
+    val stageDir = tempDir("graft_cdc_stage").toString
+    val ckptDir = tempDir("graft_cdc_ckpt").toString
     cdcTargets.zipWithIndex.foreach { case (p, b) =>
       spark.range(2000)
         .select((col("id") * (perPart / 2000) + p.toLong * perPart).as("k"))
@@ -1010,8 +1029,7 @@ object ScaleSweep {
     * partition column. */
   private def hiddenSweep(spark: org.apache.spark.sql.SparkSession, nRows: Long): Unit = {
     import sources.{IcebergLite, IcebergTransforms}
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_hidden_sweep").resolve("t").toString
+    val root = tempDir("graft_hidden_sweep").resolve("t").toString
     IcebergLite.createTable(root, Seq(
       IcebergTransforms.PartitionField("ts", IcebergTransforms.Day,
         org.apache.spark.sql.types.TimestampType),
@@ -1072,8 +1090,7 @@ object ScaleSweep {
     * table — and every seed file survives path-identical. */
   private def optimizeSweep(spark: org.apache.spark.sql.SparkSession, nRows: Long): Unit = {
     import sources.IcebergLite
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_optimize_sweep").resolve("t").toString
+    val root = tempDir("graft_optimize_sweep").resolve("t").toString
     IcebergLite.createTable(root)
     val nParts = 32
     def partOf(k: org.apache.spark.sql.Column) =
@@ -1121,7 +1138,7 @@ object ScaleSweep {
   private def metaFilesSweep(spark: org.apache.spark.sql.SparkSession,
       nFiles: Long, filesPer: Int = 100): Unit = {
     val nManifests = math.max(1, (nFiles / filesPer).toInt)
-    val root = java.nio.file.Files.createTempDirectory("graft_metafiles_sweep").toString
+    val root = tempDir("graft_metafiles_sweep").toString
     sources.IcebergLite.createTable(root)
     val manifestPaths = (1 to nManifests).map { i =>
       val entries = (0 until filesPer).map { j =>
@@ -1173,7 +1190,7 @@ object ScaleSweep {
   private def statsSweep(spark: org.apache.spark.sql.SparkSession,
       nFiles: Long, filesPer: Int = 100): Unit = {
     val nManifests = math.max(1, (nFiles / filesPer).toInt)
-    val root = java.nio.file.Files.createTempDirectory("graft_stats_sweep").toString
+    val root = tempDir("graft_stats_sweep").toString
     sources.IcebergLite.createTable(root)
     val manifestPaths = (1 to nManifests).map { i =>
       val entries = (0 until filesPer).map { j =>
@@ -1219,7 +1236,7 @@ object ScaleSweep {
   private def planSweep(spark: org.apache.spark.sql.SparkSession, nFiles: Long,
       filesPer: Int = 100): Unit = {
     val nManifests = math.max(1, (nFiles / filesPer).toInt)
-    val root = java.nio.file.Files.createTempDirectory("graft_plan_sweep").toString
+    val root = tempDir("graft_plan_sweep").toString
     sources.IcebergLite.createTable(root)
     val tBuild = System.nanoTime()
     val manifestPaths = (1 to nManifests).map { i =>
@@ -1315,8 +1332,7 @@ object ScaleSweep {
       nRows: Long): Unit = {
     import sources.IcebergLite
     def freshTable(): String = {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_eqdel_sweep").resolve("t").toString
+      val root = tempDir("graft_eqdel_sweep").resolve("t").toString
       IcebergLite.createTable(root)
       IcebergLite.append(spark, root,
         spark.range(nRows).select(col("id").as("k"),
@@ -1382,8 +1398,7 @@ object ScaleSweep {
       nRows: Long): Unit = {
     import sources.IcebergLite
     def freshTable(): String = {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_eqdelk_sweep").resolve("t").toString
+      val root = tempDir("graft_eqdelk_sweep").resolve("t").toString
       IcebergLite.createTable(root)
       IcebergLite.append(spark, root,
         spark.range(nRows).select(col("id").as("k"),
@@ -1435,8 +1450,7 @@ object ScaleSweep {
   private def updateSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     import sources.IcebergLite
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_update_sweep").resolve("t").toString
+    val root = tempDir("graft_update_sweep").resolve("t").toString
     IcebergLite.createTable(root)
     val li = Engine.t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -1492,8 +1506,7 @@ object ScaleSweep {
   private def sqlDmlSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     import sources.{Catalog, IcebergLite}
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_sqldml_sweep").toString
+    val root = tempDir("graft_sqldml_sweep").toString
     Catalog.init(root)
     spark.conf.set("spark.sql.catalog.sweepcat",
       classOf[graft.plans.GraftCatalogPlugin].getName)
@@ -1571,8 +1584,7 @@ object ScaleSweep {
   private def lakehouseSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     import sources.IcebergLite
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_lakehouse_sweep").resolve("t").toString
+    val root = tempDir("graft_lakehouse_sweep").resolve("t").toString
     IcebergLite.createTable(root)
     val li = Engine.t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
@@ -1682,8 +1694,7 @@ object ScaleSweep {
       nRows: Long): Unit = {
     import sources.IcebergLite
     val nParts = 2000
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_writemeta_sweep").resolve("t").toString
+    val root = tempDir("graft_writemeta_sweep").resolve("t").toString
     IcebergLite.createTable(root)
     // key ranges disjoint per partition: part p holds k in [p*R, p*R+R)
     val rowsPer = math.max(1L, nRows / nParts)
@@ -1726,8 +1737,7 @@ object ScaleSweep {
     // temp dir per sweep run — a fixed path would let two concurrent
     // sweeps overwrite each other's corpus mid-read (sweeps are rare
     // manual runs, so the per-run dir doesn't meaningfully accumulate).
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("graft_ann_sweep").resolve("emb").toString
+    val corpusPath = tempDir("graft_ann_sweep").resolve("emb").toString
     embeddingsDf(spark, nDocs, dim).write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1826,7 +1836,7 @@ object ScaleSweep {
         col("ts"),
         (col("user_id") + col("rep") * maxUser).as("user_id"),
         col("event_type"), col("value"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sweep").toString
+    val dir = tempDir("graft_stream_sweep").toString
     val feedDir = s"$dir/feed"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feedDir))
     val chunks = 20

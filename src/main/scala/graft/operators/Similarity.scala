@@ -275,11 +275,6 @@ object Similarity {
     ivfAssignWith(corpus, corpusId, corpusVec, ids, vecs)
   }
 
-  /** Flatten a centroid set into the broadcast form: one primitive
-    * Array[Double] (8 bytes/element — vs ~40 boxed in a plan literal),
-    * deserialized once per executor instead of once per task. `ids`
-    * ride in the same broadcast (positional 0..n-1 when omitted) so
-    * cell ids never ship as a plan literal either. */
   /** How many index broadcasts this JVM has built — the observable the
     * fit-once-serve-many specs count (N handle-reusing assigns must
     * build exactly one; the self-contained entry points build one per
@@ -287,6 +282,11 @@ object Similarity {
   private[graft] val indexBroadcastBuilds =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Flatten a centroid set into the broadcast form: one primitive
+    * Array[Double] (8 bytes/element — vs ~40 boxed in a plan literal),
+    * deserialized once per executor instead of once per task. `ids`
+    * ride in the same broadcast (positional 0..n-1 when omitted) so
+    * cell ids never ship as a plan literal either. */
   private def broadcastFlat(spark: SparkSession, vecs: Seq[Seq[Double]],
       ids: Seq[Long] = Nil) = {
     require(vecs.nonEmpty,
@@ -844,8 +844,19 @@ object Similarity {
   def semanticDedupTwoLevel(corpus: DataFrame, corpusId: String,
       corpusVec: String, threshold: Double, index: TwoLevelIndexHandle,
       lshUnion: Boolean): DataFrame =
+    semanticDedupTwoLevel(corpus, corpusId, corpusVec, threshold, index,
+      lshUnion, 64, 16, 42L)
+
+  /** Handle variant with the union's banding dials exposed — at scale
+    * size the band WIDTH to the corpus's background similarity (the
+    * 20M anchor uses 2×32-bit bands; see [[lshWitnesses]]'s note), not
+    * the small-corpus 16×4-bit default the 6-arg overload keeps. */
+  def semanticDedupTwoLevel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, threshold: Double, index: TwoLevelIndexHandle,
+      lshUnion: Boolean, lshBits: Int, lshBands: Int,
+      lshSeed: Long): DataFrame =
     dedupMaybeUnion(twoLevelAssign(corpus, corpusId, corpusVec, index),
-      corpusId, corpusVec, threshold, lshUnion)
+      corpusId, corpusVec, threshold, lshUnion, lshBits, lshBands, lshSeed)
 
   /** [[semanticDedup]] over the two-level index: same output contract
     * ((id, vec) → cell_id, dup_of), but assignment is
@@ -865,16 +876,19 @@ object Similarity {
       nSuper: Int, nSubPerCell: Int, iters: Int, threshold: Double,
       index: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
       lshUnion: Boolean = false,
-      lshBits: Int = 64, lshBands: Int = 16, lshSeed: Long = 42L): DataFrame = {
+      lshBits: Int = 64, lshBands: Int = 16, lshSeed: Long = 42L,
+      lshBucketCap: Int = LshBucketCap): DataFrame = {
     val idx = index.getOrElse(
       kmeansTwoLevel(corpus, corpusId, corpusVec, nSuper, nSubPerCell, iters))
     dedupMaybeUnion(twoLevelAssign(corpus, corpusId, corpusVec, idx),
-      corpusId, corpusVec, threshold, lshUnion, lshBits, lshBands, lshSeed)
+      corpusId, corpusVec, threshold, lshUnion, lshBits, lshBands, lshSeed,
+      lshBucketCap)
   }
 
   private def dedupMaybeUnion(assigned: DataFrame, corpusId: String,
       corpusVec: String, threshold: Double, lshUnion: Boolean,
-      bits: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+      bits: Int = 64, bands: Int = 16, seed: Long = 42L,
+      bucketCap: Int = LshBucketCap): DataFrame = {
     val base = dedupWithinCells(assigned, corpusId, corpusVec, threshold)
     if (!lshUnion) base
     else {
@@ -883,7 +897,7 @@ object Similarity {
       // each source independently reduces to its own min witness and
       // `least` (null-skipping) merges them.
       val wit = lshWitnesses(assigned, corpusId, corpusVec, threshold,
-        bits, bands, seed)
+        bits, bands, seed, bucketCap)
       base.join(wit, Seq(corpusId), "left")
         .select(col(corpusId), col("cell_id"),
           least(col("dup_of"), col("__lsh_dup_of")).as("dup_of"))
