@@ -21,8 +21,18 @@ def norm(v):
         if math.isnan(v): return "NaN"
         return v
     if isinstance(v, list):
+        # reached only for rows-only entries: oracle-carrying rows are
+        # rejected above on any complex top-level column (the driver's
+        # pandas row sort crashes on them — r15's two red rows shipped
+        # because this norm() used to hide exactly that)
         return tuple(norm(x) for x in v)
     return v
+
+def complex_cols(rel):
+    """Top-level LIST/STRUCT/MAP columns — the driver's differ cannot
+    hash them; the local gate must reject what the driver rejects."""
+    return [c for c, t in zip(rel.columns, rel.types)
+            if any(k in str(t) for k in ("[]", "STRUCT", "MAP"))]
 
 def close(a, b):
     if type(a) != type(b) and not (isinstance(a,(int,float)) and isinstance(b,(int,float))):
@@ -58,6 +68,12 @@ def main():
         except Exception as e:
             n_fail += 1
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            continue
+        bad_s, bad_d = complex_cols(spark_rel), complex_cols(duck_rel)
+        if bad_s or bad_d:
+            n_fail += 1
+            print(f"✗ {name}: DIFFER CONTRACT: complex top-level columns "
+                  f"(driver row sort crashes on these) spark={bad_s} duck={bad_d}")
             continue
         s_cols = sorted(c.lower() for c in spark_rel.columns)
         d_cols = sorted(c.lower() for c in duck_rel.columns)

@@ -184,13 +184,16 @@ object Bench {
         println(s"""{"golden_detail_top20":$slow,"sf":"$sfDir"}""")
         // the FULL per-query map goes to a file (it is ~4 KB — too big
         // for the driver's stdout tail window, which must keep the
-        // contract line)
+        // contract line); the path carries the sf-dir tag + pid so two
+        // concurrent bench runs never clobber each other's detail file
         val full = perQ.map { case (n, w) => s""""$n":$w""" }
           .mkString("{", ",", "}")
+        val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+        val perqPath = s"/tmp/graft_golden_perq_${tag}_${ProcessHandle.current.pid}.json"
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("/tmp/graft_golden_perq.json"),
+          java.nio.file.Paths.get(perqPath),
           s"""{"golden_per_query":$full,"totalSec":${r4(gWall)},"sf":"$sfDir"}""")
-        println(s"""{"metric":"golden_suite","value":${r4(gWall)},"unit":"sec","queries":${golden.size},"succeeded":$ok,"sf":"$sfDir"}""")
+        println(s"""{"metric":"golden_suite","value":${r4(gWall)},"unit":"sec","queries":${golden.size},"succeeded":$ok,"perq_file":"$perqPath","sf":"$sfDir"}""")
         queries.RefManifest.restoreViews(spark, sfDir)
       } catch { case _: Throwable => }
     }

@@ -5,6 +5,29 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The DIFFER CONTRACT, machine-enforced (r15 lesson: two rows
+    * shipped `ARRAY<DOUBLE>` columns that crashed the driver's
+    * pandas row sort — `TypeError: unhashable type` — while the
+    * builder's local gate normalized them away): any oracle-carrying
+    * row must expose ONLY scalar top-level columns. Arrays belong
+    * flattened (posexplode per dimension, or array_join) BEFORE the
+    * catalog boundary. Throws with the offending columns named. */
+  private[graft] def assertScalarColumns(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val complex = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+    }
+    require(complex.isEmpty,
+      s"differ contract violation in '$name': oracle-carrying rows must " +
+        s"have scalar top-level columns only (the driver's row sort " +
+        s"cannot hash arrays/structs/maps) — flatten [${complex.mkString(", ")}] " +
+        s"via posexplode/array_join before the catalog boundary")
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name substrings (dev loop filter)
@@ -17,7 +40,9 @@ object Verify {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).filter(p => filter(p._1)).foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        if (SparkEntry.oracleSql.contains(name)) assertScalarColumns(name, df.schema)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         nOk += 1
       } catch { case e: Throwable =>

@@ -936,6 +936,14 @@ object Similarity {
   private def lshWitnesses(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int, bands: Int, seed: Long,
       bucketCap: Int = LshBucketCap): DataFrame = {
+    // bands > bits would give width 0 / mask 0 — every vector in one
+    // bucket per band, which the bucket cap then drops entirely,
+    // silently turning the recall dial OFF; non-divisible bits/bands
+    // would silently ignore the top bits
+    require(bits >= 1 && bits <= 64 && bands >= 1 && bits / bands >= 1 &&
+      bits % bands == 0,
+      s"lshBits/lshBands must satisfy 1 <= bands <= bits <= 64 with " +
+        s"bands dividing bits (got bits=$bits, bands=$bands)")
     val width = bits / bands
     val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
     val sigd = df.select(col(idCol).as("__id"),

@@ -80,15 +80,32 @@ object LlmTableFunctions {
   // without a cache each re-resolution refits from scratch (135 s at
   // the r14 20M-doc anchor). The cache is SESSION-scoped (WeakHashMap
   // on the SparkSession — dies with the session) and keyed on
-  // (function, evaluated args, canonicalized analyzed plans of every
-  // table argument) — so the same call text over a RE-POINTED temp
-  // view (different path/plan) refits rather than serving stale
-  // centroids. What it cannot see is in-place mutation behind an
-  // unchanged plan (files appended to the same directory): after such
+  // (function, evaluated args, canonicalized analyzed PLANS of every
+  // table argument) — the plans themselves, not their hashCodes, so a
+  // hash collision degrades to structural equality, never to serving
+  // a stale fit. A graft-catalog table pins its snapshot id at
+  // analysis (GraftRelation), so a committed write changes the key and
+  // the next call refits naturally; commits additionally EVICT
+  // matching entries through [[invalidateFitsForPath]] (wired into
+  // IcebergLite.commitSnapshot), so even a plan shape that does not
+  // carry the snapshot cannot serve a stale fit. The remaining blind
+  // spot is in-place mutation of a NON-graft source behind an
+  // unchanged plan (files appended to a bare parquet dir): after such
   // a write, call [[clearFitCache]] (or re-create the view).
   private val MaxCachedFits = 64
-  private val fitCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.LinkedHashMap[(String, Seq[Any], Int), LogicalPlan]]
+
+  /** One memoized fit build: the lazy val synchronizes on THIS memo,
+    * so a 135 s cold fit blocks only callers of the same key — cache
+    * hits and unrelated builds in other sessions proceed (the session
+    * map's lock is held only for the lookup, never the build). */
+  private final class FitMemo(build: () => LogicalPlan) {
+    lazy val plan: LogicalPlan = { fitBuilds.incrementAndGet(); build() }
+  }
+  private final class SessionFits {
+    val fits = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Seq[Any], Seq[LogicalPlan]), FitMemo]
+  }
+  private val fitCache = new java.util.WeakHashMap[SparkSession, SessionFits]
 
   /** How many fits this JVM has actually BUILT (cache misses) — the
     * observable TvfSpec counts to prove a second resolution is free. */
@@ -99,31 +116,54 @@ object LlmTableFunctions {
   def clearFitCache(spark: SparkSession): Unit =
     fitCache.synchronized { fitCache.remove(spark) }
 
+  /** Evict every cached fit (in every live session) whose table-argument
+    * plans read `tablePath` — called by IcebergLite's commit funnel so a
+    * write to a fitted table can never serve a stale fit, even when the
+    * resolved plan shape would not change. Leaf detection covers both
+    * the lazy catalog relation (GraftRelation, path carried verbatim)
+    * and the eager file-scan fallback (LogicalRelation whose root paths
+    * live under the table dir). */
+  private[graft] def invalidateFitsForPath(tablePath: String): Unit = {
+    def readsPath(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case g: GraftRelation => g.tablePath == tablePath
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.stripPrefix("file:")
+              .startsWith(tablePath))
+          case _ => false
+        }
+      case _ => false
+    }
+    fitCache.synchronized {
+      fitCache.values.forEach { sf =>
+        sf.synchronized {
+          sf.fits.filterInPlace { case ((_, _, plans), _) =>
+            !plans.exists(readsPath)
+          }
+        }
+      }
+    }
+  }
+
   private def cached(fn: String, argv: Seq[Any], tables: Seq[String])(
       build: => LogicalPlan): LogicalPlan = {
     val spark = SparkSession.active
-    val tblHash = tables.map(t =>
-      spark.table(t).queryExecution.analyzed.canonicalized.hashCode()).hashCode()
-    val key = (fn, argv, tblHash)
-    // the whole lookup-or-build is under one lock: concurrent sessions
-    // are rare at plan time, and a duplicated 135 s fit is worse than a
-    // briefly-held monitor
-    fitCache.synchronized {
-      var m = fitCache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.LinkedHashMap.empty
-        fitCache.put(spark, m)
-      }
-      m.get(key) match {
-        case Some(p) => p
-        case None =>
-          fitBuilds.incrementAndGet()
-          val p = build
-          if (m.size >= MaxCachedFits) m.remove(m.head._1) // FIFO bound
-          m.put(key, p)
-          p
-      }
+    val plans = tables.map(t =>
+      spark.table(t).queryExecution.analyzed.canonicalized)
+    val key = (fn, argv, plans)
+    val sf = fitCache.synchronized {
+      var s = fitCache.get(spark)
+      if (s == null) { s = new SessionFits; fitCache.put(spark, s) }
+      s
     }
+    val memo = sf.synchronized {
+      sf.fits.getOrElseUpdate(key, {
+        if (sf.fits.size >= MaxCachedFits) sf.fits.remove(sf.fits.head._1) // FIFO bound
+        new FitMemo(() => build)
+      })
+    }
+    memo.plan // forced OUTSIDE the map locks — builds serialize per key only
   }
 
   private val dedupExactUsage =
@@ -270,7 +310,14 @@ object LlmTableFunctions {
         s"${Similarity.MaxFitCells} — usage: $usage")
     require(rows.nonEmpty,
       s"centroids_table '$name' is empty — usage: $usage")
-    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Double](1)).toSeq)
+    // duplicate cell_ids would make the orderBy tie-order — hence the
+    // argmax tie-break index order — nondeterministic across runs
+    val ids = rows.map(_.getLong(0)).toSeq
+    require(ids.distinct.size == ids.size,
+      s"centroids_table '$name' has duplicate cell_id rows " +
+        s"(${ids.diff(ids.distinct).distinct.take(5).mkString(", ")}) — " +
+        s"usage: $usage")
+    (ids, rows.map(_.getSeq[Double](1)).toSeq)
   }
 
   private val kmeansAssignWithUsage =
@@ -378,8 +425,15 @@ object LlmTableFunctions {
       sup.head.getSeq[Double](2).toSeq
     }
     val subs = (0 until nSuper).map { sIdx =>
-      val cells = bySuper(sIdx).filter(_.getInt(1) >= 0)
-        .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      val subRows = bySuper(sIdx).filter(_.getInt(1) >= 0).sortBy(_.getInt(1))
+      // duplicate sub_ids would silently shift the composite
+      // super*stride+sub cell ids away from the fit contract
+      val subIds = subRows.map(_.getInt(1)).toSeq
+      require(subIds.distinct.size == subIds.size,
+        s"index_table '$name' super cell $sIdx has duplicate sub_id rows " +
+          s"(${subIds.diff(subIds.distinct).distinct.take(5).mkString(", ")}) " +
+          s"— usage: $usage")
+      val cells = subRows.map(_.getSeq[Double](2).toSeq).toSeq
       require(cells.nonEmpty,
         s"index_table '$name' super cell $sIdx has no sub-centroids — " +
           s"usage: $usage")

@@ -1760,23 +1760,29 @@ object LlmQueries extends QueryCatalog {
   /** The TWO-LEVEL fit materialized as a relation (`graft_kmeans_fit2`
     * — the scale path's fit-once-serve-many seam): the oracle re-runs
     * the ENTIRE two-level fit ([[twoLevelDuck]]) and must land on the
-    * same super (`sub_id = -1`) and sub centroids in fit order. */
+    * same super (`sub_id = -1`) and sub centroids in fit order. The
+    * centroid arrays are exploded per dimension on BOTH sides (the
+    * differ contract is scalar top-level columns only — r15 lesson:
+    * a raw ARRAY<DOUBLE> column crashes the driver's row sort), so
+    * the hash still compares every coordinate as a bare double. */
   private val tvfKmeansFit2 = Q(
     "sql_tvf_kmeans_fit2",
     Some(s"""$twoLevelDuck
-      SELECT super_id, sub_id, centroid FROM (
-        SELECT CAST(idx AS INTEGER) AS super_id, -1 AS sub_id,
-               cv AS centroid FROM s2
+      SELECT super_id, sub_id, CAST(g.i - 1 AS INTEGER) AS dim,
+             cv[g.i] AS coord
+      FROM (
+        SELECT CAST(idx AS INTEGER) AS super_id, -1 AS sub_id, cv FROM s2
         UNION ALL
         SELECT CAST(s AS INTEGER) AS super_id, CAST(b AS INTEGER) AS sub_id,
-               cv AS centroid FROM b2)
-      ORDER BY super_id, sub_id"""),
+               cv FROM b2) u, generate_series(1, 64) g(i)
+      ORDER BY super_id, sub_id, dim"""),
     (s, dir) => {
       t(s, dir, "embeddings")
       s.sql("""
-        SELECT super_id, sub_id, centroid
-        FROM graft_kmeans_fit2('embeddings', 'vec_id', 'embedding', 3, 3, 2)
-        ORDER BY super_id, sub_id""")
+        SELECT super_id, sub_id, pos AS dim, col AS coord FROM (
+          SELECT super_id, sub_id, posexplode(centroid)
+          FROM graft_kmeans_fit2('embeddings', 'vec_id', 'embedding', 3, 3, 2))
+        ORDER BY super_id, sub_id, dim""")
     })
 
   /** Two-level assignment against the prefitted index relation — the
@@ -1819,17 +1825,22 @@ object LlmQueries extends QueryCatalog {
     * materializes the Lloyd fit as a (cell_id, centroid) relation —
     * the oracle re-runs the whole fit in DuckDB and must land on the
     * SAME centroids (the 1e-9 mean quantization is what makes two
-    * independent fits bit-agree). */
+    * independent fits bit-agree). Exploded per dimension on BOTH
+    * sides (scalar-columns differ contract — see [[tvfKmeansFit2]]);
+    * the TVF's own relational schema stays array-typed. */
   private val tvfKmeansFit = Q(
     "sql_tvf_kmeans_fit",
     Some(s"""$kmeansDuck
-      SELECT cell_id, cv AS centroid FROM c2 ORDER BY cell_id"""),
+      SELECT cell_id, CAST(g.i - 1 AS INTEGER) AS dim, cv[g.i] AS coord
+      FROM c2, generate_series(1, 64) g(i)
+      ORDER BY cell_id, dim"""),
     (s, dir) => {
       t(s, dir, "embeddings")
       s.sql("""
-        SELECT cell_id, centroid
-        FROM graft_kmeans_fit('embeddings', 'vec_id', 'embedding', 8, 2)
-        ORDER BY cell_id""")
+        SELECT cell_id, pos AS dim, col AS coord FROM (
+          SELECT cell_id, posexplode(centroid)
+          FROM graft_kmeans_fit('embeddings', 'vec_id', 'embedding', 8, 2))
+        ORDER BY cell_id, dim""")
     })
 
   /** Assignment against the PREFITTED centroids relation: fit feeds

@@ -1496,6 +1496,11 @@ object IcebergLite {
           // fence: never flip the pointer on a stolen lock
           beforeMove = assertLockOwned(tablePath))
     }
+    // a committed write must evict any TVF fit cached over this table:
+    // catalog-resolved plans pin the snapshot (the key changes anyway),
+    // but plan shapes that don't carry it would otherwise serve a
+    // stale fit after the write (VERDICT r15 #6)
+    graft.plans.LlmTableFunctions.invalidateFitsForPath(tablePath)
     id
   }
 

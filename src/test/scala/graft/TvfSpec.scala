@@ -379,4 +379,49 @@ class TvfSpec extends AnyFunSuite {
       .collect())
     assert(empty.getMessage.contains("empty"), empty.getMessage)
   }
+
+  test("a committed write evicts cached fits: INSERT refits without manual clear") {
+    registered()
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf_inval").toString
+    spark.conf.set("spark.sql.catalog.tvfcat",
+      classOf[graft.plans.GraftCatalogPlugin].getName)
+    spark.conf.set("spark.sql.catalog.tvfcat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tvfcat.db")
+    spark.sql("""CREATE TABLE tvfcat.db.emb AS
+                 SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200""")
+    val call = """SELECT count(*) AS n FROM graft_kmeans_assign(
+                  'tvfcat.db.emb', 'vec_id', 'embedding', 4, 1)"""
+    val b0 = graft.plans.LlmTableFunctions.fitBuilds.get
+    assert(spark.sql(call).collect().head.getLong(0) == 200)
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 1)
+    spark.sql(call).collect() // same call, same snapshot: cache hit
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 1)
+    // the eviction machinery in isolation: a path-targeted invalidate
+    // drops the entry even though the key (snapshot) is unchanged —
+    // this is what the commit hook calls
+    val path = graft.sources.Catalog.tablePath(root, "db", "emb")
+    graft.plans.LlmTableFunctions.invalidateFitsForPath(path)
+    spark.sql(call).collect()
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 2,
+      "invalidateFitsForPath must evict the fit keyed on this table")
+    // the full write path (VERDICT r15 #6): INSERT commits through
+    // IcebergLite.commitSnapshot, whose hook evicts — the next TVF
+    // call must refit AND see the new rows, with no clearFitCache
+    spark.sql("""INSERT INTO tvfcat.db.emb
+                 SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id >= 200 AND vec_id < 210""")
+    assert(spark.sql(call).collect().head.getLong(0) == 210)
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 3,
+      "a committed INSERT must refit without manual clearFitCache")
+    // unrelated fits survive the targeted eviction
+    val other = """SELECT count(*) AS n FROM graft_kmeans_assign(
+                   'embeddings', 'vec_id', 'embedding', 4, 1)"""
+    spark.sql(other).collect()
+    val b1 = graft.plans.LlmTableFunctions.fitBuilds.get
+    graft.plans.LlmTableFunctions.invalidateFitsForPath(path)
+    spark.sql(other).collect()
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b1,
+      "eviction must be confined to fits reading the written table")
+    spark.sql("DROP TABLE tvfcat.db.emb")
+  }
 }
