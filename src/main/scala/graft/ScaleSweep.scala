@@ -179,6 +179,7 @@ object ScaleSweep {
     if (mode == "tpchgen") {
       tpchScaleUp(spark, math.max(2, nDocs.toInt)); spark.stop(); return
     }
+    if (mode == "lshauto") { lshAutoSweep(spark, nDocs); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -574,6 +575,38 @@ object ScaleSweep {
     *
     *   sbt -batch "runMain graft.ScaleSweep semdedup2 [nDocs]"
     */
+  /** Calibration anchor for [[operators.Similarity.autoLshBands]]
+    * (VERDICT r15 #4): the SAME clustered corpus as the semdedup2
+    * anchors, the sampler's per-config candidate estimates, and the
+    * auto choice — to be checked against the hand-tuned outcomes
+    * (2×32 perfect at 20M, disk-dead at 40M where 1×64 delivers).
+    * Cheap: writes the corpus, runs ONE bounded sample + count, no
+    * fit, no dedup. */
+  private def lshAutoSweep(spark: org.apache.spark.sql.SparkSession,
+      nDocs: Long): Unit = {
+    val corpusPath = tempDir("graft_lshauto").resolve("emb").toString
+    clusteredEmbeddingsDf(spark, nDocs, dim = 32, nNatural = 200,
+        plantedDups = true)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val t0 = System.nanoTime()
+    val n = corpus.count()
+    val sigs = operators.Similarity.lshSampleSigs(
+      corpus, "doc_id", "vec", seed = 42L, sampleSize = 2048)
+    val est = operators.Similarity.lshBandEstimates(sigs, n)
+    val choice = operators.Similarity.chooseLshBands(sigs, n)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val budget = math.max(operators.Similarity.LshCandidateFloor,
+      operators.Similarity.LshCandidatesPerDoc * n)
+    val estJson = est.map { case (b, e) => s""""$b":${math.round(e)}""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"sweep":"lshauto","docs":$n,"estimates":$estJson,""" +
+      s""""budget":${math.round(budget)},""" +
+      s""""choice":[${choice._1},${choice._2}],""" +
+      s""""sampleSec":${math.round(wall * 10) / 10.0}}""")
+  }
+
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,
       listener: StageListener, nDocs: Long,
       cellsOverride: Option[Int] = None): Unit = {

@@ -871,7 +871,13 @@ object Similarity {
     * smallest witness from EITHER source. Both sources are
     * candidate-confined (cell-mates / band-mates), so nothing
     * quadratic appears; the union costs one extra banding pass +
-    * band-join, each shuffle-bounded by collision counts. */
+    * band-join, each shuffle-bounded by collision counts.
+    *
+    * `lshBands = 0` sizes the banding AUTOMATICALLY from the corpus
+    * ([[autoLshBands]]): band width must widen as corpus² × the
+    * similarity tail grows (the r15 law — 2×32 at 20M docs, 1×64 at
+    * 40M), and the sampler derives that choice at fit time instead of
+    * asking the caller to know it. */
   def semanticDedupTwoLevel(corpus: DataFrame, corpusId: String, corpusVec: String,
       nSuper: Int, nSubPerCell: Int, iters: Int, threshold: Double,
       index: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
@@ -892,12 +898,18 @@ object Similarity {
     val base = dedupWithinCells(assigned, corpusId, corpusVec, threshold)
     if (!lshUnion) base
     else {
+      // lshBands = 0 is the AUTO sentinel: size the banding from the
+      // corpus's own background bit agreement ([[autoLshBands]] — one
+      // bounded sample action at plan time, same cost class as the fit)
+      val (aBits, aBands) =
+        if (bands == 0) autoLshBands(assigned, corpusId, corpusVec, seed = seed)
+        else (bits, bands)
       // dup_of = min(cell witness, LSH witness). MIN absorbs the
       // overlap between the two candidate sources, so no distinct —
       // each source independently reduces to its own min witness and
       // `least` (null-skipping) merges them.
       val wit = lshWitnesses(assigned, corpusId, corpusVec, threshold,
-        bits, bands, seed, bucketCap)
+        aBits, aBands, seed, bucketCap)
       base.join(wit, Seq(corpusId), "left")
         .select(col(corpusId), col("cell_id"),
           least(col("dup_of"), col("__lsh_dup_of")).as("dup_of"))
@@ -913,6 +925,110 @@ object Similarity {
     * it would make the band join quadratic in the bucket. No-op at
     * every catalog test SF (worst observed bucket ≈ 3k at sf0.1). */
   val LshBucketCap: Int = 10000
+
+  /** Pre-distinct candidate-pair budget for [[autoLshBands]]: the
+    * widest banding whose ESTIMATED band-collision volume stays under
+    * `max(floor, perDoc × corpus)` is chosen. The per-doc slope keeps
+    * the candidate join linear in the corpus (the shuffle the r15
+    * disk deaths priced: ~1.7e9 pairs = >55 GB dead at 40M docs); the
+    * absolute floor keeps small corpora on the narrow, high-recall
+    * default (any volume under it is trivial on any hardware). */
+  val LshCandidateFloor: Double = 2e7
+  val LshCandidatesPerDoc: Double = 8.0
+
+  /** Derive the LSH-union banding (lshBits, lshBands) from the corpus
+    * itself — the r15 sizing law (SCALE.md: candidate volume ≈ corpus²
+    * × the similarity-distribution tail mass above the band's
+    * effective threshold; the dial that bounds it is band WIDTH, which
+    * must widen as the corpus grows — 2×32-bit was perfect at 20M docs
+    * and disk-dead at 40M, where 1×64-bit delivers) made automatic:
+    *
+    *  1. a bounded DETERMINISTIC sample of signatures (lowest
+    *     `sampleSize` by xxhash64(id, seed) — order-, partition- and
+    *     parallelism-independent);
+    *  2. for each candidate banding of the 64-bit signature
+    *     (16×4 … 1×64), the EXACT number of colliding band chunks over
+    *     every sample pair — no distributional model, the empirical
+    *     tail of the actual corpus under the actual hyperplanes;
+    *  3. scaled to corpus pair count, the narrowest banding (most
+    *     bands = highest recall) whose pre-distinct candidate volume
+    *     fits `max(LshCandidateFloor, LshCandidatesPerDoc × n)` wins.
+    *
+    * Cost: one bounded top-K over the corpus (the signature expression
+    * is codegen'd; the sort is TakeOrderedAndProject) + O(sampleSize²)
+    * driver-side popcounts (~2M pairs, milliseconds). Pass
+    * `corpusCount` when the caller already knows it to skip the
+    * count() action. */
+  def autoLshBands(corpus: DataFrame, idCol: String, vecCol: String,
+      corpusCount: Long = -1L, seed: Long = 42L,
+      sampleSize: Int = 2048): (Int, Int) = {
+    val n = if (corpusCount >= 0L) corpusCount else corpus.count()
+    chooseLshBands(lshSampleSigs(corpus, idCol, vecCol, seed, sampleSize), n)
+  }
+
+  /** The bounded deterministic signature sample behind [[autoLshBands]]
+    * — lowest `sampleSize` rows by xxhash64(id, seed), signature
+    * tiebreak, so the sample is a pure function of the corpus CONTENT
+    * (never of partitioning, row order, or parallelism). */
+  private[graft] def lshSampleSigs(corpus: DataFrame, idCol: String,
+      vecCol: String, seed: Long, sampleSize: Int): Array[Long] =
+    corpus
+      .select(lshSignature(col(vecCol), 64, seed).as("__sig"),
+        xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h"), col("__sig"))
+      .limit(sampleSize)
+      .collect().map(_.getLong(0))
+
+  /** The pure, deterministic core of [[autoLshBands]] — exposed for
+    * the determinism spec and the sweep's calibration printout.
+    * Returns (bits, bands); also returns the per-config estimates via
+    * [[lshBandEstimates]]. */
+  private[graft] def chooseLshBands(sigs: Array[Long], n: Long): (Int, Int) = {
+    val est = lshBandEstimates(sigs, n)
+    val budget = math.max(LshCandidateFloor, LshCandidatesPerDoc * n.toDouble)
+    // narrowest-first: most bands = highest recall; take the first
+    // config whose volume fits (1×64 is the unconditional fallback —
+    // its background collision rate is the thin-fringe regime by
+    // construction)
+    est.find(_._2 <= budget).map(e => (64, e._1)).getOrElse((64, 1))
+  }
+
+  /** Estimated pre-distinct candidate-pair volume per banding config
+    * (bands → estimate), narrowest (16 bands) first. Exact chunk
+    * collisions on the sample pairs, scaled by corpusPairs /
+    * samplePairs. */
+  private[graft] def lshBandEstimates(
+      sigs: Array[Long], n: Long): Seq[(Int, Double)] = {
+    val configs = Seq(16, 8, 4, 2, 1)
+    val m = sigs.length
+    if (m < 2 || n < 2) return configs.map(_ -> 0.0)
+    val matches = Array.fill(configs.length)(0L)
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val x = sigs(i) ^ sigs(j)
+        var c = 0
+        while (c < configs.length) {
+          val bands = configs(c)
+          val width = 64 / bands
+          val mask = if (width == 64) -1L else (1L << width) - 1L
+          var b = 0
+          var cnt = 0L
+          while (b < bands) {
+            if (((x >>> (b * width)) & mask) == 0L) cnt += 1
+            b += 1
+          }
+          matches(c) += cnt
+          c += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val scale = (n.toDouble * (n - 1) / 2) / (m.toDouble * (m - 1) / 2)
+    configs.zipWithIndex.map { case (bands, c) => bands -> matches(c) * scale }
+  }
 
   /** Per-vector smallest lower-id LSH-candidate witness with cosine >=
     * threshold — the recall-recovery source of the semdedup union.
