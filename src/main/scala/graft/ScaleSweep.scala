@@ -44,6 +44,8 @@ object ScaleSweep {
     val durations = new ConcurrentHashMap[Int, java.util.List[Long]]()
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -53,9 +55,12 @@ object ScaleSweep {
           .add(t.taskInfo.duration)
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
       }
     }
     def snapshot(): (Long, Long) = (shuffleRead.get, shuffleWrite.get)
+    def spills(): (Long, Long) = (memSpill.get, diskSpill.get)
     /** Worst max/median task-duration ratio over stages that do real
       * work (median >= 200 ms, >= 8 tasks). Trivial stages — a 1 ms
       * median with one 300 ms task — would otherwise report absurd
@@ -180,6 +185,7 @@ object ScaleSweep {
       tpchScaleUp(spark, math.max(2, nDocs.toInt)); spark.stop(); return
     }
     if (mode == "lshauto") { lshAutoSweep(spark, nDocs); spark.stop(); return }
+    if (mode == "q11ab") { q11AbSweep(spark, listener); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -605,6 +611,69 @@ object ScaleSweep {
       s""""budget":${math.round(budget)},""" +
       s""""choice":[${choice._1},${choice._2}],""" +
       s""""sampleSec":${math.round(wall * 10) / 10.0}}""")
+  }
+
+  /** q11 high-cardinality-aggregation A/B at scale (VERDICT r15 #3):
+    * at sf100, 600M lineitem rows aggregate into 20M l_partkey groups,
+    * so map-side partial aggregation combines almost nothing yet still
+    * builds and spills ~45 GB of hash tables, and the pp exchange is
+    * read 3× (ReuseExchange for the scalar-subquery threshold). The
+    * named-but-unpriced remedies:
+    *  - reduce-partition dial on the STOCK plan (128 / 256 / 1024);
+    *  - partial-agg bypass: REPARTITION(l_partkey) on the JOINED rows
+    *    before the groupBy, so the "partial" aggregate runs over
+    *    already-colocated keys (each task owns its key range — the
+    *    hash table is keys/partitions entries instead of ~rows/task)
+    *    and no second exchange follows.
+    * Runs against SPARK_GRAFT_SF_DIR (default /tmp/graft_sf100);
+    * one JSON line per variant with wall + shuffle + spill deltas. */
+  private def q11AbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
+    Engine.registerDir(spark, sfDir)
+    val stock = """
+      WITH pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
+                  FROM lineitem, supplier WHERE l_suppkey = s_suppkey
+                  GROUP BY l_partkey)
+      SELECT l_partkey, round(CAST(dval AS DOUBLE), 2) AS value
+      FROM pp
+      WHERE CAST(dval AS DOUBLE) > (SELECT 1.5 * CAST(sum(dval) AS DOUBLE) / count(*) FROM pp)
+      ORDER BY value DESC, l_partkey"""
+    // the bypass: hint on the JOIN OUTPUT (hinting the lineitem scan
+    // would be destroyed by the join's own shuffle when supplier is
+    // too big to broadcast)
+    val prerepart = """
+      WITH j AS (SELECT /*+ REPARTITION(l_partkey) */ l_partkey, l_extendedprice
+                 FROM lineitem, supplier WHERE l_suppkey = s_suppkey),
+           pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
+                  FROM j GROUP BY l_partkey)
+      SELECT l_partkey, round(CAST(dval AS DOUBLE), 2) AS value
+      FROM pp
+      WHERE CAST(dval AS DOUBLE) > (SELECT 1.5 * CAST(sum(dval) AS DOUBLE) / count(*) FROM pp)
+      ORDER BY value DESC, l_partkey"""
+    def run(tag: String, parts: Int, q: String): Unit = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val s0 = listener.snapshot(); val sp0 = listener.spills()
+      val t0 = System.nanoTime()
+      val ok = try {
+        spark.sql(q).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[q11ab] $tag/$parts failed: ${e.getMessage}"); false
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = listener.snapshot(); val sp1 = listener.spills()
+      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
+      println(
+        s"""{"sweep":"q11ab","variant":"$tag","partitions":$parts,""" +
+        s""""ok":$ok,"wallSec":${math.round(wall * 10) / 10.0},""" +
+        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
+        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
+        s""""sf":"$sfDir"}""")
+    }
+    run("stock", 128, stock)
+    run("stock", 256, stock)
+    run("stock", 1024, stock)
+    run("prerepart", 256, prerepart)
   }
 
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,
