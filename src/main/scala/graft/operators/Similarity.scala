@@ -947,9 +947,12 @@ object Similarity {
     *     `sampleSize` by xxhash64(id, seed) — order-, partition- and
     *     parallelism-independent);
     *  2. for each candidate banding of the 64-bit signature
-    *     (16×4 … 1×64), the EXACT number of colliding band chunks over
-    *     every sample pair — no distributional model, the empirical
-    *     tail of the actual corpus under the actual hyperplanes;
+    *     (16×4 … 1×64), the expected band-collision count over every
+    *     sample pair — each pair's observed bit agreement k feeding
+    *     the unbiased hypergeometric estimate of its chunk-collision
+    *     probability (see [[lshBandEstimates]]): the empirical
+    *     similarity tail of the actual corpus under the actual
+    *     hyperplanes, no distributional assumption;
     *  3. scaled to corpus pair count, the narrowest banding (most
     *     bands = highest recall) whose pre-distinct candidate volume
     *     fits `max(LshCandidateFloor, LshCandidatesPerDoc × n)` wins.
@@ -994,32 +997,41 @@ object Similarity {
   }
 
   /** Estimated pre-distinct candidate-pair volume per banding config
-    * (bands → estimate), narrowest (16 bands) first. Exact chunk
-    * collisions on the sample pairs, scaled by corpusPairs /
-    * samplePairs. */
+    * (bands → estimate), narrowest (16 bands) first.
+    *
+    * Per sample pair with k of 64 bits agreeing, a width-w chunk's
+    * collision probability p^w is estimated by the HYPERGEOMETRIC
+    * C(k,w)/C(64,w) — the unbiased minimum-variance estimator of p^w
+    * from a 64-bit Bernoulli draw (counting the pair's ACTUAL chunk
+    * collisions has the same expectation but is 0-inflated exactly
+    * where it matters: a 2048-sample holds ~10⁴ background-similar
+    * pairs, far too few to OBSERVE a 3.6e-5-per-pair event, while the
+    * plug-in (k/64)^w overestimates p^w by >10× at w=32 from binomial
+    * noise alone — either bias flips the 20M/40M choices the r15
+    * anchors hand-tuned). Summed over sample pairs × bands, scaled by
+    * corpusPairs / samplePairs. */
   private[graft] def lshBandEstimates(
       sigs: Array[Long], n: Long): Seq[(Int, Double)] = {
     val configs = Seq(16, 8, 4, 2, 1)
     val m = sigs.length
     if (m < 2 || n < 2) return configs.map(_ -> 0.0)
-    val matches = Array.fill(configs.length)(0L)
+    // h(c)(k) = C(k, w_c) / C(64, w_c) = prod_{t<w} (k-t)/(64-t)
+    val hyper: Array[Array[Double]] = configs.map { bands =>
+      val w = 64 / bands
+      Array.tabulate(65) { k =>
+        if (k < w) 0.0
+        else (0 until w).map(t => (k - t).toDouble / (64 - t)).product
+      }
+    }.toArray
+    val sums = Array.fill(configs.length)(0.0)
     var i = 0
     while (i < m) {
       var j = i + 1
       while (j < m) {
-        val x = sigs(i) ^ sigs(j)
+        val k = 64 - java.lang.Long.bitCount(sigs(i) ^ sigs(j))
         var c = 0
         while (c < configs.length) {
-          val bands = configs(c)
-          val width = 64 / bands
-          val mask = if (width == 64) -1L else (1L << width) - 1L
-          var b = 0
-          var cnt = 0L
-          while (b < bands) {
-            if (((x >>> (b * width)) & mask) == 0L) cnt += 1
-            b += 1
-          }
-          matches(c) += cnt
+          sums(c) += configs(c) * hyper(c)(k)
           c += 1
         }
         j += 1
@@ -1027,7 +1039,7 @@ object Similarity {
       i += 1
     }
     val scale = (n.toDouble * (n - 1) / 2) / (m.toDouble * (m - 1) / 2)
-    configs.zipWithIndex.map { case (bands, c) => bands -> matches(c) * scale }
+    configs.zipWithIndex.map { case (bands, c) => bands -> sums(c) * scale }
   }
 
   /** Per-vector smallest lower-id LSH-candidate witness with cosine >=

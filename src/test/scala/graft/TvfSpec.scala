@@ -378,6 +378,32 @@ class TvfSpec extends AnyFunSuite {
                                              'embedding', 'tvf_empty_cents')""")
       .collect())
     assert(empty.getMessage.contains("empty"), empty.getMessage)
+    // DUPLICATE cell_id rows are refused (ADVICE r15): they would make
+    // the orderBy tie-order — hence the argmax tie-break — nondeterministic
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_dup_cents AS
+                 SELECT * FROM tvf_rt_cents
+                 UNION ALL SELECT * FROM tvf_rt_cents LIMIT 9""")
+    val dup = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_kmeans_assign_with('embeddings', 'vec_id',
+                                             'embedding', 'tvf_dup_cents')""")
+      .collect())
+    assert(dup.getMessage.contains("duplicate cell_id"), dup.getMessage)
+    // ... and duplicate sub_id rows within a super cell on the
+    // two-level face: they would silently shift the composite
+    // super*stride+sub cell ids away from the fit contract
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_rt_idx2_dup_src AS
+                 SELECT * FROM graft_kmeans_fit2('embeddings', 'vec_id',
+                                                 'embedding', 3, 3, 2)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW tvf_dup_idx2 AS
+                 SELECT * FROM tvf_rt_idx2_dup_src
+                 UNION ALL
+                 SELECT * FROM tvf_rt_idx2_dup_src
+                 WHERE super_id = 0 AND sub_id = 0""")
+    val dup2 = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_kmeans_assign2_with('embeddings', 'vec_id',
+                                              'embedding', 'tvf_dup_idx2')""")
+      .collect())
+    assert(dup2.getMessage.contains("duplicate sub_id"), dup2.getMessage)
   }
 
   test("a committed write evicts cached fits: INSERT refits without manual clear") {
