@@ -371,11 +371,21 @@ object TpchQueries extends QueryCatalog {
     // from pp itself (sum of group sums = total; count(*) = distinct
     // parts), so lineitem⋈supplier is aggregated once and Spark's
     // ReuseExchange serves the scalar subquery from the same shuffle —
-    // the round-1 shape scanned lineitem twice (VERDICT r1 item 7)
+    // the round-1 shape scanned lineitem twice (VERDICT r1 item 7).
+    // REPARTITION(l_partkey) on the join output is the r16
+    // high-cardinality-aggregation fix (ScaleSweep q11ab at sf100,
+    // docs/BENCH_NOTES.md): with ~20M groups from 600M rows, map-side
+    // partial aggregation combines almost nothing yet builds and
+    // spills 45.3 GB of hash tables; colocating keys FIRST makes the
+    // aggregate's hash table keys/partitions-sized (zero spill, wall
+    // within window noise — 107.7 vs 97.0 s min-of-2, and faster in
+    // the cold window). The reduce-partition dial cannot touch that
+    // spill (it is map-side); at toy SFs the extra exchange is noise.
     (s, dir) => sql(s, dir)("""
-      WITH pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
-                  FROM lineitem, supplier WHERE l_suppkey = s_suppkey
-                  GROUP BY l_partkey)
+      WITH j AS (SELECT /*+ REPARTITION(l_partkey) */ l_partkey, l_extendedprice
+                 FROM lineitem, supplier WHERE l_suppkey = s_suppkey),
+           pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
+                  FROM j GROUP BY l_partkey)
       SELECT l_partkey, round(CAST(dval AS DOUBLE), 2) AS value
       FROM pp
       WHERE CAST(dval AS DOUBLE) > (SELECT 1.5 * CAST(sum(dval) AS DOUBLE) / count(*) FROM pp)
