@@ -211,7 +211,7 @@ object LlmTableFunctions {
 
   private val semanticDedup2Usage =
     "graft_semantic_dedup2(table_name, id_col, vec_col, n_super, " +
-      "n_sub_per_cell, iters, threshold[, lsh_union])"
+      "n_sub_per_cell, iters, threshold[, lsh_union[, lsh_bands]])"
 
   /** Two-level (IMI-style) SemDeDup (see
     * [[Similarity.semanticDedupTwoLevel]]): same contract as
@@ -226,8 +226,11 @@ object LlmTableFunctions {
 
   private[plans] def semanticDedup2(args: Seq[Expression]): LogicalPlan = {
     // optional trailing lsh_union (default false) = the recall-recovery
-    // dial for fine grids ([[Similarity.semanticDedupTwoLevel]])
-    require(args.length == 7 || args.length == 8,
+    // dial for fine grids ([[Similarity.semanticDedupTwoLevel]]);
+    // optional lsh_bands after it (default 16 = the small-corpus 16×4
+    // banding; 0 = AUTO — [[Similarity.autoLshBands]] sizes the band
+    // width from the corpus's own signature sample at plan time)
+    require(args.length >= 7 && args.length <= 9,
       s"usage: $semanticDedup2Usage")
     def s(i: Int, w: String) = str(args(i), w, semanticDedup2Usage)
     val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
@@ -236,12 +239,16 @@ object LlmTableFunctions {
     val iters = int(args(5), "iters", semanticDedup2Usage)
     val threshold = dbl(args(6), "threshold", semanticDedup2Usage)
     val union =
-      args.length == 8 && bool(args(7), "lsh_union", semanticDedup2Usage)
+      args.length >= 8 && bool(args(7), "lsh_union", semanticDedup2Usage)
+    val bands =
+      if (args.length == 9) int(args(8), "lsh_bands", semanticDedup2Usage)
+      else 16
     cached("graft_semantic_dedup2",
-        Seq(tbl, id, vec, nSuper, nSub, iters, threshold, union), Seq(tbl)) {
+        Seq(tbl, id, vec, nSuper, nSub, iters, threshold, union, bands),
+        Seq(tbl)) {
       plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec,
         nSuper = nSuper, nSubPerCell = nSub, iters = iters,
-        threshold = threshold, lshUnion = union))
+        threshold = threshold, lshUnion = union, lshBands = bands))
     }
   }
 
@@ -464,25 +471,30 @@ object LlmTableFunctions {
 
   private val semanticDedup2WithUsage =
     "graft_semantic_dedup2_with(table_name, id_col, vec_col, " +
-      "index_table, threshold[, lsh_union])"
+      "index_table, threshold[, lsh_union[, lsh_bands]])"
 
   /** Two-level SemDeDup against a prefitted [[kmeansFit2]] relation —
     * same contract as graft_semantic_dedup2, zero fit jobs; optional
-    * trailing lsh_union enables the recall-recovery union. */
+    * trailing lsh_union enables the recall-recovery union, and
+    * lsh_bands sizes its banding (0 = auto, see [[semanticDedup2]]). */
   private[plans] def semanticDedup2With(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 5 || args.length == 6,
+    require(args.length >= 5 && args.length <= 7,
       s"usage: $semanticDedup2WithUsage")
     def s(i: Int, w: String) = str(args(i), w, semanticDedup2WithUsage)
     val (tbl, id, vec) = (s(0, "table_name"), s(1, "id_col"), s(2, "vec_col"))
     val idxTbl = s(3, "index_table")
     val threshold = dbl(args(4), "threshold", semanticDedup2WithUsage)
     val union =
-      args.length == 6 && bool(args(5), "lsh_union", semanticDedup2WithUsage)
+      args.length >= 6 && bool(args(5), "lsh_union", semanticDedup2WithUsage)
+    val bands =
+      if (args.length == 7) int(args(6), "lsh_bands", semanticDedup2WithUsage)
+      else 16
     cached("graft_semantic_dedup2_with",
-        Seq(tbl, id, vec, idxTbl, threshold, union), Seq(tbl, idxTbl)) {
+        Seq(tbl, id, vec, idxTbl, threshold, union, bands), Seq(tbl, idxTbl)) {
       plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec, threshold,
         Similarity.twoLevelIndexOf(SparkSession.active,
-          collectTwoLevel(idxTbl, semanticDedup2WithUsage)), union))
+          collectTwoLevel(idxTbl, semanticDedup2WithUsage)), union,
+        64, bands, 42L))
     }
   }
 

@@ -148,6 +148,29 @@ class TvfSpec extends AnyFunSuite {
       bad.getMessage.contains("graft_semantic_dedup2("), bad.getMessage)
   }
 
+  test("graft_semantic_dedup2 optional lsh_bands arg: 0 = auto, bad values refused") {
+    registered()
+    // at sf0.001 the auto-sizer keeps the narrow default (LshAutoSpec),
+    // so auto == explicit default — proving the SQL plumbing end-to-end
+    val auto = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D,
+                                          true, 0)
+      ORDER BY vec_id""").collect()
+    val dflt = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D, true)
+      ORDER BY vec_id""").collect()
+    assert(auto.toSeq == dflt.toSeq)
+    assert(auto.nonEmpty)
+    // a band count that does not divide 64 is refused loudly
+    val bad = intercept[Exception](spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D,
+                                          true, 3)""").collect())
+    assert(bad.getMessage.contains("divid"), bad.getMessage)
+  }
+
   test("graft_kmeans_assign TVF == Similarity.kmeansAssign") {
     registered()
     val sql = spark.sql("""
