@@ -105,6 +105,46 @@ private[graft] object CentroidKernel {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$what expects array<float|double>, got $other")
   }
+
+  /** [[argmax]] reading the centroid matrix from per-row column DATA
+    * (an `array<double>` holding `count = numElements/dim` centroids
+    * row-major) instead of a broadcast — the kernel of the JOIN-based
+    * assignment path, where each row's candidate centroids arrive from
+    * a shuffle join rather than a driver-collected index. Identical
+    * comparison semantics (NULL-sim loses, NaN greatest, ties → lowest
+    * index); reads via `ArrayData.getDouble` so an UnsafeArrayData
+    * packed row is scanned with zero per-row allocation. */
+  def argmaxInRow(vec: ArrayData, isFloat: Boolean, dim: Int,
+      flat: ArrayData, count: Int): Int = {
+    val vLen = vec.numElements()
+    val n = math.min(vLen, dim)
+    var best = 0
+    var bestSim = 0.0
+    var bestValid = false
+    var c = 0
+    while (c < count) {
+      val base = c * dim
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val yi = flat.getDouble(base + i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      if (nx != 0.0 && ny != 0.0) {
+        val sim = dot / (math.sqrt(nx) * math.sqrt(ny)) + 0.0
+        val better =
+          if (!bestValid) true
+          else if (java.lang.Double.isNaN(sim)) !java.lang.Double.isNaN(bestSim)
+          else if (java.lang.Double.isNaN(bestSim)) false
+          else sim > bestSim
+        if (better) { best = c; bestSim = sim; bestValid = true }
+      }
+      c += 1
+    }
+    best
+  }
 }
 
 /** 0-based index of the nearest centroid of the broadcast flat matrix
@@ -245,6 +285,53 @@ case class NearestCentroids(child: Expression, index: Broadcast[FlatCentroids],
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "nearest_centroids"
+}
+
+/** 0-based index of the nearest centroid among the centroids PACKED
+  * INTO THE ROW ITSELF: `flat` is an `array<double>` of
+  * `numElements/dim` centroids laid out row-major (the per-super-cell
+  * packed sub-centroid column a shuffle join attaches), `vec` the
+  * query vector. This is the broadcast-free twin of
+  * [[NearestCentroid]] — the index never passes through the driver,
+  * so the centroid count is bounded by cluster memory, not by
+  * [[graft.operators.Similarity.MaxFitCells]]. Same pinned ordering
+  * (NULL-sim loses, NaN greatest, ties → lowest index); a NULL `vec`
+  * resolves to 0 (the all-NULL tie); a NULL `flat` is refused loudly —
+  * in the assignment plan it can only mean a broken join. */
+case class NearestInPacked(left: Expression, right: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(dim >= 1, s"dim must be >= 1 (got $dim)")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidKernel.checkVecType(left.dataType, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a packed array<double> centroid " +
+            s"column, got $other")
+      }
+      case fail => fail
+    }
+  private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def eval(input: InternalRow): Any = {
+    val f = right.eval(input)
+    require(f != null, s"$prettyName: packed centroid column is NULL — " +
+      "every joined row must carry its cell's centroids")
+    val flat = f.asInstanceOf[ArrayData]
+    val count = flat.numElements() / dim
+    require(count >= 1, s"$prettyName: packed centroid column holds " +
+      s"${flat.numElements()} doubles — fewer than one dim=$dim centroid")
+    val v = left.eval(input)
+    if (v == null) 0
+    else CentroidKernel.argmaxInRow(v.asInstanceOf[ArrayData], isFloat,
+      dim, flat, count)
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "nearest_in_packed"
 }
 
 /** Composite two-level cell id (super·stride + sub) against the

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{CentroidIdAt, CosineSimilarity,
   FlatCentroids, HyperplaneLsh, NearestCentroid, NearestCentroidId,
-  NearestCentroids, PqAdcDot, PqEncode, TwoLevelFlatIndex,
-  TwoLevelNearestCell}
+  NearestCentroids, NearestInPacked, PqAdcDot, PqEncode,
+  TwoLevelFlatIndex, TwoLevelNearestCell}
 
 /** A fitted FLAT centroid index broadcast ONCE and reusable across any
   * number of assign/dedup/top-k calls — the fit-once-serve-many handle.
@@ -916,6 +916,216 @@ object Similarity {
     }
   }
 
+  // ───── Relation-indexed two-level path: cells ∝ corpus, no index ─────
+  // ───── through the driver (the beyond-MaxFitCells scale story)   ─────
+
+  /** Distributed two-level k-means fit — the beyond-[[MaxFitCells]]
+    * path. Same algorithm, seeding, 1e-9 mean quantization and
+    * empty-cell rules as [[kmeansTwoLevel]] (the two fits are
+    * bit-identical on the same corpus — RelIndexSpec), but the
+    * sub-centroid set lives in a RELATION from seed to return: sub
+    * seeds come from a window rank (never collected), each Lloyd
+    * round's assignment is a shuffle join against the per-super packed
+    * sub-centroids ([[NearestInPacked]]) and its means a distributed
+    * two-phase aggregate — so `nSuper × nSubPerCell` is bounded by
+    * CLUSTER memory, not by the driver collect that gives
+    * [[MaxFitCells]] its value. Only the √cells super-centroids ever
+    * pass through the driver (they broadcast like any map-join side).
+    *
+    * Returns the index in the `graft_kmeans_fit2` relation contract —
+    * `(super_id INT, sub_id INT, centroid ARRAY<DOUBLE>)`, one
+    * `sub_id = -1` row per super carrying the super centroid — backed
+    * by a persisted frame (write it to a table for fit-once-serve-many
+    * use; `spark.catalog.clearCache()` releases the fit's storage).
+    * Feed it to [[twoLevelAssignRel]] / [[semanticDedupTwoLevelRel]].
+    *
+    * At 100 TB: fit cost per Lloyd round is one corpus-linear shuffle
+    * on `super_id` (the join) + one (cells×dim)-bounded aggregate —
+    * both scale out with executors; nothing is resident on the driver
+    * beyond the supers. Fit on a bounded sample for speed (standard
+    * IVF practice), then assign the full corpus. */
+  def kmeansTwoLevelRel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, nSuper: Int, nSubPerCell: Int,
+      iters: Int): DataFrame = {
+    require(nSuper >= 1 && nSubPerCell >= 1,
+      s"nSuper and nSubPerCell must be >= 1 (got $nSuper, $nSubPerCell)")
+    val spark = corpus.sparkSession
+    val train = corpus.select(col(corpusId), col(corpusVec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // supers: the same bounded broadcast fit as every other path —
+      // √cells rows; kmeansCentroids enforces its own driver bounds
+      val (_, superVecs) =
+        kmeansCentroids(train, corpusId, corpusVec, nSuper, iters)
+      val dim = superVecs.headOption.map(_.size).getOrElse(0)
+      val supersDf = spark.createDataFrame(
+          superVecs.zipWithIndex.map { case (v, s) => (s, -1, v) })
+        .toDF("super_id", "sub_id", "centroid")
+        .select(col("super_id"), col("sub_id"),
+          col("centroid").cast("array<double>").as("centroid"))
+      val supersBc = broadcastFlat(spark, superVecs)
+      // sub seeds: each super cell's lowest-id members — the SAME rule
+      // as kmeansTwoLevel, but the seeds stay distributed
+      val w = Window.partitionBy(col("__s")).orderBy(col(corpusId))
+      val seeded = train
+        .select(col(corpusId), col(corpusVec),
+          toCol(NearestCentroid(toExpr(col(corpusVec)), supersBc)).as("__s"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= nSubPerCell)
+        .select(col("__s").as("super_id"), (col("__rn") - 1).as("sub_id"),
+          col(corpusVec).cast("array<double>").as("centroid"))
+      // a super cell with zero seed-time members still gets ONE
+      // sub-centroid (its super centroid) — same rule as kmeansTwoLevel
+      val fill = supersDf
+        .join(seeded.select(col("super_id")).distinct(),
+          Seq("super_id"), "left_anti")
+        .select(col("super_id"), lit(0).as("sub_id"), col("centroid"))
+      var subs = seeded.unionByName(fill)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      subs.count()
+      (1 to iters).foreach { _ =>
+        val assigned =
+          subJoinAssign(train, corpusId, corpusVec, supersBc, subs, dim)
+        // distributed twin of collectCellMeans: same grouping, same
+        // round(avg, 9) quantization — the output stays a relation
+        val means = assigned
+          .select(col("__s"), col("__sub"),
+            posexplode(col(corpusVec).cast("array<double>")))
+          .groupBy(col("__s"), col("__sub"), col("pos"))
+          .agg(round(avg(col("col")), 9).as("m"))
+          .groupBy(col("__s"), col("__sub"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            e => e.getField("m")).as("centroid"))
+          .select(col("__s").as("super_id"), col("__sub").as("sub_id"),
+            col("centroid"))
+        val next = subs.as("p").join(means.as("n"),
+            col("p.super_id") === col("n.super_id") &&
+              col("p.sub_id") === col("n.sub_id"), "left")
+          .select(col("p.super_id").as("super_id"),
+            col("p.sub_id").as("sub_id"),
+            // emptied sub-cell keeps its centroid (kmeansTwoLevel rule)
+            coalesce(col("n.centroid"), col("p.centroid")).as("centroid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        subs.unpersist(false)
+        subs = next
+      }
+      supersDf.unionByName(subs)
+    } finally train.unpersist(false)
+  }
+
+  /** Per-super packed sub-centroids: one row per super cell whose
+    * `__flat` holds its sub-centroids flattened row-major in sub_id
+    * order. Shape validation (contiguous sub ids 0..k-1, dim-length
+    * null-free centroids) runs DISTRIBUTEDLY via raise_error — an
+    * index relation is corpus-scale data here, never driver data. */
+  private def packSubs(subs: DataFrame, dim: Int): DataFrame =
+    subs.groupBy(col("super_id"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("centroid"))))
+        .as("__subs"))
+      .select(col("super_id"),
+        when(
+          forall(transform(col("__subs"), (x, i) =>
+            x.getField("sub_id") === i &&
+              size(x.getField("centroid")) === lit(dim) &&
+              forall(x.getField("centroid"), e => e.isNotNull)), b => b),
+          flatten(transform(col("__subs"), x => x.getField("centroid"))))
+        .otherwise(raise_error(concat_ws(" ",
+          lit("graft two-level index relation invalid at super_id"),
+          col("super_id").cast("string"),
+          lit("- sub_id must be contiguous 0..k-1 with dim-length " +
+            "null-free centroids"))))
+        .as("__flat"))
+
+  /** The join-based (super, sub) assignment shared by the distributed
+    * fit's Lloyd rounds and [[twoLevelAssignRel]]: broadcast super
+    * argmax (√cells — always broadcastable), then a join on `__s`
+    * attaches each row's OWN super cell's packed sub-centroids and
+    * [[NearestInPacked]] picks the sub — O(nSuper + nSubPerCell)
+    * cosines per row, identical tie semantics to the broadcast kernel.
+    * The join is left to Catalyst: a small packed side broadcasts, a
+    * large one shuffle-joins (AQE splits skewed super cells — the
+    * packed side is one duplicable row per key). Returns
+    * (id, vec, __s, __sub). */
+  private def subJoinAssign(corpus: DataFrame, corpusId: String,
+      corpusVec: String,
+      supersBc: org.apache.spark.broadcast.Broadcast[FlatCentroids],
+      subs: DataFrame, dim: Int): DataFrame = {
+    val packed = packSubs(subs, dim)
+    corpus
+      .select(col(corpusId), col(corpusVec),
+        toCol(NearestCentroid(toExpr(col(corpusVec)), supersBc)).as("__s"))
+      .join(packed, col("__s") === packed("super_id"))
+      .select(col(corpusId), col(corpusVec), col("__s"),
+        toCol(NearestInPacked(toExpr(col(corpusVec)),
+          toExpr(col("__flat")), dim)).as("__sub"))
+  }
+
+  /** Two-level assignment against a `graft_kmeans_fit2`-contract index
+    * RELATION — the broadcast-free twin of [[twoLevelAssign]]: the
+    * driver sees only the √cells super rows and one scalar metadata
+    * aggregate; the sub-centroids (the part that grows with the
+    * corpus) flow executor-to-executor through a join. Identical
+    * (id, vec, cell_id) output to the broadcast kernel on the same
+    * index (RelIndexSpec pins bit-parity at the [[MaxFitCells]]
+    * boundary), so everything downstream of assignment — the
+    * cell-confined pair scan, the LSH union, the witness contract — is
+    * unchanged. */
+  def twoLevelAssignRel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, indexRel: DataFrame): DataFrame = {
+    require(Seq("super_id", "sub_id", "centroid")
+        .forall(indexRel.columns.contains),
+      "index relation must have super_id, sub_id and centroid columns " +
+        "(the graft_kmeans_fit2 contract)")
+    val idx = indexRel.select(col("super_id").cast("int").as("super_id"),
+      col("sub_id").cast("int").as("sub_id"),
+      col("centroid").cast("array<double>").as("centroid"))
+    // BOUNDED collect: super rows only — √cells by design, and capped
+    // like every other driver-resident fit artifact
+    val superRows = idx.where(col("sub_id") === -1)
+      .orderBy(col("super_id")).limit(MaxFitCells + 1).collect()
+    require(superRows.nonEmpty, "index relation has no sub_id = -1 " +
+      "(super centroid) rows — is this a graft_kmeans_fit2 output?")
+    require(superRows.length <= MaxFitCells,
+      s"index relation has more than $MaxFitCells super rows; " +
+        "supers must stay broadcast-small (scale cells via nSubPerCell)")
+    require(superRows.iterator.map(_.getInt(0)).toSeq ==
+        (0 until superRows.length),
+      "index relation super_id values must be contiguous 0..n-1 with " +
+        "exactly one sub_id = -1 row each")
+    val superVecs = superRows.map(_.getSeq[Double](2).toSeq).toSeq
+    val dim = superVecs.head.size
+    // one scalar aggregate for stride + coverage — index-sized input,
+    // two-number output
+    val meta = idx.where(col("sub_id") >= 0)
+      .agg(max(col("sub_id")).as("m"),
+        countDistinct(col("super_id")).as("c")).head()
+    require(!meta.isNullAt(0), "index relation has no sub-centroid rows")
+    val stride = meta.getInt(0).toLong + 1
+    require(meta.getLong(1) == superRows.length,
+      s"every super cell needs at least one sub row (${meta.getLong(1)} " +
+        s"of ${superRows.length} covered) — an uncovered super would " +
+        "silently drop its corpus rows from the assignment join")
+    subJoinAssign(corpus, corpusId, corpusVec,
+        broadcastFlat(corpus.sparkSession, superVecs),
+        idx.where(col("sub_id") >= 0), dim)
+      .select(col(corpusId), col(corpusVec),
+        (col("__s").cast("long") * stride + col("__sub")).as("cell_id"))
+  }
+
+  /** [[semanticDedupTwoLevel]] against a fit RELATION — assignment via
+    * [[twoLevelAssignRel]] (no index through the driver), dedup via
+    * the same cell-confined pair scan + optional LSH union.
+    * `lshBands = 0` (the default) auto-sizes the union banding. */
+  def semanticDedupTwoLevelRel(corpus: DataFrame, corpusId: String,
+      corpusVec: String, threshold: Double, indexRel: DataFrame,
+      lshUnion: Boolean = false, lshBits: Int = 64, lshBands: Int = 0,
+      lshSeed: Long = 42L, lshBucketCap: Int = LshBucketCap): DataFrame =
+    dedupMaybeUnion(twoLevelAssignRel(corpus, corpusId, corpusVec, indexRel),
+      corpusId, corpusVec, threshold, lshUnion, lshBits, lshBands, lshSeed,
+      lshBucketCap)
+
   /** Cap on LSH band-bucket size for the union-recall path: a bucket
     * (band, value) holding more than this many vectors is dropped from
     * candidate generation — the same hot-key discipline as Dedup's
@@ -965,8 +1175,16 @@ object Similarity {
   def autoLshBands(corpus: DataFrame, idCol: String, vecCol: String,
       corpusCount: Long = -1L, seed: Long = 42L,
       sampleSize: Int = 2048): (Int, Int) = {
-    val n = if (corpusCount >= 0L) corpusCount else corpus.count()
-    chooseLshBands(lshSampleSigs(corpus, idCol, vecCol, seed, sampleSize), n)
+    if (corpusCount >= 0L)
+      chooseLshBands(lshSampleSigs(corpus, idCol, vecCol, seed, sampleSize),
+        corpusCount)
+    else {
+      // no known count: derive sample AND count from the SAME single
+      // pass — the auto path must not pay a second full-corpus action
+      val (sigs, n) =
+        lshSampleSigsAndCount(corpus, idCol, vecCol, seed, sampleSize)
+      chooseLshBands(sigs, n)
+    }
   }
 
   /** The bounded deterministic signature sample behind [[autoLshBands]]
@@ -981,6 +1199,43 @@ object Similarity {
       .orderBy(col("__h"), col("__sig"))
       .limit(sampleSize)
       .collect().map(_.getLong(0))
+
+  /** [[lshSampleSigs]] AND the exact corpus count from ONE pass — a
+    * per-partition bounded top-K (treeAggregate: each task keeps the
+    * `sampleSize` lowest (h, sig) pairs plus its row count; merges are
+    * sort-and-truncate over ≤ 2·sampleSize pairs, tree-combined so a
+    * 100 TB corpus's many partitions never concentrate on the driver).
+    * Returns the SAME sample as [[lshSampleSigs]] — lowest
+    * `sampleSize` by signed (h, sig), sigs in that order — because a
+    * global bounded min-K commutes with per-partition min-K. */
+  private[graft] def lshSampleSigsAndCount(corpus: DataFrame, idCol: String,
+      vecCol: String, seed: Long, sampleSize: Int): (Array[Long], Long) = {
+    val pairs = corpus
+      .select(xxhash64(col(idCol), lit(seed)).as("__h"),
+        lshSignature(col(vecCol), 64, seed).as("__sig"))
+    val ord = Ordering.Tuple2[Long, Long]
+    def trunc(b: scala.collection.mutable.ArrayBuffer[(Long, Long)]):
+        scala.collection.mutable.ArrayBuffer[(Long, Long)] = {
+      val kept = b.sorted(ord).take(sampleSize)
+      b.clear(); b ++= kept
+    }
+    val rdd = pairs.queryExecution.toRdd
+    if (rdd.getNumPartitions == 0) return (Array.empty[Long], 0L)
+    val (n, buf) = rdd
+      .mapPartitions { it =>
+        var c = 0L
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.foreach { row =>
+          c += 1
+          b += ((row.getLong(0), row.getLong(1)))
+          if (b.length >= sampleSize * 4) trunc(b)
+        }
+        Iterator.single((c, trunc(b)))
+      }
+      .treeReduce({ case ((c1, b1), (c2, b2)) => (c1 + c2, trunc(b1 ++= b2)) },
+        depth = 2)
+    (buf.sorted(ord).take(sampleSize).map(_._2).toArray, n)
+  }
 
   /** The pure, deterministic core of [[autoLshBands]] — exposed for
     * the determinism spec and the sweep's calibration printout.

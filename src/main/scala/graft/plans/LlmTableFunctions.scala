@@ -122,15 +122,28 @@ object LlmTableFunctions {
     * resolved plan shape would not change. Leaf detection covers both
     * the lazy catalog relation (GraftRelation, path carried verbatim)
     * and the eager file-scan fallback (LogicalRelation whose root paths
-    * live under the table dir). */
+    * live under the table dir). Root paths match on a PATH BOUNDARY
+    * (equality or a `tablePath + "/"` prefix), both sides normalized
+    * through `Path.toUri.getPath` — a raw-string prefix would make a
+    * commit to `…/t1` evict fits over a sibling `…/t10` (spurious
+    * refits) and a `file:///x` rendering vs `/x` would silently MISS
+    * the eviction (staleness — the dangerous direction). */
   private[graft] def invalidateFitsForPath(tablePath: String): Unit = {
+    def norm(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      if (u == null || u.isEmpty) p else u
+    }
+    val table = norm(tablePath)
+    def underTable(p: String): Boolean = {
+      val n = norm(p)
+      n == table || n.startsWith(table + "/")
+    }
     def readsPath(p: LogicalPlan): Boolean = p.collectLeaves().exists {
-      case g: GraftRelation => g.tablePath == tablePath
+      case g: GraftRelation => norm(g.tablePath) == table
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.stripPrefix("file:")
-              .startsWith(tablePath))
+            fs.location.rootPaths.exists(r => underTable(r.toString))
           case _ => false
         }
       case _ => false
@@ -227,9 +240,13 @@ object LlmTableFunctions {
   private[plans] def semanticDedup2(args: Seq[Expression]): LogicalPlan = {
     // optional trailing lsh_union (default false) = the recall-recovery
     // dial for fine grids ([[Similarity.semanticDedupTwoLevel]]);
-    // optional lsh_bands after it (default 16 = the small-corpus 16×4
-    // banding; 0 = AUTO — [[Similarity.autoLshBands]] sizes the band
-    // width from the corpus's own signature sample at plan time)
+    // optional lsh_bands after it (default 0 = AUTO —
+    // [[Similarity.autoLshBands]] sizes the band width from the
+    // corpus's own signature sample at plan time; the static 16×4
+    // banding the pre-r17 default hard-coded is 6 orders of magnitude
+    // over the candidate budget at 20M docs, exactly the footgun the
+    // auto-sizer exists to remove — small corpora still land on 16×4
+    // through the budget floor, so results there are unchanged)
     require(args.length >= 7 && args.length <= 9,
       s"usage: $semanticDedup2Usage")
     def s(i: Int, w: String) = str(args(i), w, semanticDedup2Usage)
@@ -242,7 +259,7 @@ object LlmTableFunctions {
       args.length >= 8 && bool(args(7), "lsh_union", semanticDedup2Usage)
     val bands =
       if (args.length == 9) int(args(8), "lsh_bands", semanticDedup2Usage)
-      else 16
+      else 0
     cached("graft_semantic_dedup2",
         Seq(tbl, id, vec, nSuper, nSub, iters, threshold, union, bands),
         Seq(tbl)) {
@@ -476,7 +493,8 @@ object LlmTableFunctions {
   /** Two-level SemDeDup against a prefitted [[kmeansFit2]] relation —
     * same contract as graft_semantic_dedup2, zero fit jobs; optional
     * trailing lsh_union enables the recall-recovery union, and
-    * lsh_bands sizes its banding (0 = auto, see [[semanticDedup2]]). */
+    * lsh_bands sizes its banding (default 0 = auto, see
+    * [[semanticDedup2]] — one bounded sample pass at plan time). */
   private[plans] def semanticDedup2With(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 5 && args.length <= 7,
       s"usage: $semanticDedup2WithUsage")
@@ -488,7 +506,7 @@ object LlmTableFunctions {
       args.length >= 6 && bool(args(5), "lsh_union", semanticDedup2WithUsage)
     val bands =
       if (args.length == 7) int(args(6), "lsh_bands", semanticDedup2WithUsage)
-      else 16
+      else 0
     cached("graft_semantic_dedup2_with",
         Seq(tbl, id, vec, idxTbl, threshold, union, bands), Seq(tbl, idxTbl)) {
       plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec, threshold,

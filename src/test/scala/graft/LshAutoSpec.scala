@@ -77,6 +77,24 @@ class LshAutoSpec extends AnyFunSuite {
     assert(a == (64, 16), a.toString)
   }
 
+  test("one-pass sampler == two-pass sampler: same sample, exact count (ADVICE r16)") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+    val twoPass = Similarity.lshSampleSigs(emb, "vec_id", "embedding", 42L, 64)
+    Seq(emb, emb.repartition(17),
+        emb.orderBy(col("vec_id").desc)).foreach { df =>
+      val (sigs, n) =
+        Similarity.lshSampleSigsAndCount(df, "vec_id", "embedding", 42L, 64)
+      assert(n == emb.count(), s"count $n")
+      assert(sigs.toSeq == twoPass.toSeq,
+        "the fused sample must equal the orderBy-limit sample")
+    }
+    // sampleSize > corpus: whole corpus sampled, count still exact
+    val small = emb.limit(10)
+    val (allSigs, n10) =
+      Similarity.lshSampleSigsAndCount(small, "vec_id", "embedding", 42L, 64)
+    assert(n10 == 10 && allSigs.length == 10)
+  }
+
   test("lshBands = 0 sentinel: auto-sized union == explicit default at small scale") {
     val emb = Engine.t(spark, sf0001, "embeddings")
     val auto = Similarity.semanticDedupTwoLevel(emb, "vec_id", "embedding",

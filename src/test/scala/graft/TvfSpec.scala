@@ -150,17 +150,25 @@ class TvfSpec extends AnyFunSuite {
 
   test("graft_semantic_dedup2 optional lsh_bands arg: 0 = auto, bad values refused") {
     registered()
-    // at sf0.001 the auto-sizer keeps the narrow default (LshAutoSpec),
-    // so auto == explicit default — proving the SQL plumbing end-to-end
+    // at sf0.001 the auto-sizer resolves to the narrow 16×4 banding
+    // (LshAutoSpec), so explicit auto == explicit 16 == the omitted
+    // default (which IS auto since r17) — proving the SQL plumbing
+    // end-to-end without vacuously comparing auto to itself
     val auto = spark.sql("""
       SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
                                           'embedding', 3, 3, 2, 0.35D,
                                           true, 0)
       ORDER BY vec_id""").collect()
+    val explicit16 = spark.sql("""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 3, 3, 2, 0.35D,
+                                          true, 16)
+      ORDER BY vec_id""").collect()
     val dflt = spark.sql("""
       SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
                                           'embedding', 3, 3, 2, 0.35D, true)
       ORDER BY vec_id""").collect()
+    assert(auto.toSeq == explicit16.toSeq)
     assert(auto.toSeq == dflt.toSeq)
     assert(auto.nonEmpty)
     // a band count that does not divide 64 is refused loudly
@@ -472,5 +480,35 @@ class TvfSpec extends AnyFunSuite {
     assert(graft.plans.LlmTableFunctions.fitBuilds.get == b1,
       "eviction must be confined to fits reading the written table")
     spark.sql("DROP TABLE tvfcat.db.emb")
+  }
+
+  test("eviction matches table paths on a boundary: /t1 never evicts /t10") {
+    registered()
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf_sib").toString
+    val emb = spark.table("embeddings").where("vec_id < 100")
+    emb.write.parquet(s"$root/t1")
+    emb.write.parquet(s"$root/t10")
+    spark.read.parquet(s"$root/t1").createOrReplaceTempView("tvf_sib_t1")
+    spark.read.parquet(s"$root/t10").createOrReplaceTempView("tvf_sib_t10")
+    def fit(v: String) = spark.sql(
+      s"SELECT count(*) AS n FROM graft_kmeans_assign('$v', 'vec_id', 'embedding', 4, 1)"
+    ).collect()
+    fit("tvf_sib_t1"); fit("tvf_sib_t10")
+    val b0 = graft.plans.LlmTableFunctions.fitBuilds.get
+    // a commit to …/t1 must NOT evict the sibling …/t10's fit (raw
+    // string-prefix matching would — "t10".startsWith("t1"))
+    graft.plans.LlmTableFunctions.invalidateFitsForPath(s"$root/t1")
+    fit("tvf_sib_t10")
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0,
+      "invalidate of …/t1 must leave the sibling …/t10 fit cached")
+    fit("tvf_sib_t1")
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 1,
+      "invalidate of …/t1 must evict the fit over …/t1 itself")
+    // scheme-qualified rendering (file:///x vs /x) still evicts — the
+    // staleness direction a raw stripPrefix("file:") would miss
+    graft.plans.LlmTableFunctions.invalidateFitsForPath(s"file://$root/t10")
+    fit("tvf_sib_t10")
+    assert(graft.plans.LlmTableFunctions.fitBuilds.get == b0 + 2,
+      "a file://-qualified table path must still evict the matching fit")
   }
 }
