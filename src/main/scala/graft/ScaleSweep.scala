@@ -148,6 +148,22 @@ object ScaleSweep {
         cellsOverride)
       spark.stop(); return
     }
+    if (mode == "rel_ab") {
+      val cellsOverride = args.filter(_.forall(_.isDigit)).drop(1).headOption
+        .map(_.toInt)
+      relAbSweep(spark, listener,
+        args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L),
+        cellsOverride)
+      spark.stop(); return
+    }
+    if (mode == "semdedup2rel") {
+      val cellsOverride = args.filter(_.forall(_.isDigit)).drop(1).headOption
+        .map(_.toInt)
+      semDedupRelSweep(spark, listener,
+        args.find(_.forall(_.isDigit)).map(_.toLong).getOrElse(200000L),
+        cellsOverride)
+      spark.stop(); return
+    }
     if (mode == "contam") { contamSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "simhash") { simhashSweep(spark, listener, nDocs); spark.stop(); return }
     if (mode == "pq") { pqSweep(spark, listener, nDocs); spark.stop(); return }
@@ -753,6 +769,158 @@ object ScaleSweep {
     println(
       s"""{"sweep":"semdedup2","docs":$nDocs,"dim":$dim,""" +
       s""""nSuper":$side,"nSubPerCell":$side,"tau":$tau,"lshUnion":$union,""" +
+      s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
+      s""""dedupSec":${math.round(wall * 10) / 10.0},""" +
+      s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +
+      s""""rowsOut":$rowsOut,"oneVerdictPerVector":${rowsOut == nDocs},""" +
+      s""""dupCount":$dupCount,"plantedPairs":$plantedPairs,""" +
+      s""""plantedFound":$plantedFound,""" +
+      s""""plantedRecall":${math.round(plantedFound * 10000.0 / plantedPairs) / 10000.0},""" +
+      s""""witnessViolations":$violations,""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** A/B: broadcast-kernel vs relation-join two-level assignment on
+    * the SAME fitted index (VERDICT r16 #1's parity leg). Fits once
+    * with the collect-based fit (so cells ≤ MaxFitCells here — the
+    * above-ceiling leg is `semdedup2rel`), assigns the corpus both
+    * ways, and reports walls + the exact count of cell_id mismatches
+    * (must be 0).
+    *
+    *   scripts/run_main.sh graft.ScaleSweep rel_ab [nDocs] [cells]
+    */
+  private def relAbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long,
+      cellsOverride: Option[Int]): Unit = {
+    val dim = 32
+    val cells = cellsOverride.getOrElse(
+      math.min(operators.Similarity.MaxFitCells.toLong,
+        math.max(64L, nDocs / 2000)).toInt)
+    val side = math.max(8, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val corpusPath = tempDir("graft_relab").resolve("emb").toString
+    clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200,
+      plantedDups = true)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val tFit0 = System.nanoTime()
+    val index = operators.Similarity.kmeansTwoLevel(
+      corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side, iters = 2)
+    val fitSec = (System.nanoTime() - tFit0) / 1e9
+    val relDf = spark.createDataFrame(
+        index._1.zipWithIndex.map { case (v, s) => (s, -1, v) } ++
+          index._2.zipWithIndex.flatMap { case (cs, s) =>
+            cs.zipWithIndex.map { case (v, b) => (s, b, v) } })
+      .toDF("super_id", "sub_id", "centroid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    relDf.count()
+
+    def timeAssign(tag: String, df: => DataFrame): (DataFrame, Double) = {
+      val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val n = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n == nDocs, s"$tag assigned $n of $nDocs rows")
+      (out, sec)
+    }
+    val (viaBc, bcSec) = timeAssign("broadcast",
+      operators.Similarity.twoLevelAssign(corpus, "doc_id", "vec", index))
+    val (viaRel, relSec) = timeAssign("relation",
+      operators.Similarity.twoLevelAssignRel(corpus, "doc_id", "vec", relDf))
+    val mismatches = viaBc.select(col("doc_id"), col("cell_id").as("ca"))
+      .join(viaRel.select(col("doc_id"), col("cell_id").as("cb")),
+        Seq("doc_id"))
+      .filter(col("ca") =!= col("cb")).count()
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    println(
+      s"""{"sweep":"rel_ab","docs":$nDocs,"dim":$dim,""" +
+      s""""nSuper":$side,"nSubPerCell":$side,""" +
+      s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
+      s""""assignBcSec":${math.round(bcSec * 10) / 10.0},""" +
+      s""""assignRelSec":${math.round(relSec * 10) / 10.0},""" +
+      s""""cellMismatches":$mismatches,""" +
+      s""""worstStragglerRatio":${math.round(straggler * 10) / 10.0},""" +
+      s""""maxTaskSec":${math.round(maxTaskSec * 10) / 10.0}}""")
+  }
+
+  /** The ABOVE-CEILING anchor (VERDICT r16 #1): full fit + SemDeDup
+    * through the relation-indexed path at a cells count the broadcast
+    * path refuses — cells ∝ corpus with no index through the driver.
+    * Same corpus, metrics and recall harness as `semdedup2`, so the
+    * SCALE.md ladder reads across directly; the union runs with
+    * auto-sized banding (the r17 default). Also asserts the assignment
+    * plan is the join shape (nearest_in_packed, no broadcast kernel).
+    *
+    *   scripts/run_main.sh graft.ScaleSweep semdedup2rel [nDocs] [cells]
+    */
+  private def semDedupRelSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, nDocs: Long,
+      cellsOverride: Option[Int]): Unit = {
+    val dim = 32
+    val tau = 0.99
+    val cells = cellsOverride.getOrElse(
+      math.max(64L, nDocs / 20).toInt) // cells ∝ corpus, PAST the ceiling
+    val side = math.max(8, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val corpusPath = tempDir("graft_semdedup2rel").resolve("emb").toString
+    clusteredEmbeddingsDf(spark, nDocs, dim, nNatural = 200,
+      plantedDups = true)
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+
+    val tFit0 = System.nanoTime()
+    val indexRel = operators.Similarity.kmeansTwoLevelRel(
+      corpus, "doc_id", "vec", nSuper = side, nSubPerCell = side, iters = 2)
+    val actualCells = indexRel.filter(col("sub_id") >= 0).count()
+    val fitSec = (System.nanoTime() - tFit0) / 1e9
+
+    // the plan-shape assert: join-based assignment, packed sub argmax,
+    // no broadcast two-level kernel anywhere
+    val assignPlan = operators.Similarity
+      .twoLevelAssignRel(corpus, "doc_id", "vec", indexRel)
+      .queryExecution.optimizedPlan.toString
+    val planOk = assignPlan.contains("nearest_in_packed") &&
+      !assignPlan.contains("two_level_nearest_cell")
+
+    val union = !sys.env.get("SPARK_GRAFT_SEMDEDUP2_UNION").contains("0")
+    val s0 = listener.snapshot()
+    val t0 = System.nanoTime()
+    val verdicts = operators.Similarity.semanticDedupTwoLevelRel(
+        corpus, "doc_id", "vec", threshold = tau, indexRel = indexRel,
+        lshUnion = union, lshBands = 0, lshBucketCap = 1024)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsOut = verdicts.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot()
+
+    val dups = verdicts.filter(col("dup_of").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupCount = dups.count()
+    val plantedFound = dups
+      .filter(pmod(col("doc_id"), lit(20L)) === 1 &&
+        col("dup_of") === col("doc_id") - 1)
+      .count()
+    val plantedPairs = nDocs / 20
+    val vecs = corpus.select(col("doc_id"), col("vec"))
+    val violations = dups.select(col("doc_id"), col("dup_of"))
+      .join(vecs.withColumnsRenamed(Map("doc_id" -> "doc_id_a", "vec" -> "va")),
+        col("doc_id") === col("doc_id_a"))
+      .join(vecs.withColumnsRenamed(Map("doc_id" -> "doc_id_b", "vec" -> "vb")),
+        col("dup_of") === col("doc_id_b"))
+      .filter(operators.Similarity.cosine(col("va"), col("vb")) < tau)
+      .count()
+
+    val (straggler, maxTaskSec) = listener.worstStraggler()
+    def mb(b: Long): Double = math.round(b / 1e5) / 10.0
+    println(
+      s"""{"sweep":"semdedup2rel","docs":$nDocs,"dim":$dim,""" +
+      s""""nSuper":$side,"nSubPerCell":$side,"targetCells":$cells,""" +
+      s""""actualCells":$actualCells,""" +
+      s""""overCeiling":${cells > operators.Similarity.MaxFitCells},""" +
+      s""""planJoinShape":$planOk,"tau":$tau,"lshUnion":$union,""" +
       s""""fitSec":${math.round(fitSec * 10) / 10.0},""" +
       s""""dedupSec":${math.round(wall * 10) / 10.0},""" +
       s""""shuffleReadMB":${mb(s1._1 - s0._1)},"shuffleWriteMB":${mb(s1._2 - s0._2)},""" +

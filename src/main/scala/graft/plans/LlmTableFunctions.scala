@@ -263,9 +263,20 @@ object LlmTableFunctions {
     cached("graft_semantic_dedup2",
         Seq(tbl, id, vec, nSuper, nSub, iters, threshold, union, bands),
         Seq(tbl)) {
-      plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec,
-        nSuper = nSuper, nSubPerCell = nSub, iters = iters,
-        threshold = threshold, lshUnion = union, lshBands = bands))
+      // past the broadcast ceiling the SAME call routes through the
+      // relation-indexed path (bit-identical fit + assignment — see
+      // RelIndexSpec), so a cells budget that used to be refused now
+      // just runs: cells ∝ corpus with no index through the driver
+      if (nSuper.toLong * nSub > Similarity.MaxFitCells)
+        plan(Similarity.semanticDedupTwoLevelRel(table(tbl), id, vec,
+          threshold,
+          Similarity.kmeansTwoLevelRel(table(tbl), id, vec, nSuper, nSub,
+            iters),
+          lshUnion = union, lshBands = bands))
+      else
+        plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec,
+          nSuper = nSuper, nSubPerCell = nSub, iters = iters,
+          threshold = threshold, lshUnion = union, lshBands = bands))
     }
   }
 
@@ -404,16 +415,32 @@ object LlmTableFunctions {
     val iters = int(args(5), "iters", kmeansFit2Usage)
     cached("graft_kmeans_fit2", Seq(tbl, id, vec, nSuper, nSub, iters),
         Seq(tbl)) {
-      val (supers, subs) =
-        Similarity.kmeansTwoLevel(table(tbl), id, vec, nSuper, nSub, iters)
-      val rows = supers.zipWithIndex.map { case (v, sIdx) => (sIdx, -1, v) } ++
-        subs.zipWithIndex.flatMap { case (cells, sIdx) =>
-          cells.zipWithIndex.map { case (v, b) => (sIdx, b, v) }
-        }
-      val spark = SparkSession.active
-      import spark.implicits._
-      plan(rows.toDF("super_id", "sub_id", "centroid"))
+      // past the broadcast ceiling, fit distributed (bit-identical —
+      // RelIndexSpec) and return the relation directly
+      if (nSuper.toLong * nSub > Similarity.MaxFitCells)
+        plan(Similarity.kmeansTwoLevelRel(table(tbl), id, vec, nSuper,
+          nSub, iters))
+      else {
+        val (supers, subs) =
+          Similarity.kmeansTwoLevel(table(tbl), id, vec, nSuper, nSub, iters)
+        val rows = supers.zipWithIndex.map { case (v, sIdx) => (sIdx, -1, v) } ++
+          subs.zipWithIndex.flatMap { case (cells, sIdx) =>
+            cells.zipWithIndex.map { case (v, b) => (sIdx, b, v) }
+          }
+        val spark = SparkSession.active
+        import spark.implicits._
+        plan(rows.toDF("super_id", "sub_id", "centroid"))
+      }
     }
+  }
+
+  /** Does the fit2-contract index relation exceed [[collectTwoLevel]]'s
+    * driver cap? One bounded probe job (scans at most cap+1 rows, moves
+    * one long) — the `_with` TVFs use it to route oversized indexes to
+    * the relation-join assignment instead of refusing them. */
+  private def indexOverCap(name: String): Boolean = {
+    val cap = 2 * Similarity.MaxFitCells
+    table(name).limit(cap + 1).count() > cap
   }
 
   /** Reconstruct a two-level index from a [[kmeansFit2]]-shaped
@@ -480,9 +507,15 @@ object LlmTableFunctions {
     val idxTbl = s(3, "index_table")
     cached("graft_kmeans_assign2_with", Seq(tbl, id, vec, idxTbl),
         Seq(tbl, idxTbl)) {
-      plan(Similarity.twoLevelAssign(table(tbl), id, vec,
-        Similarity.twoLevelIndexOf(SparkSession.active,
-          collectTwoLevel(idxTbl, kmeansAssign2WithUsage))))
+      // an index too large for the driver routes through the
+      // relation-join assignment (bit-identical — RelIndexSpec)
+      if (indexOverCap(idxTbl))
+        plan(Similarity.twoLevelAssignRel(table(tbl), id, vec,
+          table(idxTbl)))
+      else
+        plan(Similarity.twoLevelAssign(table(tbl), id, vec,
+          Similarity.twoLevelIndexOf(SparkSession.active,
+            collectTwoLevel(idxTbl, kmeansAssign2WithUsage))))
     }
   }
 
@@ -509,10 +542,14 @@ object LlmTableFunctions {
       else 0
     cached("graft_semantic_dedup2_with",
         Seq(tbl, id, vec, idxTbl, threshold, union, bands), Seq(tbl, idxTbl)) {
-      plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec, threshold,
-        Similarity.twoLevelIndexOf(SparkSession.active,
-          collectTwoLevel(idxTbl, semanticDedup2WithUsage)), union,
-        64, bands, 42L))
+      if (indexOverCap(idxTbl))
+        plan(Similarity.semanticDedupTwoLevelRel(table(tbl), id, vec,
+          threshold, table(idxTbl), lshUnion = union, lshBands = bands))
+      else
+        plan(Similarity.semanticDedupTwoLevel(table(tbl), id, vec, threshold,
+          Similarity.twoLevelIndexOf(SparkSession.active,
+            collectTwoLevel(idxTbl, semanticDedup2WithUsage)), union,
+          64, bands, 42L))
     }
   }
 

@@ -482,6 +482,26 @@ class TvfSpec extends AnyFunSuite {
     spark.sql("DROP TABLE tvfcat.db.emb")
   }
 
+  test("a cells budget past MaxFitCells routes to the relation path instead of erroring") {
+    registered()
+    val over = Similarity.MaxFitCells / 2 + 1 // 2 * over > MaxFitCells
+    // the self-contained dedup2 TVF: used to be refused by the
+    // broadcast fit's guard, now runs through the relation-join path
+    // (bit-identical semantics — RelIndexSpec) with the same contract
+    val dedup = spark.sql(s"""
+      SELECT * FROM graft_semantic_dedup2('embeddings', 'vec_id',
+                                          'embedding', 2, $over, 1, 0.35D)
+      ORDER BY vec_id""").collect()
+    assert(dedup.nonEmpty)
+    // fit2 past the ceiling returns the same relation contract (one
+    // sub_id = -1 row per super; actual sub count is corpus-bounded)
+    val fit = spark.sql(s"""
+      SELECT * FROM graft_kmeans_fit2('embeddings', 'vec_id', 'embedding',
+                                      2, $over, 1)""").collect()
+    assert(fit.count(_.getInt(1) == -1) == 2)
+    assert(fit.count(_.getInt(1) >= 0) >= 2)
+  }
+
   test("eviction matches table paths on a boundary: /t1 never evicts /t10") {
     registered()
     val root = java.nio.file.Files.createTempDirectory("graft_tvf_sib").toString
