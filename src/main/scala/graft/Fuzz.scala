@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential SQL fuzzing vs DuckDB (VERDICT r16 #5): a SEEDED
+  * generator of random expression trees over the lineitem table,
+  * emitted as SQL in the dialect subset BOTH engines implement with
+  * identical semantics, executed by Spark and dumped in the exact
+  * `graft.Verify` output contract — per-name parquet dirs plus
+  * `oracle_sql.json` — so `scripts/local_verify.py` replays every
+  * batch in DuckDB and diffs rows/schema/values unchanged.
+  *
+  *   scripts/run_main.sh graft.Fuzz <sfDir> <outDir> [nExprs] [seed]
+  *   python3 scripts/local_verify.py <sfDir> <outDir>
+  *
+  * The generated trees cover arithmetic (with overflow kept inside
+  * int64 by construction: multiplication only by small literals),
+  * three-valued logic (nullif-injected NULLs through AND/OR/NOT,
+  * CASE, COALESCE, IN, BETWEEN, LIKE), string ops (substr/trim/
+  * pad/replace/reverse/case folding over ASCII data), numeric
+  * functions whose cross-engine results are bit-exact (IEEE add,
+  * subtract, multiply, divide; abs, least/greatest, sqrt — correctly
+  * rounded per IEEE 754), and
+  * timestamp field extraction. DELIBERATE dialect exclusions, each a
+  * measured or documented divergence, are listed in
+  * [[https://duckdb.org/docs/sql DuckDB]]-vs-Spark terms at the
+  * bottom of this file's scaladoc:
+  *
+  *  - `CAST(double AS int)`: Spark truncates toward zero, DuckDB
+  *    rounds half away — a REAL dialect delta, excluded by design;
+  *  - bare decimal literals (`1.5`): DECIMAL in both dialects, but
+  *    Spark's decimal arithmetic applies ITS precision/scale rules
+  *    (division lands on DECIMAL(10,6) and rounds there), DuckDB's
+  *    division promotes to DOUBLE — this fuzzer FOUND that delta on
+  *    its first run; the generator emits `1.5e0` (DOUBLE in both);
+  *  - integer `/` and `div`/`//`: spelled differently per dialect;
+  *  - `round(double)`: HALF_UP (Spark, via BigDecimal) vs sprintf
+  *    rounding (DuckDB) differ at representability edges;
+  *  - transcendentals except sqrt (libm last-ulp variance — sqrt is
+  *    the one elementary function IEEE 754 requires correctly
+  *    rounded).
+  */
+object Fuzz {
+
+  private sealed trait Ty
+  private case object TInt extends Ty
+  private case object TDouble extends Ty
+  private case object TString extends Ty
+  private case object TBool extends Ty
+
+  /** One random expression of type `ty` as a SQL string (common
+    * dialect). Depth-bounded; every random draw comes from `rnd`, so
+    * a seed pins the whole corpus. */
+  private def gen(rnd: scala.util.Random, ty: Ty, depth: Int): String = {
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def i(d: Int) = gen(rnd, TInt, d)
+    def dd(d: Int) = gen(rnd, TDouble, d)
+    def s(d: Int) = gen(rnd, TString, d)
+    def b(d: Int) = gen(rnd, TBool, d)
+    if (depth <= 0) ty match {
+      case TInt => pick(Seq(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "0", "1", "2", "5", "42", "-3", "100",
+        "extract(year from l_shipdate)", "extract(month from l_shipdate)",
+        "extract(day from l_shipdate)",
+        "nullif(l_linenumber, 3)"))
+      // exponent form: a bare `1.5` is a DECIMAL literal in Spark (and
+      // decimal arithmetic carries ITS scale/rounding rules — found by
+      // this fuzzer: 15/11 = -1.340909 at DECIMAL(10,6) vs DuckDB's
+      // double -1.34090909…), while `1.5e0` is DOUBLE in both dialects
+      case TDouble => pick(Seq(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "0.0e0", "1.5e0", "-2.25e0", "10.0e0", "0.1e0",
+        "nullif(l_discount, 0.0e0)"))
+      case TString => pick(Seq(
+        "l_returnflag", "l_linestatus",
+        "'A'", "'N'", "'R'", "'O'", "'x'", "'abc'", "''",
+        "nullif(l_returnflag, 'A')"))
+      case TBool => pick(Seq("true", "false", "l_linenumber > 3",
+        "l_returnflag = 'R'"))
+    } else ty match {
+      case TInt => pick[() => String](Seq(
+        () => s"(${i(depth - 1)} + ${i(depth - 1)})",
+        () => s"(${i(depth - 1)} - ${i(depth - 1)})",
+        // multiplication only by small literals: keeps every value the
+        // tree can produce inside int64 at any depth
+        () => s"(${i(depth - 1)} * ${pick(Seq(2, 3, 5, 7))})",
+        () => s"(${i(depth - 1)} % ${pick(Seq(97, 1009, 7919))})",
+        () => s"(- ${i(depth - 1)})",
+        () => s"abs(${i(depth - 1)})",
+        () => s"least(${i(depth - 1)}, ${i(depth - 1)})",
+        () => s"greatest(${i(depth - 1)}, ${i(depth - 1)})",
+        () => s"length(${s(depth - 1)})",
+        () => s"coalesce(${i(depth - 1)}, ${i(depth - 1)})",
+        () => s"(case when ${b(depth - 1)} then ${i(depth - 1)} " +
+          s"else ${i(depth - 1)} end)"))()
+      case TDouble => pick[() => String](Seq(
+        () => s"(${dd(depth - 1)} + ${dd(depth - 1)})",
+        () => s"(${dd(depth - 1)} - ${dd(depth - 1)})",
+        () => s"(${dd(depth - 1)} * ${dd(depth - 1)})",
+        // divisor abs(x)+1 >= 1: no division by zero, no infinities
+        () => s"(${dd(depth - 1)} / (abs(${dd(depth - 1)}) + 1.0e0))",
+        () => s"abs(${dd(depth - 1)})",
+        () => s"sqrt(abs(${dd(depth - 1)}))",
+        () => s"least(${dd(depth - 1)}, ${dd(depth - 1)})",
+        () => s"greatest(${dd(depth - 1)}, ${dd(depth - 1)})",
+        () => s"cast(${i(depth - 1)} as double)",
+        () => s"coalesce(${dd(depth - 1)}, ${dd(depth - 1)})",
+        () => s"(case when ${b(depth - 1)} then ${dd(depth - 1)} " +
+          s"else ${dd(depth - 1)} end)"))()
+      case TString => pick[() => String](Seq(
+        () => s"upper(${s(depth - 1)})",
+        () => s"lower(${s(depth - 1)})",
+        () => s"(${s(depth - 1)} || ${s(depth - 1)})",
+        () => s"trim(${s(depth - 1)})",
+        () => s"reverse(${s(depth - 1)})",
+        () => s"replace(${s(depth - 1)}, 'A', 'z')",
+        // 1-based positions only: pos <= 0 is a dialect delta
+        () => s"substr(${s(depth - 1)}, ${1 + rnd.nextInt(3)}, " +
+          s"${rnd.nextInt(5)})",
+        () => s"lpad(${s(depth - 1)}, ${rnd.nextInt(8)}, '_')",
+        () => s"rpad(${s(depth - 1)}, ${rnd.nextInt(8)}, '.')",
+        () => s"coalesce(${s(depth - 1)}, ${s(depth - 1)})",
+        () => s"(case when ${b(depth - 1)} then ${s(depth - 1)} " +
+          s"else ${s(depth - 1)} end)"))()
+      case TBool => pick[() => String](Seq(
+        () => s"(${i(depth - 1)} ${pick(Seq("<", "<=", "=", ">", ">=", "<>"))} ${i(depth - 1)})",
+        () => s"(${dd(depth - 1)} ${pick(Seq("<", "<=", ">", ">="))} ${dd(depth - 1)})",
+        () => s"(${s(depth - 1)} ${pick(Seq("=", "<>", "<", ">"))} ${s(depth - 1)})",
+        () => s"(${b(depth - 1)} and ${b(depth - 1)})",
+        () => s"(${b(depth - 1)} or ${b(depth - 1)})",
+        () => s"(not ${b(depth - 1)})",
+        () => s"(${i(depth - 1)} is null)",
+        () => s"(${s(depth - 1)} is not null)",
+        () => s"(${i(depth - 1)} between ${i(depth - 1)} and ${i(depth - 1)})",
+        () => s"(${i(depth - 1)} in (1, 5, 42, 100, 7919))",
+        () => s"(${s(depth - 1)} like '${pick(Seq("%A%", "A%", "%R", "_", "ab%"))}')"))()
+    }
+  }
+
+  /** The whole seeded corpus as (batchName -> batchSql): `perBatch`
+    * expressions per SELECT over lineitem, each aliased e0..eN, keyed
+    * by the unique (orderkey, linenumber) row id. Pure function of
+    * (nExprs, seed) — FuzzSpec pins determinism. */
+  def corpus(nExprs: Int, seed: Long, perBatch: Int = 25,
+      maxDepth: Int = 5): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Seq(TInt, TDouble, TString, TBool)
+    val exprs = Seq.tabulate(nExprs) { k =>
+      gen(rnd, types(k % types.size), 1 + rnd.nextInt(maxDepth))
+    }
+    exprs.grouped(perBatch).zipWithIndex.map { case (es, bi) =>
+      val cols = es.zipWithIndex
+        .map { case (e, j) => s"$e AS e${bi * perBatch + j}" }
+        .mkString(",\n  ")
+      (f"fuzz_b$bi%03d",
+        s"SELECT l_orderkey * 10 + l_linenumber AS fid,\n  $cols\nFROM lineitem")
+    }.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/fuzz_out")
+    val nExprs = args.lift(2).map(_.toInt).getOrElse(1000)
+    val seed = args.lift(3).map(_.toLong).getOrElse(42L)
+    val spark = Engine.session()
+    Engine.t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    val batches = corpus(nExprs, seed)
+    var failed = 0
+    batches.foreach { case (name, sql) =>
+      try spark.sql(sql).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Exception =>
+        failed += 1
+        println(s"[fuzz] $name failed: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    val json = batches.map { case (n, q) =>
+      s""""$n": ${ujsonStr(q)}""" }.mkString("{", ",\n", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    println(s"""{"fuzz_batches":${batches.size},"fuzz_exprs":$nExprs,""" +
+      s""""seed":$seed,"failed":$failed,"out":"$outDir"}""")
+    spark.stop()
+  }
+
+  /** Minimal JSON string escape (the SQL contains no exotic chars —
+    * quotes and newlines only). */
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+}
