@@ -443,6 +443,26 @@ object LlmQueries extends QueryCatalog {
           threshold = 0.35)
         .orderBy(col("vec_id")))
 
+  /** The RELATION-INDEXED two-level path (r17 — the beyond-MaxFitCells
+    * scale story) under the SAME independent oracle as
+    * [[dedupSemantic2]]: the distributed fit and the join-based
+    * assignment are bit-identical to the collect/broadcast path
+    * (RelIndexSpec), so DuckDB's from-scratch re-derivation of the fit
+    * must match this row exactly too — a driver-green proof that the
+    * no-driver-collect path computes the same answer, not just a
+    * Spark-vs-Spark parity claim. */
+  private val dedupSemantic2Rel = Q(
+    "dedup_semantic2_rel",
+    dedupSemantic2.oracle,
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedupTwoLevelRel(emb, "vec_id", "embedding",
+          threshold = 0.35,
+          indexRel = Similarity.kmeansTwoLevelRel(emb, "vec_id",
+            "embedding", nSuper = 3, nSubPerCell = 3, iters = 2))
+        .orderBy(col("vec_id"))
+    })
+
   /** Banded hyperplane-LSH signature chunks, re-derived in DuckDB from
     * the engine's own MD5-Rademacher construction (64 bits → 16 width-4
     * band chunks, seed 42) — expects a CTE `e` = (vec_id, v DOUBLE[])
@@ -1890,6 +1910,7 @@ object LlmQueries extends QueryCatalog {
     dedupExact, dedupJaccard, dedupMinhash, dedupSimhash, dedupCluster,
     dedupIncremental, dedupSpans, dedupSpansCut, dedupEmbedding,
     clusterKmeans, dedupSemantic, dedupSemantic2, dedupSemantic2Union,
+    dedupSemantic2Rel,
     annBrute, annLsh, annIvf, annIvfFull, annLshFull,
     sq8QuantizeQ, annSq8Full, annSq8,
     pqEncodeQ, annPqFull, annPq,

@@ -115,10 +115,12 @@ class CatalogSpec extends AnyFunSuite {
     // witnesses in DuckDB) → 237, and the TWO-LEVEL fit-once seam
     // (sql_tvf_kmeans_fit2 materializing the IMI fit as a relation,
     // sql_tvf_kmeans_assign2_with / sql_tvf_semantic_dedup2_with
-    // serving it) → 240.
+    // serving it) → 240, and the relation-indexed two-level path
+    // (dedup_semantic2_rel — distributed fit + join assignment under
+    // the same independent DuckDB re-derivation) → 241.
     val refN = if (queries.RefManifest.available) 156 else 0
-    assert(SparkEntry.queries.size == 240 + refN, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 240 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 241 + refN, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 241 + refN, s"oracles: ${SparkEntry.oracleSql.size}")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"rows-only: $rowsOnly")
   }
