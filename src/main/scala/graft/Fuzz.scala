@@ -158,6 +158,76 @@ object Fuzz {
     }.toSeq
   }
 
+  /** Aggregate-level corpus: random GROUP BY queries — grouping keys
+    * drawn from low-cardinality expressions, aggregates over the same
+    * scalar grammar. Aggregates restricted to the cross-engine-exact
+    * set: count(*)/count(x)/min/max (order-free), sum over INT trees
+    * (exact integer arithmetic in both engines), and sum/avg over
+    * DOUBLE trees (accumulation-order noise lives under the differ's
+    * 1e-9 relative tolerance at this row count — the same float-hash
+    * discipline the catalog rows apply). */
+  def corpusAgg(nQueries: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed ^ 0x5ca1ab1eL)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val keys = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+      "(l_orderkey % 7)", "extract(month from l_shipdate)",
+      "substr(l_returnflag || l_linestatus, 1, 2)")
+    Seq.tabulate(nQueries) { k =>
+      val nKeys = 1 + rnd.nextInt(2)
+      val gks = Seq.fill(nKeys)(pick(keys)).distinct
+      val aggs = Seq.tabulate(3 + rnd.nextInt(3)) { j =>
+        val a = rnd.nextInt(6) match {
+          case 0 => "count(*)"
+          case 1 => s"count(${gen(rnd, TInt, 1 + rnd.nextInt(3))})"
+          case 2 => s"min(${gen(rnd, TInt, 1 + rnd.nextInt(3))})"
+          case 3 => s"max(${gen(rnd, TInt, 1 + rnd.nextInt(3))})"
+          case 4 => s"sum(${gen(rnd, TInt, 1 + rnd.nextInt(3))})"
+          case _ => s"sum(${gen(rnd, TDouble, 1 + rnd.nextInt(2))})"
+        }
+        s"$a AS a$j"
+      }
+      val gcols = gks.zipWithIndex.map { case (g, i) => s"$g AS g$i" }
+      val having =
+        if (rnd.nextInt(3) == 0) s"\nHAVING count(*) > ${rnd.nextInt(50)}"
+        else ""
+      (f"fuzzagg_$k%03d",
+        s"SELECT ${(gcols ++ aggs).mkString(",\n  ")}\nFROM lineitem\n" +
+          s"GROUP BY ${gks.mkString(", ")}$having")
+    }
+  }
+
+  /** Join-level corpus: orders ⋈ lineitem on the real key, random
+    * join type (inner/left — left exercises NULL propagation through
+    * the scalar grammar on the probe side), random residual WHERE
+    * over both tables' columns, random projected expressions. */
+  def corpusJoin(nQueries: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed ^ 0x0ddba11L)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    Seq.tabulate(nQueries) { k =>
+      val jt = pick(Seq("JOIN", "LEFT JOIN"))
+      val where = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => s"\nWHERE o.o_totalprice > ${10000 + rnd.nextInt(150000)}.0e0"
+        case _ => s"\nWHERE o.o_orderstatus ${pick(Seq("=", "<>"))} 'O'"
+      }
+      val exprs = Seq.tabulate(3 + rnd.nextInt(3)) { j =>
+        val e = rnd.nextInt(4) match {
+          case 0 => s"(l.l_quantity * o.o_totalprice)"
+          case 1 => s"(o.o_custkey + coalesce(l.l_suppkey, ${rnd.nextInt(9)}))"
+          case 2 => s"(coalesce(l.l_returnflag, '?') || o.o_orderstatus)"
+          case _ => s"(case when l.l_orderkey is null then -1 " +
+            s"else l.l_linenumber % ${pick(Seq(3, 5, 11))} end)"
+        }
+        s"$e AS j$j"
+      }
+      (f"fuzzjoin_$k%03d",
+        s"SELECT o.o_orderkey AS ok, l.l_linenumber AS ln,\n  " +
+          exprs.mkString(",\n  ") +
+          s"\nFROM orders o $jt lineitem l ON o.o_orderkey = l.l_orderkey" +
+          where)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/fuzz_out")
@@ -165,7 +235,10 @@ object Fuzz {
     val seed = args.lift(3).map(_.toLong).getOrElse(42L)
     val spark = Engine.session()
     Engine.t(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
-    val batches = corpus(nExprs, seed)
+    Engine.t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    val batches = corpus(nExprs, seed) ++
+      corpusAgg(math.max(1, nExprs / 10), seed) ++
+      corpusJoin(math.max(1, nExprs / 10), seed)
     var failed = 0
     batches.foreach { case (name, sql) =>
       try spark.sql(sql).write.mode("overwrite").parquet(s"$outDir/$name")

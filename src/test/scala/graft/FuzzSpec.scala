@@ -37,4 +37,15 @@ class FuzzSpec extends AnyFunSuite {
       assert(rows == 6000L, s"$name returned $rows rows")
     }
   }
+
+  test("aggregate and join corpora are deterministic and execute on Spark") {
+    Engine.t(spark, sf0001, "lineitem").createOrReplaceTempView("lineitem")
+    Engine.t(spark, sf0001, "orders").createOrReplaceTempView("orders")
+    assert(Fuzz.corpusAgg(20, 42L) == Fuzz.corpusAgg(20, 42L))
+    assert(Fuzz.corpusJoin(20, 42L) == Fuzz.corpusJoin(20, 42L))
+    (Fuzz.corpusAgg(20, 42L) ++ Fuzz.corpusJoin(20, 42L)).foreach {
+      case (name, sql) =>
+        assert(spark.sql(sql).count() >= 1L, s"$name returned zero rows")
+    }
+  }
 }
