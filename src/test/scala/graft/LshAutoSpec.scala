@@ -95,6 +95,26 @@ class LshAutoSpec extends AnyFunSuite {
     assert(n10 == 10 && allSigs.length == 10)
   }
 
+  test("the auto path runs ONE Spark job: no separate count() action (ADVICE r16)") {
+    val emb = Engine.t(spark, sf0001, "embeddings")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Similarity.autoLshBands(emb, "vec_id", "embedding")
+      // listener delivery is async; give the bus a moment to drain
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(250)
+      assert(jobs.get == 1,
+        s"autoLshBands must fuse sample + count into one action, ran ${jobs.get} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("lshBands = 0 sentinel: auto-sized union == explicit default at small scale") {
     val emb = Engine.t(spark, sf0001, "embeddings")
     val auto = Similarity.semanticDedupTwoLevel(emb, "vec_id", "embedding",
