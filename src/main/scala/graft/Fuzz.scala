@@ -228,6 +228,43 @@ object Fuzz {
     }
   }
 
+  /** Window-function corpus: ranking, offset and frame aggregates over
+    * a TOTAL order — (l_orderkey, l_linenumber) alone is NOT unique in
+    * the synthetic data (6000 rows, 4599 distinct pairs; the first run
+    * of this corpus diverged on exactly that: ties rank in engine-
+    * internal order), so the ORDER BY carries the 6-column key that IS
+    * row-unique. Frames are explicit ROWS BETWEEN (RANGE-vs-ROWS
+    * default ambiguity excluded); frame aggregates stick to
+    * integer-exact inputs. */
+  def corpusWindow(nQueries: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed ^ 0x3174d05eL)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val parts = Seq("l_returnflag", "l_linestatus", "(l_orderkey % 5)")
+    val totalOrder = "l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "l_quantity, l_extendedprice"
+    Seq.tabulate(nQueries) { k =>
+      val cols = Seq.tabulate(3 + rnd.nextInt(3)) { j =>
+        val over = s"OVER (PARTITION BY ${pick(parts)} " +
+          s"ORDER BY $totalOrder"
+        val e = rnd.nextInt(7) match {
+          case 0 => s"row_number() $over)"
+          case 1 => s"rank() $over)"
+          case 2 => s"dense_rank() $over)"
+          case 3 => s"lag(l_linenumber, ${1 + rnd.nextInt(3)}, -1) $over)"
+          case 4 => s"lead(l_suppkey, ${1 + rnd.nextInt(3)}, 0) $over)"
+          case _ =>
+            val p = rnd.nextInt(4); val f = rnd.nextInt(4)
+            s"${pick(Seq("sum", "min", "max", "count"))}(${gen(rnd, TInt, 1 + rnd.nextInt(2))}) " +
+              s"$over ROWS BETWEEN $p PRECEDING AND $f FOLLOWING)"
+        }
+        s"$e AS w$j"
+      }
+      (f"fuzzwin_$k%03d",
+        s"SELECT l_orderkey * 10 + l_linenumber AS fid,\n  " +
+          cols.mkString(",\n  ") + "\nFROM lineitem")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/fuzz_out")
@@ -238,7 +275,8 @@ object Fuzz {
     Engine.t(spark, sfDir, "orders").createOrReplaceTempView("orders")
     val batches = corpus(nExprs, seed) ++
       corpusAgg(math.max(1, nExprs / 10), seed) ++
-      corpusJoin(math.max(1, nExprs / 10), seed)
+      corpusJoin(math.max(1, nExprs / 10), seed) ++
+      corpusWindow(math.max(1, nExprs / 10), seed)
     var failed = 0
     batches.foreach { case (name, sql) =>
       try spark.sql(sql).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -43,7 +43,9 @@ class FuzzSpec extends AnyFunSuite {
     Engine.t(spark, sf0001, "orders").createOrReplaceTempView("orders")
     assert(Fuzz.corpusAgg(20, 42L) == Fuzz.corpusAgg(20, 42L))
     assert(Fuzz.corpusJoin(20, 42L) == Fuzz.corpusJoin(20, 42L))
-    (Fuzz.corpusAgg(20, 42L) ++ Fuzz.corpusJoin(20, 42L)).foreach {
+    assert(Fuzz.corpusWindow(20, 42L) == Fuzz.corpusWindow(20, 42L))
+    (Fuzz.corpusAgg(20, 42L) ++ Fuzz.corpusJoin(20, 42L) ++
+        Fuzz.corpusWindow(10, 42L)).foreach {
       case (name, sql) =>
         assert(spark.sql(sql).count() >= 1L, s"$name returned zero rows")
     }
