@@ -202,6 +202,7 @@ object ScaleSweep {
     }
     if (mode == "lshauto") { lshAutoSweep(spark, nDocs); spark.stop(); return }
     if (mode == "q11ab") { q11AbSweep(spark, listener); spark.stop(); return }
+    if (mode == "q18ab") { q18AbSweep(spark, listener); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -690,6 +691,62 @@ object ScaleSweep {
     run("stock", 256, stock)
     run("stock", 1024, stock)
     run("prerepart", 256, prerepart)
+  }
+
+  /** q18 high-cardinality-aggregation A/B (r17 — same pathology class
+    * as q11: the HAVING subquery groups 600M lineitem rows into ~150M
+    * l_orderkey groups, so map-side partial aggregation combines ~4
+    * rows per key but builds input-keyspace hash tables; the measured
+    * sf100 suite charge is 50.6 GB memory spill + 7.1 GB disk on q18).
+    * Variant B colocates keys first with REPARTITION(l_orderkey) on
+    * the scan (no join upstream here, so the scan hint survives —
+    * unlike q11 where it had to ride the join output).
+    *
+    *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 scripts/run_main.sh graft.ScaleSweep q18ab
+    */
+  private def q18AbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
+    Engine.registerDir(spark, sfDir)
+    val body = """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (%s)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      LIMIT 100"""
+    val stock = body.format(
+      """SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey HAVING sum(l_quantity) > 120""")
+    val prerepart = body.format(
+      """SELECT l_orderkey
+         FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_quantity
+               FROM lineitem)
+         GROUP BY l_orderkey HAVING sum(l_quantity) > 120""")
+    def run(tag: String, q: String): Unit = {
+      val s0 = listener.snapshot(); val sp0 = listener.spills()
+      val t0 = System.nanoTime()
+      val ok = try {
+        spark.sql(q).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[q18ab] $tag failed: ${e.getMessage}"); false
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = listener.snapshot(); val sp1 = listener.spills()
+      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
+      println(
+        s"""{"sweep":"q18ab","variant":"$tag","ok":$ok,""" +
+        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
+        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
+        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
+        s""""sf":"$sfDir"}""")
+    }
+    run("stock", stock)
+    run("prerepart", prerepart)
+    run("stock", stock) // second reading: order-of-run page-cache check
+    run("prerepart", prerepart)
   }
 
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,

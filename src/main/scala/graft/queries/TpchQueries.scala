@@ -541,11 +541,22 @@ object TpchQueries extends QueryCatalog {
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       LIMIT 100"""),
+    // REPARTITION(l_orderkey) under the HAVING subquery is the r17
+    // high-cardinality-aggregation fix (ScaleSweep q18ab at sf100,
+    // docs/BENCH_NOTES.md): ~150M l_orderkey groups from 600M rows —
+    // map-side partial aggregation combines ~4 rows per key yet builds
+    // and spills 50.6 GB of hash tables (+7.1 GB disk); colocating the
+    // keys first zeroes the spill AND runs 27–30% faster (108–113 s →
+    // 75–83 s) for +1.8 GB shuffle. Same rule as q11, hint on the scan
+    // here because no join sits upstream of the aggregate.
     (s, dir) => sql(s, dir)("""
       SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
              round(sum(l_quantity), 2) AS sum_qty
       FROM customer, orders, lineitem
-      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      WHERE o_orderkey IN (SELECT l_orderkey
+                           FROM (SELECT /*+ REPARTITION(l_orderkey) */
+                                        l_orderkey, l_quantity
+                                 FROM lineitem)
                            GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
