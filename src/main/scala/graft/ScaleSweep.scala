@@ -203,6 +203,9 @@ object ScaleSweep {
     if (mode == "lshauto") { lshAutoSweep(spark, nDocs); spark.stop(); return }
     if (mode == "q11ab") { q11AbSweep(spark, listener); spark.stop(); return }
     if (mode == "q18ab") { q18AbSweep(spark, listener); spark.stop(); return }
+    if (mode == "q21ab") { q21AbSweep(spark, listener); spark.stop(); return }
+    if (mode == "q16ab") { q16AbSweep(spark, listener); spark.stop(); return }
+    if (mode == "q4ab") { q4AbSweep(spark, listener); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -747,6 +750,212 @@ object ScaleSweep {
     run("prerepart", prerepart)
     run("stock", stock) // second reading: order-of-run page-cache check
     run("prerepart", prerepart)
+  }
+
+  /** q21 A/B (r17): the stock shape runs the EXISTS / NOT EXISTS as a
+    * left-semi + left-anti join — each shuffles AND SORTS the 600M-row
+    * lineitem again (the sf100 suite's worst spiller: 102 GB memory +
+    * 14 GB disk). Variant B is the classic aggregate rewrite: per
+    * order, count distinct suppliers and distinct LATE suppliers once,
+    * then a late line qualifies iff nsupp > 1 (the EXISTS) and
+    * nlate = 1 (the NOT EXISTS — the line's own supplier is late, so
+    * "no OTHER late supplier" is exactly one distinct late supplier).
+    * Row-for-row equivalent: both count qualifying late LINES.
+    *
+    *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 scripts/run_main.sh graft.ScaleSweep q21ab
+    */
+  private def q21AbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
+    Engine.registerDir(spark, sfDir)
+    val stock = """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        AND s_nationkey = n_nationkey
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
+    val rewrite = """
+      WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
+                        CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN 1 ELSE 0 END AS late
+                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                 WHERE o_orderstatus = 'F'),
+           g AS (SELECT l_orderkey,
+                        count(DISTINCT l_suppkey) AS nsupp,
+                        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+                 FROM j GROUP BY l_orderkey)
+      SELECT s_name, count(*) AS numwait
+      FROM j JOIN g ON j.l_orderkey = g.l_orderkey
+             JOIN supplier ON s_suppkey = j.l_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+      WHERE j.late = 1 AND g.nsupp > 1 AND g.nlate = 1
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
+    def run(tag: String, q: String): Unit = {
+      val s0 = listener.snapshot(); val sp0 = listener.spills()
+      val t0 = System.nanoTime()
+      val rows = try spark.sql(q).collect().toSeq
+      catch { case e: Throwable =>
+        System.err.println(s"[q21ab] $tag failed: ${e.getMessage}"); Nil }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = listener.snapshot(); val sp1 = listener.spills()
+      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
+      val digest = rows.map(r => s"${r.get(0)}:${r.get(1)}").mkString("|").hashCode
+      println(
+        s"""{"sweep":"q21ab","variant":"$tag","rows":${rows.size},""" +
+        s""""resultDigest":$digest,""" +
+        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
+        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
+        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
+        s""""sf":"$sfDir"}""")
+    }
+    run("stock", stock)
+    run("rewrite", rewrite)
+    run("stock", stock)
+    run("rewrite", rewrite)
+  }
+
+  /** q16 A/B (r17): count(DISTINCT l_suppkey) plans as a first
+    * aggregate keyed by (p_brand, p_type, p_size, l_suppkey) — the
+    * dedupe — whose map-side partial phase builds an input-keyspace
+    * hash table over the part⋈lineitem join output (the sf100 suite
+    * charges q16 ~17 GB memory + 3.2 GB disk spill). Variant B
+    * colocates the dedupe key first (the q11/q18 rule: repartition on
+    * the high-cardinality key BEFORE the aggregate so partial agg
+    * state is group-sized, not input-sized).
+    *
+    *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 scripts/run_main.sh graft.ScaleSweep q16ab
+    */
+  private def q16AbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
+    Engine.registerDir(spark, sfDir)
+    val stock = """
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+    val prerepart = """
+      SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+      FROM (SELECT DISTINCT /*+ REPARTITION(p_brand, p_type, p_size, l_suppkey) */
+                   p_brand, p_type, p_size, l_suppkey
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+    def run(tag: String, q: String): Unit = {
+      val s0 = listener.snapshot(); val sp0 = listener.spills()
+      val t0 = System.nanoTime()
+      val rows = try spark.sql(q).collect().toSeq
+      catch { case e: Throwable =>
+        System.err.println(s"[q16ab] $tag failed: ${e.getMessage}"); Nil }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = listener.snapshot(); val sp1 = listener.spills()
+      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
+      val digest = rows.map(r =>
+        s"${r.get(0)}:${r.get(1)}:${r.get(2)}:${r.get(3)}").mkString("|").hashCode
+      println(
+        s"""{"sweep":"q16ab","variant":"$tag","rows":${rows.size},""" +
+        s""""resultDigest":$digest,""" +
+        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
+        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
+        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
+        s""""sf":"$sfDir"}""")
+    }
+    run("stock", stock)
+    run("prerepart", prerepart)
+    run("stock", stock)
+    run("prerepart", prerepart)
+  }
+
+  /** q4 A/B (r17): the EXISTS plans as a left-semi sort-merge join
+    * that sorts the 600M-row lineitem side (~17 GB memory + 6.6 GB
+    * disk spill at sf100). Variant B replaces the semi join with a
+    * per-order max(l_shipdate) aggregate (repartitioned first, the
+    * q18 rule) joined to the filtered orders: EXISTS(l_shipdate >
+    * o_orderdate) ⟺ max(l_shipdate) > o_orderdate, and the aggregate
+    * output is unique per l_orderkey so the inner join cannot
+    * multiply rows. Variant C keeps the stock shape but hints
+    * SHUFFLE_HASH on lineitem to skip the big-side sort.
+    *
+    *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 scripts/run_main.sh graft.ScaleSweep q4ab
+    */
+  private def q4AbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
+    Engine.registerDir(spark, sfDir)
+    val stock = """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+    val aggjoin = """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
+            FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_shipdate
+                  FROM lineitem)
+            GROUP BY l_orderkey) g
+        ON o_orderkey = g.l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND g.max_ship > o_orderdate
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+    val hashhint = """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT /*+ SHUFFLE_HASH(lineitem) */ 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+    def run(tag: String, q: String): Unit = {
+      val s0 = listener.snapshot(); val sp0 = listener.spills()
+      val t0 = System.nanoTime()
+      val rows = try spark.sql(q).collect().toSeq
+      catch { case e: Throwable =>
+        System.err.println(s"[q4ab] $tag failed: ${e.getMessage}"); Nil }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = listener.snapshot(); val sp1 = listener.spills()
+      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
+      val digest = rows.map(r => s"${r.get(0)}:${r.get(1)}").mkString("|").hashCode
+      println(
+        s"""{"sweep":"q4ab","variant":"$tag","rows":${rows.size},""" +
+        s""""resultDigest":$digest,""" +
+        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
+        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
+        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
+        s""""sf":"$sfDir"}""")
+    }
+    run("stock", stock)
+    run("aggjoin", aggjoin)
+    run("hashhint", hashhint)
+    run("stock", stock)
+    run("aggjoin", aggjoin)
+    run("hashhint", hashhint)
   }
 
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,

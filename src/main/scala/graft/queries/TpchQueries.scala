@@ -604,7 +604,22 @@ object TpchQueries extends QueryCatalog {
         AND s_acctbal > 0
       ORDER BY s_name"""))
 
-  /** Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS (see delta). */
+  /** Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS (see delta).
+    *
+    * The Spark side runs the single-pass aggregate form instead of the
+    * literal EXISTS / NOT EXISTS: Catalyst decorrelates those into a
+    * left-semi plus a left-anti join, each shuffling AND sorting the
+    * full lineitem again — the sf100 suite's worst spiller (~102 GB
+    * memory + 14 GB disk). Computing per order the distinct-supplier
+    * and distinct-LATE-supplier counts once, a late line qualifies iff
+    * nsupp > 1 (the EXISTS) and nlate = 1 (the NOT EXISTS: the line's
+    * own supplier is late, so "no OTHER late supplier" ⟺ exactly one
+    * distinct late supplier). `g` is unique per l_orderkey, so the
+    * join cannot multiply rows — row-for-row the same late lines are
+    * counted. The r17 q21ab A/B: zero spill, identical result digest
+    * across 4 runs, 202.6 → 122.7 s cold / wall parity warm; the
+    * oracle below stays the semantic EXISTS form and the driver
+    * hash-compares the two. */
   val q21 = Q(
     "tpch_q21",
     Some("""
@@ -623,17 +638,20 @@ object TpchQueries extends QueryCatalog {
       ORDER BY numwait DESC, s_name
       LIMIT 100"""),
     (s, dir) => sql(s, dir)("""
+      WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
+                        CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN 1 ELSE 0 END AS late
+                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                 WHERE o_orderstatus = 'F'),
+           g AS (SELECT l_orderkey,
+                        count(DISTINCT l_suppkey) AS nsupp,
+                        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+                 FROM j GROUP BY l_orderkey)
       SELECT s_name, count(*) AS numwait
-      FROM supplier, lineitem l1, orders, nation
-      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-        AND o_orderstatus = 'F'
-        AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
-        AND EXISTS (SELECT 1 FROM lineitem l2
-                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                          AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
-        AND s_nationkey = n_nationkey
+      FROM j JOIN g ON j.l_orderkey = g.l_orderkey
+             JOIN supplier ON s_suppkey = j.l_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+      WHERE j.late = 1 AND g.nsupp > 1 AND g.nlate = 1
       GROUP BY s_name
       ORDER BY numwait DESC, s_name
       LIMIT 100"""))
