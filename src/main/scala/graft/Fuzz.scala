@@ -265,6 +265,65 @@ object Fuzz {
     }
   }
 
+  /** Set-operation corpus: two branches of the scalar grammar over
+    * differently-filtered lineitem, combined by a random set operator.
+    * Branch columns stick to INT/STRING (exact cross-engine types —
+    * set-op equality over doubles would hinge on bit-identical
+    * expression results, which holds for this grammar but adds no
+    * coverage); NULLs flow through (set-op DISTINCT treats NULLs as
+    * equal in both dialects, a semantics worth pinning). The differ
+    * sorts rows before hashing, so no ORDER BY is needed. */
+  def corpusSetop(nQueries: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed ^ 0x5e707e57L)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val ops = Seq("UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+      "EXCEPT", "EXCEPT ALL")
+    Seq.tabulate(nQueries) { k =>
+      def branch(): String = {
+        val c0 = gen(rnd, TInt, 1 + rnd.nextInt(3))
+        val c1 = gen(rnd, TString, 1 + rnd.nextInt(2))
+        val w = rnd.nextInt(4) match {
+          case 0 => ""
+          case 1 => s"\nWHERE l_linenumber ${pick(Seq("<", ">=", "="))} ${1 + rnd.nextInt(6)}"
+          case 2 => s"\nWHERE l_returnflag ${pick(Seq("=", "<>"))} '${pick(Seq("A", "N", "R"))}'"
+          case _ => s"\nWHERE (l_orderkey % ${pick(Seq(2, 3, 5))}) = ${rnd.nextInt(2)}"
+        }
+        s"SELECT $c0 AS c0, $c1 AS c1\nFROM lineitem$w"
+      }
+      (f"fuzzsetop_$k%03d", s"${branch()}\n${pick(ops)}\n${branch()}")
+    }
+  }
+
+  /** Subquery corpus: scalar (correlated and uncorrelated), IN /
+    * NOT IN (key columns only — never null, so the 3VL NOT IN trap
+    * can't produce an all-NULL surprise; the bounded-IN case in the
+    * scalar grammar already covers literal lists), and correlated
+    * EXISTS / NOT EXISTS, all against orders. The correlated scalar
+    * subquery keys on o_orderkey, unique in orders, so it can never
+    * raise more-than-one-row on either engine. */
+  def corpusSubq(nQueries: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed ^ 0x50b97e57L)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    Seq.tabulate(nQueries) { k =>
+      val scalarSub = rnd.nextInt(3) match {
+        case 0 => "(SELECT max(o_custkey) FROM orders)"
+        case 1 => s"(SELECT count(*) FROM orders WHERE o_orderstatus = '${pick(Seq("O", "F", "P"))}')"
+        case _ => "(SELECT o.o_custkey FROM orders o WHERE o.o_orderkey = l.l_orderkey)"
+      }
+      val pred = rnd.nextInt(4) match {
+        case 0 => s"l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > ${50000 + rnd.nextInt(300000)}.0e0)"
+        case 1 => s"l.l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = '${pick(Seq("O", "F"))}')"
+        case 2 => s"EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > ${100000 + rnd.nextInt(200000)}.0e0)"
+        case _ => s"NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O')"
+      }
+      val extra = gen(rnd, TInt, 1 + rnd.nextInt(3))
+      (f"fuzzsubq_$k%03d",
+        s"SELECT l.l_orderkey * 10 + l.l_linenumber AS fid,\n" +
+          s"  $scalarSub AS s0,\n  $extra AS e0\n" +
+          s"FROM lineitem l\nWHERE $pred")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/fuzz_out")
@@ -276,7 +335,9 @@ object Fuzz {
     val batches = corpus(nExprs, seed) ++
       corpusAgg(math.max(1, nExprs / 10), seed) ++
       corpusJoin(math.max(1, nExprs / 10), seed) ++
-      corpusWindow(math.max(1, nExprs / 10), seed)
+      corpusWindow(math.max(1, nExprs / 10), seed) ++
+      corpusSetop(math.max(1, nExprs / 10), seed) ++
+      corpusSubq(math.max(1, nExprs / 10), seed)
     var failed = 0
     batches.foreach { case (name, sql) =>
       try spark.sql(sql).write.mode("overwrite").parquet(s"$outDir/$name")

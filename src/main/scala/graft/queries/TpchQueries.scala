@@ -157,12 +157,21 @@ object TpchQueries extends QueryCatalog {
                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""),
+    // SHUFFLE_HASH(lineitem): the decorrelated left-semi join would
+    // otherwise sort-merge, and sorting the 600M-row lineitem side is
+    // the whole 17.4 GB memory + 6.6 GB disk spill the sf100 suite
+    // charged q4. Hashed, each task builds only its shuffle slice of
+    // lineitem (bounded by the partition-sizing rule, and pre-pruned
+    // by the runtime bloom filter from the 3-month orders side) and
+    // probes unsorted. r17 q4ab A/B: zero spill, identical digest,
+    // 36-39 s -> 25-28 s; the aggregate-rewrite variant also zeroed
+    // the spill but ran ~20% slower. Oracle keeps the stock form.
     (s, dir) => sql(s, dir)("""
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-        AND EXISTS (SELECT 1 FROM lineitem
+        AND EXISTS (SELECT /*+ SHUFFLE_HASH(lineitem) */ 1 FROM lineitem
                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
@@ -502,13 +511,25 @@ object TpchQueries extends QueryCatalog {
         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+    // Spark side: (a) SHUFFLE_HASH(part) — the filtered ~3M-row part
+    // side builds as a per-partition hash map so the 600M-row lineitem
+    // streams through the join UNSORTED (the sort-merge big-side sort
+    // was the whole 17.2 GB memory + 3.2 GB disk spill the sf100 suite
+    // charged q16); (b) REPARTITION on the dedupe key before the
+    // count(DISTINCT) so partial-agg state is group-sized (the
+    // q11/q18/q21 rule). r17 q16ab A/B: zero spill, identical result
+    // digest, 36-45 s -> 28-30 s. The oracle keeps the stock form.
     (s, dir) => sql(s, dir)("""
-      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-      FROM lineitem, part
-      WHERE p_partkey = l_partkey
-        AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-        AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+      FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+            FROM (SELECT /*+ REPARTITION(p_brand, p_type, p_size, l_suppkey), SHUFFLE_HASH(part) */
+                         p_brand, p_type, p_size, l_suppkey
+                  FROM lineitem, part
+                  WHERE p_partkey = l_partkey
+                    AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+                    AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+                    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                          WHERE s_acctbal < 0)))
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
 
