@@ -157,22 +157,32 @@ object TpchQueries extends QueryCatalog {
                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""),
-    // SHUFFLE_HASH(lineitem): the decorrelated left-semi join would
-    // otherwise sort-merge, and sorting the 600M-row lineitem side is
-    // the whole 17.4 GB memory + 6.6 GB disk spill the sf100 suite
-    // charged q4. Hashed, each task builds only its shuffle slice of
-    // lineitem (bounded by the partition-sizing rule, and pre-pruned
-    // by the runtime bloom filter from the 3-month orders side) and
-    // probes unsorted. r17 q4ab A/B: zero spill, identical digest,
-    // 36-39 s -> 25-28 s; the aggregate-rewrite variant also zeroed
-    // the spill but ran ~20% slower. Oracle keeps the stock form.
+    // The decorrelated left-semi join sort-merges, and sorting the
+    // 600M-row lineitem side is the whole 17.4 GB memory + 6.6 GB
+    // disk spill the sf100 suite charged q4. The shipped shape
+    // replaces the semi join with a per-order max(l_shipdate)
+    // aggregate (repartitioned on l_orderkey first, the q18 rule —
+    // partial-agg state is group-sized by construction): EXISTS
+    // (l_shipdate > o_orderdate) ⟺ max(l_shipdate) > o_orderdate,
+    // and the aggregate is unique per key so the inner join cannot
+    // multiply rows. r17 q4ab A/B: zero spill, identical digest,
+    // 36-39 s -> 31.6-32.1 s. A SHUFFLE_HASH(lineitem) hint variant
+    // read ~20% faster in the A/B but builds a per-task hash of the
+    // fact-side slice — it survived three sf100 runs and then OOMed
+    // the 24 GB heap on the fourth (LongToUnsafeRowMap.grow), the
+    // exact fixed-resource fragility this campaign removes, so the
+    // aggregate shape ships. Oracle keeps the stock EXISTS form.
     (s, dir) => sql(s, dir)("""
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
+            FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_shipdate
+                  FROM lineitem)
+            GROUP BY l_orderkey) g
+        ON o_orderkey = g.l_orderkey
       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-        AND EXISTS (SELECT /*+ SHUFFLE_HASH(lineitem) */ 1 FROM lineitem
-                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        AND g.max_ship > o_orderdate
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
