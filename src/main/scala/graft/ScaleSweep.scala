@@ -633,6 +633,45 @@ object ScaleSweep {
       s""""sampleSec":${math.round(wall * 10) / 10.0}}""")
   }
 
+  /** Shared runner for the TPC-H A/B sweeps (q11ab/q18ab/q21ab/
+    * q16ab/q4ab): executes one variant, prints one JSON line with
+    * wall + shuffle + spill deltas from the stage listener.
+    * `collectDigest = true` collects the result and emits a digest of
+    * every column of every row (the cross-variant equality witness);
+    * false uses the noop write sink (for variants whose equality is
+    * oracle-checked elsewhere). `extraJson` must be empty or end with
+    * a comma. */
+  private def abRun(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener, sweep: String, sfDir: String,
+      tag: String, q: String, collectDigest: Boolean,
+      extraJson: String = ""): Unit = {
+    val s0 = listener.snapshot(); val sp0 = listener.spills()
+    val t0 = System.nanoTime()
+    var ok = true
+    var rows: Seq[org.apache.spark.sql.Row] = Nil
+    try {
+      if (collectDigest) rows = spark.sql(q).collect().toSeq
+      else spark.sql(q).write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      ok = false
+      System.err.println(s"[$sweep] $tag failed: ${e.getMessage}")
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val s1 = listener.snapshot(); val sp1 = listener.spills()
+    def gb(b: Long): Double = math.round(b / 1e8) / 10.0
+    val resultPart =
+      if (collectDigest)
+        s""""rows":${rows.size},"resultDigest":${
+          rows.map(_.toSeq.mkString(":")).mkString("|").hashCode},"""
+      else s""""ok":$ok,"""
+    println(
+      s"""{"sweep":"$sweep","variant":"$tag",$extraJson$resultPart""" +
+      s""""wallSec":${math.round(wall * 10) / 10.0},""" +
+      s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
+      s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
+      s""""sf":"$sfDir"}""")
+  }
+
   /** q11 high-cardinality-aggregation A/B at scale (VERDICT r15 #3):
     * at sf100, 600M lineitem rows aggregate into 20M l_partkey groups,
     * so map-side partial aggregation combines almost nothing yet still
@@ -673,22 +712,8 @@ object ScaleSweep {
       ORDER BY value DESC, l_partkey"""
     def run(tag: String, parts: Int, q: String): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      val s0 = listener.snapshot(); val sp0 = listener.spills()
-      val t0 = System.nanoTime()
-      val ok = try {
-        spark.sql(q).write.format("noop").mode("overwrite").save(); true
-      } catch { case e: Throwable =>
-        System.err.println(s"[q11ab] $tag/$parts failed: ${e.getMessage}"); false
-      }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = listener.snapshot(); val sp1 = listener.spills()
-      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
-      println(
-        s"""{"sweep":"q11ab","variant":"$tag","partitions":$parts,""" +
-        s""""ok":$ok,"wallSec":${math.round(wall * 10) / 10.0},""" +
-        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
-        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
-        s""""sf":"$sfDir"}""")
+      abRun(spark, listener, "q11ab", sfDir, tag, q,
+        collectDigest = false, extraJson = s""""partitions":$parts,""")
     }
     run("stock", 128, stock)
     run("stock", 256, stock)
@@ -728,24 +753,8 @@ object ScaleSweep {
          FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_quantity
                FROM lineitem)
          GROUP BY l_orderkey HAVING sum(l_quantity) > 120""")
-    def run(tag: String, q: String): Unit = {
-      val s0 = listener.snapshot(); val sp0 = listener.spills()
-      val t0 = System.nanoTime()
-      val ok = try {
-        spark.sql(q).write.format("noop").mode("overwrite").save(); true
-      } catch { case e: Throwable =>
-        System.err.println(s"[q18ab] $tag failed: ${e.getMessage}"); false
-      }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = listener.snapshot(); val sp1 = listener.spills()
-      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
-      println(
-        s"""{"sweep":"q18ab","variant":"$tag","ok":$ok,""" +
-        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
-        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
-        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
-        s""""sf":"$sfDir"}""")
-    }
+    def run(tag: String, q: String): Unit =
+      abRun(spark, listener, "q18ab", sfDir, tag, q, collectDigest = false)
     run("stock", stock)
     run("prerepart", prerepart)
     run("stock", stock) // second reading: order-of-run page-cache check
@@ -801,24 +810,8 @@ object ScaleSweep {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name
       LIMIT 100"""
-    def run(tag: String, q: String): Unit = {
-      val s0 = listener.snapshot(); val sp0 = listener.spills()
-      val t0 = System.nanoTime()
-      val rows = try spark.sql(q).collect().toSeq
-      catch { case e: Throwable =>
-        System.err.println(s"[q21ab] $tag failed: ${e.getMessage}"); Nil }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = listener.snapshot(); val sp1 = listener.spills()
-      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
-      val digest = rows.map(r => s"${r.get(0)}:${r.get(1)}").mkString("|").hashCode
-      println(
-        s"""{"sweep":"q21ab","variant":"$tag","rows":${rows.size},""" +
-        s""""resultDigest":$digest,""" +
-        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
-        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
-        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
-        s""""sf":"$sfDir"}""")
-    }
+    def run(tag: String, q: String): Unit =
+      abRun(spark, listener, "q21ab", sfDir, tag, q, collectDigest = true)
     run("stock", stock)
     run("rewrite", rewrite)
     run("stock", stock)
@@ -869,25 +862,10 @@ object ScaleSweep {
     val hashjoin = prerepart.replace(
       "SELECT /*+ REPARTITION(p_brand, p_type, p_size, l_suppkey) */",
       "SELECT /*+ REPARTITION(p_brand, p_type, p_size, l_suppkey), SHUFFLE_HASH(part) */")
-    def run(tag: String, q: String): Unit = {
-      val s0 = listener.snapshot(); val sp0 = listener.spills()
-      val t0 = System.nanoTime()
-      val rows = try spark.sql(q).collect().toSeq
-      catch { case e: Throwable =>
-        System.err.println(s"[q16ab] $tag failed: ${e.getMessage}"); Nil }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = listener.snapshot(); val sp1 = listener.spills()
-      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
-      val digest = rows.map(r =>
-        s"${r.get(0)}:${r.get(1)}:${r.get(2)}:${r.get(3)}").mkString("|").hashCode
-      println(
-        s"""{"sweep":"q16ab","variant":"$tag","rows":${rows.size},""" +
-        s""""resultDigest":$digest,""" +
-        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
-        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
-        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
-        s""""sf":"$sfDir"}""")
-    }
+    require(hashjoin != prerepart,
+      "q16ab hint-replace target drifted: the hashjoin variant would silently re-measure prerepart")
+    def run(tag: String, q: String): Unit =
+      abRun(spark, listener, "q16ab", sfDir, tag, q, collectDigest = true)
     run("stock", stock)
     run("prerepart", prerepart)
     run("hashjoin", hashjoin)
@@ -943,24 +921,8 @@ object ScaleSweep {
                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""
-    def run(tag: String, q: String): Unit = {
-      val s0 = listener.snapshot(); val sp0 = listener.spills()
-      val t0 = System.nanoTime()
-      val rows = try spark.sql(q).collect().toSeq
-      catch { case e: Throwable =>
-        System.err.println(s"[q4ab] $tag failed: ${e.getMessage}"); Nil }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = listener.snapshot(); val sp1 = listener.spills()
-      def gb(b: Long): Double = math.round(b / 1e8) / 10.0
-      val digest = rows.map(r => s"${r.get(0)}:${r.get(1)}").mkString("|").hashCode
-      println(
-        s"""{"sweep":"q4ab","variant":"$tag","rows":${rows.size},""" +
-        s""""resultDigest":$digest,""" +
-        s""""wallSec":${math.round(wall * 10) / 10.0},""" +
-        s""""shuffleReadGB":${gb(s1._1 - s0._1)},"shuffleWriteGB":${gb(s1._2 - s0._2)},""" +
-        s""""memSpillGB":${gb(sp1._1 - sp0._1)},"diskSpillGB":${gb(sp1._2 - sp0._2)},""" +
-        s""""sf":"$sfDir"}""")
-    }
+    def run(tag: String, q: String): Unit =
+      abRun(spark, listener, "q4ab", sfDir, tag, q, collectDigest = true)
     run("stock", stock)
     run("aggjoin", aggjoin)
     run("hashhint", hashhint)

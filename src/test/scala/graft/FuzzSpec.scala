@@ -57,12 +57,13 @@ class FuzzSpec extends AnyFunSuite {
     assert(Fuzz.corpusSetop(20, 42L) == Fuzz.corpusSetop(20, 42L))
     assert(Fuzz.corpusSubq(20, 42L) == Fuzz.corpusSubq(20, 42L))
     assert(Fuzz.corpusSetop(20, 7L) != Fuzz.corpusSetop(20, 42L))
+    assert(Fuzz.corpusSubq(20, 7L) != Fuzz.corpusSubq(20, 42L))
     // EXCEPT/INTERSECT can legitimately produce zero rows; the gate
     // here is execute-without-error (the value diff runs via the
     // graft.Fuzz + local_verify.py leg)
     (Fuzz.corpusSetop(20, 42L) ++ Fuzz.corpusSubq(20, 42L)).foreach {
       case (name, sql) =>
-        assert(spark.sql(sql).count() >= 0L, s"$name failed")
+        withClue(s"$name: ") { spark.sql(sql).count() }
     }
   }
 }
