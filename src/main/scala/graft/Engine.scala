@@ -121,6 +121,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle/spill codec (guide §2.3): lz4 default — the r17 sf10
+      // A/B (docs/BENCH_NOTES.md) measured zstd's better ratio against
+      // its CPU cost on this suite; parameterised so a cluster profile
+      // can flip it without a code change.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       // ANSI "quoted identifiers" (the reference accepts `AS "select"`,
       // sql_comprehensive.rs:1305); without this Spark parses double

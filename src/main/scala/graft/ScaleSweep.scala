@@ -690,14 +690,7 @@ object ScaleSweep {
       listener: StageListener): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
     Engine.registerDir(spark, sfDir)
-    val stock = """
-      WITH pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
-                  FROM lineitem, supplier WHERE l_suppkey = s_suppkey
-                  GROUP BY l_partkey)
-      SELECT l_partkey, round(CAST(dval AS DOUBLE), 2) AS value
-      FROM pp
-      WHERE CAST(dval AS DOUBLE) > (SELECT 1.5 * CAST(sum(dval) AS DOUBLE) / count(*) FROM pp)
-      ORDER BY value DESC, l_partkey"""
+    val stock = TpchStockShapes.q11
     // the bypass: hint on the JOIN OUTPUT (hinting the lineitem scan
     // would be destroyed by the join's own shuffle when supplier is
     // too big to broadcast)
@@ -736,23 +729,8 @@ object ScaleSweep {
       listener: StageListener): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
     Engine.registerDir(spark, sfDir)
-    val body = """
-      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-             round(sum(l_quantity), 2) AS sum_qty
-      FROM customer, orders, lineitem
-      WHERE o_orderkey IN (%s)
-        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-      LIMIT 100"""
-    val stock = body.format(
-      """SELECT l_orderkey FROM lineitem
-         GROUP BY l_orderkey HAVING sum(l_quantity) > 120""")
-    val prerepart = body.format(
-      """SELECT l_orderkey
-         FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_quantity
-               FROM lineitem)
-         GROUP BY l_orderkey HAVING sum(l_quantity) > 120""")
+    val stock = TpchStockShapes.q18
+    val prerepart = TpchStockShapes.q18Prerepart
     def run(tag: String, q: String): Unit =
       abRun(spark, listener, "q18ab", sfDir, tag, q, collectDigest = false)
     run("stock", stock)
@@ -777,21 +755,7 @@ object ScaleSweep {
       listener: StageListener): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
     Engine.registerDir(spark, sfDir)
-    val stock = """
-      SELECT s_name, count(*) AS numwait
-      FROM supplier, lineitem l1, orders, nation
-      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-        AND o_orderstatus = 'F'
-        AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
-        AND EXISTS (SELECT 1 FROM lineitem l2
-                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                          AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
-        AND s_nationkey = n_nationkey
-      GROUP BY s_name
-      ORDER BY numwait DESC, s_name
-      LIMIT 100"""
+    val stock = TpchStockShapes.q21
     val rewrite = """
       WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
                         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
@@ -833,15 +797,7 @@ object ScaleSweep {
       listener: StageListener): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
     Engine.registerDir(spark, sfDir)
-    val stock = """
-      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-      FROM lineitem, part
-      WHERE p_partkey = l_partkey
-        AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-        AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-      GROUP BY p_brand, p_type, p_size
-      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+    val stock = TpchStockShapes.q16
     val prerepart = """
       SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
       FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
@@ -890,15 +846,7 @@ object ScaleSweep {
       listener: StageListener): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
     Engine.registerDir(spark, sfDir)
-    val stock = """
-      SELECT o_orderpriority, count(*) AS order_count
-      FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-        AND EXISTS (SELECT 1 FROM lineitem
-                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-      GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""
+    val stock = TpchStockShapes.q04
     val aggjoin = """
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
