@@ -749,6 +749,14 @@ object ScaleSweep {
     * "no OTHER late supplier" is exactly one distinct late supplier).
     * Row-for-row equivalent: both count qualifying late LINES.
     *
+    * r18 third arm: the r17 rewrite consumed `j` twice (the aggregate
+    * AND the outer join probe; pruning made the subtrees canonically
+    * different so no ReusedExchange fired — two full lineitem⋈orders
+    * passes). The shipped r18 shape folds the late-supplier identity
+    * (max over late-case suppkeys, single-valued when nlate = 1) and
+    * the late-line count (sum(late)) into the same per-order aggregate
+    * and never joins back to `j` — one fact pass by construction.
+    *
     *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 scripts/run_main.sh graft.ScaleSweep q21ab
     */
   private def q21AbSweep(spark: org.apache.spark.sql.SparkSession,
@@ -756,7 +764,9 @@ object ScaleSweep {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
     Engine.registerDir(spark, sfDir)
     val stock = TpchStockShapes.q21
-    val rewrite = """
+    // the r17 shape, kept verbatim as the A/B middle arm (historical —
+    // measures exactly what removing the second fact pass buys)
+    val rewrite17 = """
       WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
                         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
                              THEN 1 ELSE 0 END AS late
@@ -774,12 +784,15 @@ object ScaleSweep {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name
       LIMIT 100"""
+    val shipped = queries.TpchQueries.q21SparkSql
     def run(tag: String, q: String): Unit =
       abRun(spark, listener, "q21ab", sfDir, tag, q, collectDigest = true)
     run("stock", stock)
-    run("rewrite", rewrite)
+    run("rewrite17", rewrite17)
+    run("shipped", shipped)
     run("stock", stock)
-    run("rewrite", rewrite)
+    run("rewrite17", rewrite17)
+    run("shipped", shipped)
   }
 
   /** q16 A/B (r17): count(DISTINCT l_suppkey) plans as a first

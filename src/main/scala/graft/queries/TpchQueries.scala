@@ -580,7 +580,11 @@ object TpchQueries extends QueryCatalog {
     // keys first zeroes the spill AND runs 27–30% faster (108–113 s →
     // 75–83 s) for +1.8 GB shuffle. Same rule as q11, hint on the scan
     // here because no join sits upstream of the aggregate.
-    (s, dir) => sql(s, dir)("""
+    (s, dir) => sql(s, dir)(q18SparkSql))
+
+  /** The shipped q18 SQL — shared with the ScaleSweep A/B runner and
+    * PlanDump so the evidence can never desync from the catalog. */
+  private[graft] val q18SparkSql = """
       SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
              round(sum(l_quantity), 2) AS sum_qty
       FROM customer, orders, lineitem
@@ -592,7 +596,7 @@ object TpchQueries extends QueryCatalog {
         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-      LIMIT 100"""))
+      LIMIT 100"""
 
   /** Q19 — discounted revenue: OR-of-ANDs disjunctive pushdown (see delta). */
   val q19 = Q(
@@ -650,7 +654,42 @@ object TpchQueries extends QueryCatalog {
     * counted. The r17 q21ab A/B: zero spill, identical result digest
     * across 4 runs, 202.6 → 122.7 s cold / wall parity warm; the
     * oracle below stays the semantic EXISTS form and the driver
-    * hash-compares the two. */
+    * hash-compares the two.
+    *
+    * r18 (VERDICT r17 item 1): the r17 shape consumed CTE `j` twice —
+    * once under `g` and once as the outer join's probe side — and
+    * column pruning made the two subtrees canonically different, so no
+    * ReusedExchange fired and the 600M-row lineitem⋈orders join ran
+    * TWICE (plans/r17/tpch_q21_after.txt ops 10 and 21; ~half of
+    * q21's 95 s at sf100). The fix removes the second consumption
+    * entirely: nlate = 1 means every late line of the order belongs to
+    * ONE supplier, so the same per-order aggregate can also carry that
+    * supplier (max over the late-case suppkeys — single-valued when
+    * nlate = 1, and only nlate = 1 rows survive the filter) and the
+    * late-line count (sum(late)). numwait = sum of per-order late-line
+    * counts per supplier — line-for-line the rows the stock form
+    * counts, without ever joining back to `j`. One fact pass by
+    * construction; r18 q21ab A/B digest-identical, oracle unchanged. */
+  private[graft] val q21SparkSql = """
+      WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
+                        CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN 1 ELSE 0 END AS late
+                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                 WHERE o_orderstatus = 'F'),
+           g AS (SELECT l_orderkey,
+                        count(DISTINCT l_suppkey) AS nsupp,
+                        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate,
+                        max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp,
+                        sum(late) AS nlate_lines
+                 FROM j GROUP BY l_orderkey)
+      SELECT s_name, sum(nlate_lines) AS numwait
+      FROM g JOIN supplier ON s_suppkey = late_supp
+             JOIN nation ON s_nationkey = n_nationkey
+      WHERE nsupp > 1 AND nlate = 1
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
+
   val q21 = Q(
     "tpch_q21",
     Some("""
@@ -668,24 +707,7 @@ object TpchQueries extends QueryCatalog {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name
       LIMIT 100"""),
-    (s, dir) => sql(s, dir)("""
-      WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
-                        CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
-                             THEN 1 ELSE 0 END AS late
-                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-                 WHERE o_orderstatus = 'F'),
-           g AS (SELECT l_orderkey,
-                        count(DISTINCT l_suppkey) AS nsupp,
-                        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
-                 FROM j GROUP BY l_orderkey)
-      SELECT s_name, count(*) AS numwait
-      FROM j JOIN g ON j.l_orderkey = g.l_orderkey
-             JOIN supplier ON s_suppkey = j.l_suppkey
-             JOIN nation ON s_nationkey = n_nationkey
-      WHERE j.late = 1 AND g.nsupp > 1 AND g.nlate = 1
-      GROUP BY s_name
-      ORDER BY numwait DESC, s_name
-      LIMIT 100"""))
+    (s, dir) => sql(s, dir)(q21SparkSql))
 
   /** Q22 — global sales opportunity: scalar avg + NOT EXISTS (see delta). */
   val q22 = Q(
