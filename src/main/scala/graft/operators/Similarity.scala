@@ -987,18 +987,39 @@ object Similarity {
         val assigned =
           subJoinAssign(train, corpusId, corpusVec, supersBc, subs, dim)
         // distributed twin of collectCellMeans: same grouping, same
-        // round(avg, 9) quantization — the output stays a relation
+        // round(avg, 9) = round(sum/count, 9) quantization — but ONE
+        // row per doc through the aggregate instead of dim exploded
+        // (s, sub, pos, value) rows (r17 measured the posexplode shape
+        // as the bulk of the 608 s fit wall at 20M docs × 1M cells:
+        // dim× the shuffled rows, dim× the group keys). Per-position
+        // sum + non-null count as 2×dim primitive agg columns keeps
+        // the aggregate a codegen HashAggregate whose partial phase
+        // rides the assignment join's existing __s partitioning (no
+        // extra exchange when the packed side shuffle-joins).
+        // Explode-form semantics preserved exactly: NULL/empty vectors
+        // contribute no rows (the where), a position counts only
+        // vectors that reach it non-null, an all-missing position
+        // yields a NULL mean, and a vector LONGER than dim — which the
+        // exploded form surfaced as an over-length centroid failing
+        // packSubs' dim check — raises here instead of silently
+        // truncating.
+        val vecD = col(corpusVec).cast("array<double>")
+        val sums = (0 until dim).map(i => sum(vecD.getItem(i)).as(s"__m$i"))
+        val cnts = (0 until dim).map(i => count(vecD.getItem(i)).as(s"__c$i"))
+        val aggs = sums ++ cnts :+ max(size(vecD)).as("__len")
         val means = assigned
-          .select(col("__s"), col("__sub"),
-            posexplode(col(corpusVec).cast("array<double>")))
-          .groupBy(col("__s"), col("__sub"), col("pos"))
-          .agg(round(avg(col("col")), 9).as("m"))
+          .where(size(vecD) > lit(0))
           .groupBy(col("__s"), col("__sub"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("m")))),
-            e => e.getField("m")).as("centroid"))
+          .agg(aggs.head, aggs.tail: _*)
           .select(col("__s").as("super_id"), col("__sub").as("sub_id"),
-            col("centroid"))
+            when(col("__len") <= lit(dim),
+              array((0 until dim).map(i =>
+                when(col(s"__c$i") > lit(0L),
+                  round(col(s"__m$i") / col(s"__c$i"), 9))): _*))
+              .otherwise(raise_error(concat_ws(" ",
+                lit("graft two-level fit: corpus vector longer than the"),
+                lit(s"index dim $dim in cell"), col("__s").cast("string"))))
+              .as("centroid"))
         val next = subs.as("p").join(means.as("n"),
             col("p.super_id") === col("n.super_id") &&
               col("p.sub_id") === col("n.sub_id"), "left")
