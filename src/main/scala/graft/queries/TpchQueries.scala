@@ -663,25 +663,36 @@ object TpchQueries extends QueryCatalog {
     * TWICE (plans/r17/tpch_q21_after.txt ops 10 and 21; ~half of
     * q21's 95 s at sf100). The fix removes the second consumption
     * entirely: nlate = 1 means every late line of the order belongs to
-    * ONE supplier, so the same per-order aggregate can also carry that
-    * supplier (max over the late-case suppkeys — single-valued when
-    * nlate = 1, and only nlate = 1 rows survive the filter) and the
-    * late-line count (sum(late)). numwait = sum of per-order late-line
-    * counts per supplier — line-for-line the rows the stock form
-    * counts, without ever joining back to `j`. One fact pass by
-    * construction; r18 q21ab A/B digest-identical, oracle unchanged. */
+    * ONE supplier, so the per-order rollup can also carry that
+    * supplier and its late-line count, and the join back to `j`
+    * disappears — one fact pass by construction.
+    *
+    * The rollup itself is TWO STACKED PLAIN AGGREGATES rather than
+    * count(DISTINCT)s: dedupe to one row per (order, supplier) with
+    * has_late/n_late_lines, then roll up per order. Both groupings are
+    * satisfied by the single REPARTITION(l_orderkey) exchange (hash on
+    * a subset of the keys), while the two-distinct form planned an
+    * Expand — 3 projections, 1.8B rows into the first aggregate at
+    * sf100 and its only residual spill. r18 q21ab A/B (4 arms): stock
+    * 33.0 GB shuffle / 102 GB mem spill; r17 shape 33.9 / 0; the
+    * two-distinct one-pass 23.8 / 1.9; THIS shape at sf10 halves the
+    * two-distinct arm's wall and shuffle (1.1 vs 2.1 GB) — all four
+    * digest-identical, oracle unchanged (the stock EXISTS form). */
   private[graft] val q21SparkSql = """
       WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
                         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
                              THEN 1 ELSE 0 END AS late
                  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
                  WHERE o_orderstatus = 'F'),
+           s AS (SELECT l_orderkey, l_suppkey, max(late) AS has_late,
+                        sum(late) AS n_late_lines
+                 FROM j GROUP BY l_orderkey, l_suppkey),
            g AS (SELECT l_orderkey,
-                        count(DISTINCT l_suppkey) AS nsupp,
-                        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate,
-                        max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp,
-                        sum(late) AS nlate_lines
-                 FROM j GROUP BY l_orderkey)
+                        count(*) AS nsupp,
+                        sum(has_late) AS nlate,
+                        max(CASE WHEN has_late = 1 THEN l_suppkey END) AS late_supp,
+                        sum(CASE WHEN has_late = 1 THEN n_late_lines END) AS nlate_lines
+                 FROM s GROUP BY l_orderkey)
       SELECT s_name, sum(nlate_lines) AS numwait
       FROM g JOIN supplier ON s_suppkey = late_supp
              JOIN nation ON s_nationkey = n_nationkey
