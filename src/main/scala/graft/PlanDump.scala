@@ -34,6 +34,13 @@ private[graft] object TpchStockShapes {
     * REPARTITION on the dedupe key. */
   val q16 = queries.TpchQueries.q16.oracle.get
 
+  /** q13 stock: customer LEFT OUTER orders, then a per-custkey count —
+    * the full orders table crosses the join shuffle and the count runs
+    * on the joined output. Shipped (r18): count per o_custkey BEFORE
+    * the join (guide §2.3), so the join probes a custkey-sized
+    * aggregate and reuses its partitioning. */
+  val q13 = queries.TpchQueries.q13.oracle.get
+
   /** q18 stock: the HAVING subquery groups 600M lineitem rows into
     * ~150M l_orderkey groups (50.6 GB mem + 7.1 GB disk spill at
     * sf100). Shipped: REPARTITION(l_orderkey) on the scan first. */

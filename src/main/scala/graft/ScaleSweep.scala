@@ -206,6 +206,7 @@ object ScaleSweep {
     if (mode == "q21ab") { q21AbSweep(spark, listener); spark.stop(); return }
     if (mode == "q16ab") { q16AbSweep(spark, listener); spark.stop(); return }
     if (mode == "q4ab") { q4AbSweep(spark, listener); spark.stop(); return }
+    if (mode == "q13ab") { q13AbSweep(spark, listener); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -785,13 +786,42 @@ object ScaleSweep {
       ORDER BY numwait DESC, s_name
       LIMIT 100"""
     val shipped = queries.TpchQueries.q21SparkSql
+    // r18 intermediate arm, kept verbatim: the first one-pass shape
+    // computed nsupp/nlate as two count(DISTINCT)s — Spark plans an
+    // Expand (3 projections, 1.8B rows into the first aggregate at
+    // sf100; its only residual spill). The shipped shape stacks two
+    // plain aggregates on the same REPARTITION(l_orderkey) exchange
+    // instead (hash on a subset of the group keys satisfies both
+    // groupings) — no Expand, no distinct anywhere; at sf10 that
+    // halved this arm's wall and shuffle (2.1 -> 1.1 GB).
+    val twodistinct = """
+      WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
+                        CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                             THEN 1 ELSE 0 END AS late
+                 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                 WHERE o_orderstatus = 'F'),
+           g AS (SELECT l_orderkey,
+                        count(DISTINCT l_suppkey) AS nsupp,
+                        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate,
+                        max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp,
+                        sum(late) AS nlate_lines
+                 FROM j GROUP BY l_orderkey)
+      SELECT s_name, sum(nlate_lines) AS numwait
+      FROM g JOIN supplier ON s_suppkey = late_supp
+             JOIN nation ON s_nationkey = n_nationkey
+      WHERE nsupp > 1 AND nlate = 1
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100"""
     def run(tag: String, q: String): Unit =
       abRun(spark, listener, "q21ab", sfDir, tag, q, collectDigest = true)
     run("stock", stock)
     run("rewrite17", rewrite17)
+    run("twodistinct", twodistinct)
     run("shipped", shipped)
     run("stock", stock)
     run("rewrite17", rewrite17)
+    run("twodistinct", twodistinct)
     run("shipped", shipped)
   }
 
@@ -890,6 +920,55 @@ object ScaleSweep {
     run("stock", stock)
     run("aggjoin", aggjoin)
     run("hashhint", hashhint)
+  }
+
+  /** q13 A/B (r18, VERDICT r17 item 4). A runtime bloom filter is
+    * INAPPLICABLE here: the join is customer LEFT OUTER orders — every
+    * customer row survives by definition, and the orders-side filter
+    * (o_orderpriority <> '1-URGENT') keeps ~4/5 of rows, so there is
+    * no selective side to build a filter from and nothing the probe
+    * side could drop (outer semantics keep matchless rows anyway).
+    * The real lever is guide §2.3 "aggregate before you shuffle":
+    * count orders per custkey BEFORE the join, so the join probes a
+    * custkey-sized aggregate (10× fewer rows than orders) and reuses
+    * its partitioning, and the post-join re-aggregation disappears.
+    * Equivalent because c_custkey is the customer primary key (one
+    * row per key) and count(o_orderkey) = count(*) per custkey on the
+    * filtered orders (o_orderkey is never NULL); a matchless customer
+    * reads coalesce(NULL, 0) = 0 exactly like count over an all-NULL
+    * group. The third arm colocates the pre-aggregate first (the
+    * q11/q18 rule — orders rows per custkey ≈ 10 at every SF, so
+    * map-side partial agg state is input-keyspace-sized).
+    *
+    *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 scripts/run_main.sh graft.ScaleSweep q13ab
+    */
+  private def q13AbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf100")
+    Engine.registerDir(spark, sfDir)
+    val stock = TpchStockShapes.q13
+    val preagg = """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, coalesce(cnt, 0) AS c_count
+            FROM customer LEFT JOIN
+                 (SELECT o_custkey, count(*) AS cnt
+                  FROM orders WHERE o_orderpriority <> '1-URGENT'
+                  GROUP BY o_custkey) o ON c_custkey = o_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""
+    val prerepart = preagg.replace(
+      "SELECT o_custkey, count(*) AS cnt",
+      "SELECT /*+ REPARTITION(o_custkey) */ o_custkey, count(*) AS cnt")
+    require(prerepart != preagg,
+      "q13ab hint-replace target drifted: prerepart would re-measure preagg")
+    def run(tag: String, q: String): Unit =
+      abRun(spark, listener, "q13ab", sfDir, tag, q, collectDigest = true)
+    run("stock", stock)
+    run("preagg", preagg)
+    run("prerepart", prerepart)
+    run("stock", stock)
+    run("preagg", preagg)
+    run("prerepart", prerepart)
   }
 
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,
