@@ -4,7 +4,8 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -106,6 +107,59 @@ private[graft] object CentroidKernel {
       s"$what expects array<float|double>, got $other")
   }
 
+  // ── Whole-row eval bodies, shared verbatim by each expression's
+  // interpreted eval AND its generated code (the object compiles to
+  // static forwarders, so codegen calls them as plain static Java
+  // methods — one body, bit-identical on both paths; r18, VERDICT r17
+  // item 3: CodegenFallback on these kernels broke whole-stage codegen
+  // for the corpus-scale assign stages and boxed every returned id). ──
+
+  /** [[NearestCentroid]]'s body: NULL input → 0 (the all-NULL tie). */
+  def nearestFlat(vec: ArrayData, isFloat: Boolean, idx: FlatCentroids,
+      what: String): Int = {
+    idx.requireNonEmpty(what)
+    if (vec == null) 0
+    else argmax(vec, isFloat, idx.dim, idx.flat, 0, idx.n)
+  }
+
+  /** [[NearestCentroidId]]'s body: NULL input → ids(0). */
+  def nearestFlatId(vec: ArrayData, isFloat: Boolean, idx: FlatCentroids,
+      what: String): Long = {
+    idx.requireNonEmpty(what)
+    if (vec == null) idx.ids(0)
+    else idx.ids(argmax(vec, isFloat, idx.dim, idx.flat, 0, idx.n))
+  }
+
+  /** [[TwoLevelNearestCell]]'s body: NULL input → 0L (s=0, sub=0). */
+  def twoLevelCell(vec: ArrayData, isFloat: Boolean,
+      idx: TwoLevelFlatIndex, what: String): Long = {
+    // same fail-fast as FlatCentroids.requireNonEmpty: an empty super
+    // set would send argmax's best=0 into subOffsets(0) out of bounds
+    require(idx.nSuper > 0, s"$what was given an EMPTY " +
+      "two-level index (0 super-centroids): fit on a non-empty corpus, " +
+      "or pass a non-empty prefitted index")
+    if (vec == null) 0L
+    else {
+      val s = argmax(vec, isFloat, idx.dim, idx.superFlat, 0, idx.nSuper)
+      val sub = argmax(vec, isFloat, idx.dim, idx.subFlat,
+        idx.subOffsets(s), idx.subCounts(s))
+      s.toLong * idx.stride + sub
+    }
+  }
+
+  /** [[NearestInPacked]]'s body: the packed column must be present and
+    * hold at least one dim-length centroid; NULL input vector → 0. */
+  def nearestPacked(vec: ArrayData, isFloat: Boolean, dim: Int,
+      flat: ArrayData, what: String): Int = {
+    require(flat != null, s"$what: packed centroid column is NULL — " +
+      "every joined row must carry its cell's centroids")
+    val count = flat.numElements() / dim
+    require(count >= 1, s"$what: packed centroid column holds " +
+      s"${flat.numElements()} doubles — fewer than one dim=$dim centroid")
+    if (vec == null) 0
+    else argmaxInRow(vec, isFloat, dim, flat, count)
+  }
+
   /** [[argmax]] reading the centroid matrix from per-row column DATA
     * (an `array<double>` holding `count = numElements/dim` centroids
     * row-major) instead of a broadcast — the kernel of the JOIN-based
@@ -147,11 +201,40 @@ private[graft] object CentroidKernel {
   }
 }
 
+/** Whole-stage-codegen plumbing shared by the centroid kernels: the
+  * broadcast handle rides the generated class's `references` array and
+  * is dereferenced ONCE per class instance into a mutable slot (the
+  * same once-per-JVM torrent read `eval` pays on first access); the
+  * per-row call goes to the SAME [[CentroidKernel]] static body the
+  * interpreted path runs, so the two paths cannot diverge. */
+private[expressions] object CentroidCodegen {
+  /** Fully-qualified kernel class — Scala emits static forwarders for
+    * the object's methods, so generated Java calls them directly. */
+  val kernel = "graft.functions.expressions.CentroidKernel"
+
+  def broadcastCall(ctx: CodegenContext, ev: ExprCode, child: Expression,
+      index: Broadcast[_], idxClass: String, method: String,
+      isFloat: Boolean, what: String, retType: String): ExprCode = {
+    val bc = ctx.addReferenceObj("centroidIndexBc", index,
+      classOf[Broadcast[_]].getName)
+    val idx = ctx.addMutableState(idxClass, "centroidIndex",
+      v => s"$v = ($idxClass) $bc.value();")
+    val c = child.genCode(ctx)
+    val body =
+      code"""
+         |${c.code}
+         |final $retType ${ev.value} = $kernel.$method(
+         |  ${c.isNull} ? null : ${c.value}, $isFloat, $idx, "$what");
+       """.stripMargin
+    ev.copy(code = body, isNull = FalseLiteral)
+  }
+}
+
 /** 0-based index of the nearest centroid of the broadcast flat matrix
   * (never null: a NULL/empty input vector resolves to 0, the all-NULL
   * tie — matching the literal form's `negidx` fallback). */
 case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
@@ -159,13 +242,15 @@ case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
-    val idx = index.value
-    idx.requireNonEmpty(prettyName)
     val v = child.eval(input)
-    if (v == null) 0
-    else CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
-      idx.dim, idx.flat, 0, idx.n)
+    CentroidKernel.nearestFlat(v.asInstanceOf[ArrayData], isFloat,
+      index.value, prettyName)
   }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    CentroidCodegen.broadcastCall(ctx, ev, child, index,
+      classOf[FlatCentroids].getName, "nearestFlat", isFloat, prettyName,
+      "int")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "nearest_centroid"
@@ -177,7 +262,7 @@ case class NearestCentroid(child: Expression, index: Broadcast[FlatCentroids])
   * Longs re-deserialized per task — the 1/dim-scale remnant of the
   * vector-literal pathology). A NULL input resolves to ids(0). */
 case class NearestCentroidId(child: Expression, index: Broadcast[FlatCentroids])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
@@ -185,13 +270,15 @@ case class NearestCentroidId(child: Expression, index: Broadcast[FlatCentroids])
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
-    val idx = index.value
-    idx.requireNonEmpty(prettyName)
     val v = child.eval(input)
-    if (v == null) idx.ids(0)
-    else idx.ids(CentroidKernel.argmax(v.asInstanceOf[ArrayData], isFloat,
-      idx.dim, idx.flat, 0, idx.n))
+    CentroidKernel.nearestFlatId(v.asInstanceOf[ArrayData], isFloat,
+      index.value, prettyName)
   }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    CentroidCodegen.broadcastCall(ctx, ev, child, index,
+      classOf[FlatCentroids].getName, "nearestFlatId", isFloat, prettyName,
+      "long")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "nearest_centroid_id"
@@ -299,8 +386,7 @@ case class NearestCentroids(child: Expression, index: Broadcast[FlatCentroids],
   * resolves to 0 (the all-NULL tie); a NULL `flat` is refused loudly —
   * in the assignment plan it can only mean a broken join. */
 case class NearestInPacked(left: Expression, right: Expression, dim: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   require(dim >= 1, s"dim must be >= 1 (got $dim)")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -318,16 +404,23 @@ case class NearestInPacked(left: Expression, right: Expression, dim: Int)
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
     val f = right.eval(input)
-    require(f != null, s"$prettyName: packed centroid column is NULL — " +
-      "every joined row must carry its cell's centroids")
-    val flat = f.asInstanceOf[ArrayData]
-    val count = flat.numElements() / dim
-    require(count >= 1, s"$prettyName: packed centroid column holds " +
-      s"${flat.numElements()} doubles — fewer than one dim=$dim centroid")
     val v = left.eval(input)
-    if (v == null) 0
-    else CentroidKernel.argmaxInRow(v.asInstanceOf[ArrayData], isFloat,
-      dim, flat, count)
+    CentroidKernel.nearestPacked(v.asInstanceOf[ArrayData], isFloat, dim,
+      f.asInstanceOf[ArrayData], prettyName)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val body =
+      code"""
+         |${l.code}
+         |${r.code}
+         |final int ${ev.value} = ${CentroidCodegen.kernel}.nearestPacked(
+         |  ${l.isNull} ? null : ${l.value}, $isFloat, $dim,
+         |  ${r.isNull} ? null : ${r.value}, "$prettyName");
+       """.stripMargin
+    ev.copy(code = body, isNull = FalseLiteral)
   }
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
@@ -340,7 +433,7 @@ case class NearestInPacked(left: Expression, right: Expression, dim: Int)
   * per-row call — O(nSuper + subCounts(s)) cosines, no plan literal. */
 case class TwoLevelNearestCell(child: Expression,
     index: Broadcast[TwoLevelFlatIndex])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
@@ -348,23 +441,15 @@ case class TwoLevelNearestCell(child: Expression,
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def eval(input: InternalRow): Any = {
-    // same fail-fast as FlatCentroids.requireNonEmpty: an empty super
-    // set would send argmax's best=0 into subOffsets(0) out of bounds
-    require(index.value.nSuper > 0, s"$prettyName was given an EMPTY " +
-      "two-level index (0 super-centroids): fit on a non-empty corpus, " +
-      "or pass a non-empty prefitted index")
     val v = child.eval(input)
-    if (v == null) 0L // s=0, sub=0: the all-NULL-sims tie at both levels
-    else {
-      val idx = index.value
-      val vec = v.asInstanceOf[ArrayData]
-      val s = CentroidKernel.argmax(vec, isFloat, idx.dim,
-        idx.superFlat, 0, idx.nSuper)
-      val sub = CentroidKernel.argmax(vec, isFloat, idx.dim,
-        idx.subFlat, idx.subOffsets(s), idx.subCounts(s))
-      s.toLong * idx.stride + sub
-    }
+    CentroidKernel.twoLevelCell(v.asInstanceOf[ArrayData], isFloat,
+      index.value, prettyName)
   }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    CentroidCodegen.broadcastCall(ctx, ev, child, index,
+      classOf[TwoLevelFlatIndex].getName, "twoLevelCell", isFloat,
+      prettyName, "long")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "two_level_nearest_cell"

@@ -220,4 +220,75 @@ class CentroidIndexSpec extends AnyFunSuite {
       Similarity.fitCentroids(df, "id", "vec", nCells = 131072))
     assert(e.getMessage.contains("fitCentroids"), e.getMessage)
   }
+
+  // ── r18: the kernels generate code (VERDICT r17 item 3) ──
+
+  test("centroid kernels run INSIDE whole-stage codegen and match interpreted eval") {
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    import graft.functions.expressions.{NearestCentroidId, NearestInPacked}
+    val superVecs: Seq[Seq[Double]] =
+      Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val subVecs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0.2, 0.0), Seq(1.0, -0.2, 0.0)),
+      Seq(Seq(0.1, 1.0, 0.0))) // ragged sub-cells
+    val counts = subVecs.map(_.size).toArray
+    val offsets = counts.scanLeft(0)(_ + _).dropRight(1)
+    val twoBc = spark.sparkContext.broadcast(TwoLevelFlatIndex(
+      3, 2L, superVecs.flatten.toArray, superVecs.size,
+      subVecs.flatten.flatten.toArray, offsets, counts))
+    val bc = spark.sparkContext.broadcast(flat(cells))
+    // the packed column rides the row (join-shaped), incl. the tie pair
+    // and the zero-norm cell; vecs cover NULL input and zero-norm input.
+    // Joining on spark.range keeps a real scan under the projection —
+    // a bare LocalRelation would be constant-folded at optimize time
+    // and no code would be generated at all.
+    def q(asFloat: Boolean) = spark.range(6).toDF("id")
+      .join(vecsDf(asFloat), Seq("id"), "inner")
+      .select(col("id"),
+      toCol(NearestCentroid(toExpr(col("vec")), bc)).as("a"),
+      toCol(NearestCentroidId(toExpr(col("vec")), bc)).as("b"),
+      toCol(TwoLevelNearestCell(toExpr(col("vec")), twoBc)).as("c"),
+      toCol(NearestInPacked(toExpr(col("vec")),
+        toExpr(typedlit(cells.flatten)), 3)).as("d"))
+      .orderBy(col("id"))
+    def rows(df: DataFrame): Seq[(Long, Int, Long, Long, Int)] =
+      df.collect().toSeq.map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val fallbackPrev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      // fallback=false: a kernel whose generated code fails to compile
+      // aborts the query instead of silently running interpreted
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      for (asFloat <- Seq(false, true)) {
+        val out = q(asFloat)
+        val cg = rows(out) // execute FIRST: AQE only inserts
+        // WholeStageCodegen into the final per-stage plans
+        val planStr = out.queryExecution.executedPlan.toString
+        // first match is in the Final Plan section (printed before the
+        // Initial Plan); '*(n)' marks operators fused into
+        // WholeStageCodegen — the CodegenFallback form left this
+        // Project un-starred
+        val line = planStr.linesIterator
+          .find(_.contains("nearest_in_packed")).getOrElse("")
+        assert(line.contains("*("),
+          s"kernel project not inside WholeStageCodegen:\n$planStr")
+        // fully interpreted baseline: WSCG off AND the expression
+        // factory pinned to interpreted projections (plain wholeStage
+        // off still code-generates the projection kernels)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        val interp = try rows(q(asFloat))
+        finally {
+          spark.conf.set("spark.sql.codegen.wholeStage", "true")
+          spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        }
+        assert(cg == interp, s"codegen/interpreted divergence ($asFloat)")
+        // pinned semantics spot checks: tie -> lower index, NULL vec -> 0
+        assert(cg(1)._2 == 1 && cg(3)._2 == 0 && cg(3)._5 == 0)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", fallbackPrev)
+      twoBc.destroy(); bc.destroy()
+    }
+  }
 }
