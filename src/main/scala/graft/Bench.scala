@@ -123,12 +123,13 @@ object Bench {
       } catch { case _: Throwable => key -> None }
     }
 
-    // Detailed engine-metrics line first (diagnostics; may scroll out of
-    // the driver's 2000-char tail), then the compact contract line LAST —
-    // wall seconds rounded to 4 decimals so the whole line stays well
-    // under the tail window (r03 lesson: full-precision doubles + inline
-    // metrics pushed the line past the capture window and the round lost
-    // its bench numbers).
+    // Detailed engine-metrics map: since r18 it goes to a FILE with a
+    // compact pointer line on stdout (VERDICT r17 item 6: the ~2.3 KB
+    // inline bench_detail line crowded the driver's 2000-char stdout
+    // tail and could push the contract line out of the capture window —
+    // r16's PERF table came back empty). Same fields, same numbers;
+    // only the transport changed. The compact contract line still
+    // prints LAST, wall seconds rounded to 4 decimals (r03 lesson).
     def r4(d: Double): Double = math.round(d * 1e4) / 1e4
     val metricNames = Seq("shuffleRead", "shuffleWrite", "spillMem", "spillDisk")
     val ms = results.map { case (k, v) =>
@@ -140,7 +141,15 @@ object Bench {
       }
       "\"" + k + "\":{" + fields + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"bench_detail":$ms,"runs":$runs,"sf":"$sfDir"}""")
+    val detailLine = s"""{"bench_detail":$ms,"runs":$runs,"sf":"$sfDir"}"""
+    val dtag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val detailPath =
+      s"/tmp/graft_bench_detail_${dtag}_${ProcessHandle.current.pid}.json"
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPath), detailLine)
+      println(s"""{"bench_detail_file":"$detailPath","sf":"$sfDir"}""")
+    } catch { case _: Throwable => println(detailLine) }
 
     // Second bench surface: the reference's own 156-query golden suite
     // (it benchmarks the same set), end-to-end into the noop sink over
@@ -201,7 +210,13 @@ object Bench {
       "\"" + k + "\":" + v.map(w => r4(w._1)).getOrElse(-1.0)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Some((w, _, _))) => w }.sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val contract =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    println(contract)
+    // belt-and-braces copy on stderr (VERDICT r17 item 6): a stdout
+    // consumer that mangles or truncates its tail can still recover
+    // the contract line from the log stream. stdout stays canonical.
+    System.err.println(contract)
     spark.stop()
   }
 }
