@@ -207,6 +207,7 @@ object ScaleSweep {
     if (mode == "q16ab") { q16AbSweep(spark, listener); spark.stop(); return }
     if (mode == "q4ab") { q4AbSweep(spark, listener); spark.stop(); return }
     if (mode == "q13ab") { q13AbSweep(spark, listener); spark.stop(); return }
+    if (mode == "rebab") { rebalanceAbSweep(spark, listener); spark.stop(); return }
 
     val corpus = corpusDf(spark, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -969,6 +970,42 @@ object ScaleSweep {
     run("stock", stock)
     run("preagg", preagg)
     run("prerepart", prerepart)
+  }
+
+  /** REPARTITION vs REBALANCE A/B on every shipped hint site (r18,
+    * VERDICT r17 item 5): the REPARTITION(key) exchanges that zero the
+    * sf100 spill produce `shuffle.partitions` fixed-size partitions at
+    * every scale — at toy/mid SFs that is dozens of tiny tasks per
+    * exchange. A REBALANCE(key) exchange keeps the same hash
+    * clustering (so the colocate-before-aggregate property and the
+    * zero-spill story are untouched; AQE's skew-split on rebalance is
+    * validated out when a downstream operator requires clustering) but
+    * lets AQE coalesce the output to the advisory partition size.
+    * Interleaved same-JVM arms, because back-to-back suite benches
+    * drift more per window (~±5%) than the effect size.
+    *
+    *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 scripts/run_main.sh graft.ScaleSweep rebab
+    */
+  private def rebalanceAbSweep(spark: org.apache.spark.sql.SparkSession,
+      listener: StageListener): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
+    Engine.registerDir(spark, sfDir)
+    val sites = Seq(
+      "q04" -> queries.TpchQueries.q04SparkSql,
+      "q11" -> queries.TpchQueries.q11SparkSql,
+      "q16" -> queries.TpchQueries.q16SparkSql,
+      "q18" -> queries.TpchQueries.q18SparkSql,
+      "q21" -> queries.TpchQueries.q21SparkSql)
+    def run(tag: String, q: String): Unit =
+      abRun(spark, listener, "rebab", sfDir, tag, q, collectDigest = true)
+    (1 to 2).foreach { _ =>
+      sites.foreach { case (name, repart) =>
+        val rebal = repart.replace("REPARTITION(", "REBALANCE(")
+        require(rebal != repart, s"rebab: $name has no REPARTITION hint")
+        run(s"${name}_repart", repart)
+        run(s"${name}_rebal", rebal)
+      }
+    }
   }
 
   private def semDedupTwoLevelSweep(spark: org.apache.spark.sql.SparkSession,

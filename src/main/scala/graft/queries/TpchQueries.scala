@@ -172,7 +172,11 @@ object TpchQueries extends QueryCatalog {
     // the 24 GB heap on the fourth (LongToUnsafeRowMap.grow), the
     // exact fixed-resource fragility this campaign removes, so the
     // aggregate shape ships. Oracle keeps the stock EXISTS form.
-    (s, dir) => sql(s, dir)("""
+    (s, dir) => sql(s, dir)(q04SparkSql))
+
+  /** The shipped q4 SQL — shared with the ScaleSweep A/B runners so
+    * the evidence can never desync from the catalog. */
+  private[graft] val q04SparkSql = """
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
       JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
@@ -184,7 +188,7 @@ object TpchQueries extends QueryCatalog {
         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         AND g.max_ship > o_orderdate
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""))
+      ORDER BY o_orderpriority"""
 
   /** Q5 — local supplier volume: 6-way join with two small broadcast dims. */
   val q05 = Q(
@@ -400,7 +404,10 @@ object TpchQueries extends QueryCatalog {
     // within window noise — 107.7 vs 97.0 s min-of-2, and faster in
     // the cold window). The reduce-partition dial cannot touch that
     // spill (it is map-side); at toy SFs the extra exchange is noise.
-    (s, dir) => sql(s, dir)("""
+    (s, dir) => sql(s, dir)(q11SparkSql))
+
+  /** The shipped q11 SQL — shared with the ScaleSweep A/B runners. */
+  private[graft] val q11SparkSql = """
       WITH j AS (SELECT /*+ REPARTITION(l_partkey) */ l_partkey, l_extendedprice
                  FROM lineitem, supplier WHERE l_suppkey = s_suppkey),
            pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
@@ -408,7 +415,7 @@ object TpchQueries extends QueryCatalog {
       SELECT l_partkey, round(CAST(dval AS DOUBLE), 2) AS value
       FROM pp
       WHERE CAST(dval AS DOUBLE) > (SELECT 1.5 * CAST(sum(dval) AS DOUBLE) / count(*) FROM pp)
-      ORDER BY value DESC, l_partkey"""))
+      ORDER BY value DESC, l_partkey"""
 
   /** Q12 — shipping modes and order priority (adapted, see delta). */
   val q12 = Q(
@@ -529,7 +536,10 @@ object TpchQueries extends QueryCatalog {
     // count(DISTINCT) so partial-agg state is group-sized (the
     // q11/q18/q21 rule). r17 q16ab A/B: zero spill, identical result
     // digest, 36-45 s -> 28-30 s. The oracle keeps the stock form.
-    (s, dir) => sql(s, dir)("""
+    (s, dir) => sql(s, dir)(q16SparkSql))
+
+  /** The shipped q16 SQL — shared with the ScaleSweep A/B runners. */
+  private[graft] val q16SparkSql = """
       SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
       FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
             FROM (SELECT /*+ REPARTITION(p_brand, p_type, p_size, l_suppkey), SHUFFLE_HASH(part) */
@@ -541,7 +551,7 @@ object TpchQueries extends QueryCatalog {
                     AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                           WHERE s_acctbal < 0)))
       GROUP BY p_brand, p_type, p_size
-      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
   /** Q17 — small-quantity-order revenue: correlated avg subquery. */
   val q17 = Q(
