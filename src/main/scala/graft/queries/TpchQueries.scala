@@ -172,6 +172,10 @@ object TpchQueries extends QueryCatalog {
     // the 24 GB heap on the fourth (LongToUnsafeRowMap.grow), the
     // exact fixed-resource fragility this campaign removes, so the
     // aggregate shape ships. Oracle keeps the stock EXISTS form.
+    // r18: the colocating exchange is REBALANCE (same hash clustering,
+    // but AQE may coalesce to the advisory size instead of emitting
+    // shuffle.partitions fixed tasks) — interleaved rebab A/B: faster
+    // at sf0.1/sf10/sf100, zero spill at all three.
     (s, dir) => sql(s, dir)(q04SparkSql))
 
   /** The shipped q4 SQL — shared with the ScaleSweep A/B runners so
@@ -180,7 +184,7 @@ object TpchQueries extends QueryCatalog {
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
       JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
-            FROM (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_shipdate
+            FROM (SELECT /*+ REBALANCE(l_orderkey) */ l_orderkey, l_shipdate
                   FROM lineitem)
             GROUP BY l_orderkey) g
         ON o_orderkey = g.l_orderkey
@@ -404,11 +408,13 @@ object TpchQueries extends QueryCatalog {
     // within window noise — 107.7 vs 97.0 s min-of-2, and faster in
     // the cold window). The reduce-partition dial cannot touch that
     // spill (it is map-side); at toy SFs the extra exchange is noise.
+    // r18: the exchange is REBALANCE (rebab A/B: wins at every SF —
+    // sf100 78.6/99.0 vs 102.2/120.7 s — spill stays zero).
     (s, dir) => sql(s, dir)(q11SparkSql))
 
   /** The shipped q11 SQL — shared with the ScaleSweep A/B runners. */
   private[graft] val q11SparkSql = """
-      WITH j AS (SELECT /*+ REPARTITION(l_partkey) */ l_partkey, l_extendedprice
+      WITH j AS (SELECT /*+ REBALANCE(l_partkey) */ l_partkey, l_extendedprice
                  FROM lineitem, supplier WHERE l_suppkey = s_suppkey),
            pp AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
                   FROM j GROUP BY l_partkey)
@@ -536,13 +542,15 @@ object TpchQueries extends QueryCatalog {
     // count(DISTINCT) so partial-agg state is group-sized (the
     // q11/q18/q21 rule). r17 q16ab A/B: zero spill, identical result
     // digest, 36-45 s -> 28-30 s. The oracle keeps the stock form.
+    // r18: the dedupe-key exchange is REBALANCE (rebab A/B: -38% at
+    // sf10, parity at sf100, zero spill everywhere).
     (s, dir) => sql(s, dir)(q16SparkSql))
 
   /** The shipped q16 SQL — shared with the ScaleSweep A/B runners. */
   private[graft] val q16SparkSql = """
       SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
       FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
-            FROM (SELECT /*+ REPARTITION(p_brand, p_type, p_size, l_suppkey), SHUFFLE_HASH(part) */
+            FROM (SELECT /*+ REBALANCE(p_brand, p_type, p_size, l_suppkey), SHUFFLE_HASH(part) */
                          p_brand, p_type, p_size, l_suppkey
                   FROM lineitem, part
                   WHERE p_partkey = l_partkey
@@ -590,6 +598,11 @@ object TpchQueries extends QueryCatalog {
     // keys first zeroes the spill AND runs 27–30% faster (108–113 s →
     // 75–83 s) for +1.8 GB shuffle. Same rule as q11, hint on the scan
     // here because no join sits upstream of the aggregate.
+    // r18: the exchange is REBALANCE (rebab A/B: faster at sf0.1/sf10,
+    // sf100 parity inside noise, zero spill everywhere). q21 alone
+    // KEEPS REPARTITION — there AQE's 2:1 coalesce of the 49 MB
+    // rebalance partitions re-concentrated the ~150M-key stacked
+    // aggregate state and spilled 39.7+4.8 GB at sf100 (measured).
     (s, dir) => sql(s, dir)(q18SparkSql))
 
   /** The shipped q18 SQL — shared with the ScaleSweep A/B runner and
@@ -599,7 +612,7 @@ object TpchQueries extends QueryCatalog {
              round(sum(l_quantity), 2) AS sum_qty
       FROM customer, orders, lineitem
       WHERE o_orderkey IN (SELECT l_orderkey
-                           FROM (SELECT /*+ REPARTITION(l_orderkey) */
+                           FROM (SELECT /*+ REBALANCE(l_orderkey) */
                                         l_orderkey, l_quantity
                                  FROM lineitem)
                            GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
@@ -687,7 +700,14 @@ object TpchQueries extends QueryCatalog {
     * 33.0 GB shuffle / 102 GB mem spill; r17 shape 33.9 / 0; the
     * two-distinct one-pass 23.8 / 1.9; THIS shape at sf10 halves the
     * two-distinct arm's wall and shuffle (1.1 vs 2.1 GB) — all four
-    * digest-identical, oracle unchanged (the stock EXISTS form). */
+    * digest-identical, oracle unchanged (the stock EXISTS form).
+    *
+    * q21 is the ONE site that keeps REPARTITION where the other four
+    * reshaped queries moved to REBALANCE (r18 rebab A/B): its j
+    * exchange lands ~49 MB partitions at sf100, AQE coalesces them
+    * 2:1 under REBALANCE, and the doubled per-task state of the
+    * ~150M-key (order, supplier) dedupe aggregate spilled 39.7 GB mem
+    * + 4.8 GB disk (measured; REPARTITION: zero). */
   private[graft] val q21SparkSql = """
       WITH j AS (SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
                         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
