@@ -59,8 +59,8 @@ private[graft] object TpchStockShapes {
 
   /** name -> stock SQL for every query the spill campaign touched. */
   val all: Seq[(String, String)] = Seq(
-    "tpch_q04" -> q04, "tpch_q11" -> q11, "tpch_q16" -> q16,
-    "tpch_q18" -> q18, "tpch_q21" -> q21)
+    "tpch_q04" -> q04, "tpch_q11" -> q11, "tpch_q13" -> q13,
+    "tpch_q16" -> q16, "tpch_q18" -> q18, "tpch_q21" -> q21)
 }
 
 /** Emits the `explain("formatted")` before/after evidence for every

@@ -957,11 +957,11 @@ object ScaleSweep {
                   GROUP BY o_custkey) o ON c_custkey = o_custkey) c_orders
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""
-    val prerepart = preagg.replace(
-      "SELECT o_custkey, count(*) AS cnt",
-      "SELECT /*+ REPARTITION(o_custkey) */ o_custkey, count(*) AS cnt")
-    require(prerepart != preagg,
-      "q13ab hint-replace target drifted: prerepart would re-measure preagg")
+    // the shipped shape = preagg + colocation. The colocating hint must
+    // ride an INNER subselect of the raw scan: hinting the GROUP BY's
+    // own block repartitions the aggregate OUTPUT (measured: identical
+    // 6 GB spill to the unhinted arm).
+    val prerepart = queries.TpchQueries.q13SparkSql
     def run(tag: String, q: String): Unit =
       abRun(spark, listener, "q13ab", sfDir, tag, q, collectDigest = true)
     run("stock", stock)

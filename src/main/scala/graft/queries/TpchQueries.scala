@@ -460,16 +460,38 @@ object TpchQueries extends QueryCatalog {
             GROUP BY c_custkey) c_orders
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""),
-    (s, dir) => {
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
-      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    })
+    // r18 reshape (guide §2.3 "aggregate before you shuffle"): count
+    // orders per custkey BEFORE the join, colocated first (REBALANCE
+    // on the scan — orders rows per custkey ≈ 10 at every SF, so
+    // map-side partial agg state was input-keyspace-sized: 6.0 GB mem
+    // + 0.6 GB disk spill measured at sf100 without the colocation).
+    // The join then probes a custkey-sized aggregate (10× fewer rows
+    // than orders) on its own partitioning, and the post-join
+    // re-aggregation disappears. Equivalent to the stock LEFT OUTER
+    // form because c_custkey is the customer primary key (one row per
+    // key) and count(o_orderkey) = count(*) per custkey on the
+    // filtered orders (o_orderkey is never NULL); a matchless
+    // customer reads coalesce(NULL, 0) = 0 exactly like count over an
+    // all-NULL group. q13ab A/B: sf100 17.1/7.9 → 7.4/6.5 s, shuffle
+    // 1.8 → 0.9 GB, spill 0 → 0; wins at sf10/sf0.1 too; digests
+    // identical everywhere; oracle keeps the stock outer-join form.
+    // A runtime bloom filter is INAPPLICABLE here (VERDICT r17 item
+    // 4): outer semantics keep every customer row, the orders filter
+    // keeps ~4/5 of rows, and every o_custkey matches — no selective
+    // side exists to build a filter from.
+    (s, dir) => sql(s, dir)(q13SparkSql))
+
+  /** The shipped q13 SQL — shared with the ScaleSweep A/B runners. */
+  private[graft] val q13SparkSql = """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, coalesce(cnt, 0) AS c_count
+            FROM customer LEFT JOIN
+                 (SELECT o_custkey, count(*) AS cnt
+                  FROM (SELECT /*+ REBALANCE(o_custkey) */ o_custkey
+                        FROM orders WHERE o_orderpriority <> '1-URGENT')
+                  GROUP BY o_custkey) o ON c_custkey = o_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""
 
   /** Q14 — promotion effect: conditional revenue share. */
   val q14 = Q(
